@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Usage: python3 scripts/check_oracle.py <verifyOutDir> <sfDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
+runs the matching SQL from oracle_sql.json in DuckDB against the raw
+testdata parquet, then compares: row count, column names (sorted), and
+every value after sorting columns by name and rows by all columns.
+Exact string compare — strictly harsher than any sane hash compare, so
+passing here should mean passing the driver's gate.
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(con, rel):
+    df = rel.fetchdf()
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize values to strings; floats via repr for full precision
+    def cell(v):
+        if v is None:
+            return "NULL"
+        try:
+            import math
+            if isinstance(v, float) and math.isnan(v):
+                return "NULL"
+        except Exception:
+            pass
+        return repr(v)
+    rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None))
+    return list(df.columns), rows
+
+
+def main():
+    outdir, sfdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(outdir)
+                   if os.path.isdir(os.path.join(outdir, d)))
+    n_pass = n_fail = n_nosql = 0
+    for name in names:
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no parquet output")
+            n_fail += 1
+            continue
+        got_cols, got_rows = canon(con, con.sql(
+            f"SELECT * FROM read_parquet({files!r})"))
+        if name not in oracle:
+            status = "ROWS-ONLY" if len(got_rows) >= 0 else "?"
+            print(f"{status} {name}: {len(got_rows)} rows (no oracle sql)")
+            n_nosql += 1
+            continue
+        try:
+            exp_cols, exp_rows = canon(con, con.sql(oracle[name]))
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_fail += 1
+            continue
+        if len(got_rows) != len(exp_rows):
+            print(f"FAIL {name}: rows {len(got_rows)} != {len(exp_rows)}")
+            n_fail += 1
+            continue
+        bad = [(g, e) for g, e in zip(got_rows, exp_rows) if g != e]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(got_rows)} rows differ; first: got={bad[0][0]} exp={bad[0][1]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name}: {len(got_rows)} rows, {len(got_cols)} cols")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_nosql} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Explicit schemas + readers for the driver-provided testdata star schema
+  * (TESTDATA.md). Schemas are declared, never inferred: at 100 TB a schema
+  * inference pass is a full extra scan, and silent type drift between files
+  * becomes a correctness bug. Declaring `ReadSchema` also guarantees column
+  * pruning reaches the parquet scan.
+  */
+object Tables {
+
+  val lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val customerSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplierSchema: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val partSchema: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val nationSchema: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val regionSchema: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private val schemas: Map[String, StructType] = Map(
+    "lineitem" -> lineitemSchema,
+    "orders" -> ordersSchema,
+    "customer" -> customerSchema,
+    "supplier" -> supplierSchema,
+    "part" -> partSchema,
+    "nation" -> nationSchema,
+    "region" -> regionSchema,
+    "events" -> eventsSchema,
+    "documents" -> documentsSchema,
+    "embeddings" -> embeddingsSchema)
+
+  /** Read one testdata table with its declared schema. */
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
+  def events(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+}
