@@ -1,0 +1,153 @@
+package graft.etl
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Transactional batch warehouse over parquet.
+  *
+  * Reproduces the reference's per-page all-or-nothing load semantics
+  * (`process_and_insert_data`, shift_data_processor.py:154-183: one DB
+  * transaction covering 4 bulk inserts, rollback on any failure — exercised
+  * by the duplicate-PK test, tests:242-300).
+  *
+  * Spark has no cross-table/cross-partition transaction, so atomicity is a
+  * sink-side pattern (SURVEY §4): stage → validate → move → commit marker.
+  * A batch is visible iff `_commits/<batchId>` exists; the marker is written
+  * last, so a crash at any earlier point leaves garbage in `_staging/` or
+  * unreferenced batch dirs but never a partially visible batch. Readers list
+  * commit markers and read exactly those batch directories.
+  *
+  * Scale: batches are append-only directories (`<table>/batch=<id>`) — no
+  * rewrite of existing data on ingest; constraint validation is a groupBy
+  * on the PK (shuffle of key column only) and can be disabled for trusted
+  * re-loads.
+  */
+final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boolean = true) {
+
+  import ShiftWarehouse._
+
+  private def rootPath: Path = Paths.get(root)
+  private def commitsDir: Path = rootPath.resolve("_commits")
+  private def stagingDir(batchId: String): Path = rootPath.resolve("_staging").resolve(batchId)
+
+  private def committedBatchIds(): Seq[String] =
+    if (!Files.isDirectory(commitsDir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(commitsDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+
+  /** Read one normalized table (committed batches only). Empty-but-typed
+    * DataFrame when nothing has been committed. */
+  def table(name: String): DataFrame = {
+    val schema = tableSchemas(name)
+    val dirs = committedBatchIds()
+      .map(b => rootPath.resolve(name).resolve(s"batch=$b"))
+      .filter(Files.isDirectory(_))
+      .map(_.toString)
+    if (dirs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
+  }
+
+  def shifts: DataFrame = table("shifts")
+  def breaks: DataFrame = table("breaks")
+  def allowances: DataFrame = table("allowances")
+  def awardInterpretations: DataFrame = table("award_interpretations")
+  def kpis: DataFrame = table("kpis")
+
+  def normalized: NormalizedShifts =
+    NormalizedShifts(shifts, breaks, allowances, awardInterpretations)
+
+  /** Atomically append one batch across the four normalized tables.
+    * Validates PK uniqueness (within batch and against committed data)
+    * before anything becomes visible; any failure discards the staging
+    * area — the reference's rollback. */
+  def appendBatch(batch: NormalizedShifts, batchId: String): Unit = {
+    val tables = Seq(
+      "shifts" -> batch.shifts,
+      "breaks" -> batch.breaks,
+      "allowances" -> batch.allowances,
+      "award_interpretations" -> batch.awardInterpretations)
+    appendTables(tables, batchId)
+  }
+
+  /** Append KPI rows as their own committed batch. */
+  def appendKpis(kpiRows: DataFrame, batchId: String): Unit =
+    appendTables(Seq("kpis" -> kpiRows), batchId)
+
+  private def appendTables(tables: Seq[(String, DataFrame)], batchId: String): Unit = {
+    require(!committedBatchIds().contains(batchId), s"batch $batchId already committed")
+    val staging = stagingDir(batchId)
+    try {
+      tables.foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(staging.resolve(name).toString)
+      }
+      if (validatePks) tables.foreach { case (name, _) =>
+        pkColumns.get(name).foreach(pk => validatePk(name, pk, batchId, staging))
+      }
+      // Publish: move staged dirs into place, then the commit marker last.
+      tables.foreach { case (name, _) =>
+        val dest = rootPath.resolve(name).resolve(s"batch=$batchId")
+        Files.createDirectories(dest.getParent)
+        Files.move(staging.resolve(name), dest, StandardCopyOption.ATOMIC_MOVE)
+      }
+      Files.createDirectories(commitsDir)
+      Files.createFile(commitsDir.resolve(batchId))
+    } catch {
+      case e: Throwable =>
+        // rollback: nothing committed; remove staged files and any moved-
+        // but-unmarked batch dirs (invisible to readers either way).
+        deleteRecursively(staging)
+        tables.foreach { case (name, _) =>
+          deleteRecursively(rootPath.resolve(name).resolve(s"batch=$batchId"))
+        }
+        throw e
+    } finally {
+      deleteRecursively(staging)
+    }
+  }
+
+  private def validatePk(name: String, pk: String, batchId: String, staging: Path): Unit = {
+    val staged = spark.read.schema(tableSchemas(name)).parquet(staging.resolve(name).toString)
+    val existing = table(name)
+    val dup = staged.select(pk).union(existing.select(pk))
+      .groupBy(col(pk)).count().filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalStateException(
+        s"duplicate key value violates unique constraint: $name.$pk = ${dup.head.get(0)} (batch $batchId)")
+  }
+
+  /** `clear_data` (shift_data_processor.py:300-326): DELETE ... CASCADE ≡
+    * dropping parent and all derived child tables + kpis. */
+  def clear(): Unit = deleteRecursively(rootPath)
+}
+
+object ShiftWarehouse {
+
+  val tableSchemas: Map[String, StructType] = Map(
+    "shifts" -> ShiftSchemas.shiftsTable,
+    "breaks" -> ShiftSchemas.breaksTable,
+    "allowances" -> ShiftSchemas.allowancesTable,
+    "award_interpretations" -> ShiftSchemas.awardsTable,
+    "kpis" -> ShiftSchemas.kpisTable)
+
+  /** PKs per initdb.sql:4,12,22,31. */
+  val pkColumns: Map[String, String] = Map(
+    "shifts" -> "shift_id",
+    "breaks" -> "break_id",
+    "allowances" -> "allowance_id",
+    "award_interpretations" -> "award_id")
+
+  private[etl] def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+}

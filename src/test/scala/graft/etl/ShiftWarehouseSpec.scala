@@ -1,0 +1,85 @@
+package graft.etl
+
+import java.time.LocalDate
+
+import graft.SparkTestBase
+
+class ShiftWarehouseSpec extends SparkTestBase {
+
+  test("committed batch is visible with correct counts") {
+    val wh = new ShiftWarehouse(spark, tempDir("wh-commit"))
+    val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)
+    wh.appendBatch(ShiftNormalizer.normalize(page), "b0")
+    assert(wh.shifts.count() === 2)
+    assert(wh.breaks.count() === 2)
+    assert(wh.allowances.count() === 3)
+    assert(wh.awardInterpretations.count() === 2)
+  }
+
+  test("duplicate PK within a batch rolls back the whole batch (tests:242-300)") {
+    val wh = new ShiftWarehouse(spark, tempDir("wh-dup"))
+    val page = PageSource.parsePage(spark, ShiftFixtures.dupPkPage)
+    val e = intercept[IllegalStateException] {
+      wh.appendBatch(ShiftNormalizer.normalize(page), "b0")
+    }
+    assert(e.getMessage.contains("duplicate key"))
+    // all-or-nothing: NOTHING visible, not even the valid shifts rows
+    assert(wh.shifts.count() === 0)
+    assert(wh.breaks.count() === 0)
+    assert(wh.allowances.count() === 0)
+    assert(wh.awardInterpretations.count() === 0)
+  }
+
+  test("duplicate PK against an earlier committed batch also rolls back") {
+    val wh = new ShiftWarehouse(spark, tempDir("wh-dup2"))
+    val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)
+    wh.appendBatch(ShiftNormalizer.normalize(page), "b0")
+    intercept[IllegalStateException] {
+      wh.appendBatch(ShiftNormalizer.normalize(page), "b1") // same ids again
+    }
+    assert(wh.shifts.count() === 2) // first batch intact, second invisible
+  }
+
+  test("clear removes everything (DELETE CASCADE semantics)") {
+    val wh = new ShiftWarehouse(spark, tempDir("wh-clear"))
+    val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)
+    wh.appendBatch(ShiftNormalizer.normalize(page), "b0")
+    wh.clear()
+    assert(wh.shifts.count() === 0)
+    assert(wh.kpis.count() === 0)
+  }
+}
+
+class ShiftsEtlSpec extends SparkTestBase {
+
+  test("paginated two-page run equals the single-page golden results (tests:127-240)") {
+    val wh = new ShiftWarehouse(spark, tempDir("etl-pages"))
+    val payloads = Map(
+      "http://localhost:8000/api/shifts" -> (ShiftFixtures.page1, Some("/api/shifts?start=1&limit=1")),
+      "http://localhost:8000/api/shifts?start=1&limit=1" -> (ShiftFixtures.page2, None))
+    val pages = PageSource.pages("http://localhost:8000/api/shifts") { url =>
+      val (json, next) = payloads(url)
+      (PageSource.parsePage(spark, json), next)
+    }
+    val kpis = ShiftsEtl.run(pages, wh, LocalDate.parse("2023-12-31"), "run1")
+
+    assert(wh.shifts.count() === 2)
+    assert(wh.breaks.count() === 2)
+    assert(wh.allowances.count() === 3)
+    assert(wh.awardInterpretations.count() === 2)
+
+    val k = kpis.collect().map(r => r.getString(0) -> Option(r.getDecimal(2)).map(BigDecimal(_))).toMap
+    assert(k("mean_break_length_in_minutes") === Some(BigDecimal("24.41")))
+    assert(k("mean_shift_cost") === Some(BigDecimal("81.55")))
+    assert(k("max_allowance_cost_14d") === Some(BigDecimal("0.00")))
+    assert(k("max_break_free_shift_period_in_days") === Some(BigDecimal("0.00")))
+    assert(k("min_shift_length_in_hours") === Some(BigDecimal("8.75")))
+    assert(k("total_number_of_paid_breaks") === Some(BigDecimal("1.00")))
+  }
+
+  test("relative next link resolves against the page URL (get_next_url :146-152)") {
+    assert(PageSource.resolveNext("http://h:8000/api/shifts?start=0",
+      Some("/api/shifts?start=1&limit=1")) === Some("http://h:8000/api/shifts?start=1&limit=1"))
+    assert(PageSource.resolveNext("http://h:8000/api/shifts", None) === None)
+  }
+}
