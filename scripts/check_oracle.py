@@ -7,8 +7,10 @@ Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
 runs the matching SQL from oracle_sql.json in DuckDB against the raw
 testdata parquet, then compares: row count, column names (sorted), and
 every value after sorting columns by name and rows by all columns.
-Exact string compare — strictly harsher than any sane hash compare, so
-passing here should mean passing the driver's gate.
+Compares declared column types (DESCRIBE both sides) AND every value.
+Note fetchdf() collapses DECIMALs to float64, so the value compare alone
+would miss precision/scale differences — the type compare covers that
+(the round-1 q1 hash failure mode).
 """
 import sys, json, glob, os
 import duckdb
@@ -54,6 +56,9 @@ def main():
             continue
         got_cols, got_rows = canon(con, con.sql(
             f"SELECT * FROM read_parquet({files!r})"))
+        got_types = dict(con.sql(
+            f"DESCRIBE SELECT * FROM read_parquet({files!r})"
+        ).fetchdf()[["column_name", "column_type"]].itertuples(index=False, name=None))
         if name not in oracle:
             status = "ROWS-ONLY" if len(got_rows) >= 0 else "?"
             print(f"{status} {name}: {len(got_rows)} rows (no oracle sql)")
@@ -63,6 +68,12 @@ def main():
             exp_cols, exp_rows = canon(con, con.sql(oracle[name]))
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        exp_types = dict(con.sql(f"DESCRIBE {oracle[name]}"
+                         ).fetchdf()[["column_name", "column_type"]].itertuples(index=False, name=None))
+        if got_types != exp_types:
+            print(f"FAIL {name}: types {got_types} != {exp_types}")
             n_fail += 1
             continue
         if got_cols != exp_cols:

@@ -1,15 +1,16 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import graft.queries.{Relational, Normalize, Events}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    Relational.queries ++ Normalize.queries ++ Events.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracleSql
+    Relational.oracleSql ++ Normalize.oracleSql ++ Events.oracleSql
 }

@@ -62,9 +62,13 @@ object Tables {
     StructField("r_regionkey", IntegerType),
     StructField("r_name", StringType)))
 
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * micros-precision TimestampType cannot read directly: it is read as a
+    * raw nanosecond long (legacy.parquet.nanosAsLong) and floor-converted
+    * to micros in [[events]] — the same ns→us truncation DuckDB applies. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -105,7 +109,13 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "events")
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
 }

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Time-series / event-stream operators over the `events` table.
+  *
+  * These are the batch analogs of the Structured Streaming pipeline in
+  * graft.streaming (tumbling-window aggregation, per-key running state,
+  * session windows): identical logical shapes, so the streaming path can
+  * reuse the same expressions with a watermark added. The reference has no
+  * streams (SURVEY §2.9) — this is north-star surface from BASELINE.json.
+  *
+  * Scale notes: every query here partitions by a real key (hour bucket,
+  * user_id) — no global-order windows. Value sums go through DECIMAL so
+  * they are exact and order-independent across engines and partitionings.
+  */
+object Events {
+
+  private def dec(c: Column, p: Int = 18, s: Int = 2): Column =
+    c.cast(DecimalType(p, s))
+
+  // --------------------------------------------------------------------
+  // Tumbling-window aggregation: per (hour, event_type) counts + exact
+  // decimal sums. Streaming analog: groupBy(window($"ts", "1 hour"), ...)
+  // with a watermark.
+  def qEventWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        dec(sum(dec($"value")), 38, 2).as("sum_value"))
+  }
+
+  val qEventWindowSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // W1 at scale: running sum PARTITIONED by user — the shape the
+  // reference's global-order window (shift_data_processor.py:254) should
+  // take when a partition key exists. (ts, event_id) is a unique order
+  // key, so RANGE-frame tie semantics cannot differ between engines.
+  def qRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id",
+        dec(sum(dec($"value")).over(w), 38, 2).as("running_value"))
+  }
+
+  val qRunningSumSql: String =
+    """SELECT user_id, event_id,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2)))
+      |            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DECIMAL(38,2)) AS running_value
+      |FROM events""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Sessionization: gaps-and-islands over event time per user — a session
+  // breaks after a 30-minute silence. Same island-id construction as the
+  // reference KPI (running sum of break flags), but partitioned by
+  // user_id so it scales horizontally. Gap compare is in exact integer
+  // microseconds on both sides.
+  def qSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byTime = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id",
+        (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byTime))).as("gap_us"))
+      .select($"user_id", $"ts", $"event_id",
+        when($"gap_us".isNull || $"gap_us" <= 1800000000L, 0).otherwise(1).as("brk"))
+      .select($"user_id", $"ts", $"event_id",
+        sum($"brk").over(byTime).as("session_id"))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max($"ts")) - unix_micros(min($"ts"))).as("duration_us"))
+  }
+
+  val qSessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |         date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN gap_us IS NULL OR gap_us <= 1800000000 THEN 0 ELSE 1 END AS brk
+      |  FROM g),
+      |s AS (
+      |  SELECT user_id, ts,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      |  FROM b)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       count(*) AS n_events,
+      |       date_diff('microsecond', min(ts), max(ts)) AS duration_us
+      |FROM s GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // HLL approximate distinct: per event_type approx user count. The HLL
+  // sketch is mergeable (associative partial agg — scales like a sum, no
+  // distinct shuffle). DuckDB's approx sketch differs, so this entry is
+  // rows-only checked; exactness is unit-tested against true distinct.
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"))
+  }
+
+  // --------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_window" -> (qEventWindow _),
+    "q_running_sum" -> (qRunningSum _),
+    "q_sessionize" -> (qSessionize _),
+    "q_approx_distinct" -> (qApproxDistinct _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_event_window" -> qEventWindowSql,
+    "q_running_sum" -> qRunningSumSql,
+    "q_sessionize" -> qSessionizeSql)
+}

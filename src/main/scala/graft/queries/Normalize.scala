@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Normalization-operator demonstrations (SURVEY §2.2: P1–P6, Q7) projected
+  * onto the testdata star schema so the driver's DuckDB oracle can check
+  * them. The reference shapes are the shift-JSON flatten pipeline
+  * (etl/app/shift_data_processor.py:45-121); here the nested input is built
+  * from `lineitem` via collect_list(struct(...)) and then taken apart again
+  * with the same operators the ETL path uses.
+  *
+  * Numeric discipline (standing convention from round 1): every decimal
+  * aggregate is cast to a pinned final type on BOTH the Spark and oracle
+  * side — Spark and DuckDB widen sum() precision differently.
+  */
+object Normalize {
+
+  private def dec(c: Column, p: Int = 18, s: Int = 2): Column =
+    c.cast(DecimalType(p, s))
+
+  // --------------------------------------------------------------------
+  // P1/J3: explode a nested array carrying the parent key, then verify by
+  // re-aggregating. Reference: process_nested_records
+  // (shift_data_processor.py:53-60) — child rows stamped with shift_id.
+  // The nested build (collect_list) and the explode round-trip are both
+  // narrow per-key operations: one shuffle on the group key, no join.
+  def qExplode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nested = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", struct($"l_partkey", dec($"l_extendedprice").as("price")).as("item"))
+      .groupBy($"l_orderkey")
+      .agg(collect_list($"item").as("items"))
+    nested
+      .select($"l_orderkey".as("order_id"), explode($"items").as("it"))
+      .groupBy($"order_id")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dec(sum($"it.price"), 38, 2).as("total_price"))
+  }
+
+  val qExplodeSql: String =
+    """SELECT l_orderkey AS order_id,
+      |       count(*) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // P2/P3: rename map + column-order projection. Reference: map_dict_keys
+  // (shift_data_processor.py:45-51) and the insert column ordering (:129).
+  // Pure projection: the parquet scan must read only these four columns.
+  def qRename(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir).select(
+      $"l_orderkey".as("order_id"),
+      $"l_linenumber".as("line_no"),
+      $"l_quantity".as("qty"),
+      $"l_returnflag".as("flag"))
+  }
+
+  val qRenameSql: String =
+    """SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+      |       l_quantity AS qty, l_returnflag AS flag
+      |FROM lineitem""".stripMargin
+
+  // --------------------------------------------------------------------
+  // P4/Q7: derived cost via a row-local higher-order aggregate over nested
+  // arrays — no shuffle beyond the nested build. Reference: shift_cost =
+  // round(sum(allowance costs) + sum(award costs), 4)
+  // (shift_data_processor.py:78-82). Two arrays per parent, summed with
+  // `aggregate` (fold), exactly the reference's in-row sum. All money math
+  // stays in DECIMAL so the fold is exact and order-independent.
+  def qDerivedCost(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val zero2 = lit(0).cast(DecimalType(38, 2))
+    val zero4 = lit(0).cast(DecimalType(38, 4))
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey",
+        dec($"l_extendedprice").as("price"),
+        dec($"l_extendedprice" * $"l_discount", 18, 4).as("disc"))
+      .groupBy($"l_orderkey")
+      .agg(collect_list($"price").as("prices"), collect_list($"disc").as("discs"))
+      .select(
+        $"l_orderkey".as("order_id"),
+        dec(
+          aggregate($"prices", zero2, (acc, x) => acc + x) +
+            aggregate($"discs", zero4, (acc, x) => acc + x),
+          38, 4).as("order_cost"))
+  }
+
+  val qDerivedCostSql: String =
+    """SELECT l_orderkey AS order_id,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |            + sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS order_cost
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // P5/P8: epoch-ms → second-precision timestamp with a positive-guard,
+  // truncating (not rounding) sub-second parts. Reference: parse_timestamp
+  // (shift_data_processor.py:117-121) — `ms // 1000` floor division. The
+  // ms value is derived from events.ts so the oracle can reproduce it.
+  def qTsConvert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_id", unix_millis($"ts").as("ms"))
+      .select(
+        $"event_id",
+        when($"ms".isNotNull && $"ms" > 0, timestamp_seconds(expr("ms div 1000")))
+          .as("ts_sec"))
+  }
+
+  val qTsConvertSql: String =
+    """SELECT event_id,
+      |       CASE WHEN ms IS NOT NULL AND ms > 0
+      |            THEN make_timestamp((ms // 1000) * 1000000) END AS ts_sec
+      |FROM (SELECT event_id, epoch_ms(ts) AS ms FROM events)""".stripMargin
+
+  // --------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_explode" -> (qExplode _),
+    "q_rename" -> (qRename _),
+    "q_derived_cost" -> (qDerivedCost _),
+    "q_ts_convert" -> (qTsConvert _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_explode" -> qExplodeSql,
+    "q_rename" -> qRenameSql,
+    "q_derived_cost" -> qDerivedCostSql,
+    "q_ts_convert" -> qTsConvertSql)
+}

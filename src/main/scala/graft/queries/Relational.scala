@@ -39,8 +39,12 @@ object Relational {
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         sum($"l_quantity").as("sum_qty"),
-        sum(dec($"l_extendedprice")).as("sum_base_price"),
-        sum(dec($"l_extendedprice") * (lit(1).cast("decimal(3,2)") - dec($"l_discount", 4, 2)))
+        // Pin aggregate output types: Spark widens sum(DECIMAL(18,2)) to
+        // (28,2) while DuckDB widens to (38,2) — identical values, different
+        // declared precision, failed driver hash (round 1). Convention: cast
+        // every decimal aggregate to an explicit final type on BOTH sides.
+        dec(sum(dec($"l_extendedprice")), 38, 2).as("sum_base_price"),
+        dec(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(3,2)") - dec($"l_discount", 4, 2))), 38, 4)
           .as("sum_disc_price"),
         avg($"l_quantity").as("avg_qty"),
         count(lit(1)).as("count_order"))
@@ -50,8 +54,8 @@ object Relational {
   val q1PricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
       |       sum(l_quantity) AS sum_qty,
-      |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
       |       avg(l_quantity) AS avg_qty,
       |       count(*) AS count_order
       |FROM lineitem
@@ -82,11 +86,154 @@ object Relational {
        |  ON l_orderkey = o_orderkey""".stripMargin
 
   // --------------------------------------------------------------------
+  // J2/P8/P9: left outer join preserving all parents, with null-flag CASE
+  // and COALESCE defaults. Reference: shifts ⟕ breaks feeding the
+  // break-free-period KPI (shift_data_processor.py:255-256). The filtered
+  // right side is small, so broadcast it — the parent table never shuffles.
+  def qLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, sfDir)
+      .filter($"l_quantity" >= 50)
+      .select($"l_orderkey", dec($"l_extendedprice").as("price"))
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey")
+      .join(broadcast(big), $"o_orderkey" === $"l_orderkey", "left_outer")
+      .groupBy($"o_orderkey")
+      .agg(
+        count($"l_orderkey").as("n_big"),
+        coalesce(max($"price"), lit(0).cast("decimal(18,2)")).as("max_big"),
+        max(when($"l_orderkey".isNull, 0).otherwise(1)).as("has_big"))
+  }
+
+  val qLeftJoinSql: String =
+    """SELECT o_orderkey,
+      |       count(l_orderkey) AS n_big,
+      |       coalesce(max(CAST(l_extendedprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS max_big,
+      |       max(CASE WHEN l_orderkey IS NULL THEN 0 ELSE 1 END) AS has_big
+      |FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 50) l
+      |  ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // W1/Q8/P8/O1 flagship: gaps-and-islands. Longest run of consecutive
+  // order-days with no URGENT order — exactly the reference's
+  // max_break_free_shift_period_in_days KPI (shift_data_processor.py:
+  // 249-265): running SUM(flag) OVER (ORDER BY date) forms island ids,
+  // grouped count with the grp=0 adjustment, top-1.
+  // The global-order window runs over ~2.4k distinct days (post-groupBy),
+  // not raw orders — the single-task window sees one row per day, so the
+  // exchange is tiny at any fact-table scale. (A fully partitioned two-pass
+  // variant is q_islands_scalable in Scale.scala.)
+  def qIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        when($"o_orderpriority" === "1-URGENT", 1).otherwise(0).as("u"))
+      .groupBy($"day")
+      .agg(max($"u").as("has_urgent"))
+    val w = Window.orderBy($"day")
+    days
+      .select($"day", sum(when($"has_urgent" === 0, 0).otherwise(1)).over(w).as("grp"))
+      .groupBy($"grp")
+      .agg((count(lit(1)) - when($"grp" === 0, 0).otherwise(1)).as("cnt"))
+      .orderBy($"cnt".desc)
+      .limit(1)
+      .select($"cnt".as("max_streak"))
+  }
+
+  val qIslandsSql: String =
+    """WITH days AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS has_urgent
+      |  FROM orders GROUP BY 1),
+      |g AS (
+      |  SELECT day,
+      |         sum(CASE WHEN has_urgent = 0 THEN 0 ELSE 1 END) OVER (ORDER BY day) AS grp
+      |  FROM days),
+      |c AS (
+      |  SELECT grp, count(*) - CASE WHEN grp = 0 THEN 0 ELSE 1 END AS cnt
+      |  FROM g GROUP BY grp)
+      |SELECT cnt AS max_streak FROM c ORDER BY cnt DESC LIMIT 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // O1: top-k — ORDER BY ... LIMIT k. Catalyst rewrites to
+  // TakeOrderedAndProject: per-partition top-k then a k-row merge on the
+  // driver, never a full sort. Reference: ORDER BY cnt DESC LIMIT 1
+  // (shift_data_processor.py:264-265). Tie-broken by key for determinism.
+  def qTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(5)
+      .select($"o_orderkey", $"o_totalprice")
+  }
+
+  val qTopKSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin
+
+  // --------------------------------------------------------------------
+  // O2: offset/limit pagination slice over a deterministic order.
+  // Reference: SHIFTS[start:start+limit] (api/app/main.py:92).
+  def qPageSlice(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+      .offset(40)
+      .limit(20)
+  }
+
+  val qPageSliceSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey LIMIT 20 OFFSET 40""".stripMargin
+
+  // --------------------------------------------------------------------
+  // S5/Q1/Q2/Q5/Q6 KPI shape: tall (kpi_name, kpi_date, kpi_value) table.
+  // Reference computes 6 scalar subqueries (shift_data_processor.py:
+  // 225-279); at scale the right plan is ONE multi-aggregate pass over the
+  // fact table, unpivoted to the tall shape — not N separate scans.
+  // avg stays exact: l_quantity values are integral doubles, so the sum is
+  // exact in both engines and the single final division is bit-identical.
+  def qKpiUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .agg(
+        avg($"l_quantity").as("avg_qty"),
+        min($"l_extendedprice").as("min_price"),
+        max($"l_extendedprice").as("max_price"),
+        count(when($"l_returnflag" === "R", 1)).cast("double").as("returned_count"))
+      .select(expr(
+        """stack(4,
+          |  'avg_qty', avg_qty,
+          |  'min_price', min_price,
+          |  'max_price', max_price,
+          |  'returned_count', returned_count) AS (kpi_name, kpi_value)""".stripMargin))
+      .select($"kpi_name", lit(java.sql.Date.valueOf(asOf)).as("kpi_date"), $"kpi_value")
+  }
+
+  val qKpiUnionSql: String =
+    s"""SELECT 'avg_qty' AS kpi_name, DATE '$asOf' AS kpi_date, avg(l_quantity) AS kpi_value FROM lineitem
+       |UNION ALL SELECT 'min_price', DATE '$asOf', min(l_extendedprice) FROM lineitem
+       |UNION ALL SELECT 'max_price', DATE '$asOf', max(l_extendedprice) FROM lineitem
+       |UNION ALL SELECT 'returned_count', DATE '$asOf', CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) FROM lineitem""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
-    "q_join_filter_max" -> (qJoinFilterMax _))
+    "q_join_filter_max" -> (qJoinFilterMax _),
+    "q_left_join" -> (qLeftJoin _),
+    "q_islands" -> (qIslands _),
+    "q_topk" -> (qTopK _),
+    "q_page_slice" -> (qPageSlice _),
+    "q_kpi_union" -> (qKpiUnion _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
-    "q_join_filter_max" -> qJoinFilterMaxSql)
+    "q_join_filter_max" -> qJoinFilterMaxSql,
+    "q_left_join" -> qLeftJoinSql,
+    "q_islands" -> qIslandsSql,
+    "q_topk" -> qTopKSql,
+    "q_page_slice" -> qPageSliceSql,
+    "q_kpi_union" -> qKpiUnionSql)
 }
