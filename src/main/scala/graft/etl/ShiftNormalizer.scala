@@ -23,9 +23,15 @@ object ShiftNormalizer {
     * milliseconds truncated by integer division (observable: the golden
     * fixture has a break finishing at ...5277 ms).
     */
-  def msToTimestamp(c: Column): Column =
-    when(c.isNotNull && c > 0, timestamp_seconds(c.cast("long") / 1000L cast "long"))
+  def msToTimestamp(c: Column): Column = {
+    // True integral `ms // 1000` (the reference's floor division): subtract
+    // the remainder first so the double division is exact for every long —
+    // Spark's plain `/` on longs rounds through double.
+    val ms = c.cast("long")
+    when(c.isNotNull && c > 0,
+      timestamp_seconds(((ms - pmod(ms, lit(1000L))) / 1000L).cast("long")))
       .otherwise(lit(null).cast("timestamp"))
+  }
 
   private def sumCosts(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + coalesce(x.getField("cost"), lit(0.0)))
@@ -55,7 +61,10 @@ object ShiftNormalizer {
         col("shift_id"),
         msToTimestamp(col("b.start")).as("break_start"),
         msToTimestamp(col("b.finish")).as("break_finish"),
-        coalesce(col("b.paid"), lit(false)).as("is_paid"))
+        // NULL stays NULL: the reference inserts break['paid'] verbatim and
+        // Postgres's DEFAULT FALSE only applies when the column is omitted,
+        // never to an explicit JSON null (initdb.sql:16).
+        col("b.paid").as("is_paid"))
 
   /** allowances table: explode + rename map {id→allowance_id, value→
     * allowance_value, cost→allowance_cost} (shift_data_processor.py:103-108). */

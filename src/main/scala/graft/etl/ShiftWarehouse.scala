@@ -113,15 +113,44 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
     }
   }
 
+  /** PK uniqueness, two cheap phases (round-1 version unioned staged with
+    * the ENTIRE committed table and re-grouped — an O(total²) shuffle over
+    * a P-page run):
+    *  1. within-batch dups: groupBy over the small staged page only;
+    *  2. staged-vs-committed: broadcast the staged PKs (a page is always
+    *     small) and left-semi join against the committed PK column — a
+    *     pruned single-column scan of committed data, NO shuffle of it.
+    * Per-page cost is one committed-PK-column scan; for bulk re-loads use
+    * validatePks=false and one [[validateAllPks]] at the end (O(total)
+    * once instead of per page). */
   private def validatePk(name: String, pk: String, batchId: String, staging: Path): Unit = {
     val staged = spark.read.schema(tableSchemas(name)).parquet(staging.resolve(name).toString)
-    val existing = table(name)
-    val dup = staged.select(pk).union(existing.select(pk))
+    val withinDup = staged.select(pk)
       .groupBy(col(pk)).count().filter(col("count") > 1).limit(1).collect()
-    if (dup.nonEmpty)
+    if (withinDup.nonEmpty)
       throw new IllegalStateException(
-        s"duplicate key value violates unique constraint: $name.$pk = ${dup.head.get(0)} (batch $batchId)")
+        s"duplicate key value violates unique constraint: $name.$pk = ${withinDup.head.get(0)} (batch $batchId)")
+    val crossDup = table(name).select(pk)
+      .join(broadcast(staged.select(pk)), Seq(pk), "left_semi")
+      .limit(1).collect()
+    if (crossDup.nonEmpty)
+      throw new IllegalStateException(
+        s"duplicate key value violates unique constraint: $name.$pk = ${crossDup.head.get(0)} (batch $batchId)")
   }
+
+  /** One-shot global PK validation over everything committed — the
+    * companion to validatePks=false bulk loads: one shuffle keyed by PK
+    * per table, instead of a per-page scan. */
+  def validateAllPks(): Unit =
+    pkColumns.foreach { case (name, pk) =>
+      val dup = table(name).select(pk)
+        .groupBy(col(pk)).count().filter(col("count") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalStateException(
+          s"duplicate key value violates unique constraint: $name.$pk = ${dup.head.get(0)}")
+    }
+
+  private[etl] def committedBatches: Seq[String] = committedBatchIds()
 
   /** `clear_data` (shift_data_processor.py:300-326): DELETE ... CASCADE ≡
     * dropping parent and all derived child tables + kpis. */

@@ -29,6 +29,11 @@ object ShiftsEtl {
       warehouse: ShiftWarehouse,
       asOfDate: LocalDate,
       runId: String = "run"): DataFrame = {
+    // Fail fast on a reused runId BEFORE committing anything: otherwise the
+    // page batches land and the later "<runId>-kpis" commit throws, leaving
+    // data committed with stale KPIs.
+    require(!warehouse.committedBatches.exists(_.startsWith(s"$runId-")),
+      s"runId '$runId' already has committed batches; choose a fresh runId")
     pages.zipWithIndex.foreach { case (page, i) =>
       warehouse.appendBatch(ShiftNormalizer.normalize(page), f"$runId-p$i%05d")
     }
@@ -48,6 +53,24 @@ object ShiftsEtl {
   */
 object PageSource {
 
+  /** A page fetch failed. The reference logs and returns None from
+    * fetch_data (shift_data_processor.py:32-43) and process_all_pages
+    * raises, which `/run-etl` maps to HTTP 400 (etl/app/main.py:44-49);
+    * this exception is that clean-failure path — the ETL run stops with
+    * nothing partially committed for the failing page. */
+  final case class FetchFailedException(url: String, cause: Throwable)
+    extends RuntimeException(s"Failed to fetch data from $url", cause)
+
+  /** S3 batch-size pushdown (etl/app/main.py:20-40 `add_query_params` +
+    * api honoring `limit`, api/app/main.py:84-92): append the page-size
+    * limit as a query parameter to the source URL. Range-checked like the
+    * reference's batch_size ∈ [1, 30]. */
+  def withPageSize(url: String, pageSize: Int): String = {
+    require(pageSize >= 1 && pageSize <= 30, s"pageSize must be in [1,30], got $pageSize")
+    val sep = if (url.contains("?")) "&" else "?"
+    s"$url${sep}limit=$pageSize"
+  }
+
   /** Resolve the possibly-relative `links.next` against the base URL, as
     * `urljoin` does in the reference (get_next_url,
     * shift_data_processor.py:146-152). */
@@ -56,15 +79,22 @@ object PageSource {
 
   /** Iterate pages from `firstUrl`, following next-links.
     *
-    * @param fetch url → (page DataFrame, raw next link if any)
+    * @param pageSize optional S3 limit pushdown, applied to the first URL
+    *                 (followed links carry the server's own limit params)
+    * @param fetch    url → (page DataFrame, raw next link if any); any
+    *                 exception it throws surfaces as [[FetchFailedException]]
     */
-  def pages(firstUrl: String)(fetch: String => (DataFrame, Option[String])): Iterator[DataFrame] =
+  def pages(firstUrl: String, pageSize: Option[Int] = None)(
+      fetch: String => (DataFrame, Option[String])): Iterator[DataFrame] =
     new Iterator[DataFrame] {
-      private var nextUrl: Option[String] = Some(firstUrl)
+      private var nextUrl: Option[String] =
+        Some(pageSize.fold(firstUrl)(withPageSize(firstUrl, _)))
       def hasNext: Boolean = nextUrl.isDefined
       def next(): DataFrame = {
         val url = nextUrl.get
-        val (df, rawNext) = fetch(url)
+        val (df, rawNext) =
+          try fetch(url)
+          catch { case e: Exception => throw FetchFailedException(url, e) }
         nextUrl = resolveNext(url, rawNext)
         df
       }

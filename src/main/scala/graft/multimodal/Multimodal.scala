@@ -1,0 +1,74 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Multimodal-column handling: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus batch decode / feature
+  * extraction plumbing (BASELINE.json north star; no reference analog).
+  *
+  * This container ships no image/audio codecs, so the decode kernel is a
+  * clearly marked deterministic STUB ([[DecodeStub]]) — everything around
+  * it is real and tested: the asset schema, the batched mapPartitions
+  * execution (the Scala analog of a `mapInPandas` batch UDF: decode
+  * amortizes per-batch setup across [[DecodeStub.BatchSize]] rows), and
+  * the column-pruned metadata path that never materializes payload bytes
+  * when only metadata is selected.
+  *
+  * Scale notes: payloads stay opaque binary end to end — no per-row
+  * driver traffic; the decode pass is embarrassingly parallel per
+  * partition; metadata extraction is a codegen'd projection.
+  */
+object Multimodal {
+
+  /** Asset row: opaque payload + envelope metadata. */
+  case class Asset(asset_id: Long, mime: String, payload: Array[Byte])
+
+  /** Extracted (fake-)decoded features. */
+  case class AssetMeta(asset_id: Long, n_bytes: Long, width: Int, height: Int)
+
+  /** Build a binary-payload asset table. The testdata has no real media,
+    * so document text bytes stand in for the payload — the pipeline is
+    * payload-agnostic by design. */
+  def assets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(
+      $"doc_id".as("asset_id"),
+      lit("image/x-fake").as("mime"),
+      $"text".cast("binary").as("payload"))
+  }
+
+  /** ======= STUB =======
+    * Deterministic stand-in for a real media decoder (libjpeg / ffmpeg
+    * frame sampling would slot in here). Derives fake dimensions from the
+    * payload bytes so tests are reproducible. The batch shape — decode N
+    * payloads per invocation — is the real contract a vectorized decoder
+    * needs (model/codec init per batch, not per row). */
+  object DecodeStub {
+    val BatchSize = 64
+
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[(Int, Int)] =
+      // real impl: one codec context for the whole batch
+      payloads.map { p =>
+        val h = java.util.Arrays.hashCode(p)
+        (64 + math.floorMod(h, 897), 64 + math.floorMod(h >> 10, 457))
+      }
+  }
+
+  /** Batched decode over the asset table — the mapPartitions execution
+    * pattern for per-row kernels that need amortized setup. */
+  def extractMeta(assets: DataFrame): Dataset[AssetMeta] = {
+    import assets.sparkSession.implicits._
+    assets.select("asset_id", "mime", "payload").as[Asset]
+      .mapPartitions { it =>
+        it.grouped(DecodeStub.BatchSize).flatMap { batch =>
+          val dims = DecodeStub.decodeBatch(batch.map(_.payload))
+          batch.lazyZip(dims).map { case (a, (w, h)) =>
+            AssetMeta(a.asset_id, a.payload.length.toLong, w, h)
+          }
+        }
+      }
+  }
+}

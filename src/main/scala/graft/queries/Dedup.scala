@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deduplication operators over `documents` — the core LLM-pretraining
+  * pipeline surface (BASELINE.json north star; no reference analog).
+  *
+  * Scale design (the part that must survive 100 TB):
+  *  - Exact dedup: hash aggregation on the content fingerprint — one
+  *    shuffle keyed by fingerprint, standard partial/final agg.
+  *  - Near-dup: minhash signatures + banded LSH. Candidate pairs are
+  *    generated ONLY inside LSH band buckets (equi-join on the band
+  *    hash), then verified with exact shingle-set jaccard. There is no
+  *    all-pairs/cross join anywhere in the plan (asserted in
+  *    DedupSpec): cost is O(n·sig) + O(Σ bucket²) instead of O(n²).
+  *  - Simhash: 32-bit signatures, blocked by 4×8-bit bands — pigeonhole
+  *    guarantees any pair within hamming distance 3 shares ≥1 exact
+  *    band, so the banded equi-join loses nothing vs brute force.
+  *
+  * Oracle strategy: the DuckDB side brute-forces the same definitions
+  * (exact jaccard over 3-word shingles; md5-derived simhash), which is
+  * O(n²) but fine at sf0.01. LSH parameters (32 bands × 3 rows) put the
+  * miss probability of a ≥0.9-jaccard pair at (1−0.9³)^32 ≈ 8e-6, and
+  * the verification step removes all false positives — so the blocked
+  * Spark output equals the brute-force oracle output.
+  */
+object Dedup {
+
+  /** Distinct 3-word shingles via the fused native expression
+    * (graft.functions.WordShingles — the HOF formulation is interpreted). */
+  private def shingleCol(text: Column): Column =
+    graft.functions.functions.word_shingles(text, 3)
+
+  private val ShingleSqlCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |                               i -> string_split(text, ' ')[i] || ' ' ||
+      |                                    string_split(text, ' ')[i+1] || ' ' ||
+      |                                    string_split(text, ' ')[i+2])) AS s
+      |  FROM documents)""".stripMargin
+
+  /** Exact near-dup pair SQL (brute force — oracle only). */
+  private val NearPairSql =
+    s"""WITH $ShingleSqlCte,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM sh a JOIN sh b USING (s)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jac
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = doc_a
+       |JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Exact dedup: one keeper (min doc_id) per distinct text, with copy
+  // count and portable md5 fingerprint. Hash-groupBy on the text key —
+  // at scale, group on the fingerprint instead of raw text to keep
+  // shuffle rows narrow (done here: md5 is in the grouping key).
+  def qDedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", md5($"text".cast("binary")).as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+  }
+
+  val qDedupExactSql: String =
+    """SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Near-dup candidate pairs via minhash + banded LSH, verified by exact
+  // shingle jaccard ≥ 0.6.
+  private val NumHashes = 96 // 32 bands × 3 rows
+  private val NumBands = 32
+
+  /** (doc_id, sh) with distinct 3-shingle arrays. */
+  private def shingled(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", shingleCol($"text").as("sh"))
+      .filter(size($"sh") > 0)
+  }
+
+  def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(spark, sfDir)
+    // minhash signature via the native codegen'd expression (one string
+    // hash + 96 affine rehashes per shingle, fused in a single JVM loop —
+    // the nested-HOF formulation of the same thing is interpreted and
+    // ~100× slower; see graft.functions.MinHashSig)
+    val sig = sh.select($"doc_id",
+      graft.functions.functions.minhash_sig($"sh", NumHashes).as("sig"))
+    // band key: hash of the band's 3 signature slots (band index mixed in)
+    val banded = sig.select($"doc_id",
+      explode(transform(sequence(lit(0), lit(NumBands - 1)),
+        j => xxhash64(j,
+          element_at($"sig", j * lit(3) + lit(1)),
+          element_at($"sig", j * lit(3) + lit(2)),
+          element_at($"sig", j * lit(3) + lit(3))))).as("bh"))
+    // candidates exist ONLY within a band bucket: equi-join on band hash
+    val cand = banded.as("x").join(banded.as("y"),
+        $"x.bh" === $"y.bh" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    // verification: exact jaccard over the shingle sets
+    val sa = sh.select($"doc_id".as("a_id"), $"sh".as("sa"))
+    val sb = sh.select($"doc_id".as("b_id"), $"sh".as("sb"))
+    cand
+      .join(sa, $"doc_a" === $"a_id")
+      .join(sb, $"doc_b" === $"b_id")
+      .withColumn("c", size(array_intersect($"sa", $"sb")))
+      .withColumn("jac",
+        $"c".cast("double") / (size($"sa") + size($"sb") - $"c"))
+      .filter($"jac" >= 0.6)
+      .select($"doc_a", $"doc_b", $"jac")
+  }
+
+  def qDedupNear(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupPairs(spark, sfDir)
+
+  val qDedupNearSql: String = NearPairSql
+
+  // --------------------------------------------------------------------
+  // Dedup result set: drop the higher-id member of every verified
+  // near-dup pair (left_anti — SURVEY §2.3's natural dedup primitive).
+  def qDedupFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .join(nearDupPairs(spark, sfDir).select($"doc_b"),
+        $"doc_id" === $"doc_b", "left_anti")
+      .select($"doc_id")
+  }
+
+  val qDedupFilteredSql: String =
+    s"""SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_b FROM ($NearPairSql))""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Simhash near-dup: 32-bit simhash over md5-hashed shingles (md5 is
+  // engine-portable, so the oracle reproduces the exact signatures).
+  // Pairs within hamming distance 3, found via 4×8-bit band blocking.
+  private def simhashed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    shingled(spark, sfDir)
+      .select($"doc_id", graft.functions.functions.simhash32($"sh").as("simhash"))
+  }
+
+  def qSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashBandedPairs(simhashed(spark, sfDir))
+
+  /** 4 disjoint 8-bit bands: hamming ≤ 3 ⇒ at least one band identical
+    * (pigeonhole), so the banded equi-join has perfect recall. */
+  private def simhashBandedPairs(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    val banded = sh.select($"doc_id", $"simhash",
+      explode(expr(
+        "transform(sequence(0, 3), k -> named_struct('band', k, 'bv', (shiftright(simhash, k * 8) & 255)))")).as("kb"))
+      .select($"doc_id", $"simhash", $"kb.band".as("band"), $"kb.bv".as("bv"))
+    banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.bv" === $"y.bv" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("dist"))
+      .distinct()
+      .filter($"dist" <= 3)
+  }
+
+  val qSimhashPairsSql: String =
+    s"""WITH $ShingleSqlCte,
+       |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS hv FROM sh),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |         CASE WHEN sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+       |              THEN 1 ELSE 0 END AS bit
+       |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS j) t
+       |  GROUP BY 1, 2),
+       |sim AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS simhash
+       |        FROM bits GROUP BY 1)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS dist
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
+  // --------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_near" -> (qDedupNear _),
+    "q_dedup_filtered" -> (qDedupFiltered _),
+    "q_simhash_pairs" -> (qSimhashPairs _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_near" -> qDedupNearSql,
+    "q_dedup_filtered" -> qDedupFilteredSql,
+    "q_simhash_pairs" -> qSimhashPairsSql)
+}

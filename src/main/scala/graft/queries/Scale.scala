@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** Scale-path variants of operators whose naive form has a serial
+  * bottleneck. Results are bit-identical to the simple forms (same oracle
+  * SQL), only the physical plan changes.
+  */
+object Scale {
+
+  /** Two-pass partitioned gaps-and-islands.
+    *
+    * The textbook form (Relational.qIslands, mirroring the reference KPI at
+    * shift_data_processor.py:249-265) uses `SUM(flag) OVER (ORDER BY day)`
+    * — an unpartitioned window that Spark executes as ONE task holding the
+    * whole (distinct-day) input: the classic scale-killer (SURVEY §2.5).
+    *
+    * This variant partitions by a coarse time bucket (year) and stitches:
+    *   pass 1: per-bucket running flag-sum (window PARTITIONED by bucket —
+    *           parallel, one task per bucket);
+    *   pass 2: per-bucket flag totals, prefix-summed over the tiny
+    *           bucket-count table, broadcast back as offsets.
+    * global island id = bucket-local running sum + offset of all prior
+    * buckets — exactly the unpartitioned running sum, computed without any
+    * single task ever seeing more than one bucket of rows.
+    */
+  def qIslandsScalable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        when($"o_orderpriority" === "1-URGENT", 1).otherwise(0).as("u"))
+      .groupBy($"day")
+      .agg(max($"u").as("has_urgent"))
+      .select($"day", year($"day").as("bucket"),
+        when($"has_urgent" === 0, 0).otherwise(1).as("flag"))
+
+    // pass 1: bucket-local running sums (parallel across buckets)
+    val localW = Window.partitionBy($"bucket").orderBy($"day")
+    val local = days.select($"day", $"bucket", $"flag",
+      sum($"flag").over(localW).as("local_grp"))
+
+    // pass 2: prefix-sum of bucket totals; the window runs over ~#buckets
+    // rows (years), not data rows
+    val bucketW = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = days.groupBy($"bucket")
+      .agg(sum($"flag").as("bucket_total"))
+      .select($"bucket",
+        coalesce(sum($"bucket_total").over(bucketW), lit(0L)).as("offset"))
+
+    local.join(broadcast(offsets), Seq("bucket"))
+      .select($"day", ($"local_grp" + $"offset").as("grp"))
+      .groupBy($"grp")
+      .agg((count(lit(1)) - when($"grp" === 0, 0).otherwise(1)).as("cnt"))
+      .orderBy($"cnt".desc)
+      .limit(1)
+      .select($"cnt".as("max_streak"))
+  }
+
+  /** Identical semantics ⇒ identical oracle (Relational.qIslandsSql). */
+  val qIslandsScalableSql: String = Relational.qIslandsSql
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_islands_scalable" -> (qIslandsScalable _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_islands_scalable" -> qIslandsScalableSql)
+}

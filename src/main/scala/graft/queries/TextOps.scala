@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators over the `documents` table — the LLM-data-
+  * pipeline surface from BASELINE.json (language ID, quality scoring,
+  * token counting, fingerprinting). The reference has no text ops; these
+  * are north-star extensions designed Spark-first.
+  *
+  * All operators are single-pass, shuffle-free per-row expressions (plus
+  * at most one hash aggregation) — the shape that scales linearly to
+  * 100 TB: no joins, no windows, no driver collection. Every derived
+  * number is exact-integer arithmetic or a single double division, so the
+  * DuckDB oracle reproduces values bit-for-bit.
+  */
+object TextOps {
+
+  /** Whitespace token count via pure string arithmetic (identical
+    * semantics in Spark and DuckDB): single-space-separated text has
+    * (spaces + 1) tokens. */
+  private def tokenCount(text: Column): Column =
+    (length(text) - length(translate(text, " ", "")) + 1).cast("long")
+
+  // --------------------------------------------------------------------
+  // Per-document stats: chars, tokens, distinct tokens, type-token
+  // diversity. The split/array_distinct work is row-local (codegen'd
+  // expressions, no shuffle).
+  def qTextStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars_c"),
+        tokenCount($"text").as("n_tokens"),
+        size(array_distinct(split($"text", " "))).cast("long").as("n_distinct"))
+      .withColumn("diversity",
+        $"n_distinct".cast("double") / $"n_tokens".cast("double"))
+  }
+
+  val qTextStatsSql: String =
+    """SELECT doc_id,
+      |       CAST(length(text) AS BIGINT) AS n_chars_c,
+      |       n_tokens,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |         / CAST(n_tokens AS DOUBLE) AS diversity
+      |FROM (SELECT *,
+      |        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+      |      FROM documents)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Corpus rollup per (source, lang): doc counts, token totals, mean doc
+  // length. Sums are over exact integers; the one division is on exact
+  // operands, so both engines produce the same double.
+  def qCorpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"source", $"lang", tokenCount($"text").as("n_tokens"), $"n_chars")
+      .groupBy($"source", $"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        (sum($"n_chars").cast("double") / count(lit(1))).as("mean_chars"))
+  }
+
+  val qCorpusStatsSql: String =
+    """SELECT source, lang,
+      |       count(*) AS n_docs,
+      |       CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+      |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Language ID: n-gram/stopword-marker heuristic. Scores each language
+  // by counting tokens from a small marker set, then argmax with a fixed
+  // preference order on ties. Row-local `filter` higher-order function —
+  // no UDF, fully codegen'd. (The testdata `lang` column is synthetic and
+  // uncorrelated with the text, so the oracle checks the computation; the
+  // heuristic's behavior on real prose is unit-tested in TextOpsSpec.)
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "y", "es", "que"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast("long")
+
+  def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        hits(toks, langMarkers("en")).as("en_hits"),
+        hits(toks, langMarkers("de")).as("de_hits"),
+        hits(toks, langMarkers("es")).as("es_hits"),
+        hits(toks, langMarkers("fr")).as("fr_hits"))
+      .withColumn("pred_lang",
+        when($"en_hits" === 0 && $"de_hits" === 0 && $"es_hits" === 0 && $"fr_hits" === 0, "und")
+          .when($"en_hits" >= $"de_hits" && $"en_hits" >= $"es_hits" && $"en_hits" >= $"fr_hits", "en")
+          .when($"de_hits" >= $"es_hits" && $"de_hits" >= $"fr_hits", "de")
+          .when($"es_hits" >= $"fr_hits", "es")
+          .otherwise("fr"))
+  }
+
+  private def hitsSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val qLangIdSql: String = {
+    val en = hitsSql(langMarkers("en"))
+    val de = hitsSql(langMarkers("de"))
+    val es = hitsSql(langMarkers("es"))
+    val fr = hitsSql(langMarkers("fr"))
+    s"""SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+       |       CASE WHEN en_hits = 0 AND de_hits = 0 AND es_hits = 0 AND fr_hits = 0 THEN 'und'
+       |            WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+       |            WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+       |            WHEN es_hits >= fr_hits THEN 'es'
+       |            ELSE 'fr' END AS pred_lang
+       |FROM (SELECT doc_id,
+       |        CAST(len(list_filter(string_split(text, ' '), t -> t IN $en)) AS BIGINT) AS en_hits,
+       |        CAST(len(list_filter(string_split(text, ' '), t -> t IN $de)) AS BIGINT) AS de_hits,
+       |        CAST(len(list_filter(string_split(text, ' '), t -> t IN $es)) AS BIGINT) AS es_hits,
+       |        CAST(len(list_filter(string_split(text, ' '), t -> t IN $fr)) AS BIGINT) AS fr_hits
+       |      FROM documents)""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // Quality scoring: composite of length score, lexical diversity and
+  // stopword ratio, bucketed into a keep/review/drop label — the standard
+  // pretraining-corpus filter shape. Every component is exact-int
+  // arithmetic followed by one division, then a deterministic threshold.
+  def qQualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val stop = langMarkers.values.flatten.toSeq
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        least(lit(1.0), length($"text").cast("double") / 300.0).as("len_score"),
+        (size(array_distinct(toks)).cast("double") / size(toks).cast("double")).as("diversity"),
+        (hits(toks, stop).cast("double") / size(toks).cast("double")).as("stop_ratio"))
+      .withColumn("quality", ($"len_score" + $"diversity") / 2.0)
+      .withColumn("label",
+        when($"quality" >= 0.8, "keep")
+          .when($"quality" >= 0.5, "review")
+          .otherwise("drop"))
+  }
+
+  val qQualityScoreSql: String = {
+    val stop = hitsSql(langMarkers.values.flatten.toSeq)
+    s"""SELECT doc_id, len_score, diversity, stop_ratio,
+       |       quality,
+       |       CASE WHEN quality >= 0.8 THEN 'keep'
+       |            WHEN quality >= 0.5 THEN 'review'
+       |            ELSE 'drop' END AS label
+       |FROM (SELECT doc_id, len_score, diversity, stop_ratio,
+       |        (len_score + diversity) / 2.0 AS quality
+       |      FROM (SELECT doc_id,
+       |              least(1.0, CAST(length(text) AS DOUBLE) / 300.0) AS len_score,
+       |              CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |                / CAST(len(string_split(text, ' ')) AS DOUBLE) AS diversity,
+       |              CAST(len(list_filter(string_split(text, ' '), t -> t IN $stop)) AS DOUBLE)
+       |                / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+       |            FROM documents))""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // Document fingerprinting: content hash of normalized text (lowercase,
+  // trimmed). md5 is identical across engines, making the fingerprint an
+  // engine-portable dedup/lineage key.
+  def qFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", md5(trim(lower($"text")).cast("binary")).as("fp"))
+  }
+
+  val qFingerprintSql: String =
+    "SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents"
+
+  // --------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_corpus_stats" -> (qCorpusStats _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_fingerprint" -> (qFingerprint _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_stats" -> qTextStatsSql,
+    "q_corpus_stats" -> qCorpusStatsSql,
+    "q_lang_id" -> qLangIdSql,
+    "q_quality_score" -> qQualityScoreSql,
+    "q_fingerprint" -> qFingerprintSql)
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface over the events schema — the streaming
+  * forms of graft.queries.Events (identical logical shapes plus
+  * watermarks, so a batch-validated expression graduates to the stream
+  * unchanged). The reference is strictly batch (SURVEY §2.9); this is
+  * BASELINE.json north-star surface.
+  *
+  * Scale notes: state is keyed (window×type, user) so it partitions
+  * horizontally; watermarks bound state size; sums go through DECIMAL so
+  * merge order never changes results.
+  */
+/** Open-session accumulator for [[EventStream.sessionize]] (top-level:
+  * encoder codegen requires a publicly constructible class). */
+case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
+
+object EventStream {
+
+  case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      n_events: Long, duration_us: Long)
+
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —
+    * streaming analog of Events.qEventWindow. */
+  def windowedCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+      .select($"window.start".as("hour"), $"event_type", $"n_events", $"sum_value")
+  }
+
+  /** Per-user sessionization with a 30-minute inactivity gap via
+    * flatMapGroupsWithState — the custom-state operator
+    * (KeyValueGroupedDataset) the brief calls for. Emits a session when
+    * the gap is exceeded; event-time timeout flushes the last session
+    * once the watermark passes. Batch analog: Events.qSessionize. */
+  def sessionize(events: Dataset[EventRow], gapUs: Long = 1800000000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    def fn(userId: Long, rows: Iterator[EventRow],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var out = List.empty[SessionOut]
+      var cur = state.getOption
+      rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+        val t = micros(e.ts)
+        cur match {
+          case Some(s) if t - s.lastUs <= gapUs =>
+            cur = Some(s.copy(lastUs = t, nEvents = s.nEvents + 1))
+          case Some(s) =>
+            out ::= SessionOut(userId, new Timestamp(s.startUs / 1000), s.nEvents, s.lastUs - s.startUs)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      if (state.hasTimedOut) {
+        cur.foreach(s =>
+          out ::= SessionOut(userId, new Timestamp(s.startUs / 1000), s.nEvents, s.lastUs - s.startUs))
+        state.remove()
+      } else {
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000, "30 seconds")
+        }
+      }
+      out.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Specs for the LLM-data-pipeline operators (dedup, similarity, text
+  * analysis). Correctness of values is driver-verified against the DuckDB
+  * oracle; these tests pin the SCALE properties (no all-pairs joins) and
+  * the behavior of heuristics on controlled inputs.
+  */
+class LlmOpsSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def physicalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def assertNoCrossJoin(df: DataFrame): Unit = {
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"broadcast nested-loop join in plan:\n$plan")
+  }
+
+  // ------------------------------------------------------------------
+  // Scale assertions: candidate generation must be blocked, never n².
+
+  test("minhash-LSH near-dup plan has no all-pairs join") {
+    assertNoCrossJoin(Dedup.qDedupNear(spark, sfDir))
+  }
+
+  test("simhash pair plan has no all-pairs join") {
+    assertNoCrossJoin(Dedup.qSimhashPairs(spark, sfDir))
+  }
+
+  test("LSH ANN plan has no all-pairs join") {
+    assertNoCrossJoin(Similarity.qAnnLsh(spark, sfDir))
+  }
+
+  test("embedding similar-pair plan has no all-pairs join") {
+    assertNoCrossJoin(Similarity.qEmbedDedup(spark, sfDir))
+  }
+
+  // ------------------------------------------------------------------
+  // Near-dup semantics on controlled documents.
+
+  test("minhash-LSH finds a perturbed copy and ignores unrelated text") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 to 160).map(i => s"other$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, other))
+      .toDF("doc_id", "text")
+    val dir = tempDir("neardup")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // reuse the public pair pipeline against this mini-corpus
+    val pairs = Dedup.qDedupNear(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("exact dedup groups identical texts under one keeper") {
+    import spark.implicits._
+    val docs = Seq((5L, "a b c"), (9L, "a b c"), (7L, "x y z"))
+      .toDF("doc_id", "text")
+    val dir = tempDir("exactdup")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.qDedupExact(spark, dir)
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(rows == Set((5L, 2L), (7L, 1L)))
+  }
+
+  // ------------------------------------------------------------------
+  // Text heuristics on real prose (the synthetic testdata text cannot
+  // exercise language separation — see TextOps scaladoc).
+
+  test("lang-id picks the language with the most marker hits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog is here"),
+      (2L, "der hund ist gut und die katze ist nicht da"),
+      (3L, "el perro es bueno y la casa es grande"),
+      (4L, "qqq www eee rrr")).toDF("doc_id", "text")
+    val dir = tempDir("langid")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.qLangId(spark, dir)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "und"))
+  }
+
+  test("quality score rewards length and diversity") {
+    import spark.implicits._
+    val longDiverse = (1 to 80).map(i => s"w$i").mkString(" ") // > 300 chars
+    val shortRepetitive = "a a a a a"
+    val docs = Seq((1L, longDiverse), (2L, shortRepetitive)).toDF("doc_id", "text")
+    val dir = tempDir("quality")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.qQualityScore(spark, dir)
+      .select("doc_id", "label").as[(Long, String)].collect().toMap
+    assert(got(1L) == "keep")
+    assert(got(2L) == "drop")
+  }
+
+  // ------------------------------------------------------------------
+  // ANN sanity: brute-force top-k self-consistency on testdata.
+
+  test("brute-force ANN returns k ranked neighbors per query") {
+    import spark.implicits._
+    val rows = Similarity.qAnnBrute(spark, sfDir)
+      .select("query_id", "rank").as[(Long, Int)].collect()
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 5))
+    }
+  }
+
+  test("approx distinct is within 5% of true distinct") {
+    import spark.implicits._
+    val approx = Events.qApproxDistinct(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    val exact = graft.core.Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(
+        org.apache.spark.sql.functions.countDistinct("user_id").as("d"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, d) =>
+      assert(math.abs(approx(k) - d).toDouble / d <= 0.05, s"$k: ${approx(k)} vs $d")
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming pipeline specs via MemoryStream micro-batches. */
+class EventStreamSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed counts aggregate by hour and type") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.EventRow]
+    in.addData(
+      EventStream.EventRow(1, ts("2024-01-01 10:05:00"), 1, "click", 1.5),
+      EventStream.EventRow(2, ts("2024-01-01 10:55:00"), 2, "click", 2.25),
+      EventStream.EventRow(3, ts("2024-01-01 11:05:00"), 1, "view", 4.0))
+    val q = EventStream.windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("win")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win")
+      .select("hour", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, String, Long, BigDecimal)].collect().toSet
+    assert(rows == Set(
+      (ts("2024-01-01 10:00:00"), "click", 2L, BigDecimal("3.75")),
+      (ts("2024-01-01 11:00:00"), "view", 1L, BigDecimal("4.00"))))
+  }
+
+  test("sessionize splits on the 30-minute gap and flushes by timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.EventRow]
+    in.addData(
+      EventStream.EventRow(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+      EventStream.EventRow(2, ts("2024-01-01 10:10:00"), 7, "click", 1.0),
+      // 50-minute silence → new session
+      EventStream.EventRow(3, ts("2024-01-01 11:00:00"), 7, "view", 1.0),
+      EventStream.EventRow(4, ts("2024-01-01 15:00:00"), 8, "click", 1.0))
+    val q = EventStream.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 1 set the watermark to 14:00; this batch fires the event-time
+    // timeout that flushes user 7's open 11:00 session
+    in.addData(EventStream.EventRow(5, ts("2024-01-01 16:00:00"), 9, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess")
+      .select("user_id", "n_events", "duration_us")
+      .as[(Long, Long, Long)].collect().toSet
+    // user 7 session 1: 2 events over 10 minutes (emitted on in-batch gap);
+    // user 7 session 2: the single 11:00 event (flushed by timeout)
+    assert(rows.contains((7L, 2L, 600000000L)), s"got $rows")
+    assert(rows.contains((7L, 1L, 0L)), s"got $rows")
+  }
+}
