@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration for the native expressions, two ways:
+  *
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` injects them
+  *    at session build time (the standard extension-point wiring);
+  *  - [[GraftFunctions.register]] adds them to an existing session's
+  *    FunctionRegistry (tests, notebooks).
+  *
+  * After either, `SELECT minhash_sig(shingles, 96)`, `simhash32(...)`,
+  * `word_shingles(text, 3)`, `cosine_sim(a, b)`, `dot_product(a, b)` work
+  * from plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, info, builder) for every native expression. */
+  val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args.head, intArg(args(1), "numHashes"))),
+    ("simhash32",
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (args: Seq[Expression]) => SimHash32(args.head)),
+    ("word_shingles",
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => WordShingles(args.head, intArg(args(1), "n"))),
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args.head, args(1))),
+    ("dot_product",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+
+  /** Register into an already-running session. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}

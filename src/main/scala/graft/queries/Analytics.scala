@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Wider analytic shapes over the star schema — multi-join rollups, semi
+  * joins, grouping sets. These extend the reference's operator set (which
+  * tops out at 2-table joins, SURVEY §2.3) toward what a warehouse user
+  * expects, with the physical plans a 100 TB deployment needs: dimension
+  * tables broadcast (no fact shuffle for the join), aggregation pushed to
+  * partial/final hash agg, top-k as TakeOrderedAndProject.
+  */
+object Analytics {
+
+  private def dec(c: Column, p: Int = 18, s: Int = 2): Column =
+    c.cast(DecimalType(p, s))
+
+  // --------------------------------------------------------------------
+  // Revenue per nation: fact ⋈ 4 dimensions (TPC-H Q5 shape). customer /
+  // nation / region are broadcast — the lineitem fact is never shuffled
+  // for a join, only for the final (tiny) aggregation.
+  def qRevenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val nat = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name", $"n_regionkey")
+    val reg = Tables.region(spark, sfDir).select($"r_regionkey", $"r_name")
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 18, 4).as("rev"))
+      .join(Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(dec(sum($"rev"), 38, 4).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val qRevenueByNationSql: String =
+    """SELECT r_name, n_name,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Semi join: orders that have at least one high-value item — EXISTS
+  // semantics without duplicating the parent (left_semi, the probe side
+  // broadcast).
+  def qSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, sfDir)
+      .filter($"l_extendedprice" >= 100000.0)
+      .select($"l_orderkey")
+    Tables.orders(spark, sfDir)
+      .join(broadcast(big), $"o_orderkey" === $"l_orderkey", "left_semi")
+      .select($"o_orderkey", $"o_orderstatus")
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_extendedprice >= 100000.0)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Rollup (grouping sets): per (flag, status) totals plus per-flag and
+  // grand totals in ONE pass — Spark expands grouping sets inside the
+  // partial aggregation, so the fact table is still scanned once.
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(dec(sum(dec($"l_extendedprice")), 38, 2).as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Top-k per group: 3 highest-value items per return flag — window rank
+  // partitioned by the group key (parallel; contrast with O1's global
+  // top-k).
+  def qTopKPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice",
+        row_number().over(w).as("rk"))
+      .filter($"rk" <= 3)
+      .select($"l_returnflag", $"rk", $"l_orderkey", $"l_linenumber")
+  }
+
+  val qTopKPerGroupSql: String =
+    """SELECT l_returnflag, CAST(rk AS INTEGER) AS rk, l_orderkey, l_linenumber
+      |FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+      |             row_number() OVER (PARTITION BY l_returnflag
+      |                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+      |      FROM lineitem)
+      |WHERE rk <= 3""".stripMargin
+
+  // --------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_revenue_by_nation" -> (qRevenueByNation _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_rollup" -> (qRollup _),
+    "q_topk_per_group" -> (qTopKPerGroup _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_revenue_by_nation" -> qRevenueByNationSql,
+    "q_semi_join" -> qSemiJoinSql,
+    "q_rollup" -> qRollupSql,
+    "q_topk_per_group" -> qTopKPerGroupSql)
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression tests: these pin the plan PROPERTIES that make
+  * the queries scale (pushdown, pruning, broadcast, top-k rewrite,
+  * partitioned windows) so a refactor that silently degrades a plan fails
+  * CI, not the 100 TB run.
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q1 pushes the shipdate filter into the parquet scan and prunes columns") {
+    val p = plan(Relational.q1PricingSummary(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("ReadSchema"), p)
+    // only the 5 referenced columns reach the scan
+    assert(!p.contains("l_partkey") && !p.contains("l_suppkey") && !p.contains("l_tax"), p)
+  }
+
+  test("join_filter_max broadcasts the filtered dimension — no fact shuffle for the join") {
+    val p = plan(Relational.qJoinFilterMax(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("left join keeps all parents via broadcast left-outer") {
+    val p = plan(Relational.qLeftJoin(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.qTopK(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("rename projection reads exactly its four columns") {
+    val p = plan(Normalize.qRename(spark, sfDir))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_returnflag:string>"), p)
+  }
+
+  test("scalable islands runs its data-path window partitioned") {
+    val df = Scale.qIslandsScalable(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    // the window over day rows must be partitioned (by bucket); only the
+    // tiny per-bucket offset window may be global
+    assert(windows.exists(_.partitionSpec.nonEmpty), df.queryExecution.optimizedPlan.toString)
+  }
+
+  test("scalable islands equals the simple form") {
+    val simple = Relational.qIslands(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    val scalable = Scale.qIslandsScalable(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    assert(simple == scalable)
+  }
+
+  test("semi join broadcasts and stays semi (no row duplication)") {
+    val p = plan(Analytics.qSemiJoin(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("revenue-by-nation broadcasts all three dimension tables") {
+    val p = plan(Analytics.qRevenueByNation(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+  }
+
+  test("native kernels are SQL-callable after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash32(word_shingles('a b c d', 3)) AS s,
+        |       cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |       dot_product(array(2.0d, 3.0d), array(4.0d, 5.0d)) AS d,
+        |       minhash_sig(array('x'), 4) AS m""".stripMargin).head()
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 23.0)
+    assert(r.getSeq[Long](3).length == 4)
+  }
+}
