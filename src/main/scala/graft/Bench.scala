@@ -11,6 +11,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JVM/codegen/parquet-footer caches are process-level
+    // one-offs; without it the alphabetically-first query absorbs ~4 s of
+    // JIT warmup and per-query numbers are not comparable.
+    try SparkEntry.entry(spark).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
