@@ -116,6 +116,20 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("LSH ANN recall vs brute force is measured and nontrivial") {
+    import spark.implicits._
+    val brute = Similarity.qAnnBrute(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val lsh = Similarity.qAnnLsh(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"LSH ANN recall@5 = $recall%.2f (${(brute & lsh).size}/${brute.size})")
+    // 6 sign-bit planes keep a meaningful share of true neighbors in-bucket;
+    // the point of the test is that the approximation is quantified, not
+    // silently assumed
+    assert(recall >= 0.2, f"recall collapsed: $recall%.2f")
+  }
+
   test("approx distinct is within 5% of true distinct") {
     import spark.implicits._
     val approx = Events.qApproxDistinct(spark, sfDir)
