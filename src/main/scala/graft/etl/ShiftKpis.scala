@@ -94,14 +94,39 @@ object ShiftKpis {
     kpiRow(breaks.filter(col("is_paid")), "total_number_of_paid_breaks", asOfDate,
       count(lit(1)))
 
-  /** All six KPIs in the reference's insert order. */
-  def all(tables: NormalizedShifts, asOfDate: LocalDate): DataFrame =
-    Seq(
-      meanBreakLength(tables.breaks, asOfDate),
-      meanShiftCost(tables.shifts, asOfDate),
-      maxAllowanceCost14d(tables.allowances, tables.shifts, asOfDate),
-      maxBreakFreePeriod(tables.shifts, tables.breaks, asOfDate),
-      minShiftLength(tables.shifts, asOfDate),
-      totalPaidBreaks(tables.breaks, asOfDate))
-      .reduce(_ union _)
+  /** Unpivot a 1-row multi-aggregate into tall KPI rows. */
+  private def unpivot(agg1row: DataFrame, asOfDate: LocalDate, names: Seq[String]): DataFrame = {
+    val stackArgs = names.map(n => s"'$n', `$n`").mkString(", ")
+    agg1row
+      .select(expr(s"stack(${names.size}, $stackArgs) AS (kpi_name, kpi_value)"))
+      .select(col("kpi_name"),
+        lit(java.sql.Date.valueOf(asOfDate)).as("kpi_date"), col("kpi_value"))
+  }
+
+  /** All six KPIs. The four whole-table scalar KPIs are computed as ONE
+    * multi-aggregate pass per source table (breaks once, shifts once) and
+    * unpivoted — not one scan per KPI; at 100 TB that halves the fact
+    * scans. Q3 (join) and Q4 (islands window) keep their own plans. The
+    * per-KPI methods above remain the single-KPI API and the golden-test
+    * surface; this composition produces identical rows. */
+  def all(tables: NormalizedShifts, asOfDate: LocalDate): DataFrame = {
+    val breaksAgg = tables.breaks.agg(
+      coalesce(avg(secondsBetween(col("break_start"), col("break_finish"))) / 60, lit(0))
+        .cast(kpiType).as("mean_break_length_in_minutes"),
+      count(when(col("is_paid"), 1))
+        .cast(kpiType).as("total_number_of_paid_breaks"))
+    val shiftsAgg = tables.shifts.agg(
+      coalesce(avg(col("shift_cost")), lit(0))
+        .cast(kpiType).as("mean_shift_cost"),
+      coalesce(min(secondsBetween(col("shift_start"), col("shift_finish"))) / 3600, lit(0))
+        .cast(kpiType).as("min_shift_length_in_hours"))
+    // row order in the tall table is irrelevant (keyed by kpi_name); each
+    // aggregate subtree is referenced once so each table is scanned once
+    unpivot(breaksAgg, asOfDate,
+      Seq("mean_break_length_in_minutes", "total_number_of_paid_breaks"))
+      .union(unpivot(shiftsAgg, asOfDate,
+        Seq("mean_shift_cost", "min_shift_length_in_hours")))
+      .union(maxAllowanceCost14d(tables.allowances, tables.shifts, asOfDate))
+      .union(maxBreakFreePeriod(tables.shifts, tables.breaks, asOfDate))
+  }
 }

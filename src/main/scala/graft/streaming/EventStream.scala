@@ -43,6 +43,15 @@ object EventStream {
       .select($"window.start".as("hour"), $"event_type", $"n_events", $"sum_value")
   }
 
+  /** Streaming exact dedup by event id: watermark-bounded state keyed by
+    * event_id — late duplicates beyond the watermark age out of state
+    * instead of growing it forever. The streaming face of
+    * queries.Dedup.qDedupExact. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id", "ts")
+
   /** Per-user sessionization with a 30-minute inactivity gap via
     * flatMapGroupsWithState — the custom-state operator
     * (KeyValueGroupedDataset) the brief calls for. Emits a session when

@@ -31,6 +31,20 @@ class EventStreamSpec extends SparkTestBase {
       (ts("2024-01-01 11:00:00"), "view", 1L, BigDecimal("4.00"))))
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.EventRow]
+    val e = EventStream.EventRow(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0)
+    in.addData(e, e.copy(value = 1.0),
+      EventStream.EventRow(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0))
+    val q = EventStream.dedup(in.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("sessionize splits on the 30-minute gap and flushes by timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
