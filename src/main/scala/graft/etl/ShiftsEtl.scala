@@ -18,24 +18,37 @@ object ShiftsEtl {
 
   /** Run the full pipeline. Returns the KPI rows that were committed.
     *
-    * @param pages     one DataFrame (schema [[ShiftSchemas.pageSchema]]) per
-    *                  source page
-    * @param warehouse target warehouse
-    * @param asOfDate  the reference's CURRENT_DATE, injected for determinism
-    * @param runId     prefix for batch ids (page i commits as `<runId>-p<i>`)
+    * @param pages         one DataFrame (schema [[ShiftSchemas.pageSchema]])
+    *                      per source page
+    * @param warehouse     target warehouse
+    * @param asOfDate      the reference's CURRENT_DATE, injected for
+    *                      determinism
+    * @param runId         prefix for batch ids (batch i commits as
+    *                      `<runId>-p<i>`)
+    * @param pagesPerBatch pages unioned into one atomic commit. 1 (default)
+    *                      = the reference's one-transaction-per-page; larger
+    *                      values amortize commit/validation overhead at the
+    *                      cost of coarser rollback granularity — the right
+    *                      trade at scale, made explicit rather than implied.
     */
   def run(
       pages: Iterator[DataFrame],
       warehouse: ShiftWarehouse,
       asOfDate: LocalDate,
-      runId: String = "run"): DataFrame = {
+      runId: String = "run",
+      pagesPerBatch: Int = 1): DataFrame = {
+    require(pagesPerBatch >= 1, s"pagesPerBatch must be >= 1, got $pagesPerBatch")
     // Fail fast on a reused runId BEFORE committing anything: otherwise the
     // page batches land and the later "<runId>-kpis" commit throws, leaving
     // data committed with stale KPIs.
     require(!warehouse.committedBatches.exists(_.startsWith(s"$runId-")),
       s"runId '$runId' already has committed batches; choose a fresh runId")
-    pages.zipWithIndex.foreach { case (page, i) =>
-      warehouse.appendBatch(ShiftNormalizer.normalize(page), f"$runId-p$i%05d")
+    pages.grouped(pagesPerBatch).zipWithIndex.foreach { case (grp, i) =>
+      // cache the raw page: all four normalized tables derive from it, and
+      // without the cache each table write re-parses the page (4 jobs/page)
+      val batch = grp.reduce(_ union _).persist()
+      try warehouse.appendBatch(ShiftNormalizer.normalize(batch), f"$runId-p$i%05d")
+      finally batch.unpersist()
     }
     val kpis = ShiftKpis.all(warehouse.normalized, asOfDate)
     warehouse.appendKpis(kpis, s"$runId-kpis")

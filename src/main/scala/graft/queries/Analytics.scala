@@ -112,15 +112,48 @@ object Analytics {
       |WHERE rk <= 3""".stripMargin
 
   // --------------------------------------------------------------------
+  // Set operations (SURVEY §2.7 notes the reference has none — this is
+  // extension surface). EXCEPT/INTERSECT carry DISTINCT set semantics in
+  // both engines; physically a shuffle keyed on the full row — keep the
+  // projections narrow.
+  def qExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir).select($"c_custkey")
+      .except(Tables.orders(spark, sfDir).select($"o_custkey".as("c_custkey")))
+  }
+
+  val qExceptSql: String =
+    """SELECT c_custkey FROM customer
+      |EXCEPT SELECT o_custkey AS c_custkey FROM orders""".stripMargin
+
+  def qIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      .intersect(Tables.orders(spark, sfDir)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey".as("c_custkey")))
+  }
+
+  val qIntersectSql: String =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_revenue_by_nation" -> (qRevenueByNation _),
     "q_semi_join" -> (qSemiJoin _),
     "q_rollup" -> (qRollup _),
-    "q_topk_per_group" -> (qTopKPerGroup _))
+    "q_topk_per_group" -> (qTopKPerGroup _),
+    "q_except" -> (qExcept _),
+    "q_intersect" -> (qIntersect _))
 
   val oracleSql: Map[String, String] = Map(
     "q_revenue_by_nation" -> qRevenueByNationSql,
     "q_semi_join" -> qSemiJoinSql,
     "q_rollup" -> qRollupSql,
-    "q_topk_per_group" -> qTopKPerGroupSql)
+    "q_topk_per_group" -> qTopKPerGroupSql,
+    "q_except" -> qExceptSql,
+    "q_intersect" -> qIntersectSql)
 }
