@@ -150,7 +150,7 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
           s"duplicate key value violates unique constraint: $name.$pk = ${dup.head.get(0)}")
     }
 
-  private[etl] def committedBatches: Seq[String] = committedBatchIds()
+  private[graft] def committedBatches: Seq[String] = committedBatchIds()
 
   /** `clear_data` (shift_data_processor.py:300-326): DELETE ... CASCADE ≡
     * dropping parent and all derived child tables + kpis. */

@@ -43,6 +43,25 @@ object EventStream {
       .select($"window.start".as("hour"), $"event_type", $"n_events", $"sum_value")
   }
 
+  /** Bridge a stream of shift pages into the transactional warehouse:
+    * each micro-batch normalizes and commits atomically through the
+    * stage→move→marker protocol (graft.etl.ShiftWarehouse), so a crashed
+    * micro-batch is invisible — the streaming face of the reference's
+    * one-transaction-per-page loop. Batch ids embed the micro-batch id,
+    * which Structured Streaming replays on restart; the warehouse's
+    * already-committed check turns the replay into a no-op instead of a
+    * duplicate (effectively-once sink). */
+  def pagesToWarehouse(pages: DataFrame, warehouse: graft.etl.ShiftWarehouse,
+      runId: String = "stream"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    pages.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val id = f"$runId-b$batchId%08d"
+      if (!warehouse.committedBatches.contains(id)) {
+        val cached = batch.persist()
+        try warehouse.appendBatch(graft.etl.ShiftNormalizer.normalize(cached), id)
+        finally { cached.unpersist(); () }
+      }
+    }
+
   /** Streaming exact dedup by event id: watermark-bounded state keyed by
     * event_id — late duplicates beyond the watermark age out of state
     * instead of growing it forever. The streaming face of

@@ -31,6 +31,26 @@ class EventStreamSpec extends SparkTestBase {
       (ts("2024-01-01 11:00:00"), "view", 1L, BigDecimal("4.00"))))
   }
 
+  test("streamed pages commit atomically into the warehouse, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.from_json
+    val wh = new graft.etl.ShiftWarehouse(spark, tempDir("wh-stream"))
+    val in = MemoryStream[String]
+    val pages = in.toDF()
+      .select(from_json($"value", graft.etl.ShiftSchemas.pageSchema).as("p"))
+      .select("p.*")
+    in.addData(graft.etl.ShiftFixtures.singlePage)
+    val q = EventStream.pagesToWarehouse(pages, wh, runId = "s1").start()
+    q.processAllAvailable(); q.stop()
+    assert(wh.shifts.count() == 2)
+    assert(wh.breaks.count() == 2)
+    // replaying the same micro-batch id is a no-op, not a duplicate commit
+    val q2 = EventStream.pagesToWarehouse(pages, wh, runId = "s1").start()
+    q2.processAllAvailable(); q2.stop()
+    assert(wh.shifts.count() == 2)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
