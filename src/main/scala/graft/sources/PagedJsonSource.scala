@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JsonToStructs}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.etl.ShiftSchemas
+
+/** DataSourceV2 source for paginated JSON shift pages — the 100 TB-shape
+  * implementation of the reference's HTTP source (S1) and batch-size
+  * pushdown (S3) from SURVEY §2.1: one page file per input partition
+  * (pages load in parallel, unlike the reference's sequential loop), with
+  *
+  *  - limit pushdown ([[SupportsPushDownLimit]]): a `LIMIT n` query stops
+  *    each partition after n rows — the DSv2-native form of the
+  *    reference's `limit` query parameter;
+  *  - column pruning ([[SupportsPushDownRequiredColumns]]): projections
+  *    of the page envelope (e.g. just `links`) skip parsing `results`.
+  *
+  * Usage: `spark.read.format("graft.sources.PagedJsonSource")
+  * .load(dir)` where `dir` holds one `*.json` page per file. JSON is
+  * parsed on executors through Catalyst's own `JsonToStructs` against
+  * the declared page schema — never inferred, never driver-side.
+  */
+class PagedJsonSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ShiftSchemas.pageSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new PagedJsonTable(
+      Option(properties.get("path")).getOrElse(
+        throw new IllegalArgumentException("path option required")))
+}
+
+private[sources] class PagedJsonTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"paged_json($dir)"
+  override def schema(): StructType = ShiftSchemas.pageSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedJsonScanBuilder(dir)
+}
+
+private[sources] class PagedJsonScanBuilder(dir: String)
+  extends ScanBuilder with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
+
+  private var limit: Int = -1
+  private var required: StructType = ShiftSchemas.pageSchema
+
+  // partial push: each partition caps its output; Spark still applies the
+  // global limit above (return false = "not fully pushed")
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (requiredSchema.nonEmpty) required = requiredSchema
+
+  override def build(): Scan = new PagedJsonScan(dir, required, limit)
+}
+
+private[sources] class PagedJsonScan(dir: String, schema: StructType, limit: Int)
+  extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"PagedJsonScan(dir=$dir, limit=${if (limit < 0) "none" else limit}, schema=${schema.fieldNames.mkString(",")})"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val s = Files.list(Paths.get(dir))
+    val files =
+      try s.iterator().asScala.map(_.toString).filter(_.endsWith(".json")).toArray.sorted
+      finally s.close()
+    // one row per page file ⇒ a pushed LIMIT n needs at most n files: the
+    // pushdown prunes whole input partitions, not just rows
+    val chosen = if (limit >= 0) files.take(limit) else files
+    chosen.map(f => PagedJsonPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedJsonReaderFactory(schema, limit)
+}
+
+private[sources] case class PagedJsonPartition(file: String) extends InputPartition
+
+private[sources] class PagedJsonReaderFactory(schema: StructType, limit: Int)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PagedJsonReader(partition.asInstanceOf[PagedJsonPartition].file, schema, limit)
+}
+
+/** Parses one page file into one InternalRow via Catalyst JsonToStructs. */
+private[sources] class PagedJsonReader(file: String, schema: StructType, limit: Int)
+  extends PartitionReader[InternalRow] {
+
+  private var emitted = 0
+  private var done = false
+  private var current: InternalRow = _
+
+  private lazy val parse: UTF8String => Any = {
+    val expr = JsonToStructs(schema, Map("timeZone" -> "UTC"),
+      BoundReference(0, StringType, nullable = true), Some("UTC"))
+    val input = new GenericInternalRow(1)
+    (s: UTF8String) => { input.update(0, s); expr.eval(input) }
+  }
+
+  override def next(): Boolean =
+    if (done || (limit >= 0 && emitted >= limit)) false
+    else {
+      val json = new String(Files.readAllBytes(Paths.get(file)), "UTF-8")
+      parse(UTF8String.fromString(json)) match {
+        case r: InternalRow => current = r; emitted += 1; done = true; true
+        case _ => done = true; false
+      }
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

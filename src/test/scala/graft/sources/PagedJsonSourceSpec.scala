@@ -1,0 +1,50 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import graft.etl.{ShiftGenerator, ShiftNormalizer}
+
+class PagedJsonSourceSpec extends SparkTestBase {
+
+  private def writePages(n: Int): String = {
+    val dir = tempDir("pages")
+    val shifts = ShiftGenerator.generate(5L, java.time.LocalDate.of(2023, 1, 1), n * 4)
+    (0 until n).foreach { i =>
+      Files.write(Paths.get(dir, f"page$i%03d.json"),
+        ShiftGenerator.pageJson(shifts, i * 4, 4).getBytes("UTF-8"))
+    }
+    dir
+  }
+
+  private def read(dir: String) =
+    spark.read.format("graft.sources.PagedJsonSource").load(dir)
+
+  test("reads one row per page with the declared schema") {
+    val dir = writePages(5)
+    val df = read(dir)
+    assert(df.schema == graft.etl.ShiftSchemas.pageSchema)
+    assert(df.count() == 5)
+    import spark.implicits._
+    // envelope fields parse (pruned projection of the page header)
+    val sizes = df.select($"size").as[Int].collect()
+    assert(sizes.forall(_ == 4))
+  }
+
+  test("pushed LIMIT prunes input partitions to the limit") {
+    val dir = writePages(6)
+    val limited = read(dir).limit(2)
+    assert(limited.count() == 2)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=2"), plan)
+  }
+
+  test("pages flow into the normalizer like any other page DataFrame") {
+    val dir = writePages(3)
+    import org.apache.spark.sql.functions.explode
+    val norm = ShiftNormalizer.shifts(read(dir))
+    assert(norm.count() == 12) // 3 pages × 4 shifts
+    assert(norm.columns.toSeq ==
+      Seq("shift_id", "shift_date", "shift_start", "shift_finish", "shift_cost"))
+  }
+}
