@@ -1,0 +1,92 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based specs for the native kernels and timestamp conversion
+  * (SURVEY §5: properties for P4/P5 round-trips and the signature
+  * algebra the LSH designs rely on). ScalaCheck generators sampled with
+  * fixed seeds (the scalatest-scalacheck glue artifact is not in the
+  * offline cache), so runs are deterministic.
+  */
+class ExpressionPropertiesSpec extends SparkTestBase {
+
+  private def samples[A](g: Gen[A], n: Int = 60): Seq[A] = {
+    val params = Gen.Parameters.default
+    (0 until n).flatMap(i => g(params, Seed(i.toLong)))
+  }
+
+  private val word: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val text: Gen[String] = Gen.choose(0, 30)
+    .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  test("word_shingles: distinct, 3-sized windows, count bounded by tokens-2") {
+    samples(text).foreach { t =>
+      val toks = t.split(' ').filter(_.nonEmpty)
+      val sh = sparkShingles(t)
+      assert(sh.distinct.length == sh.length, t)
+      if (toks.length < 3) assert(sh.isEmpty, t)
+      else {
+        assert(sh.length <= toks.length - 2, t)
+        assert(sh.forall(_.split(' ').length == 3), t)
+      }
+    }
+  }
+
+  test("minhash: signature of a superset is element-wise <= (min-stability)") {
+    samples(Gen.zip(Gen.nonEmptyListOf(word), Gen.listOf(word)), 40).foreach {
+      case (a, b) =>
+        val sa = sig(a)
+        val sab = sig(a ++ b)
+        assert(sa.zip(sab).forall { case (x, y) => y <= x }, (a, b))
+    }
+  }
+
+  test("minhash: signatures are order- and duplicate-insensitive") {
+    samples(Gen.nonEmptyListOf(word), 40).foreach { ws =>
+      val base = sig(ws)
+      assert(sig(ws.reverse) == base, ws)
+      assert(sig(ws ++ ws) == base, ws)
+    }
+  }
+
+  test("ms->timestamp truncates sub-second parts exactly (P5 // 1000)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val msGen = Gen.choose(1L, 4102444800000L) // up to year 2100
+    val ms = samples(msGen, 50)
+    val got = ms.toDF("ms")
+      .select(col("ms"), graft.etl.ShiftNormalizer.msToTimestamp(col("ms")).as("ts"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getTimestamp(1).getTime == (r.getLong(0) / 1000L) * 1000L, r.getLong(0))
+    }
+  }
+
+  test("cosine_sim is 1 for any nonzero vector against itself") {
+    import spark.implicits._
+    val vGen = Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0))
+      .suchThat(_.exists(v => math.abs(v) > 1e-6))
+    val vs = samples(vGen, 30)
+    val rows = vs.map(v => (v, v)).toDF("a", "b")
+      .select(functions.cosine_sim($"a", $"b")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+
+  // helpers run the actual Catalyst expressions through a real plan
+  private def sparkShingles(t: String): Seq[String] = {
+    import spark.implicits._
+    Seq(t).toDF("text")
+      .select(functions.word_shingles($"text", 3).as("sh"))
+      .head().getSeq[String](0)
+  }
+
+  private def sig(ws: Seq[String]): Seq[Long] = {
+    import spark.implicits._
+    Seq(ws).toDF("sh")
+      .select(functions.minhash_sig($"sh", 16).as("sig"))
+      .head().getSeq[Long](0)
+  }
+}
