@@ -64,9 +64,42 @@ object Scale {
   /** Identical semantics ⇒ identical oracle (Relational.qIslandsSql). */
   val qIslandsScalableSql: String = Relational.qIslandsSql
 
+  /** Two-stage salted top-k per group.
+    *
+    * The direct form (Analytics.qTopKPerGroup) windows by the group key —
+    * with 3 distinct return flags, 3 tasks each sort a third of the fact
+    * table regardless of cluster size. Here:
+    *   stage 1: rank within (group, salt) — 32 salts spread each group
+    *            over 32 tasks; keep each task's local top-k;
+    *   stage 2: rank the ≤ 32·k survivors per group — a window over a
+    *            provably tiny input.
+    * Any global top-k row is also a top-k row of its salt slice, so the
+    * result is exactly the direct form's (same oracle SQL).
+    */
+  def qTopKPerGroupScalable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 3
+    val salted = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice",
+        pmod(hash($"l_orderkey", $"l_linenumber"), lit(32)).as("salt"))
+    val w1 = Window.partitionBy($"l_returnflag", $"salt")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    val w2 = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    salted
+      .withColumn("lrk", row_number().over(w1)).filter($"lrk" <= k)
+      .withColumn("rk", row_number().over(w2)).filter($"rk" <= k)
+      .select($"l_returnflag", $"rk".cast("int").as("rk"), $"l_orderkey", $"l_linenumber")
+  }
+
+  /** Identical semantics ⇒ identical oracle (Analytics.qTopKPerGroupSql). */
+  val qTopKPerGroupScalableSql: String = Analytics.qTopKPerGroupSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_islands_scalable" -> (qIslandsScalable _))
+    "q_islands_scalable" -> (qIslandsScalable _),
+    "q_topk_groups_scalable" -> (qTopKPerGroupScalable _))
 
   val oracleSql: Map[String, String] = Map(
-    "q_islands_scalable" -> qIslandsScalableSql)
+    "q_islands_scalable" -> qIslandsScalableSql,
+    "q_topk_groups_scalable" -> qTopKPerGroupScalableSql)
 }

@@ -54,6 +54,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(windows.exists(_.partitionSpec.nonEmpty), df.queryExecution.optimizedPlan.toString)
   }
 
+  test("salted two-stage top-k per group equals the direct window form") {
+    val direct = Analytics.qTopKPerGroup(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val salted = Scale.qTopKPerGroupScalable(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(direct == salted)
+  }
+
   test("scalable islands equals the simple form") {
     val simple = Relational.qIslands(spark, sfDir).collect().map(_.getLong(0)).toSeq
     val scalable = Scale.qIslandsScalable(spark, sfDir).collect().map(_.getLong(0)).toSeq
