@@ -119,4 +119,28 @@ object PageSource {
     import spark.implicits._
     spark.read.schema(ShiftSchemas.pageSchema).json(Seq(json).toDS())
   }
+
+  /** Production fetch implementation for [[pages]]: HTTP GET + typed parse
+    * (the reference's `fetch_data`, shift_data_processor.py:32-43). Non-2xx
+    * and IO errors throw — [[pages]] wraps them in [[FetchFailedException]],
+    * the reference's fetch-failure → clean-400 path. The next-link is read
+    * from the parsed page itself (`links.next`), like `get_next_url`. */
+  def httpFetcher(spark: SparkSession, timeoutMs: Int = 10000): String => (DataFrame, Option[String]) =
+    url => {
+      val conn = java.net.URI.create(url).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("GET")
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300)
+        throw new java.io.IOException(s"HTTP $code from $url")
+      val body =
+        try new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        finally conn.disconnect()
+      val df = parsePage(spark, body)
+      val next = Option(df.selectExpr("links.next").head())
+        .flatMap(r => Option(r.getString(0)))
+      (df, next)
+    }
 }

@@ -35,6 +35,36 @@ class EtlRobustnessSpec extends SparkTestBase {
     assert(e.getCause.isInstanceOf[java.io.IOException])
   }
 
+  test("httpFetcher follows real HTTP pagination and fails cleanly on 5xx") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, status: Int, body: String): Unit =
+      server.createContext(path, new HttpHandler {
+        override def handle(x: HttpExchange): Unit = {
+          val b = body.getBytes("UTF-8")
+          x.sendResponseHeaders(status, if (status >= 400) -1 else b.length)
+          if (status < 400) { x.getResponseBody.write(b) }
+          x.close()
+        }
+      })
+    // page 1 links to page 2 via a relative next; page 2 terminates
+    val p1 = ShiftFixtures.page1.replace("/api/shifts?start=1&limit=1", "/page2")
+    serve("/page1", 200, p1)
+    serve("/page2", 200, ShiftFixtures.page2)
+    serve("/boom", 500, "")
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetch = PageSource.httpFetcher(spark)
+      val pages = PageSource.pages(s"$base/page1")(fetch).toList
+      assert(pages.size == 2)
+      assert(pages.map(_.selectExpr("size(results)").head().getInt(0)) == List(1, 1))
+      val e = intercept[PageSource.FetchFailedException](
+        PageSource.pages(s"$base/boom")(fetch).next())
+      assert(e.getCause.getMessage.contains("HTTP 500"))
+    } finally server.stop(0)
+  }
+
   test("run fails fast on a reused runId before committing anything") {
     val wh = new ShiftWarehouse(spark, tempDir("wh-runid"))
     val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)
