@@ -141,13 +141,54 @@ object Analytics {
       |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
 
   // --------------------------------------------------------------------
+  // Pivot: wide conditional aggregation. Spark's pivot with explicit
+  // values compiles to the same single-pass conditional aggregates the
+  // oracle spells out — no second scan, no shuffle beyond the groupBy.
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .count()
+      .select($"l_returnflag", $"F".as("n_f"), $"O".as("n_o"))
+  }
+
+  val qPivotSql: String =
+    """SELECT l_returnflag,
+      |       count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+      |       count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Exact percentiles (continuous interpolation) per group. Exact over
+  // integral doubles so both engines interpolate identically; at scale
+  // swap to approx_percentile (t-digest sketch, mergeable) — exact
+  // percentile requires a per-group sort.
+  def qPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("med_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+  }
+
+  val qPercentileSql: String =
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS med_qty,
+      |       quantile_cont(l_quantity, 0.9) AS p90_qty
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_revenue_by_nation" -> (qRevenueByNation _),
     "q_semi_join" -> (qSemiJoin _),
     "q_rollup" -> (qRollup _),
     "q_topk_per_group" -> (qTopKPerGroup _),
     "q_except" -> (qExcept _),
-    "q_intersect" -> (qIntersect _))
+    "q_intersect" -> (qIntersect _),
+    "q_pivot" -> (qPivot _),
+    "q_percentile" -> (qPercentile _))
 
   val oracleSql: Map[String, String] = Map(
     "q_revenue_by_nation" -> qRevenueByNationSql,
@@ -155,5 +196,7 @@ object Analytics {
     "q_rollup" -> qRollupSql,
     "q_topk_per_group" -> qTopKPerGroupSql,
     "q_except" -> qExceptSql,
-    "q_intersect" -> qIntersectSql)
+    "q_intersect" -> qIntersectSql,
+    "q_pivot" -> qPivotSql,
+    "q_percentile" -> qPercentileSql)
 }
