@@ -1,0 +1,45 @@
+package graft
+
+import graft.queries._
+
+/** Driver-contract invariants: the merged query map loses nothing to key
+  * collisions, every oracle entry has a query, and every query executes
+  * at the smallest scale factor (the driver's smoke tier).
+  */
+class SparkEntryContractSpec extends SparkTestBase {
+
+  private val parts = Seq(
+    "Relational" -> Relational.queries,
+    "Normalize" -> Normalize.queries,
+    "Events" -> Events.queries,
+    "TextOps" -> TextOps.queries,
+    "Dedup" -> Dedup.queries,
+    "Similarity" -> Similarity.queries,
+    "Scale" -> Scale.queries,
+    "MultimodalMeta" -> MultimodalMeta.queries,
+    "Analytics" -> Analytics.queries)
+
+  test("no query is lost to a duplicate key across modules") {
+    val all = parts.flatMap(_._2.keys)
+    val dups = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dups.isEmpty, s"duplicate query keys across modules: $dups")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every oracle entry points at a registered query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle sql without query: $missing")
+  }
+
+  test("every registered query executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("entry returns rows (driver smoke shape)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
