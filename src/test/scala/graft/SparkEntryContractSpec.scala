@@ -17,7 +17,8 @@ class SparkEntryContractSpec extends SparkTestBase {
     "Similarity" -> Similarity.queries,
     "Scale" -> Scale.queries,
     "MultimodalMeta" -> MultimodalMeta.queries,
-    "Analytics" -> Analytics.queries)
+    "Analytics" -> Analytics.queries,
+    "TemporalJoins" -> TemporalJoins.queries)
 
   test("no query is lost to a duplicate key across modules") {
     val all = parts.flatMap(_._2.keys)

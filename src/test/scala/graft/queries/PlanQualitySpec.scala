@@ -78,6 +78,13 @@ class PlanQualitySpec extends SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
   }
 
+  test("temporal joins never use a nested-loop join") {
+    Seq(TemporalJoins.qAsofJoin(spark, sfDir), TemporalJoins.qRangeJoin(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("native kernels are SQL-callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
