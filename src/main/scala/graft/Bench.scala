@@ -27,7 +27,9 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) =>
-      val err = if (failed.contains(k)) "-1" else f"$v%.3f"
+      // Locale.ROOT: a comma-decimal default locale must not break the JSON
+      val err = if (failed.contains(k)) "-1"
+        else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       "\"" + k + "\":" + err
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum

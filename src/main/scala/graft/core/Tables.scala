@@ -111,6 +111,11 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // Session-level by necessity: nanosAsLong is a SQL conf consulted at
+    // scan time, not a per-read option. Side-effect scope is narrow — it
+    // only changes TIMESTAMP(NANOS) columns, which Spark otherwise fails
+    // to read at all, and this repo's readers always declare schemas (no
+    // inference), so no other read observes a type change.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

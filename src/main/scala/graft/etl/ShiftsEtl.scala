@@ -41,7 +41,11 @@ object ShiftsEtl {
     // Fail fast on a reused runId BEFORE committing anything: otherwise the
     // page batches land and the later "<runId>-kpis" commit throws, leaving
     // data committed with stale KPIs.
-    require(!warehouse.committedBatches.exists(_.startsWith(s"$runId-")),
+    val owned = {
+      val q = java.util.regex.Pattern.quote(runId)
+      (b: String) => b == s"$runId-kpis" || b.matches(s"$q-p\\d+")
+    }
+    require(!warehouse.committedBatches.exists(owned),
       s"runId '$runId' already has committed batches; choose a fresh runId")
     pages.grouped(pagesPerBatch).zipWithIndex.foreach { case (grp, i) =>
       // cache the raw page: all four normalized tables derive from it, and

@@ -26,6 +26,9 @@ case class MinHashSig(child: Expression, numHashes: Int)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if numHashes < 1 || numHashes > MinHashSig.MaxHashes =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName numHashes must be in [1, ${MinHashSig.MaxHashes}], got $numHashes")
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<string>, got ${t.simpleString}")
@@ -44,7 +47,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
 }
 
 object MinHashSig {
-  private val MaxHashes = 512
+  val MaxHashes = 512
 
   /** Deterministic affine-rehash constants (odd multipliers). */
   private val (mulA, addB) = {
@@ -60,6 +63,7 @@ object MinHashSig {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) { i += 1 } else {
       val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
       var j = 0
       while (j < k) {
@@ -68,6 +72,7 @@ object MinHashSig {
         j += 1
       }
       i += 1
+      }
     }
     new GenericArrayData(mins)
   }
@@ -109,6 +114,7 @@ object SimHash32 {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) { i += 1 } else {
       md.reset()
       val d = md.digest(arr.getUTF8String(i).getBytes)
       // first 8 hex chars of md5 == first 4 bytes, big-endian, unsigned
@@ -120,6 +126,7 @@ object SimHash32 {
         j += 1
       }
       i += 1
+      }
     }
     var sig = 0L
     var j = 0
@@ -224,7 +231,11 @@ object CosineSim {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero or empty vectors are similar to nothing: 0.0, never NaN —
+    // NaN sorts above every double and would top-rank a zero vector in
+    // every ORDER BY cos DESC. Null elements read as 0.0 (ArrayData).
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 }
 

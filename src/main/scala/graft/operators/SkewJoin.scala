@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * once per salt value, and the join key becomes (key, salt). Results are
   * identical to the plain join; only the shuffle distribution changes.
   *
-  * The per-row salt is `pmod(hash(<entire row>), salts)` — deterministic
-  * (re-runnable tasks produce the same salt, unlike rand()) and
-  * independent of the join key (rows of one hot key spread evenly).
+  * The per-row salt mixes the row content with
+  * `monotonically_increasing_id()` — deterministic under task retry (the
+  * id is a pure function of partition id and row position) and, unlike a
+  * content-only hash, it spreads even fully IDENTICAL rows of a hot key
+  * across salts (duplicate-heavy fact tables are exactly where skew
+  * bites).
   *
   * Prefer AQE's skew-join handling (`spark.sql.adaptive.skewJoin`, on by
   * default) when it applies; explicit salting remains the tool when the
@@ -25,15 +28,18 @@ object SkewJoin {
 
   /** Inner equi-join `large ⋈ small` on `key`, with the large side salted
     * `salts` ways. Column sets must be disjoint apart from `key`. */
+  private val SaltCol = "__graft_salt"
+
   def saltedInnerJoin(large: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val saltCol: Column =
-      pmod(hash(large.columns.map(large(_)).toIndexedSeq: _*), lit(salts))
-    val saltedLarge = large.withColumn("__salt", saltCol)
-    val replicatedSmall = small.withColumn("__salt",
+    require(!large.columns.contains(SaltCol) && !small.columns.contains(SaltCol),
+      s"inputs must not already contain a $SaltCol column")
+    val saltCol: Column = pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int")
+    val saltedLarge = large.withColumn(SaltCol, saltCol)
+    val replicatedSmall = small.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLarge
-      .join(replicatedSmall, Seq(key, "__salt"), "inner")
-      .drop("__salt")
+      .join(replicatedSmall, Seq(key, SaltCol), "inner")
+      .drop(SaltCol)
   }
 }

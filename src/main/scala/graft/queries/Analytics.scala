@@ -150,7 +150,9 @@ object Analytics {
       .groupBy($"l_returnflag")
       .pivot("l_linestatus", Seq("F", "O"))
       .count()
-      .select($"l_returnflag", $"F".as("n_f"), $"O".as("n_o"))
+      // empty pivot cells are NULL in Spark but 0 under count(*) FILTER
+      .select($"l_returnflag",
+        coalesce($"F", lit(0L)).as("n_f"), coalesce($"O", lit(0L)).as("n_o"))
   }
 
   val qPivotSql: String =

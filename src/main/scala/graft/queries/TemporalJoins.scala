@@ -27,14 +27,18 @@ object TemporalJoins {
     val tagged = Tables.events(spark, sfDir)
       .filter($"event_type".isin("click", "error"))
       .select($"user_id", $"ts", $"event_id",
-        when($"event_type" === "click", $"value").as("click_value"),
+        // a struct, not the bare value: a click whose value IS NULL must
+        // still win the as-of match (ASOF emits the row with NULL value;
+        // last(ignoreNulls) on the bare value would skip past it)
+        when($"event_type" === "click", struct($"value")).as("click"),
         ($"event_type" === "error").as("is_probe"))
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // clicks sort before probes at equal ts, matching ASOF's c.ts <= e.ts
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"is_probe", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
-      .withColumn("last_click_value", last($"click_value", ignoreNulls = true).over(w))
-      .filter($"is_probe" && $"last_click_value".isNotNull)
-      .select($"event_id", $"user_id", $"last_click_value")
+      .withColumn("last_click", last($"click", ignoreNulls = true).over(w))
+      .filter($"is_probe" && $"last_click".isNotNull)
+      .select($"event_id", $"user_id", $"last_click.value".as("last_click_value"))
   }
 
   val qAsofJoinSql: String =

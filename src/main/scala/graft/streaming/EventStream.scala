@@ -69,7 +69,9 @@ object EventStream {
   def dedup(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id", "ts")
+      // id-only key: a replayed event with a re-stamped timestamp is
+      // still the same event; WithinWatermark bounds the state lifetime
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Per-user sessionization with a 30-minute inactivity gap via
     * flatMapGroupsWithState — the custom-state operator

@@ -23,20 +23,20 @@ class SkewJoinSpec extends SparkTestBase {
     assert(plain == salted)
   }
 
-  test("salting spreads a hot key across partitions") {
+  test("salting spreads a hot key — even fully identical rows — across salts") {
     import spark.implicits._
-    // one hot key: 10k rows of key 1
-    val large = (1 to 10000).map(i => (1L, i)).toDF("k", "v")
+    // one hot key: 10k IDENTICAL rows (the case a content-hash salt
+    // cannot spread)
+    val large = (1 to 10000).map(_ => (1L, 7)).toDF("k", "v")
     val small = Seq((1L, "x")).toDF("k", "name")
     val joined = SkewJoin.saltedInnerJoin(large, small, "k", salts = 8)
     assert(joined.count() == 10000)
-    // the salt column takes multiple values for the same key
     val salts = large
-      .withColumn("__salt",
+      .withColumn("s",
         org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.hash($"k", $"v"),
-          org.apache.spark.sql.functions.lit(8)))
-      .select("__salt").distinct().count()
-    assert(salts > 4, s"expected the hot key spread over many salts, got $salts")
+          org.apache.spark.sql.functions.monotonically_increasing_id(),
+          org.apache.spark.sql.functions.lit(8L)))
+      .select("s").distinct().count()
+    assert(salts == 8, s"expected identical rows spread over all salts, got $salts")
   }
 }
