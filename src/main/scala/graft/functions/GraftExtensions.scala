@@ -41,6 +41,9 @@ object GraftFunctions {
     ("word_shingles",
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => WordShingles(args.head, intArg(args(1), "n"))),
+    ("char_ngrams",
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+      (args: Seq[Expression]) => CharNgrams(args.head, intArg(args(1), "n"))),
     ("cosine_sim",
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args.head, args(1))),

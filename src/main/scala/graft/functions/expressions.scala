@@ -35,6 +35,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  override def foldable: Boolean = child.foldable
 
   override protected def nullSafeEval(input: Any): Any =
     MinHashSig.compute(input.asInstanceOf[ArrayData], numHashes)
@@ -96,6 +97,7 @@ case class SimHash32(child: Expression)
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"
+  override def foldable: Boolean = child.foldable
 
   override protected def nullSafeEval(input: Any): Any =
     SimHash32.compute(input.asInstanceOf[ArrayData])
@@ -158,6 +160,7 @@ case class WordShingles(child: Expression, n: Int)
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
+  override def foldable: Boolean = child.foldable
 
   override protected def nullSafeEval(input: Any): Any =
     WordShingles.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
@@ -197,6 +200,48 @@ object WordShingles {
   }
 }
 
+/** All character n-grams of a string (duplicates kept — downstream
+  * frequency counts need multiplicity), fused into one pass. Character
+  * semantics match Spark's substring (code points via UTF8String). */
+case class CharNgrams(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if n < 1 => TypeCheckResult.TypeCheckFailure(s"$prettyName n must be >= 1")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+  override def foldable: Boolean = child.foldable
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharNgrams.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharNgrams.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+object CharNgrams {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val m = text.numChars()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      out(i) = text.substringSQL(i + 1, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Cosine similarity of two double arrays in one fused pass. */
 case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -210,6 +255,7 @@ case class CosineSim(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  override def foldable: Boolean = left.foldable && right.foldable
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -257,6 +303,7 @@ case class DotProduct(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  override def foldable: Boolean = left.foldable && right.foldable
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -288,6 +335,7 @@ object functions {
 
   def minhash_sig(c: Column, numHashes: Int): Column = col(MinHashSig(ex(c), numHashes))
   def word_shingles(c: Column, n: Int): Column = col(WordShingles(ex(c), n))
+  def char_ngrams(c: Column, n: Int): Column = col(CharNgrams(ex(c), n))
   def simhash32(c: Column): Column = col(SimHash32(ex(c)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))

@@ -182,17 +182,44 @@ object TextOps {
     "SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents"
 
   // --------------------------------------------------------------------
+  // Character-trigram profile per language tag: the raw material of
+  // n-gram language ID (qLangId uses word markers; real systems rank
+  // char-n-gram profiles). Explode-then-count — the canonical text
+  // pipeline shape: one generate, one hash aggregation, exact integer
+  // output. Trigrams under 5 occurrences are cut to keep the profile
+  // the head of the distribution, not the long tail.
+  def qCharNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"lang",
+        explode(graft.functions.functions.char_ngrams($"text", 3)).as("trigram"))
+      .groupBy($"lang", $"trigram")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" >= 5)
+  }
+
+  val qCharNgramsSql: String =
+    """SELECT lang, trigram, count(*) AS n
+      |FROM (SELECT lang,
+      |        unnest(list_transform(range(1, strlen(text) - 1),
+      |                              i -> substr(text, i, 3))) AS trigram
+      |      FROM documents)
+      |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (qTextStats _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
-    "q_fingerprint" -> (qFingerprint _))
+    "q_fingerprint" -> (qFingerprint _),
+    "q_char_ngrams" -> (qCharNgrams _))
 
   val oracleSql: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsSql,
     "q_corpus_stats" -> qCorpusStatsSql,
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
-    "q_fingerprint" -> qFingerprintSql)
+    "q_fingerprint" -> qFingerprintSql,
+    "q_char_ngrams" -> qCharNgramsSql)
 }

@@ -28,6 +28,25 @@ class MinHashAggSpec extends SparkTestBase {
     viaScalar.foreach { case (id, sig) => assert(viaAgg(id) == sig, s"doc $id") }
   }
 
+  test("minhash_agg works as a streaming aggregation (update mode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    in.addData((1L, "a b c"), (1L, "b c d"), (2L, "x y z"))
+    val q = in.toDF().toDF("doc_id", "shingle")
+      .groupBy($"doc_id")
+      .agg(MinHashAgg.minhash_agg($"shingle", 8).as("sig"))
+      .writeStream.format("memory").queryName("mh").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("mh").as[(Long, Seq[Long])].collect().toMap
+    // streaming signature == batch signature over the same shingle sets
+    val expected1 = Seq(Seq("a b c", "b c d")).toDF("sh")
+      .select(functions.minhash_sig($"sh", 8)).head().getSeq[Long](0)
+    assert(rows(1L) == expected1)
+    assert(rows(2L).length == 8)
+  }
+
   test("minhash_agg rejects bad numHashes at analysis time") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
