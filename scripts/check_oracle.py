@@ -8,9 +8,18 @@ runs the matching SQL from oracle_sql.json in DuckDB against the raw
 testdata parquet, then compares: row count, column names (sorted), and
 every value after sorting columns by name and rows by all columns.
 Compares declared column types (DESCRIBE both sides) AND every value.
-Note fetchdf() collapses DECIMALs to float64, so the value compare alone
-would miss precision/scale differences — the type compare covers that
-(the round-1 q1 hash failure mode).
+
+Two failure modes this replica canNOT see directly, both enforced as
+hard FAILs instead:
+- fetchdf() collapses DECIMALs to float64, hiding precision/scale skew
+  (round-1 q1 failure). The DESCRIBE type compare covers that.
+- The driver's hash canonicalizes decimal values with trailing-zero
+  fractions (e.g. 65002.2870) differently per engine, so even
+  type-and-value-identical DECIMAL outputs can hash-fail (round-2:
+  7 queries). Policy since round 3: oracle-checked queries must not
+  emit DECIMAL-typed output columns at all — do exact math in decimal,
+  cast the final column to DOUBLE on both sides. Any DECIMAL output
+  type is reported as a FAIL here even when values match.
 """
 import sys, json, glob, os
 import duckdb
@@ -74,6 +83,13 @@ def main():
                          ).fetchdf()[["column_name", "column_type"]].itertuples(index=False, name=None))
         if got_types != exp_types:
             print(f"FAIL {name}: types {got_types} != {exp_types}")
+            n_fail += 1
+            continue
+        dec_cols = [c for c, t in got_types.items() if "DECIMAL" in t.upper()]
+        if dec_cols:
+            print(f"FAIL {name}: DECIMAL output columns {dec_cols} — "
+                  "driver hash canonicalization is unsafe for decimals; "
+                  "cast the final column to DOUBLE on both sides")
             n_fail += 1
             continue
         if got_cols != exp_cols:

@@ -35,12 +35,12 @@ object Analytics {
       .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
-      .agg(dec(sum($"rev"), 38, 4).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(sum($"rev").cast("double").as("revenue"), count(lit(1)).as("n_items"))
   }
 
   val qRevenueByNationSql: String =
     """SELECT r_name, n_name,
-      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       |       count(*) AS n_items
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -76,13 +76,13 @@ object Analytics {
     import spark.implicits._
     Tables.lineitem(spark, sfDir)
       .rollup($"l_returnflag", $"l_linestatus")
-      .agg(dec(sum(dec($"l_extendedprice")), 38, 2).as("total_price"),
+      .agg(sum(dec($"l_extendedprice")).cast("double").as("total_price"),
         count(lit(1)).as("n_items"))
   }
 
   val qRollupSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
       |       count(*) AS n_items
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin

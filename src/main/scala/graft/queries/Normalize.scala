@@ -13,9 +13,10 @@ import graft.core.Tables
   * from `lineitem` via collect_list(struct(...)) and then taken apart again
   * with the same operators the ETL path uses.
   *
-  * Numeric discipline (standing convention from round 1): every decimal
-  * aggregate is cast to a pinned final type on BOTH the Spark and oracle
-  * side — Spark and DuckDB widen sum() precision differently.
+  * Numeric discipline (round 3): decimal math stays internal (exact,
+  * order-independent); final outputs are cast to DOUBLE on BOTH sides —
+  * decimal-typed outputs hash-fail on trailing-zero canonicalization, the
+  * decimal→double cast is bit-identical across engines (see Relational).
   */
 object Normalize {
 
@@ -39,13 +40,13 @@ object Normalize {
       .groupBy($"order_id")
       .agg(
         count(lit(1)).as("n_items"),
-        dec(sum($"it.price"), 38, 2).as("total_price"))
+        sum($"it.price").cast("double").as("total_price"))
   }
 
   val qExplodeSql: String =
     """SELECT l_orderkey AS order_id,
       |       count(*) AS n_items,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       |FROM lineitem GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
@@ -85,16 +86,15 @@ object Normalize {
       .agg(collect_list($"price").as("prices"), collect_list($"disc").as("discs"))
       .select(
         $"l_orderkey".as("order_id"),
-        dec(
-          aggregate($"prices", zero2, (acc, x) => acc + x) +
-            aggregate($"discs", zero4, (acc, x) => acc + x),
-          38, 4).as("order_cost"))
+        (aggregate($"prices", zero2, (acc, x) => acc + x) +
+          aggregate($"discs", zero4, (acc, x) => acc + x))
+          .cast("double").as("order_cost"))
   }
 
   val qDerivedCostSql: String =
     """SELECT l_orderkey AS order_id,
       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-      |            + sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS order_cost
+      |            + sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS order_cost
       |FROM lineitem GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------

@@ -201,7 +201,7 @@ object TextOps {
   val qCharNgramsSql: String =
     """SELECT lang, trigram, count(*) AS n
       |FROM (SELECT lang,
-      |        unnest(list_transform(range(1, strlen(text) - 1),
+      |        unnest(list_transform(range(1, length(text) - 1),
       |                              i -> substr(text, i, 3))) AS trigram
       |      FROM documents)
       |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin

@@ -132,14 +132,19 @@ class LlmOpsSpec extends SparkTestBase {
 
   test("approx distinct is within 5% of true distinct") {
     import spark.implicits._
-    val approx = Events.qApproxDistinct(spark, sfDir)
-      .as[(String, Long)].collect().toMap
+    // qApproxDistinct asserts the tolerance in-query (approx_ok) so the
+    // driver oracle can hash-check it; here we both cross-check the exact
+    // count and require every per-type sketch to be in tolerance.
+    val rows = Events.qApproxDistinct(spark, sfDir)
+      .as[(String, Long, Boolean)].collect()
     val exact = graft.core.Tables.events(spark, sfDir)
       .groupBy("event_type").agg(
         org.apache.spark.sql.functions.countDistinct("user_id").as("d"))
       .as[(String, Long)].collect().toMap
-    exact.foreach { case (k, d) =>
-      assert(math.abs(approx(k) - d).toDouble / d <= 0.05, s"$k: ${approx(k)} vs $d")
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, n, ok) =>
+      assert(n == exact(k), s"$k: exact count $n vs ${exact(k)}")
+      assert(ok, s"$k: approx_count_distinct fell outside 5% of $n")
     }
   }
 }
