@@ -145,6 +145,40 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_b FROM ($NearPairSql))""".stripMargin
 
   // --------------------------------------------------------------------
+  // n-gram Jaccard near-dup, EXACT — the sketch-free member of the dedup
+  // family. Blocking comes from the inverted index itself: explode the
+  // distinct 3-word shingles and equi-join on the shingle, so two docs
+  // meet only if they share at least one shingle (a pair with jaccard
+  // ≥ t > 0 always shares one — perfect recall, zero false positives,
+  // no cross join). Cost is Σ df(shingle)² vs minhash-LSH's O(n·sig):
+  // exact wins when shingle document-frequency is low (near-unique
+  // text); LSH wins on corpora with hot shingles. At 100 TB you'd add a
+  // df cutoff on the join key (drop shingles with df > k as blocking
+  // keys — standard prefix filtering) which only drops pairs whose
+  // OTHER shingles still collide; here df is small enough to skip it.
+  // Same threshold and output as q_dedup_near, so this also serves as
+  // an in-engine cross-check of the LSH path (equality is asserted in
+  // DedupSpec).
+  def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(spark, sfDir)
+    val inv = sh.select($"doc_id", explode($"sh").as("s"))
+    val inter = inv.as("a").join(inv.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val cnt = sh.select($"doc_id", size($"sh").as("n"))
+    inter
+      .join(cnt.as("ca"), $"doc_a" === $"ca.doc_id")
+      .join(cnt.as("cb"), $"doc_b" === $"cb.doc_id")
+      .select($"doc_a", $"doc_b",
+        ($"c".cast("double") / ($"ca.n" + $"cb.n" - $"c")).as("jac"))
+      .filter($"jac" >= 0.6)
+  }
+
+  val qNgramJaccardSql: String = NearPairSql
+
+  // --------------------------------------------------------------------
   // Simhash near-dup: 32-bit simhash over md5-hashed shingles (md5 is
   // engine-portable, so the oracle reproduces the exact signatures).
   // Pairs within hamming distance 3, found via 4×8-bit band blocking.
@@ -194,11 +228,13 @@ object Dedup {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_filtered" -> (qDedupFiltered _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_simhash_pairs" -> (qSimhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_near" -> qDedupNearSql,
     "q_dedup_filtered" -> qDedupFilteredSql,
+    "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_simhash_pairs" -> qSimhashPairsSql)
 }

@@ -108,7 +108,11 @@ private[sources] class PagedJsonReader(file: String, schema: StructType, limit: 
   private var current: InternalRow = _
 
   private lazy val parse: UTF8String => Any = {
-    val expr = JsonToStructs(schema, Map("timeZone" -> "UTC"),
+    // FAILFAST: a malformed page must fail the task loudly. PERMISSIVE
+    // (the default) would emit an all-null row — and since LIMIT pushdown
+    // prunes to the first n page FILES, a swallowed page would corrupt
+    // LIMIT semantics (fewer/null rows while later valid pages exist).
+    val expr = JsonToStructs(schema, Map("mode" -> "FAILFAST", "timeZone" -> "UTC"),
       BoundReference(0, StringType, nullable = true), Some("UTC"))
     val input = new GenericInternalRow(1)
     (s: UTF8String) => { input.update(0, s); expr.eval(input) }
@@ -118,9 +122,23 @@ private[sources] class PagedJsonReader(file: String, schema: StructType, limit: 
     if (done || (limit >= 0 && emitted >= limit)) false
     else {
       val json = new String(Files.readAllBytes(Paths.get(file)), "UTF-8")
-      parse(UTF8String.fromString(json)) match {
+      // A page that fails to parse MUST fail the task, not emit 0 rows:
+      // planInputPartitions prunes to the first `limit` files, so a
+      // silently-dropped page would make LIMIT n return < n rows even
+      // though later valid pages exist (partial pushdown may not drop
+      // qualifying rows). Matches the reference's fetch-failure → error
+      // contract (etl/app/main.py:44-49).
+      val parsed =
+        try parse(UTF8String.fromString(json))
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"unparseable page file: $file", e)
+        }
+      parsed match {
         case r: InternalRow => current = r; emitted += 1; done = true; true
-        case _ => done = true; false
+        case _ => throw new IllegalStateException(
+          s"unparseable page file: $file (null parse result for schema " +
+            s"${schema.fieldNames.mkString(",")})")
       }
     }
 

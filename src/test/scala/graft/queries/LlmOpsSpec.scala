@@ -34,6 +34,21 @@ class LlmOpsSpec extends SparkTestBase {
     assertNoCrossJoin(Dedup.qSimhashPairs(spark, sfDir))
   }
 
+  test("exact ngram-jaccard plan has no all-pairs join") {
+    assertNoCrossJoin(Dedup.qNgramJaccard(spark, sfDir))
+  }
+
+  test("exact ngram-jaccard equals the minhash-LSH + verify pipeline") {
+    // Two independent implementations of the same pair set: the
+    // inverted-index exact path and the LSH-blocked + exact-verify path.
+    import spark.implicits._
+    val exact = Dedup.qNgramJaccard(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.qDedupNear(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact == lsh, s"exact=${exact.size} lsh=${lsh.size}")
+  }
+
   test("LSH ANN plan has no all-pairs join") {
     assertNoCrossJoin(Similarity.qAnnLsh(spark, sfDir))
   }

@@ -39,6 +39,20 @@ class PagedJsonSourceSpec extends SparkTestBase {
     assert(plan.contains("limit=2"), plan)
   }
 
+  test("an unparseable page fails the read instead of vanishing") {
+    // LIMIT pushdown prunes to the first n page FILES; if a bad page were
+    // silently skipped, LIMIT n would return fewer than n rows even though
+    // later valid pages exist. The reader must raise instead.
+    val dir = writePages(3)
+    Files.write(Paths.get(dir, "page000.json"), "{not json".getBytes("UTF-8"))
+    val e = intercept[org.apache.spark.SparkException] {
+      read(dir).limit(2).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("unparseable page")), e.getMessage)
+  }
+
   test("pages flow into the normalizer like any other page DataFrame") {
     val dir = writePages(3)
     import org.apache.spark.sql.functions.explode
