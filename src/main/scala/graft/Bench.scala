@@ -10,7 +10,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: the two intentionally-global windows (qIslands over ~2.4k
+    // post-agg day rows; qIslandsScalable's per-year offset table) trip
+    // WindowExec's blanket single-partition WARN dozens of times per run,
+    // burying real signal in the captured bench tail. Failures still print
+    // via the [bench] stderr lines + failed count + non-zero exit.
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed warmup: JVM/codegen/parquet-footer caches are process-level
     // one-offs; without it the alphabetically-first query absorbs ~4 s of
     // JIT warmup and per-query numbers are not comparable.

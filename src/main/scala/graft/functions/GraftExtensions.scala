@@ -44,6 +44,9 @@ object GraftFunctions {
     ("char_ngrams",
       new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
       (args: Seq[Expression]) => CharNgrams(args.head, intArg(args(1), "n"))),
+    ("rolling_hashes",
+      new ExpressionInfo(classOf[RollingHashes].getName, "rolling_hashes"),
+      (args: Seq[Expression]) => RollingHashes(args.head, intArg(args(1), "k"))),
     ("cosine_sim",
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args.head, args(1))),

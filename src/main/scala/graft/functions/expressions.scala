@@ -242,6 +242,74 @@ object CharNgrams {
   }
 }
 
+/** Rolling polynomial hashes of all character k-grams (Rabin–Karp):
+  * h_i = (Σ_j cp(i+j)·B^(k-1-j)) mod M over code points, B = 257,
+  * M = 2^31−1. True O(n) rolling update in one JVM loop; duplicates
+  * kept (downstream sketches choose their own selection rule). The
+  * arithmetic is plain BIGINT-safe modular math so external engines
+  * reproduce the hashes exactly (DuckDB: unicode(substr(...)) products
+  * summed then mod — exact in int64 for k ≤ 5). Texts shorter than k
+  * yield an empty array. */
+case class RollingHashes(child: Expression, k: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if k < 1 || k > RollingHashes.MaxK =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName k must be in [1, ${RollingHashes.MaxK}], got $k")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_hashes"
+  override def foldable: Boolean = child.foldable
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHashes.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHashes.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashes =
+    copy(child = newChild)
+}
+
+object RollingHashes {
+  /** JVM side is overflow-safe for any k (B^(k-1) is reduced mod M before
+    * each product). The cap guards the ORACLE formulation, where a plain
+    * Σ cp·B^j int64 sum with no intermediate mod stays exact only while
+    * B^(k-1) ≤ B^7 ≈ 7.2e16 (cp·B^j summed still < 2^63 for ASCII cp;
+    * for full-Unicode cp keep k ≤ 5 or add per-term mods in the SQL). */
+  val MaxK = 8
+  val Base = 257L
+  val Mod = 2147483647L // 2^31 − 1
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    // B^(k-1) mod M for the rolling subtraction
+    var bk1 = 1L
+    var p = 0
+    while (p < k - 1) { bk1 = bk1 * Base % Mod; p += 1 }
+    val out = new Array[Any](n - k + 1)
+    var h = 0L
+    var j = 0
+    while (j < k) { h = (h * Base + cps(j)) % Mod; j += 1 }
+    out(0) = h
+    var i = 1
+    while (i <= n - k) {
+      var t = (h - cps(i - 1) * bk1 % Mod) % Mod
+      if (t < 0) t += Mod
+      h = (t * Base + cps(i + k - 1)) % Mod
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Cosine similarity of two double arrays in one fused pass. */
 case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -336,6 +404,7 @@ object functions {
   def minhash_sig(c: Column, numHashes: Int): Column = col(MinHashSig(ex(c), numHashes))
   def word_shingles(c: Column, n: Int): Column = col(WordShingles(ex(c), n))
   def char_ngrams(c: Column, n: Int): Column = col(CharNgrams(ex(c), n))
+  def rolling_hashes(c: Column, k: Int): Column = col(RollingHashes(ex(c), k))
   def simhash32(c: Column): Column = col(SimHash32(ex(c)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))

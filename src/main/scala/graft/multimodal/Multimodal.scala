@@ -57,6 +57,37 @@ object Multimodal {
       }
   }
 
+  /** ======= STUB =======
+    * Deterministic stand-in for a real image resizer (libvips / Pillow
+    * would slot in here): halves the fake dimensions and keeps the top
+    * quarter of the payload bytes. Batch-shaped like [[DecodeStub]]. */
+  object ResizeStub {
+    def resizeBatch(batch: Seq[(Array[Byte], Int, Int)]): Seq[(Array[Byte], Int, Int)] =
+      batch.map { case (p, w, h) =>
+        (p.take(math.max(1, p.length / 4)), math.max(1, w / 2), math.max(1, h / 2))
+      }
+  }
+
+  /** Resized asset: smaller payload + new dims. */
+  case class ResizedAsset(asset_id: Long, payload: Array[Byte], width: Int, height: Int)
+
+  /** Batched decode→resize over the asset table — binary in, binary out,
+    * per-batch amortized setup; payload bytes never leave the executors. */
+  def resizeAssets(assets: DataFrame): Dataset[ResizedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.select("asset_id", "mime", "payload").as[Asset]
+      .mapPartitions { it =>
+        it.grouped(DecodeStub.BatchSize).flatMap { batch =>
+          val dims = DecodeStub.decodeBatch(batch.map(_.payload))
+          val resized = ResizeStub.resizeBatch(
+            batch.lazyZip(dims).map { case (a, (w, h)) => (a.payload, w, h) })
+          batch.lazyZip(resized).map { case (a, (p, w, h)) =>
+            ResizedAsset(a.asset_id, p, w, h)
+          }
+        }
+      }
+  }
+
   /** Batched decode over the asset table — the mapPartitions execution
     * pattern for per-row kernels that need amortized setup. */
   def extractMeta(assets: DataFrame): Dataset[AssetMeta] = {

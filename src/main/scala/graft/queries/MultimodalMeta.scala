@@ -34,9 +34,49 @@ object MultimodalMeta {
       |       CAST(64 + (('0x' || substr(md5(text), 9, 8))::BIGINT % 457) AS INTEGER) AS height
       |FROM documents""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Frame sampling: one binary payload → N frame rows. The Spark side
+  // does REAL binary slicing (Column.substr over the payload — the
+  // codegen'd shape a video frame sampler produces: 1-to-many generate,
+  // binary out, no driver involvement); the oracle reproduces the frame
+  // *metadata* from byte-length arithmetic. 256-byte "frames", head-
+  // sampled to at most 4 per asset (a real sampler would stride or pick
+  // keyframes — same plan shape), 40 ms apart.
+  def qFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payload = $"text".cast("binary")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id".as("asset_id"), payload.as("payload"),
+        length(payload).cast("long").as("nb"))
+      // `div`, not `/`: Spark's `/` on longs returns DOUBLE, which breaks
+      // sequence()'s integral-type requirement (and would round, not floor)
+      .select($"asset_id", $"payload",
+        least(lit(4L), greatest(lit(1L), expr("(nb + 255) div 256"))).as("nf"))
+      .select($"asset_id",
+        posexplode(transform(sequence(lit(0L), $"nf" - 1),
+          i => $"payload".substr((i * 256 + 1).cast("int"), lit(256)))))
+      .select($"asset_id",
+        $"pos".cast("int").as("frame_idx"),
+        ($"pos" * 40).cast("int").as("frame_ms"),
+        length($"col").cast("long").as("frame_bytes"))
+  }
+
+  val qFrameSampleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id AS asset_id, strlen(text) AS nb,
+      |         least(4, greatest(1, (strlen(text) + 255) // 256)) AS nf
+      |  FROM documents)
+      |SELECT asset_id,
+      |       CAST(i AS INTEGER) AS frame_idx,
+      |       CAST(i * 40 AS INTEGER) AS frame_ms,
+      |       CAST(least(256, nb - i * 256) AS BIGINT) AS frame_bytes
+      |FROM f, unnest(range(nf)) AS t(i)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asset_meta" -> (qAssetMeta _))
+    "q_asset_meta" -> (qAssetMeta _),
+    "q_frame_sample" -> (qFrameSample _))
 
   val oracleSql: Map[String, String] = Map(
-    "q_asset_meta" -> qAssetMetaSql)
+    "q_asset_meta" -> qAssetMetaSql,
+    "q_frame_sample" -> qFrameSampleSql)
 }

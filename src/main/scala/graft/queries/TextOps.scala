@@ -182,6 +182,74 @@ object TextOps {
     "SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents"
 
   // --------------------------------------------------------------------
+  // BPE-ish token counting: a GPT-2-style pretokenizer regex (contraction
+  // suffixes | space-prefixed letter runs | digit runs | punctuation runs
+  // | stray whitespace) — the standard "how many tokens will this cost"
+  // estimator shape. ASCII character classes only and no lookarounds, so
+  // Java regex (Spark) and RE2 (DuckDB) match identically. One codegen'd
+  // projection per row, no shuffle; the tokens-per-word ratio divides two
+  // exact integers so the double is bit-identical across engines.
+  private val BpePattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s"
+
+  def qBpeTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit(BpePattern), lit(0)))
+          .cast("long").as("n_bpe"),
+        tokenCount($"text").as("n_ws"))
+      .withColumn("fertility", $"n_bpe".cast("double") / $"n_ws".cast("double"))
+  }
+
+  val qBpeTokensSql: String = {
+    val pat = BpePattern.replace("'", "''")
+    s"""SELECT doc_id, n_bpe, n_ws,
+       |       CAST(n_bpe AS DOUBLE) / CAST(n_ws AS DOUBLE) AS fertility
+       |FROM (SELECT doc_id,
+       |        CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_bpe,
+       |        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws
+       |      FROM documents)""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // Rolling-hash document fingerprint: Rabin–Karp polynomial hashes over
+  // all character 5-grams (the native O(n) rolling_hashes kernel), then a
+  // bottom-8 sketch of the distinct hash set per document — a fixed-size,
+  // mergeable fingerprint supporting containment/overlap estimation
+  // (MOSS-style winnowing keeps local minima instead; the bottom-k rule
+  // is chosen because both engines reproduce it exactly with a window
+  // rank). The oracle recomputes the same B=257, M=2^31−1 hashes from
+  // code points.
+  def qRollingFp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"h")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        explode(array_distinct(graft.functions.functions.rolling_hashes($"text", 5)))
+          .as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 8)
+      .select($"doc_id", $"rk".cast("int").as("rk"), $"h")
+  }
+
+  val qRollingFpSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, length(text) - 3),
+      |           i -> (unicode(substr(text, i, 1)) * 4362470401
+      |               + unicode(substr(text, i + 1, 1)) * 16974593
+      |               + unicode(substr(text, i + 2, 1)) * 66049
+      |               + unicode(substr(text, i + 3, 1)) * 257
+      |               + unicode(substr(text, i + 4, 1))) % 2147483647))) AS h
+      |  FROM documents),
+      |r AS (SELECT doc_id, h,
+      |             row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+      |      FROM h)
+      |SELECT doc_id, CAST(rk AS INTEGER) AS rk, h FROM r WHERE rk <= 8""".stripMargin
+
+  // --------------------------------------------------------------------
   // Character-trigram profile per language tag: the raw material of
   // n-gram language ID (qLangId uses word markers; real systems rank
   // char-n-gram profiles). Explode-then-count — the canonical text
@@ -213,7 +281,9 @@ object TextOps {
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),
-    "q_char_ngrams" -> (qCharNgrams _))
+    "q_char_ngrams" -> (qCharNgrams _),
+    "q_bpe_tokens" -> (qBpeTokens _),
+    "q_rolling_fp" -> (qRollingFp _))
 
   val oracleSql: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsSql,
@@ -221,5 +291,7 @@ object TextOps {
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_fingerprint" -> qFingerprintSql,
-    "q_char_ngrams" -> qCharNgramsSql)
+    "q_char_ngrams" -> qCharNgramsSql,
+    "q_bpe_tokens" -> qBpeTokensSql,
+    "q_rolling_fp" -> qRollingFpSql)
 }

@@ -52,6 +52,27 @@ class ExpressionPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("rolling_hashes: O(n) rolling equals direct per-position Horner") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // piece-wise strings so non-BMP code points (surrogate pairs) are hit
+    val piece: Gen[String] = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.oneOf("é", "ß", "中", "🎉"))
+    val uni: Gen[String] = Gen.choose(0, 40)
+      .flatMap(n => Gen.listOfN(n, piece).map(_.mkString))
+    samples(uni, 80).foreach { s =>
+      val k = 5
+      val got = RollingHashes.compute(UTF8String.fromString(s), k)
+      val cps = s.codePoints().toArray
+      val expect = (0 to cps.length - k).map { i =>
+        var h = 0L
+        (0 until k).foreach(j => h = (h * 257 + cps(i + j)) % 2147483647L)
+        h
+      }
+      assert(got.numElements() == math.max(0, cps.length - k + 1))
+      assert((0 until got.numElements()).map(got.getLong) == expect, s"text=$s")
+    }
+  }
+
   test("ms->timestamp truncates sub-second parts exactly (P5 // 1000)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -29,6 +29,19 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("batched resize shrinks payload and dims, binary in binary out") {
+    val resized = Multimodal.resizeAssets(Multimodal.assets(spark, sfDir)).collect()
+    val orig = Multimodal.extractMeta(Multimodal.assets(spark, sfDir))
+      .collect().map(m => m.asset_id -> m).toMap
+    assert(resized.length == orig.size)
+    resized.foreach { r =>
+      val o = orig(r.asset_id)
+      assert(r.payload.length == math.max(1, o.n_bytes.toInt / 4))
+      assert(r.width == math.max(1, o.width / 2))
+      assert(r.height == math.max(1, o.height / 2))
+    }
+  }
+
   test("decode batches are bounded by BatchSize") {
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     (1 to 150).grouped(Multimodal.DecodeStub.BatchSize).foreach(g => sizes += g.size)
