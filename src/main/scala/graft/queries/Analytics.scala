@@ -182,6 +182,30 @@ object Analytics {
       |FROM lineitem GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // Approximate percentile — the 100 TB path (mergeable sketch, no
+  // per-group sort). The sketch itself isn't engine-portable, so like
+  // q_approx_distinct the query outputs the exact value plus a Spark-side
+  // assertion that the sketch landed within tolerance; the oracle
+  // reproduces the exact value and the always-true flag. l_quantity is
+  // 1..50 integral, so a ±1.0 band is a tight check at accuracy 1000.
+  def qPercentileApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("med_qty"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_med"))
+      .select($"l_returnflag", $"med_qty",
+        (abs($"approx_med" - $"med_qty") <= 1.0).as("approx_ok"))
+  }
+
+  val qPercentileApproxSql: String =
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS med_qty,
+      |       TRUE AS approx_ok
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_revenue_by_nation" -> (qRevenueByNation _),
     "q_semi_join" -> (qSemiJoin _),
@@ -190,7 +214,8 @@ object Analytics {
     "q_except" -> (qExcept _),
     "q_intersect" -> (qIntersect _),
     "q_pivot" -> (qPivot _),
-    "q_percentile" -> (qPercentile _))
+    "q_percentile" -> (qPercentile _),
+    "q_percentile_approx" -> (qPercentileApprox _))
 
   val oracleSql: Map[String, String] = Map(
     "q_revenue_by_nation" -> qRevenueByNationSql,
@@ -200,5 +225,6 @@ object Analytics {
     "q_except" -> qExceptSql,
     "q_intersect" -> qIntersectSql,
     "q_pivot" -> qPivotSql,
-    "q_percentile" -> qPercentileSql)
+    "q_percentile" -> qPercentileSql,
+    "q_percentile_approx" -> qPercentileApproxSql)
 }

@@ -85,6 +85,25 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("text and multimodal scans prune to the columns they use") {
+    // per-row text ops must not drag unrelated document columns through
+    // the scan — at 100 TB the payload column dominates I/O
+    val bpe = plan(TextOps.qBpeTokens(spark, sfDir))
+    assert(bpe.contains("ReadSchema: struct<doc_id:bigint,text:string>"), bpe)
+    val fp = plan(TextOps.qRollingFp(spark, sfDir))
+    assert(fp.contains("ReadSchema: struct<doc_id:bigint,text:string>"), fp)
+    val frames = plan(MultimodalMeta.qFrameSample(spark, sfDir))
+    assert(frames.contains("ReadSchema: struct<doc_id:bigint,text:string>"), frames)
+  }
+
+  test("rolling_hashes is SQL-callable and matches the column API") {
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT rolling_hashes('abcdef', 5) AS h")
+      .head().getSeq[Long](0)
+    assert(viaSql.length == 2) // 6 chars → two 5-grams
+    assert(viaSql.forall(h => h >= 0 && h < 2147483647L))
+  }
+
   test("native kernels are SQL-callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
