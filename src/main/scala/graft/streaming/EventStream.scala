@@ -21,6 +21,10 @@ import org.apache.spark.sql.types.DecimalType
   * encoder codegen requires a publicly constructible class). */
 case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
 
+/** Per-LSH-band seen-documents state for [[EventStream.nearDupCandidates]]
+  * (top-level for the same encoder-codegen reason). */
+case class BandState(docs: List[(Long, Array[Long])])
+
 object EventStream {
 
   case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
@@ -72,6 +76,87 @@ object EventStream {
       // id-only key: a replayed event with a re-stamped timestamp is
       // still the same event; WithinWatermark bounds the state lifetime
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream–static enrichment join: attach dimension attributes to a
+    * stream without shuffling it. The static side is broadcast per
+    * micro-batch (Structured Streaming re-plans each batch, so a slowly
+    * refreshed dimension table is picked up on re-read); the stream side
+    * never exchanges. Left outer keeps events whose key has no dimension
+    * row — the COALESCE-default shape the reference applies to missing
+    * joins. */
+  def enrich(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left_outer")
+
+  case class DocRow(doc_id: Long, ts: Timestamp, text: String)
+  case class CandidateOut(band_hash: Long, doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  /** Streaming minhash-LSH near-dup candidates: the streaming face of
+    * queries.Dedup.nearDupPairs. Each arriving document is shingled and
+    * minhash-signed with the SAME native kernels as the batch path, then
+    * fanned out to its LSH band buckets; custom state per band hash
+    * (flatMapGroupsWithState) holds the documents seen in that bucket and
+    * emits a candidate pair the moment a new arrival lands in a bucket
+    * with history — pairs surface immediately, not at batch close. The
+    * signature-slot agreement fraction estimates jaccard (the standard
+    * minhash estimator); exact verification stays a batch job over the
+    * emitted candidates, exactly like the batch pipeline's verify stage.
+    *
+    * Scale: state is keyed by band hash, so it spreads over the cluster;
+    * each bucket holds only its own collisions (bounded by `maxPerBand`
+    * against adversarial hot buckets — at 100 TB you'd also age entries
+    * out with a timeout, omitted here to keep replays deterministic). */
+  def nearDupCandidates(docs: Dataset[DocRow], numHashes: Int = 96,
+      bands: Int = 32, threshold: Double = 0.6,
+      maxPerBand: Int = 1000): Dataset[CandidateOut] = {
+    import docs.sparkSession.implicits._
+    val rows = bands * (numHashes / bands)
+    require(rows == numHashes, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+
+    val banded = docs
+      .withWatermark("ts", "2 hours")
+      .select($"doc_id", $"ts",
+        graft.functions.functions.minhash_sig(
+          graft.functions.functions.word_shingles($"text", 3), numHashes).as("sig"))
+      .select($"doc_id", $"ts", $"sig",
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          j => xxhash64(j, hash(slice($"sig", j * rowsPerBand + 1, lit(rowsPerBand))))))
+          .as("band_hash"))
+      .as[(Long, Timestamp, Seq[Long], Long)]
+
+    def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+      var eq = 0
+      var i = 0
+      while (i < a.length && i < b.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / a.length
+    }
+
+    def fn(bandHash: Long, rows: Iterator[(Long, Timestamp, Seq[Long], Long)],
+        state: GroupState[BandState]): Iterator[CandidateOut] = {
+      var seen = state.getOption.map(_.docs).getOrElse(Nil)
+      val out = List.newBuilder[CandidateOut]
+      // deterministic intra-batch order regardless of partition interleave
+      rows.toSeq.sortBy(_._1).foreach { case (docId, _, sigSeq, _) =>
+        if (!seen.exists(_._1 == docId)) {
+          val sig = sigSeq.toArray
+          seen.foreach { case (prevId, prevSig) =>
+            val est = estJaccard(sig, prevSig)
+            if (est >= threshold)
+              out += CandidateOut(bandHash,
+                math.min(prevId, docId), math.max(prevId, docId), est)
+          }
+          if (seen.size < maxPerBand) seen = (docId, sig) :: seen
+        }
+      }
+      state.update(BandState(seen))
+      out.result().iterator
+    }
+
+    banded
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 
   /** Per-user sessionization with a 30-minute inactivity gap via
     * flatMapGroupsWithState — the custom-state operator

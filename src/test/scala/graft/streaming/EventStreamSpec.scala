@@ -65,6 +65,50 @@ class EventStreamSpec extends SparkTestBase {
     assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-static enrichment broadcasts the dimension, keeps unmatched events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.EventRow]
+    in.addData(
+      EventStream.EventRow(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventStream.EventRow(2, ts("2024-01-01 10:01:00"), 99, "view", 2.0))
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val q = EventStream.enrich(in.toDF(), dim, "user_id", "cust_id")
+      .select($"event_id", $"tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enriched").as[(Long, Option[String])].collect().toSet
+    assert(rows == Set((1L, Some("gold")), (2L, None)))
+  }
+
+  test("streaming near-dup candidates surface as soon as the pair is in state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val perturbed = base.replace("tok30", "changed")
+    val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+    val in = MemoryStream[EventStream.DocRow]
+    val q = EventStream.nearDupCandidates(in.toDS())
+      .writeStream.format("memory").queryName("cand")
+      .outputMode("append").start()
+    // batch 1: the base doc and an unrelated doc — no pairs yet
+    in.addData(
+      EventStream.DocRow(1, ts("2024-01-01 10:00:00"), base),
+      EventStream.DocRow(3, ts("2024-01-01 10:00:01"), unrelated))
+    q.processAllAvailable()
+    assert(spark.table("cand").count() == 0)
+    // batch 2: a perturbed copy arrives → candidate against doc 1 emitted
+    // from this batch alone (state carried the signature)
+    in.addData(EventStream.DocRow(2, ts("2024-01-01 10:05:00"), perturbed))
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("cand")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    val ests = spark.table("cand").select("est_jaccard").as[Double].collect()
+    assert(ests.forall(e => e >= 0.6 && e <= 1.0))
+  }
+
   test("sessionize splits on the 30-minute gap and flushes by timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
