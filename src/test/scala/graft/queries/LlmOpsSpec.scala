@@ -38,6 +38,23 @@ class LlmOpsSpec extends SparkTestBase {
     assertNoCrossJoin(Dedup.qNgramJaccard(spark, sfDir))
   }
 
+  test("dedup pipelines read the staged shingle frame, not the raw corpus per branch") {
+    // shingling is persisted (the local analog of writing a signature
+    // table): every join branch must resolve to the cached relation,
+    // leaving at most the left_anti probe side as a raw documents scan.
+    // (Count logical leaves — the physical string repr also prints the
+    // FileScan nested inside each InMemoryRelation.)
+    val lp = Dedup.qDedupFiltered(spark, sfDir).queryExecution.optimizedPlan
+    val cached = lp.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    val raw = lp.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(cached.size >= 2, s"expected >=2 cached branches:\n$lp")
+    assert(raw.size <= 1, s"expected <=1 raw corpus scan, got ${raw.size}:\n$lp")
+  }
+
   test("exact ngram-jaccard equals the minhash-LSH + verify pipeline") {
     // Two independent implementations of the same pair set: the
     // inverted-index exact path and the LSH-blocked + exact-verify path.
