@@ -46,7 +46,15 @@ object KMeans {
         .agg(avg($"x").as("m"))
         .groupBy($"cluster_id")
         .agg(array_sort(collect_list(struct($"dim", $"m"))).as("dm"))
-        .select($"cluster_id", expr("transform(dm, s -> s.m)").as("cv"))
+        // spherical k-means: normalize the mean to unit length — with
+        // cosine assignment this is the update that provably descends the
+        // objective (plain Euclidean means need not). HOFs are interpreted
+        // but run over k·dim values, not data.
+        .select($"cluster_id",
+          expr("""transform(dm, s -> s.m /
+                 |  greatest(sqrt(aggregate(dm, 0.0d, (a, t) -> a + t.m * t.m)),
+                 |           1e-300d))""".stripMargin)
+            .as("cv"))
       // materialize the tiny model table; the next iteration broadcasts it
       val rows: java.util.List[Row] = java.util.Arrays.asList(next.collect(): _*)
       centroids = spark.createDataFrame(rows, next.schema)
