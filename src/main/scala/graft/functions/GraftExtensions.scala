@@ -16,10 +16,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * from plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // whole-operator custom plan (graft.plans): bounded top-k per group
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+  }
 }
 
 object GraftFunctions {

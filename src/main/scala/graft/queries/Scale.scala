@@ -95,11 +95,37 @@ object Scale {
   /** Identical semantics ⇒ identical oracle (Analytics.qTopKPerGroupSql). */
   val qTopKPerGroupScalableSql: String = Analytics.qTopKPerGroupSql
 
+  /** Custom whole-operator plan (graft.plans.TopKPerGroup): bounded
+    * per-group top-k as a LogicalPlan + Strategy + SparkPlan — no sort
+    * of the input anywhere (WindowExec and both window variants above
+    * sort their partitions). The rank window that reconstructs `rk` for
+    * the oracle schema runs over the ≤ groups×k survivors, not the
+    * input. Same oracle as the window form — all three implementations
+    * must agree bit-for-bit. */
+  def qTopKPerGroupNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 3
+    val df = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    val top = graft.plans.TopKPerGroup.topKPerGroup(df,
+      Seq(df("l_returnflag")),
+      Seq(df("l_extendedprice").desc, df("l_orderkey"), df("l_linenumber")), k)
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    top
+      .withColumn("rk", row_number().over(w))
+      .select($"l_returnflag", $"rk".cast("int").as("rk"), $"l_orderkey", $"l_linenumber")
+  }
+
+  val qTopKPerGroupNativeSql: String = Analytics.qTopKPerGroupSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_islands_scalable" -> (qIslandsScalable _),
-    "q_topk_groups_scalable" -> (qTopKPerGroupScalable _))
+    "q_topk_groups_scalable" -> (qTopKPerGroupScalable _),
+    "q_topk_native" -> (qTopKPerGroupNative _))
 
   val oracleSql: Map[String, String] = Map(
     "q_islands_scalable" -> qIslandsScalableSql,
-    "q_topk_groups_scalable" -> qTopKPerGroupScalableSql)
+    "q_topk_groups_scalable" -> qTopKPerGroupScalableSql,
+    "q_topk_native" -> qTopKPerGroupNativeSql)
 }

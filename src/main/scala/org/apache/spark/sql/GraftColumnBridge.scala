@@ -11,4 +11,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over a hand-built LogicalPlan (Dataset.ofRows is
+    * private[sql]) — the entry point custom logical operators
+    * (graft.plans) need. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Expose the private[sql] strategy list an extensions object would
+    * inject — lets tests assert wiring without building a new session. */
+  def plannerStrategies(ext: SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
 }

@@ -1,0 +1,63 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The custom bounded top-k-per-group operator: exactness vs the window
+  * form, the partial→exchange→final physical shape, and that no sort of
+  * the input appears anywhere in the plan. */
+class TopKPerGroupSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def lineitem = graft.core.Tables.lineitem(spark, sfDir)
+
+  test("equals the window row_number form exactly") {
+    import spark.implicits._
+    val df = lineitem
+    val custom = TopKPerGroup.topKPerGroup(df,
+        Seq(df("l_returnflag")),
+        Seq(df("l_extendedprice").desc, df("l_orderkey"), df("l_linenumber")), 3)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val window = graft.queries.Analytics.qTopKPerGroup(spark, sfDir)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(custom == window)
+  }
+
+  test("plans as partial -> exchange -> final with no input sort") {
+    val df = lineitem
+    val p = TopKPerGroup.topKPerGroup(df,
+      Seq(df("l_returnflag")),
+      Seq(df("l_extendedprice").desc, df("l_orderkey"), df("l_linenumber")), 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroupPartial"), p)
+    assert(p.contains("TopKPerGroupFinal"), p)
+    assert(p.contains("Exchange hashpartitioning(l_returnflag"), p)
+    // the whole point: the input is never sorted (WindowExec would)
+    assert(!p.contains("Sort "), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("handles ties, k larger than group, and single groups") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 10, 1), ("a", 10, 2), ("a", 5, 3),
+      ("b", 7, 4)).toDF("g", "v", "id")
+    val out = TopKPerGroup.topKPerGroup(df,
+        Seq(df("g")), Seq(df("v").desc, df("id")), 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    // a: ties on v=10 break by id (1 then 2); b: only row survives
+    assert(out == Set(("a", 10, 1), ("a", 10, 2), ("b", 7, 4)))
+  }
+
+  test("strategy also arrives via SparkSessionExtensions injection") {
+    // the extension class wires the same strategy a builder-configured
+    // session would get; verify the injection point compiles and runs
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    val planned = org.apache.spark.sql.GraftColumnBridge.plannerStrategies(ext, spark)
+    assert(planned.contains(TopKPerGroupStrategy))
+  }
+}
