@@ -275,6 +275,36 @@ object TextOps {
       |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
 
   // --------------------------------------------------------------------
+  // Stratified sampling — the data-mixing step of a pretraining pipeline
+  // (down/up-weight languages or sources to a target mixture). Spark's
+  // sampleBy is per-row Bernoulli with a seeded deterministic stream (no
+  // shuffle, no count pre-pass — the 100 TB shape). The draw itself is
+  // engine-specific, so the oracle pattern is the approx-op one: output
+  // the exact stratum totals plus an in-query assertion that the
+  // realized sample sits within a 5-sigma binomial band of its target
+  // fraction; the oracle reproduces totals and the always-true flag.
+  private val MixFractions = Map(
+    "en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.1, "zh" -> 0.0)
+
+  def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val sampled = docs.stat.sampleBy("lang", MixFractions, 42L)
+      .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+    val fmap = typedlit(MixFractions)
+    docs.groupBy($"lang").agg(count(lit(1)).as("n_total"))
+      .join(sampled, Seq("lang"), "left_outer")
+      .select($"lang", $"n_total",
+        (abs(coalesce($"n_sampled", lit(0L)) - element_at(fmap, $"lang") * $"n_total")
+          <= lit(5.0) * sqrt(element_at(fmap, $"lang") * (lit(1.0) - element_at(fmap, $"lang"))
+            * $"n_total") + 1.0).as("sample_ok"))
+  }
+
+  val qSampleStratifiedSql: String =
+    """SELECT lang, count(*) AS n_total, TRUE AS sample_ok
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (qTextStats _),
     "q_corpus_stats" -> (qCorpusStats _),
@@ -283,7 +313,8 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _),
     "q_char_ngrams" -> (qCharNgrams _),
     "q_bpe_tokens" -> (qBpeTokens _),
-    "q_rolling_fp" -> (qRollingFp _))
+    "q_rolling_fp" -> (qRollingFp _),
+    "q_sample_stratified" -> (qSampleStratified _))
 
   val oracleSql: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsSql,
@@ -293,5 +324,6 @@ object TextOps {
     "q_fingerprint" -> qFingerprintSql,
     "q_char_ngrams" -> qCharNgramsSql,
     "q_bpe_tokens" -> qBpeTokensSql,
-    "q_rolling_fp" -> qRollingFpSql)
+    "q_rolling_fp" -> qRollingFpSql,
+    "q_sample_stratified" -> qSampleStratifiedSql)
 }
