@@ -37,7 +37,8 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * window form.
   */
 case class TopKPerGroupPlan(group: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: LogicalPlan) extends UnaryNode {
+    k: Int, child: LogicalPlan,
+    maxGroupsInMemory: Int = TopKPerGroup.DefaultMaxGroupsInMemory) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -47,15 +48,18 @@ case class TopKPerGroupPlan(group: Seq[Expression], order: Seq[SortOrder],
 
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupPlan(group, order, k, child) =>
-      val partial = TopKPerGroupExec(group, order, k, isFinal = false, planLater(child))
-      TopKPerGroupExec(group, order, k, isFinal = true, partial) :: Nil
+    case TopKPerGroupPlan(group, order, k, child, maxGroups) =>
+      val partial = TopKPerGroupExec(group, order, k, isFinal = false,
+        planLater(child), maxGroups)
+      TopKPerGroupExec(group, order, k, isFinal = true, partial, maxGroups) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
-    k: Int, isFinal: Boolean, child: SparkPlan) extends UnaryExecNode {
+    k: Int, isFinal: Boolean, child: SparkPlan,
+    maxGroupsInMemory: Int = TopKPerGroup.DefaultMaxGroupsInMemory)
+  extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -69,11 +73,22 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 
+  /** Memory bound: the map holds ≤ maxGroupsInMemory × k rows. The
+    * PARTIAL stage flushes (emits and clears) when the cap is hit —
+    * correct because partial survivors are merged at the final stage, a
+    * flush merely weakens the pre-filter for rows after it. The FINAL
+    * stage never flushes (that would emit > k rows per group); its
+    * memory is (distinct groups in this hash partition) × k, which is
+    * the operator's honest applicability bound — for group cardinality
+    * approaching row count, a sort-based plan (the window form) is the
+    * right choice and this operator buys nothing. */
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprs = group
     val sortOrder = order
     val limit = k
     val childOutput = output
+    val flushable = !isFinal
+    val maxGroups = maxGroupsInMemory
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
       val ordering = new LazilyGeneratedOrdering(
@@ -82,10 +97,19 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
       // so insertion is a linear scan — O(n·k) compares worst case,
       // O(n log k)-equivalent for the constant ks this serves
       val groups = new java.util.HashMap[UnsafeRow, java.util.ArrayList[InternalRow]]()
-      iter.foreach { row =>
+
+      def drain(): Iterator[InternalRow] = {
+        val out = groups.values().asScala.toIndexedSeq.flatMap(_.asScala)
+        groups.clear()
+        out.iterator
+      }
+
+      var pending: Iterator[InternalRow] = Iterator.empty
+      val grouped = iter.flatMap { row =>
         val key = keyProj(row)
         var buf = groups.get(key)
         if (buf == null) {
+          if (flushable && groups.size >= maxGroups) pending = drain()
           buf = new java.util.ArrayList[InternalRow](limit + 1)
           groups.put(key.copy(), buf)
         }
@@ -95,13 +119,17 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
           buf.add(i, row.copy())
           if (buf.size > limit) buf.remove(limit)
         }
+        if (pending.hasNext) { val p = pending; pending = Iterator.empty; p }
+        else Iterator.empty
       }
-      groups.values().iterator().asScala.flatMap(_.iterator().asScala)
+      grouped ++ drain()
     }, preservesPartitioning = true)
   }
 }
 
 object TopKPerGroup {
+
+  val DefaultMaxGroupsInMemory: Int = 1 << 16
 
   /** Idempotently make the strategy available on a running session (the
     * extension-free path; GraftExtensions also injects it). */

@@ -52,6 +52,29 @@ class TopKPerGroupSpec extends SparkTestBase {
     assert(out == Set(("a", 10, 1), ("a", 10, 2), ("b", 7, 4)))
   }
 
+  test("partial-stage flush under a tiny group cap stays exact") {
+    import spark.implicits._
+    TopKPerGroup.register(spark)
+    // many groups + cap of 2 → the partial stage flushes repeatedly; the
+    // final stage must still reduce to the exact per-group top-2
+    val df = lineitem.select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    val sorted = df.sort(df("l_extendedprice").desc, df("l_linenumber"))
+    val analyzed = sorted.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort]
+    val plan = TopKPerGroupPlan(
+      Seq(analyzed.child.output.find(_.name == "l_orderkey").get),
+      analyzed.order, 2, analyzed.child, maxGroupsInMemory = 2)
+    val custom = org.apache.spark.sql.GraftColumnBridge.ofRows(spark, plan)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_orderkey").orderBy($"l_extendedprice".desc, $"l_linenumber")
+    val window = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 2)
+      .select($"l_orderkey", $"l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(custom == window)
+    assert(custom.nonEmpty)
+  }
+
   test("strategy also arrives via SparkSessionExtensions injection") {
     // the extension class wires the same strategy a builder-configured
     // session would get; verify the injection point compiles and runs
