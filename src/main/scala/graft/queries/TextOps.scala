@@ -275,6 +275,28 @@ object TextOps {
       |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
 
   // --------------------------------------------------------------------
+  // Fuzzy match: 5 documents whose prefix is closest to a probe string
+  // by Levenshtein distance — the typo-tolerant lookup shape. Both
+  // engines implement unit-cost edit distance identically, so the exact
+  // integer distance is output directly. The prefix bound caps the DP
+  // cost per row at 30×|probe|; TakeOrderedAndProject keeps the top-5
+  // without a global sort.
+  def qEditDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val probe = "the table scan over value rows"
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        levenshtein(substring($"text", 1, 30), lit(probe)).cast("long").as("dist"))
+      .orderBy($"dist", $"doc_id")
+      .limit(5)
+  }
+
+  val qEditDistanceSql: String =
+    """SELECT doc_id,
+      |       levenshtein(substr(text, 1, 30), 'the table scan over value rows') AS dist
+      |FROM documents ORDER BY dist, doc_id LIMIT 5""".stripMargin
+
+  // --------------------------------------------------------------------
   // Stratified sampling — the data-mixing step of a pretraining pipeline
   // (down/up-weight languages or sources to a target mixture). Spark's
   // sampleBy is per-row Bernoulli with a seeded deterministic stream (no
@@ -314,7 +336,8 @@ object TextOps {
     "q_char_ngrams" -> (qCharNgrams _),
     "q_bpe_tokens" -> (qBpeTokens _),
     "q_rolling_fp" -> (qRollingFp _),
-    "q_sample_stratified" -> (qSampleStratified _))
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_edit_distance" -> (qEditDistance _))
 
   val oracleSql: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsSql,
@@ -325,5 +348,6 @@ object TextOps {
     "q_char_ngrams" -> qCharNgramsSql,
     "q_bpe_tokens" -> qBpeTokensSql,
     "q_rolling_fp" -> qRollingFpSql,
-    "q_sample_stratified" -> qSampleStratifiedSql)
+    "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_edit_distance" -> qEditDistanceSql)
 }
