@@ -88,6 +88,28 @@ object EventStream {
       eventKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left_outer")
 
+  /** Stream–stream interval join: correlate two event streams on a key
+    * within a time band (here: a `click` followed by a `view` from the
+    * same user within 30 minutes — the attribution shape). Both sides
+    * carry watermarks and the join condition bounds event time in BOTH
+    * directions, so Spark can size the state store exactly and evict
+    * rows as the watermarks advance — the unbounded-state trap of a
+    * naive stream join is structurally impossible here. Inner join:
+    * matches emit as soon as both sides arrive. */
+  def correlate(clicks: DataFrame, views: DataFrame,
+      maxGapMinutes: Int = 30): DataFrame = {
+    import clicks.sparkSession.implicits._
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("c_ts"))
+    val v = views.withWatermark("ts", "1 hour")
+      .select($"user_id".as("v_user"), $"event_id".as("view_id"), $"ts".as("v_ts"))
+    c.join(v,
+      $"c_user" === $"v_user" &&
+        $"v_ts" >= $"c_ts" &&
+        $"v_ts" <= $"c_ts" + expr(s"INTERVAL $maxGapMinutes MINUTES"))
+      .select($"c_user".as("user_id"), $"click_id", $"view_id", $"c_ts", $"v_ts")
+  }
+
   case class DocRow(doc_id: Long, ts: Timestamp, text: String)
   case class CandidateOut(band_hash: Long, doc_a: Long, doc_b: Long, est_jaccard: Double)
 

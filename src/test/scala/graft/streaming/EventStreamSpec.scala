@@ -82,6 +82,30 @@ class EventStreamSpec extends SparkTestBase {
     assert(rows == Set((1L, Some("gold")), (2L, None)))
   }
 
+  test("stream-stream interval join matches click to view within the band") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventStream.EventRow]
+    val views = MemoryStream[EventStream.EventRow]
+    clicks.addData(
+      EventStream.EventRow(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+      EventStream.EventRow(2, ts("2024-01-01 12:00:00"), 8, "click", 1.0))
+    views.addData(
+      // 10 min after user 7's click → match
+      EventStream.EventRow(11, ts("2024-01-01 10:10:00"), 7, "view", 1.0),
+      // 3 h after user 8's click → outside the band
+      EventStream.EventRow(12, ts("2024-01-01 15:00:00"), 8, "view", 1.0),
+      // view BEFORE any click from user 7 → no match
+      EventStream.EventRow(13, ts("2024-01-01 09:00:00"), 7, "view", 1.0))
+    val q = EventStream.correlate(clicks.toDF(), views.toDF())
+      .select("user_id", "click_id", "view_id")
+      .writeStream.format("memory").queryName("corr")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("corr").as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((7L, 1L, 11L)), s"got $rows")
+  }
+
   test("streaming near-dup candidates surface as soon as the pair is in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
