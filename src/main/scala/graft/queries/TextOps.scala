@@ -275,6 +275,41 @@ object TextOps {
       |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
 
   // --------------------------------------------------------------------
+  // Heavy hitters: the corpus's 10 most frequent tokens, with a
+  // count-min sketch estimate verified against the exact count in-query
+  // (the approximate-operator oracle pattern). The sketch is the 100 TB
+  // path — a fixed depth×width counter array that merges by addition
+  // (map-side partial agg, no token shuffle); the exact count exists to
+  // ground the check and produce the oracle-reproducible output. The
+  // sketch side is ONE row, so the unconditioned broadcast join is a
+  // 10×1 nested loop by intent.
+  private val CmDepth = 4
+  private val CmWidth = 1024
+
+  def qHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("tok"))
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok").limit(10)
+    val sketch = toks.agg(
+      graft.functions.CountMinAgg.count_min_agg($"tok", CmDepth, CmWidth).as("sk"),
+      count(lit(1)).as("total"))
+    val est = graft.functions.CountMinAgg.count_min_estimate($"sk", $"tok", CmDepth, CmWidth)
+    exact.join(broadcast(sketch))
+      .select($"tok", $"n",
+        // count-min guarantees est >= true; overestimate bounded by e/W·N
+        // w.h.p. — 2% of N is a loose, engine-stable band
+        (est >= $"n" && est <= $"n" + ceil($"total" * 0.02).cast("long"))
+          .as("sketch_ok"))
+  }
+
+  val qHeavyHittersSql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |e AS (SELECT tok, count(*) AS n FROM t GROUP BY 1 ORDER BY n DESC, tok LIMIT 10)
+      |SELECT tok, n, TRUE AS sketch_ok FROM e""".stripMargin
+
+  // --------------------------------------------------------------------
   // Fuzzy match: 5 documents whose prefix is closest to a probe string
   // by Levenshtein distance — the typo-tolerant lookup shape. Both
   // engines implement unit-cost edit distance identically, so the exact
@@ -337,7 +372,8 @@ object TextOps {
     "q_bpe_tokens" -> (qBpeTokens _),
     "q_rolling_fp" -> (qRollingFp _),
     "q_sample_stratified" -> (qSampleStratified _),
-    "q_edit_distance" -> (qEditDistance _))
+    "q_edit_distance" -> (qEditDistance _),
+    "q_heavy_hitters" -> (qHeavyHitters _))
 
   val oracleSql: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsSql,
@@ -349,5 +385,6 @@ object TextOps {
     "q_bpe_tokens" -> qBpeTokensSql,
     "q_rolling_fp" -> qRollingFpSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
-    "q_edit_distance" -> qEditDistanceSql)
+    "q_edit_distance" -> qEditDistanceSql,
+    "q_heavy_hitters" -> qHeavyHittersSql)
 }
