@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
   * stays inside WholeStageCodegen with no virtual dispatch per element.
   */
 
-/** MinHash signature of a string array: sig[j] = min over elements of
+/** MinHash signature of a string array (Broder 1997, "On the
+  * resemblance and containment of documents"): sig[j] = min over elements of
   * hash_j(s), where hash_j is an affine rehash of one xxhash64 base hash
   * (one string hash per element, k cheap long multiply-adds). */
 case class MinHashSig(child: Expression, numHashes: Int)
@@ -84,7 +85,8 @@ object MinHashSig {
   }
 }
 
-/** 32-bit SimHash over a string array, using md5-derived per-element
+/** 32-bit SimHash (Charikar 2002, "Similarity estimation techniques
+  * from rounding algorithms") over a string array, using md5-derived per-element
   * hashes (first 4 md5 bytes, big-endian) so an external engine can
   * reproduce the signature bit-for-bit from `md5(s)` hex. */
 case class SimHash32(child: Expression)
@@ -242,7 +244,9 @@ object CharNgrams {
   }
 }
 
-/** Rolling polynomial hashes of all character k-grams (Rabin–Karp):
+/** Rolling polynomial hashes of all character k-grams (Karp & Rabin
+  * 1987; selection sketches over them follow Schleimer et al. 2003,
+  * "Winnowing: local algorithms for document fingerprinting"):
   * h_i = (Σ_j cp(i+j)·B^(k-1-j)) mod M over code points, B = 257,
   * M = 2^31−1. True O(n) rolling update in one JVM loop; duplicates
   * kept (downstream sketches choose their own selection rule). The

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
-/** Distributed Lloyd's k-means over an embedding column — the index-build
+/** Distributed Lloyd's k-means (Lloyd 1982; spherical update per
+  * Dhillon & Modha 2001) over an embedding column — the index-build
   * step a production IVF ANN deployment runs before
   * graft.queries.Similarity.qAnnIvf (which uses a deterministic centroid
   * subset so its DuckDB oracle stays bit-identical; see the note at

@@ -105,6 +105,41 @@ object Events {
       |FROM s GROUP BY 1, 2""".stripMargin
 
   // --------------------------------------------------------------------
+  // Built-in session windows: Spark's session_window aggregation merges
+  // events within a 30-minute gap at the AGGREGATION layer (mergeable
+  // session state — the same operator works under a streaming watermark),
+  // in contrast to qSessionize's explicit lag/running-sum island
+  // construction. Output is keyed by session start = min event time, so
+  // the oracle reproduces it with the island construction — the two
+  // formulations must agree exactly.
+  def qSessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("session_start"), $"n_events")
+  }
+
+  val qSessionWindowSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |         date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) AS gap_us
+      |  FROM events),
+      |b AS (
+      |  -- STRICT <: session_window windows are [ts, ts+gap) and merge on
+      |  -- overlap, so an event exactly gap after its predecessor starts a
+      |  -- NEW session (qSessionize's manual islands use <= by design)
+      |  SELECT user_id, ts,
+      |         CASE WHEN gap_us IS NULL OR gap_us < 1800000000 THEN 0 ELSE 1 END AS brk
+      |  FROM g),
+      |s AS (
+      |  SELECT user_id, ts,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+      |  FROM b)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // HLL approximate distinct: per event_type approx user count. The HLL
   // sketch is mergeable (associative partial agg — scales like a sum, no
   // distinct shuffle). DuckDB's HLL implementation differs, so the raw
@@ -135,11 +170,13 @@ object Events {
     "q_event_window" -> (qEventWindow _),
     "q_running_sum" -> (qRunningSum _),
     "q_sessionize" -> (qSessionize _),
+    "q_session_window" -> (qSessionWindow _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracleSql: Map[String, String] = Map(
     "q_event_window" -> qEventWindowSql,
     "q_running_sum" -> qRunningSumSql,
     "q_sessionize" -> qSessionizeSql,
+    "q_session_window" -> qSessionWindowSql,
     "q_approx_distinct" -> qApproxDistinctSql)
 }
