@@ -197,6 +197,61 @@ object Dedup {
   val qNgramJaccardSql: String = NearPairSql
 
   // --------------------------------------------------------------------
+  // Incremental near-dup: dedup an ARRIVING batch against the committed
+  // corpus — the production crawl-ingest flow (the streaming face is
+  // EventStream.nearDupCandidates). Asymmetric banding: both sides get
+  // band keys, but candidates come only from new×old bucket matches, so
+  // cost is O(batch·sig + collisions), independent of corpus×corpus —
+  // at 100 TB the committed side's band table is a maintained index, not
+  // recomputed (here both derive from the one documents table, split on
+  // doc_id: ids ≥ 450 play the "arriving batch"). Verification is exact
+  // jaccard, same threshold as the batch pipeline.
+  private val IncrementalSplit = 450
+
+  def qDedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(spark, sfDir)
+    val sig = sh.select($"doc_id",
+      graft.functions.functions.minhash_sig($"sh", NumHashes).as("sig"))
+    val banded = sig.select($"doc_id",
+      explode(transform(sequence(lit(0), lit(NumBands - 1)),
+        j => xxhash64(j,
+          element_at($"sig", j * lit(3) + lit(1)),
+          element_at($"sig", j * lit(3) + lit(2)),
+          element_at($"sig", j * lit(3) + lit(3))))).as("bh"))
+    val oldSide = banded.filter($"doc_id" < IncrementalSplit)
+      .select($"doc_id".as("old_id"), $"bh")
+    val newSide = banded.filter($"doc_id" >= IncrementalSplit)
+      .select($"doc_id".as("new_id"), $"bh")
+    val cand = newSide.join(oldSide, Seq("bh"))
+      .select($"new_id", $"old_id").distinct()
+    val sa = sh.select($"doc_id".as("a_id"), $"sh".as("sa"))
+    val sb = sh.select($"doc_id".as("b_id"), $"sh".as("sb"))
+    cand
+      .join(sa, $"new_id" === $"a_id")
+      .join(sb, $"old_id" === $"b_id")
+      .withColumn("c", size(array_intersect($"sa", $"sb")))
+      .withColumn("jac", $"c".cast("double") / (size($"sa") + size($"sb") - $"c"))
+      .filter($"jac" >= 0.6)
+      .select($"new_id", $"old_id", $"jac")
+  }
+
+  val qDedupIncrementalSql: String =
+    s"""WITH $ShingleSqlCte,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS c
+       |  FROM sh a JOIN sh b USING (s)
+       |  WHERE a.doc_id >= $IncrementalSplit AND b.doc_id < $IncrementalSplit
+       |  GROUP BY 1, 2)
+       |SELECT new_id, old_id,
+       |       CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jac
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = new_id
+       |JOIN cnt cb ON cb.doc_id = old_id
+       |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6""".stripMargin
+
+  // --------------------------------------------------------------------
   // Simhash near-dup: 32-bit simhash over md5-hashed shingles (md5 is
   // engine-portable, so the oracle reproduces the exact signatures).
   // Pairs within hamming distance 3, found via 4×8-bit band blocking.
@@ -247,6 +302,7 @@ object Dedup {
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_filtered" -> (qDedupFiltered _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_simhash_pairs" -> (qSimhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
@@ -254,5 +310,6 @@ object Dedup {
     "q_dedup_near" -> qDedupNearSql,
     "q_dedup_filtered" -> qDedupFilteredSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_simhash_pairs" -> qSimhashPairsSql)
 }

@@ -38,6 +38,10 @@ class LlmOpsSpec extends SparkTestBase {
     assertNoCrossJoin(Dedup.qNgramJaccard(spark, sfDir))
   }
 
+  test("incremental dedup plan has no all-pairs join") {
+    assertNoCrossJoin(Dedup.qDedupIncremental(spark, sfDir))
+  }
+
   test("dedup pipelines read the staged shingle frame, not the raw corpus per branch") {
     // shingling is persisted (the local analog of writing a signature
     // table): every join branch must resolve to the cached relation,
