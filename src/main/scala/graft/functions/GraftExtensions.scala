@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - [[GraftFunctions.register]] adds them to an existing session's
   *    FunctionRegistry (tests, notebooks).
   *
-  * After either, `SELECT minhash_sig(shingles, 96)`, `simhash32(...)`,
+  * After either, `SELECT minhash_sig(shingles, 96)`, `simhash60(...)`,
   * `word_shingles(text, 3)`, `cosine_sim(a, b)`, `dot_product(a, b)` work
   * from plain SQL.
   */
@@ -38,9 +38,9 @@ object GraftFunctions {
     ("minhash_sig",
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => MinHashSig(args.head, intArg(args(1), "numHashes"))),
-    ("simhash32",
-      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
-      (args: Seq[Expression]) => SimHash32(args.head)),
+    ("simhash60",
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (args: Seq[Expression]) => SimHash60(args.head)),
     ("word_shingles",
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => WordShingles(args.head, intArg(args(1), "n"))),

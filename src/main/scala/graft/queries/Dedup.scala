@@ -16,9 +16,11 @@ import graft.core.Tables
   *    hash), then verified with exact shingle-set jaccard. There is no
   *    all-pairs/cross join anywhere in the plan (asserted in
   *    DedupSpec): cost is O(n·sig) + O(Σ bucket²) instead of O(n²).
-  *  - Simhash: 32-bit signatures, blocked by 4×8-bit bands — pigeonhole
+  *  - Simhash: 60-bit signatures, blocked by 4×15-bit bands — pigeonhole
   *    guarantees any pair within hamming distance 3 shares ≥1 exact
-  *    band, so the banded equi-join loses nothing vs brute force.
+  *    band, so the banded equi-join loses nothing vs brute force, while
+  *    2^15 bucket values per band keep buckets tiny at corpus scale
+  *    (8-bit bands have only 256 buckets — quadratic blowup per bucket).
   *
   * Oracle strategy: the DuckDB side brute-forces the same definitions
   * (exact jaccard over 3-word shingles; md5-derived simhash), which is
@@ -252,25 +254,25 @@ object Dedup {
        |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6""".stripMargin
 
   // --------------------------------------------------------------------
-  // Simhash near-dup: 32-bit simhash over md5-hashed shingles (md5 is
+  // Simhash near-dup: 60-bit simhash over md5-hashed shingles (md5 is
   // engine-portable, so the oracle reproduces the exact signatures).
-  // Pairs within hamming distance 3, found via 4×8-bit band blocking.
+  // Pairs within hamming distance 3, found via 4×15-bit band blocking.
   private def simhashed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     shingled(spark, sfDir)
-      .select($"doc_id", graft.functions.functions.simhash32($"sh").as("simhash"))
+      .select($"doc_id", graft.functions.functions.simhash60($"sh").as("simhash"))
   }
 
   def qSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     simhashBandedPairs(simhashed(spark, sfDir))
 
-  /** 4 disjoint 8-bit bands: hamming ≤ 3 ⇒ at least one band identical
+  /** 4 disjoint 15-bit bands: hamming ≤ 3 ⇒ at least one band identical
     * (pigeonhole), so the banded equi-join has perfect recall. */
   private def simhashBandedPairs(sh: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
     val banded = sh.select($"doc_id", $"simhash",
       explode(expr(
-        "transform(sequence(0, 3), k -> named_struct('band', k, 'bv', (shiftright(simhash, k * 8) & 255)))")).as("kb"))
+        "transform(sequence(0, 3), k -> named_struct('band', k, 'bv', (shiftright(simhash, k * 15) & 32767)))")).as("kb"))
       .select($"doc_id", $"simhash", $"kb.band".as("band"), $"kb.bv".as("bv"))
     banded.as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.bv" === $"y.bv" && $"x.doc_id" < $"y.doc_id")
@@ -282,12 +284,12 @@ object Dedup {
 
   val qSimhashPairsSql: String =
     s"""WITH $ShingleSqlCte,
-       |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS hv FROM sh),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hv FROM sh),
        |bits AS (
        |  SELECT doc_id, j,
        |         CASE WHEN sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) >= 0
        |              THEN 1 ELSE 0 END AS bit
-       |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS j) t
+       |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) t
        |  GROUP BY 1, 2),
        |sim AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS simhash
        |        FROM bits GROUP BY 1)

@@ -107,7 +107,7 @@ class PlanQualitySpec extends SparkTestBase {
   test("native kernels are SQL-callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
-      """SELECT simhash32(word_shingles('a b c d', 3)) AS s,
+      """SELECT simhash60(word_shingles('a b c d', 3)) AS s,
         |       cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
         |       dot_product(array(2.0d, 3.0d), array(4.0d, 5.0d)) AS d,
         |       minhash_sig(array('x'), 4) AS m""".stripMargin).head()
