@@ -88,6 +88,26 @@ object Analytics {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
   // --------------------------------------------------------------------
+  // Cube: all 2^k grouping-set combinations — rollup plus the
+  // column-marginal sets ((), (status) here). Same single-pass expansion
+  // inside the partial aggregate as rollup: one fact scan, grouping-id
+  // rows fan out before the shuffle.
+  def qCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(sum(dec($"l_extendedprice")).cast("double").as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  // --------------------------------------------------------------------
   // Top-k per group: 3 highest-value items per return flag — window rank
   // partitioned by the group key (parallel; contrast with O1's global
   // top-k).
@@ -210,6 +230,7 @@ object Analytics {
     "q_revenue_by_nation" -> (qRevenueByNation _),
     "q_semi_join" -> (qSemiJoin _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
     "q_topk_per_group" -> (qTopKPerGroup _),
     "q_except" -> (qExcept _),
     "q_intersect" -> (qIntersect _),
@@ -221,6 +242,7 @@ object Analytics {
     "q_revenue_by_nation" -> qRevenueByNationSql,
     "q_semi_join" -> qSemiJoinSql,
     "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
     "q_topk_per_group" -> qTopKPerGroupSql,
     "q_except" -> qExceptSql,
     "q_intersect" -> qIntersectSql,

@@ -105,6 +105,33 @@ object Events {
       |FROM s GROUP BY 1, 2""".stripMargin
 
   // --------------------------------------------------------------------
+  // Rolling time-range window: per user, count + exact sum of events in
+  // the trailing 15 minutes of each event — a RANGE BETWEEN interval
+  // frame, the sliding-window family neither the tumbling (qEventWindow)
+  // nor running-sum (qRunningSum) shapes cover. The frame bound is on
+  // exact integer microseconds so both engines resolve identical frames
+  // (RANGE includes order-value ties identically by definition).
+  // Partitioned by user_id: parallel at any scale, state per task is one
+  // 15-minute buffer.
+  def qRollingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-900000000L, 0L)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id",
+        count(lit(1)).over(w).as("n_15m"),
+        sum(dec($"value")).over(w).cast("double").as("sum_15m"))
+  }
+
+  val qRollingWindowSql: String =
+    """SELECT user_id, event_id,
+      |       count(*) OVER w AS n_15m,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_15m
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // --------------------------------------------------------------------
   // Built-in session windows: Spark's session_window aggregation merges
   // events within a 30-minute gap at the AGGREGATION layer (mergeable
   // session state — the same operator works under a streaming watermark),
@@ -169,6 +196,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_window" -> (qEventWindow _),
     "q_running_sum" -> (qRunningSum _),
+    "q_rolling_window" -> (qRollingWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
     "q_approx_distinct" -> (qApproxDistinct _))
@@ -176,6 +204,7 @@ object Events {
   val oracleSql: Map[String, String] = Map(
     "q_event_window" -> qEventWindowSql,
     "q_running_sum" -> qRunningSumSql,
+    "q_rolling_window" -> qRollingWindowSql,
     "q_sessionize" -> qSessionizeSql,
     "q_session_window" -> qSessionWindowSql,
     "q_approx_distinct" -> qApproxDistinctSql)

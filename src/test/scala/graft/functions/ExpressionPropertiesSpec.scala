@@ -73,6 +73,27 @@ class ExpressionPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("simhash60: 60-bit range, set semantics ignore order, flip locality") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def sim(ws: Seq[String]): Long = SimHash60.compute(
+      new GenericArrayData(ws.map(UTF8String.fromString).toArray[Any]))
+    samples(Gen.nonEmptyListOf(word), 40).foreach { ws =>
+      val s = sim(ws)
+      assert(s >= 0L && s < (1L << 60), ws) // top 4 bits always clear
+      assert(sim(ws.reverse) == s, ws) // element order never matters
+    }
+    // single-element arrays: signature == the element's own 60-bit hash,
+    // so two different words differ (md5 collision would be a miracle)
+    val a = sim(Seq("alpha")); val b = sim(Seq("beta"))
+    assert(a != b)
+    // near-identical shingle sets land within small hamming distance:
+    // overlapping majority vote flips only bits the minority disagrees on
+    val base = (1 to 40).map(i => s"tok$i")
+    val d = java.lang.Long.bitCount(sim(base) ^ sim(base.drop(1)))
+    assert(d <= 12, s"hamming=$d for 39/40-overlap sets")
+  }
+
   test("ms->timestamp truncates sub-second parts exactly (P5 // 1000)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
