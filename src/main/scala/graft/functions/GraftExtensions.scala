@@ -20,8 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.descriptors.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
-    // whole-operator custom plan (graft.plans): bounded top-k per group
+    // whole-operator custom plan (graft.plans): bounded top-k per group,
+    // plus the optimizer rule that rewrites the stock window-rank form
+    // into it (LogicalPlan + Rule + Strategy + SparkPlan)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
   }
 }
 

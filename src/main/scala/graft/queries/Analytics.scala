@@ -132,6 +132,19 @@ object Analytics {
       |WHERE rk <= 3""".stripMargin
 
   // --------------------------------------------------------------------
+  // The same stock window formulation as qTopKPerGroup, but run under
+  // the TopKWindowRewrite optimizer rule: the Rule[LogicalPlan] inserts
+  // the bounded TopKPerGroupPlan below the window, so WindowExec ranks
+  // ≤ groups×k survivors instead of sorting every group (the full
+  // custom-Catalyst quartet — LogicalPlan + Rule + Strategy + SparkPlan —
+  // exercised through user code that knows nothing of it). Output is
+  // identical to qTopKPerGroup by construction (same oracle SQL).
+  def qTopKRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.TopKWindowRewrite.register(spark)
+    qTopKPerGroup(spark, sfDir)
+  }
+
+  // --------------------------------------------------------------------
   // Set operations (SURVEY §2.7 notes the reference has none — this is
   // extension surface). EXCEPT/INTERSECT carry DISTINCT set semantics in
   // both engines; physically a shuffle keyed on the full row — keep the
@@ -232,6 +245,7 @@ object Analytics {
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_topk_per_group" -> (qTopKPerGroup _),
+    "q_topk_rewrite" -> (qTopKRewrite _),
     "q_except" -> (qExcept _),
     "q_intersect" -> (qIntersect _),
     "q_pivot" -> (qPivot _),
@@ -244,6 +258,7 @@ object Analytics {
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
     "q_topk_per_group" -> qTopKPerGroupSql,
+    "q_topk_rewrite" -> qTopKPerGroupSql,
     "q_except" -> qExceptSql,
     "q_intersect" -> qIntersectSql,
     "q_pivot" -> qPivotSql,

@@ -75,6 +75,56 @@ class TopKPerGroupSpec extends SparkTestBase {
     assert(custom.nonEmpty)
   }
 
+  test("optimizer rule rewrites the stock window-rank filter to the bounded operator") {
+    import spark.implicits._
+    TopKWindowRewrite.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    // the completely standard formulation — user code knows nothing of
+    // the custom operator
+    val q = lineitem
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice",
+        row_number().over(w).as("rk"))
+      .filter($"rk" <= 3)
+      .select($"l_returnflag", $"rk", $"l_orderkey", $"l_linenumber")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPerGroupPartial"), physical)
+    assert(physical.contains("TopKPerGroupFinal"), physical)
+    // the Window survives (it ranks the <= groups*k survivors), but its
+    // input is the bounded operator, not the raw scan
+    assert(physical.contains("Window"), physical)
+    val got = q.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val expect = graft.queries.Analytics.qTopKPerGroup(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("optimizer rule leaves unsafe window shapes alone") {
+    import spark.implicits._
+    TopKWindowRewrite.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    // rank() can exceed k rows per group under ties — must not rewrite
+    val ranked = lineitem
+      .select($"l_returnflag", rank().over(w).as("rk")).filter($"rk" <= 3)
+    assert(!ranked.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    // a sibling window aggregate needs full groups — must not rewrite
+    val sibling = lineitem
+      .select($"l_returnflag",
+        row_number().over(w).as("rk"), sum($"l_quantity").over(w).as("s"))
+      .filter($"rk" <= 3)
+    assert(!sibling.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    // global (unpartitioned) top-k is TakeOrderedAndProject's job
+    val global = org.apache.spark.sql.expressions.Window
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    val g = lineitem.select($"l_orderkey", row_number().over(global).as("rk"))
+      .filter($"rk" <= 3)
+    assert(!g.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+  }
+
   test("strategy also arrives via SparkSessionExtensions injection") {
     // the extension class wires the same strategy a builder-configured
     // session would get; verify the injection point compiles and runs
