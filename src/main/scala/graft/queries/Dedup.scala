@@ -254,6 +254,34 @@ object Dedup {
        |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6""".stripMargin
 
   // --------------------------------------------------------------------
+  // Sketch-only similarity estimation: jaccard estimated as the fraction
+  // of agreeing minhash signature slots (the Broder estimator —
+  // P[min-slot agreement] = exact jaccard). At 100 TB the exact
+  // shingle-set verify pass is the expensive step; production pipelines
+  // threshold on this estimate alone and never rejoin the shingles.
+  // Oracle pattern is the approximate-operator one (like
+  // q_approx_distinct): output the exact jaccard for each verified pair
+  // plus an in-query assertion that the 96-hash estimate lands within
+  // ±0.3 (≈ 5.9σ at j=0.5, binomial σ = √(j(1−j)/96)); the estimator
+  // is deterministic (fixed hash family), so the flag is stable.
+  def qMinhashEst(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(spark, sfDir)
+    val sig = sh.select($"doc_id",
+      graft.functions.functions.minhash_sig($"sh", NumHashes).as("sig"))
+    nearDupPairs(spark, sfDir)
+      .join(sig.select($"doc_id".as("a_id"), $"sig".as("sig_a")), $"doc_a" === $"a_id")
+      .join(sig.select($"doc_id".as("b_id"), $"sig".as("sig_b")), $"doc_b" === $"b_id")
+      .withColumn("est",
+        size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y), b => b))
+          .cast("double") / NumHashes)
+      .select($"doc_a", $"doc_b", $"jac", (abs($"est" - $"jac") <= 0.3).as("est_ok"))
+  }
+
+  val qMinhashEstSql: String =
+    s"""SELECT doc_a, doc_b, jac, TRUE AS est_ok FROM ($NearPairSql)""".stripMargin
+
+  // --------------------------------------------------------------------
   // Simhash near-dup: 60-bit simhash over md5-hashed shingles (md5 is
   // engine-portable, so the oracle reproduces the exact signatures).
   // Pairs within hamming distance 3, found via 4×15-bit band blocking.
@@ -305,6 +333,7 @@ object Dedup {
     "q_dedup_filtered" -> (qDedupFiltered _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_minhash_est" -> (qMinhashEst _),
     "q_simhash_pairs" -> (qSimhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
@@ -313,5 +342,6 @@ object Dedup {
     "q_dedup_filtered" -> qDedupFilteredSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
+    "q_minhash_est" -> qMinhashEstSql,
     "q_simhash_pairs" -> qSimhashPairsSql)
 }

@@ -18,7 +18,8 @@ class SparkEntryContractSpec extends SparkTestBase {
     "Scale" -> Scale.queries,
     "MultimodalMeta" -> MultimodalMeta.queries,
     "Analytics" -> Analytics.queries,
-    "TemporalJoins" -> TemporalJoins.queries)
+    "TemporalJoins" -> TemporalJoins.queries,
+    "Curation" -> Curation.queries)
 
   test("no query is lost to a duplicate key across modules") {
     val all = parts.flatMap(_._2.keys)

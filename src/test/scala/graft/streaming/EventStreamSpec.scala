@@ -51,6 +51,38 @@ class EventStreamSpec extends SparkTestBase {
     assert(wh.shifts.count() == 2)
   }
 
+  test("count-min sketch aggregates under a streaming window across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{window, col, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.EventRow]
+    // the sketch is a TypedImperativeAggregate, so streaming state merges
+    // partial sketches by addition — feed the same window from two
+    // separate micro-batches to force a state merge
+    val q = in.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.CountMinAgg.count_min_agg(col("event_type"), 4, 64).as("sk"))
+      .writeStream.format("memory").queryName("cmstream")
+      .outputMode("update")
+      .start()
+    in.addData(
+      EventStream.EventRow(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      EventStream.EventRow(2, ts("2024-01-01 10:10:00"), 2, "click", 1.0))
+    q.processAllAvailable()
+    in.addData(
+      EventStream.EventRow(3, ts("2024-01-01 10:20:00"), 1, "click", 1.0),
+      EventStream.EventRow(4, ts("2024-01-01 10:25:00"), 3, "view", 1.0))
+    q.processAllAvailable(); q.stop()
+    // last update for the 10:00 window carries the merged sketch
+    val est = spark.table("cmstream")
+      .select(graft.functions.CountMinAgg
+        .count_min_estimate(col("sk"), lit("click"), 4, 64).as("n"))
+      .as[Long].collect().max
+    // count-min overestimates, never under: 3 clicks total
+    assert(est >= 3L && est <= 4L + 1L, s"estimate $est")
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
