@@ -229,6 +229,27 @@ object Relational {
        |UNION ALL SELECT 'returned_count', DATE '$asOf', CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) FROM lineitem""".stripMargin
 
   // --------------------------------------------------------------------
+  // SQL surface parity: the reference's entire query layer is SQL text
+  // shipped to an engine (shift_data_processor.py:225-279). This entry
+  // runs ONE dialect-neutral SQL string through spark.sql(...) over temp
+  // views — and the oracle executes the SAME string, character for
+  // character, in DuckDB. Any divergence in parse, name resolution,
+  // aggregation or cast semantics would surface as a hash mismatch.
+  val qSqlSharedText: String =
+    """SELECT l_returnflag,
+      |       count(*) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |       CAST(min(l_orderkey) AS BIGINT) AS first_order
+      |FROM lineitem
+      |WHERE l_quantity >= 25
+      |GROUP BY l_returnflag""".stripMargin
+
+  def qSqlShared(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(qSqlSharedText)
+  }
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_join_filter_max" -> (qJoinFilterMax _),
@@ -236,7 +257,8 @@ object Relational {
     "q_islands" -> (qIslands _),
     "q_topk" -> (qTopK _),
     "q_page_slice" -> (qPageSlice _),
-    "q_kpi_union" -> (qKpiUnion _))
+    "q_kpi_union" -> (qKpiUnion _),
+    "q_sql_shared" -> (qSqlShared _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
@@ -245,5 +267,6 @@ object Relational {
     "q_islands" -> qIslandsSql,
     "q_topk" -> qTopKSql,
     "q_page_slice" -> qPageSliceSql,
-    "q_kpi_union" -> qKpiUnionSql)
+    "q_kpi_union" -> qKpiUnionSql,
+    "q_sql_shared" -> qSqlSharedText)
 }
