@@ -332,6 +332,73 @@ object TextOps {
       |FROM documents ORDER BY dist, doc_id LIMIT 5""".stripMargin
 
   // --------------------------------------------------------------------
+  // Document chunking: split each document into fixed-size token chunks
+  // (the context-window preprocessing step of a pretraining pipeline).
+  // One generate per doc (posexplode over the chunk count), row-local
+  // array slicing — no shuffle, linear at any scale. Chunk text is
+  // emitted as its md5 so the output stays narrow; token counts are
+  // exact integers.
+  private val ChunkTokens = 40
+
+  def qChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", toks.as("toks"))
+      .select($"doc_id",
+        posexplode(sequence(lit(0),
+          ceil(size($"toks").cast("double") / ChunkTokens).cast("int") - 1))
+          .as(Seq("pos", "chunk_id")),
+        $"toks")
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        size(slice($"toks", $"chunk_id" * ChunkTokens + 1, lit(ChunkTokens)))
+          .cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ",
+          slice($"toks", $"chunk_id" * ChunkTokens + 1, lit(ChunkTokens)))
+          .cast("binary")).as("chunk_fp"))
+  }
+
+  val qChunkSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (SELECT doc_id, toks,
+       |             unnest(range(CAST(ceil(len(toks) / $ChunkTokens.0) AS BIGINT))) AS chunk_id
+       |      FROM t)
+       |SELECT doc_id, chunk_id,
+       |       CAST(len(toks[chunk_id * $ChunkTokens + 1 : (chunk_id + 1) * $ChunkTokens]) AS BIGINT) AS n_chunk_tokens,
+       |       md5(array_to_string(toks[chunk_id * $ChunkTokens + 1 : (chunk_id + 1) * $ChunkTokens], ' ')) AS chunk_fp
+       |FROM c""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Sequence packing: concatenate each source's documents in doc_id
+  // order and record which fixed-size context window every document
+  // starts in (bin = floor(stream offset / window)) — the standard
+  // concat-then-split packing of pretraining batches. A running-sum
+  // window PARTITIONED by source (parallel across sources; at 100 TB,
+  // sub-partition by shard and stitch offsets like the scalable islands
+  // plan). Pure integer arithmetic on both sides.
+  private val PackWindow = 512
+
+  def qPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(spark, sfDir)
+      .select($"source", $"doc_id", tokenCount($"text").as("n_tokens"))
+      .withColumn("start_offset", sum($"n_tokens").over(w) - $"n_tokens")
+      .select($"source", $"doc_id", $"start_offset",
+        floor($"start_offset" / PackWindow).as("bin"))
+  }
+
+  val qPackSql: String =
+    s"""SELECT source, doc_id, CAST(start_offset AS BIGINT) AS start_offset,
+       |       CAST(floor(start_offset / $PackWindow.0) AS BIGINT) AS bin
+       |FROM (SELECT source, doc_id,
+       |        sum(length(text) - length(replace(text, ' ', '')) + 1)
+       |          OVER (PARTITION BY source ORDER BY doc_id)
+       |        - (length(text) - length(replace(text, ' ', '')) + 1) AS start_offset
+       |      FROM documents)""".stripMargin
+
+  // --------------------------------------------------------------------
   // Stratified sampling — the data-mixing step of a pretraining pipeline
   // (down/up-weight languages or sources to a target mixture). Spark's
   // sampleBy is per-row Bernoulli with a seeded deterministic stream (no
@@ -372,6 +439,8 @@ object TextOps {
     "q_bpe_tokens" -> (qBpeTokens _),
     "q_rolling_fp" -> (qRollingFp _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_chunk" -> (qChunk _),
+    "q_pack" -> (qPack _),
     "q_edit_distance" -> (qEditDistance _),
     "q_heavy_hitters" -> (qHeavyHitters _))
 
@@ -385,6 +454,8 @@ object TextOps {
     "q_bpe_tokens" -> qBpeTokensSql,
     "q_rolling_fp" -> qRollingFpSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_chunk" -> qChunkSql,
+    "q_pack" -> qPackSql,
     "q_edit_distance" -> qEditDistanceSql,
     "q_heavy_hitters" -> qHeavyHittersSql)
 }

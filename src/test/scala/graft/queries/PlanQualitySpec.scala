@@ -96,6 +96,34 @@ class PlanQualitySpec extends SparkTestBase {
     assert(frames.contains("ReadSchema: struct<doc_id:bigint,text:string>"), frames)
   }
 
+  test("curation pipeline plan has no all-pairs join and prunes the doc scan") {
+    val df = Curation.qCurate(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+  }
+
+  test("chunking and packing scan only the columns they use") {
+    val chunk = plan(TextOps.qChunk(spark, sfDir))
+    assert(chunk.contains("ReadSchema: struct<doc_id:bigint,text:string>"), chunk)
+    val pack = plan(TextOps.qPack(spark, sfDir))
+    assert(pack.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"), pack)
+    // the packing window is partitioned by source — never a global window
+    val windows = TextOps.qPack(spark, sfDir).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("chunking covers every token exactly once") {
+    import org.apache.spark.sql.functions.sum
+    val chunks = TextOps.qChunk(spark, sfDir)
+      .agg(sum("n_chunk_tokens")).head().getLong(0)
+    val total = TextOps.qTextStats(spark, sfDir)
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(chunks == total, s"chunk tokens $chunks != corpus tokens $total")
+  }
+
   test("rolling_hashes is SQL-callable and matches the column API") {
     graft.functions.GraftFunctions.register(spark)
     val viaSql = spark.sql("SELECT rolling_hashes('abcdef', 5) AS h")
