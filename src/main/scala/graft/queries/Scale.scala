@@ -119,13 +119,38 @@ object Scale {
 
   val qTopKPerGroupNativeSql: String = Analytics.qTopKPerGroupSql
 
+  /** Salted skew join (graft.operators.SkewJoin): the fact side gets a
+    * deterministic per-row salt, the dimension is replicated per salt,
+    * and the shuffle spreads any hot supplier key over 8 tasks instead
+    * of one. Results are identical to the plain join — the oracle runs
+    * the unsalted form. (AQE's runtime skew splitting covers
+    * stats-detected skew; explicit salting is for skew known ahead of
+    * time or a non-broadcastable small side.) */
+  def qSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val large = Tables.lineitem(spark, sfDir)
+      .select($"l_suppkey".as("suppkey"), $"l_quantity")
+    val small = Tables.supplier(spark, sfDir)
+      .select($"s_suppkey".as("suppkey"), $"s_nationkey")
+    graft.operators.SkewJoin.saltedInnerJoin(large, small, "suppkey", 8)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_items"), sum($"l_quantity").as("sum_qty"))
+  }
+
+  val qSkewJoinSql: String =
+    """SELECT s_nationkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_islands_scalable" -> (qIslandsScalable _),
     "q_topk_groups_scalable" -> (qTopKPerGroupScalable _),
-    "q_topk_native" -> (qTopKPerGroupNative _))
+    "q_topk_native" -> (qTopKPerGroupNative _),
+    "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q_islands_scalable" -> qIslandsScalableSql,
     "q_topk_groups_scalable" -> qTopKPerGroupScalableSql,
-    "q_topk_native" -> qTopKPerGroupNativeSql)
+    "q_topk_native" -> qTopKPerGroupNativeSql,
+    "q_skew_join" -> qSkewJoinSql)
 }
