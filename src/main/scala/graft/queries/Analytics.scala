@@ -159,6 +159,25 @@ object Analytics {
     """SELECT c_custkey FROM customer
       |EXCEPT SELECT o_custkey AS c_custkey FROM orders""".stripMargin
 
+  // EXCEPT ALL: bag semantics — each customer key survives as many times
+  // as its multiplicity difference (contrast with qExcept's DISTINCT set
+  // semantics). Spark plans this as a count-aggregate + generate
+  // replicate, not a join per duplicate.
+  def qExceptAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("custkey"))
+      .exceptAll(Tables.orders(spark, sfDir)
+        .filter($"o_orderpriority" === "2-HIGH")
+        .select($"o_custkey".as("custkey")))
+  }
+
+  val qExceptAllSql: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |EXCEPT ALL
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH'""".stripMargin
+
   def qIntersect(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.customer(spark, sfDir)
@@ -172,6 +191,33 @@ object Analytics {
     """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
       |INTERSECT
       |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Scalar string-function family over `part` (the one testdata table no
+  // other query touches): substring, case mapping, length, LIKE
+  // containment, trim+concat — all dialect-neutral, all codegen'd
+  // row-local projections over a pruned scan.
+  def qStringFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .filter($"p_size" >= 40)
+      .select(
+        $"p_partkey",
+        upper($"p_brand").as("brand_u"),
+        substring($"p_name", 1, 12).as("name12"),
+        length($"p_name").cast("long").as("name_len"),
+        $"p_type".like("%BRASS%").as("is_brass"),
+        concat_ws("|", trim($"p_brand"), lower($"p_type")).as("brand_type"))
+  }
+
+  val qStringFuncsSql: String =
+    """SELECT p_partkey,
+      |       upper(p_brand) AS brand_u,
+      |       substr(p_name, 1, 12) AS name12,
+      |       CAST(length(p_name) AS BIGINT) AS name_len,
+      |       p_type LIKE '%BRASS%' AS is_brass,
+      |       concat_ws('|', trim(p_brand), lower(p_type)) AS brand_type
+      |FROM part WHERE p_size >= 40""".stripMargin
 
   // --------------------------------------------------------------------
   // Pivot: wide conditional aggregation. Spark's pivot with explicit
@@ -247,8 +293,10 @@ object Analytics {
     "q_topk_per_group" -> (qTopKPerGroup _),
     "q_topk_rewrite" -> (qTopKRewrite _),
     "q_except" -> (qExcept _),
+    "q_except_all" -> (qExceptAll _),
     "q_intersect" -> (qIntersect _),
     "q_pivot" -> (qPivot _),
+    "q_string_funcs" -> (qStringFuncs _),
     "q_percentile" -> (qPercentile _),
     "q_percentile_approx" -> (qPercentileApprox _))
 
@@ -260,8 +308,10 @@ object Analytics {
     "q_topk_per_group" -> qTopKPerGroupSql,
     "q_topk_rewrite" -> qTopKPerGroupSql,
     "q_except" -> qExceptSql,
+    "q_except_all" -> qExceptAllSql,
     "q_intersect" -> qIntersectSql,
     "q_pivot" -> qPivotSql,
+    "q_string_funcs" -> qStringFuncsSql,
     "q_percentile" -> qPercentileSql,
     "q_percentile_approx" -> qPercentileApproxSql)
 }

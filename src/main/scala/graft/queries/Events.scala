@@ -167,6 +167,30 @@ object Events {
       |FROM s GROUP BY user_id, session_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // Window navigation: lead/lag — previous/next event type and the gap
+  // to the previous event per user (qSessionize uses lag internally;
+  // this exposes the navigation family directly). (ts, event_id) is a
+  // unique order key so offsets are deterministic; the gap is exact
+  // integer microseconds.
+  def qLeadLag(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"event_type",
+        lag($"event_type", 1).over(w).as("prev_type"),
+        lead($"event_type", 1).over(w).as("next_type"),
+        (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w))).as("gap_us"))
+  }
+
+  val qLeadLagSql: String =
+    """SELECT user_id, event_id, event_type,
+      |       lag(event_type) OVER w AS prev_type,
+      |       lead(event_type) OVER w AS next_type,
+      |       date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  // --------------------------------------------------------------------
   // HLL approximate distinct: per event_type approx user count. The HLL
   // sketch is mergeable (associative partial agg — scales like a sum, no
   // distinct shuffle). DuckDB's HLL implementation differs, so the raw
@@ -197,6 +221,7 @@ object Events {
     "q_event_window" -> (qEventWindow _),
     "q_running_sum" -> (qRunningSum _),
     "q_rolling_window" -> (qRollingWindow _),
+    "q_lead_lag" -> (qLeadLag _),
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
     "q_approx_distinct" -> (qApproxDistinct _))
@@ -205,6 +230,7 @@ object Events {
     "q_event_window" -> qEventWindowSql,
     "q_running_sum" -> qRunningSumSql,
     "q_rolling_window" -> qRollingWindowSql,
+    "q_lead_lag" -> qLeadLagSql,
     "q_sessionize" -> qSessionizeSql,
     "q_session_window" -> qSessionWindowSql,
     "q_approx_distinct" -> qApproxDistinctSql)

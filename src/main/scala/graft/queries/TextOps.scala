@@ -332,6 +332,32 @@ object TextOps {
       |FROM documents ORDER BY dist, doc_id LIMIT 5""".stripMargin
 
   // --------------------------------------------------------------------
+  // Typed Aggregator (Aggregator[IN, BUF, OUT]) — the strongly-typed
+  // user aggregation API, applied untyped-style on a grouped DataFrame
+  // via .toColumn: per-source doc/token statistics. Exact-long buffer,
+  // one final division ⇒ oracle-stable.
+  def qTypedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val agg = udaf(graft.functions.TokenStatsAgg)
+    Tables.documents(spark, sfDir)
+      .select($"source", tokenCount($"text").as("n_tokens"))
+      .groupBy($"source")
+      .agg(agg($"n_tokens").as("s"))
+      .select($"source", $"s.n_docs", $"s.total_tokens", $"s.max_tokens", $"s.mean_tokens")
+  }
+
+  val qTypedAggSql: String =
+    """SELECT source,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n) AS BIGINT) AS total_tokens,
+      |       max(n) AS max_tokens,
+      |       CAST(sum(n) AS DOUBLE) / count(*) AS mean_tokens
+      |FROM (SELECT source,
+      |        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n
+      |      FROM documents)
+      |GROUP BY source""".stripMargin
+
+  // --------------------------------------------------------------------
   // Document chunking: split each document into fixed-size token chunks
   // (the context-window preprocessing step of a pretraining pipeline).
   // One generate per doc (posexplode over the chunk count), row-local
@@ -440,6 +466,7 @@ object TextOps {
     "q_rolling_fp" -> (qRollingFp _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_chunk" -> (qChunk _),
+    "q_typed_agg" -> (qTypedAgg _),
     "q_pack" -> (qPack _),
     "q_edit_distance" -> (qEditDistance _),
     "q_heavy_hitters" -> (qHeavyHitters _))
@@ -455,6 +482,7 @@ object TextOps {
     "q_rolling_fp" -> qRollingFpSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_chunk" -> qChunkSql,
+    "q_typed_agg" -> qTypedAggSql,
     "q_pack" -> qPackSql,
     "q_edit_distance" -> qEditDistanceSql,
     "q_heavy_hitters" -> qHeavyHittersSql)
