@@ -142,13 +142,69 @@ object Scale {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY 1""".stripMargin
 
+  /** Bloom-filter pre-filtered join — Spark's runtime-filter machinery
+    * (the BloomFilterAggregate/BloomFilterMightContain pair behind
+    * spark.sql.optimizer.runtime.bloomFilter) driven explicitly as an
+    * operator. The selective dimension's keys aggregate into ONE bloom
+    * filter row (mergeable binary buffer, map-side combine like any
+    * agg); the fact side drops non-matching rows BEFORE the join
+    * shuffle via might_contain. The exact equi-join then removes the
+    * bloom's false positives, so the result is identical to the plain
+    * join (the oracle runs the unfiltered form). At 100 TB this is the
+    * shape when the dim is too big to broadcast but selective enough
+    * that most fact rows shuffle for nothing. */
+  private def bloomAgg(c: org.apache.spark.sql.Column, items: Long, bits: Long) =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(org.apache.spark.sql.GraftColumnBridge.expression(c))),
+        org.apache.spark.sql.catalyst.expressions.Literal(items),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits))
+        .toAggregateExpression())
+
+  private def mightContain(bloom: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.GraftColumnBridge.expression(bloom),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(org.apache.spark.sql.GraftColumnBridge.expression(c)))))
+
+  private val bloomAsOf = "2001-07-01"
+
+  def qBloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val recent = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf(s"$bloomAsOf 00:00:00")))
+      .select($"o_orderkey")
+    // The filter is built by a distributed aggregate, then materialized
+    // as a 12.5 KB binary literal — might_contain requires a CONSTANT
+    // (or scalar subquery) filter, and a driver-side scalar fetch of one
+    // sketch is exactly how AQE's InjectRuntimeFilter stages it. Only
+    // the sketch crosses the driver, never rows.
+    val bf = recent.agg(bloomAgg($"o_orderkey", 10000L, 100000L)).head().getAs[Array[Byte]](0)
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_quantity")
+      .where(mightContain(lit(bf), $"l_orderkey"))
+      .join(recent, $"l_orderkey" === $"o_orderkey")
+      .agg(count(lit(1)).as("n_items"), sum($"l_quantity").as("sum_qty"))
+  }
+
+  val qBloomJoinSql: String =
+    s"""SELECT count(*) AS n_items, sum(l_quantity) AS sum_qty
+       |FROM lineitem
+       |JOIN (SELECT o_orderkey FROM orders
+       |      WHERE o_orderdate >= TIMESTAMP '$bloomAsOf 00:00:00') o
+       |  ON l_orderkey = o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_join" -> (qBloomJoin _),
     "q_islands_scalable" -> (qIslandsScalable _),
     "q_topk_groups_scalable" -> (qTopKPerGroupScalable _),
     "q_topk_native" -> (qTopKPerGroupNative _),
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_bloom_join" -> qBloomJoinSql,
     "q_islands_scalable" -> qIslandsScalableSql,
     "q_topk_groups_scalable" -> qTopKPerGroupScalableSql,
     "q_topk_native" -> qTopKPerGroupNativeSql,
