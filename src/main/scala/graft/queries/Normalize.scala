@@ -119,15 +119,43 @@ object Normalize {
       |FROM (SELECT event_id, epoch_ms(ts) AS ms FROM events)""".stripMargin
 
   // --------------------------------------------------------------------
+  // JSON extraction: build a JSON document per row (integer and string
+  // fields only, so both engines render the identical text), then parse
+  // it back with a declared schema — the schema'd-parse path the shift
+  // source uses (SURVEY §1.3: explicit StructType, never inference).
+  // Round-tripping through the string also pins serialization: any
+  // formatting divergence would break the extracted values.
+  def qJsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("f", StringType)))
+    Tables.orders(spark, sfDir)
+      .select(concat(lit("{\"k\":"), $"o_orderkey",
+        lit(",\"f\":\""), $"o_orderpriority", lit("\"}")).as("j"))
+      .select($"j", from_json($"j", schema).as("p"))
+      .select($"p.k".as("k"), $"p.f".as("f"), length($"j").cast("long").as("json_len"))
+  }
+
+  val qJsonExtractSql: String =
+    """SELECT CAST(j->>'$.k' AS BIGINT) AS k,
+      |       j->>'$.f' AS f,
+      |       CAST(length(j) AS BIGINT) AS json_len
+      |FROM (SELECT '{"k":' || o_orderkey || ',"f":"' || o_orderpriority || '"}' AS j
+      |      FROM orders)""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_explode" -> (qExplode _),
     "q_rename" -> (qRename _),
     "q_derived_cost" -> (qDerivedCost _),
-    "q_ts_convert" -> (qTsConvert _))
+    "q_ts_convert" -> (qTsConvert _),
+    "q_json_extract" -> (qJsonExtract _))
 
   val oracleSql: Map[String, String] = Map(
     "q_explode" -> qExplodeSql,
     "q_rename" -> qRenameSql,
     "q_derived_cost" -> qDerivedCostSql,
-    "q_ts_convert" -> qTsConvertSql)
+    "q_ts_convert" -> qTsConvertSql,
+    "q_json_extract" -> qJsonExtractSql)
 }

@@ -124,6 +124,15 @@ class PlanQualitySpec extends SparkTestBase {
     assert(chunks == total, s"chunk tokens $chunks != corpus tokens $total")
   }
 
+  test("bloom join filters the fact scan before the join") {
+    val p = plan(Scale.qBloomJoin(spark, sfDir))
+    assert(p.contains("might_contain"), p)
+    // the pre-filter must sit on the fact side, below the join
+    val filterIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && filterIdx > joinIdx, p)
+  }
+
   test("rolling_hashes is SQL-callable and matches the column API") {
     graft.functions.GraftFunctions.register(spark)
     val viaSql = spark.sql("SELECT rolling_hashes('abcdef', 5) AS h")
