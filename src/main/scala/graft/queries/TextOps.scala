@@ -223,15 +223,16 @@ object TextOps {
   // code points.
   def qRollingFp(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"h")
+    // bottom-8 selection is row-LOCAL: sort the distinct hash array and
+    // slice — no explode-shuffle-window (an earlier formulation ranked
+    // with a per-doc window; the array form removes the exchange and
+    // scales embarrassingly parallel like every other text op here)
     Tables.documents(spark, sfDir)
       .select($"doc_id",
-        explode(array_distinct(graft.functions.functions.rolling_hashes($"text", 5)))
-          .as("h"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 8)
-      .select($"doc_id", $"rk".cast("int").as("rk"), $"h")
+        posexplode(slice(array_sort(array_distinct(
+          graft.functions.functions.rolling_hashes($"text", 5))), 1, 8))
+          .as(Seq("pos", "h")))
+      .select($"doc_id", ($"pos" + 1).cast("int").as("rk"), $"h")
   }
 
   val qRollingFpSql: String =
