@@ -101,6 +101,21 @@ class TopKPerGroupSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("optimizer rule fires for the SQL-text window form too") {
+    TopKWindowRewrite.register(spark)
+    lineitem.createOrReplaceTempView("lineitem_sqltopk")
+    val q = spark.sql(
+      """SELECT l_returnflag, rk, l_orderkey, l_linenumber
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |             row_number() OVER (PARTITION BY l_returnflag
+        |                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        |      FROM lineitem_sqltopk)
+        |WHERE rk <= 3""".stripMargin)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPerGroupPartial"), physical)
+    assert(q.count() == 9)
+  }
+
   test("optimizer rule leaves unsafe window shapes alone") {
     import spark.implicits._
     TopKWindowRewrite.register(spark)
