@@ -254,6 +254,38 @@ object Dedup {
        |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6""".stripMargin
 
   // --------------------------------------------------------------------
+  // n-gram novelty score: the fraction of a document's distinct shingles
+  // that occur in NO other document — the standard boilerplate/
+  // contamination signal of corpus curation (novelty ≈ 1 means unique
+  // prose; low novelty means shared/templated text). One inverted-index
+  // build (same shape as qNgramJaccard's blocking index: 64-bit hashed
+  // shingle keys), one document-frequency aggregation, one join back —
+  // all equi-keyed shuffles, linear at corpus scale. The final ratio
+  // divides two exact integers, so the double matches across engines.
+  def qNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(spark, sfDir)
+    val inv = sh.select($"doc_id", explode($"sh").as("s"))
+      .select($"doc_id", xxhash64($"s").as("h"))
+    val dfc = inv.groupBy($"h").agg(count(lit(1)).as("df"))
+    inv.join(dfc, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        (sum(when($"df" === 1, 1L).otherwise(0L)).cast("double") / count(lit(1)))
+          .as("novelty"))
+  }
+
+  val qNoveltySql: String =
+    s"""WITH $ShingleSqlCte,
+       |dfc AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+       |SELECT doc_id,
+       |       count(*) AS n_shingles,
+       |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+       |FROM sh JOIN dfc USING (s)
+       |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
   // Sketch-only similarity estimation: jaccard estimated as the fraction
   // of agreeing minhash signature slots (the Broder estimator —
   // P[min-slot agreement] = exact jaccard). At 100 TB the exact
@@ -334,6 +366,7 @@ object Dedup {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_minhash_est" -> (qMinhashEst _),
+    "q_novelty" -> (qNovelty _),
     "q_simhash_pairs" -> (qSimhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
@@ -343,5 +376,6 @@ object Dedup {
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_minhash_est" -> qMinhashEstSql,
+    "q_novelty" -> qNoveltySql,
     "q_simhash_pairs" -> qSimhashPairsSql)
 }
