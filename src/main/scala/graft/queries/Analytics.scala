@@ -69,6 +69,27 @@ object Analytics {
       |              WHERE l_orderkey = o_orderkey AND l_extendedprice >= 100000.0)""".stripMargin
 
   // --------------------------------------------------------------------
+  // Anti join: customers with NO urgent order — NOT EXISTS semantics
+  // keeping the probe side's full row (contrast qExcept, which is
+  // DISTINCT set difference on one column). left_anti against the
+  // filtered order keys; like the semi join, only the join keys of the
+  // build side ship, and the priority filter is pushed to the scan.
+  def qAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_mktsegment")
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  // --------------------------------------------------------------------
   // Rollup (grouping sets): per (flag, status) totals plus per-flag and
   // grand totals in ONE pass — Spark expands grouping sets inside the
   // partial aggregation, so the fact table is still scanned once.
@@ -288,6 +309,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_revenue_by_nation" -> (qRevenueByNation _),
     "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_topk_per_group" -> (qTopKPerGroup _),
@@ -303,6 +325,7 @@ object Analytics {
   val oracleSql: Map[String, String] = Map(
     "q_revenue_by_nation" -> qRevenueByNationSql,
     "q_semi_join" -> qSemiJoinSql,
+    "q_anti_join" -> qAntiJoinSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
     "q_topk_per_group" -> qTopKPerGroupSql,

@@ -64,9 +64,67 @@ object Curation {
        |WHERE d.doc_id IN (SELECT keeper_id FROM keepers)
        |  AND d.doc_id NOT IN (SELECT doc_b FROM near_victims)""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Benchmark decontamination: flag training documents that share any
+  // 5-word n-gram with a held-out evaluation set (here the deterministic
+  // doc_id % 20 == 0 split plays the benchmark suite). This is the
+  // standard eval-leakage scan (e.g. GPT-3 appendix C / PaLM-style 13-gram
+  // decontamination, scaled to this corpus's ~150-word documents with
+  // n=5): exact n-gram collision, not similarity — one shared n-gram is
+  // reportable.
+  //
+  // Scale shape: the eval suite is tiny and FIXED (benchmarks are MBs,
+  // the corpus is 100 TB), so its distinct shingle-hash set is broadcast
+  // — the corpus-side scan streams once through a broadcast hash join
+  // with NO shuffle of the corpus; the only shuffle is the per-doc hit
+  // aggregation, keyed by doc_id with map-side combine. The n-gram join
+  // key is the 64-bit xxhash of the shingle (8-byte probe, same trick as
+  // qNgramJaccard's inverted index).
+  def qDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh5 = Tables.documents(spark, sfDir)
+      .select($"doc_id", graft.functions.functions.word_shingles($"text", 5).as("sh"))
+      .filter(size($"sh") > 0)
+    val inv = sh5.select($"doc_id", explode($"sh").as("s"))
+      .select($"doc_id", xxhash64($"s").as("h"))
+    val evalSet = inv.filter($"doc_id" % 20 === 0).select($"h").distinct()
+    val train = inv.filter($"doc_id" % 20 =!= 0)
+    val trainSize = sh5.filter($"doc_id" % 20 =!= 0)
+      .select($"doc_id", size($"sh").cast("long").as("n_shingles"))
+    train.join(broadcast(evalSet), Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .join(trainSize, Seq("doc_id"))
+      .select($"doc_id", $"n_hits", $"n_shingles",
+        ($"n_hits".cast("double") / $"n_shingles").as("overlap_frac"))
+  }
+
+  /** 5-gram variant of Dedup's shingle CTE (decontamination uses a longer
+    * n-gram than near-dup detection — collisions must mean leakage, not
+    * shared phrasing). */
+  val qDecontamSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+      |                i -> string_split(text, ' ')[i] || ' ' ||
+      |                     string_split(text, ' ')[i+1] || ' ' ||
+      |                     string_split(text, ' ')[i+2] || ' ' ||
+      |                     string_split(text, ' ')[i+3] || ' ' ||
+      |                     string_split(text, ' ')[i+4])) AS s
+      |  FROM documents),
+      |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+      |sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh
+      |       WHERE doc_id % 20 <> 0 GROUP BY 1)
+      |SELECT sh.doc_id, count(*) AS n_hits, any_value(sz.n_shingles) AS n_shingles,
+      |       CAST(count(*) AS DOUBLE) / any_value(sz.n_shingles) AS overlap_frac
+      |FROM sh JOIN ev USING (s) JOIN sz ON sz.doc_id = sh.doc_id
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_curate" -> (qCurate _))
+    "q_curate" -> (qCurate _),
+    "q_decontam" -> (qDecontam _))
 
   val oracleSql: Map[String, String] = Map(
-    "q_curate" -> qCurateSql)
+    "q_curate" -> qCurateSql,
+    "q_decontam" -> qDecontamSql)
 }

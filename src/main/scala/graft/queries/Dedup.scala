@@ -286,6 +286,78 @@ object Dedup {
        |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // Duplicate CLUSTERS: the transitive closure of the verified near-dup
+  // pairs. Pairwise anti-join dedup (qDedupFiltered) under-deletes when
+  // duplicates chain (a~b, b~c but a!~c must still collapse to one
+  // keeper), so production pipelines cluster first and keep one doc per
+  // connected component. Implemented as iterative min-label propagation
+  // expressed purely in equi-join + partial/final min-aggregate steps:
+  // each round every node takes the min label in its closed neighborhood,
+  // converging to the component-minimum id in O(diameter) rounds —
+  // duplicate clusters are near-cliques (diameter ≤ 2–3), so 3–4 rounds
+  // in practice, each a keyed shuffle with map-side combine. The round
+  // boundary is a localCheckpoint: lineage is cut so the plan does not
+  // grow with iterations (the batch analog of streaming state). At
+  // 100 TB, graphs with long chains would swap this loop for the
+  // alternating large-star/small-star rounds of Kiveris et al.
+  // ("Connected Components in MapReduce and Beyond", SoCC'14) — same
+  // join+min building blocks, O(log²  n) worst-case rounds — but for
+  // near-dup clustering the propagation loop IS the production algorithm
+  // (diameter is bounded by the LSH chain length).
+  // Convergence is detected with a bounded existence probe
+  // (limit(1).count on the changed-label join), not a full count.
+  def duplicateClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = nearDupPairs(spark, sfDir).select($"doc_a", $"doc_b")
+    // undirected: materialize both directions once; reused every round
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("v", "w")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select($"v").distinct()
+      .select($"v", $"v".as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 32) {
+      val next = edges.as("e")
+        .join(labels.as("l"), $"e.w" === $"l.v")
+        .select($"e.v".as("v"), $"l.lbl".as("lbl"))
+        .union(labels)
+        .groupBy($"v").agg(min($"lbl").as("lbl"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), Seq("v"))
+        .filter($"n.lbl" =!= $"o.lbl")
+        .limit(1).count() == 0
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"lbl")))
+      .select($"v".as("doc_id"), $"lbl".as("cluster_id"), $"n_members")
+  }
+
+  def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    duplicateClusters(spark, sfDir)
+
+  /** Oracle: reachability via a recursive CTE (transitive closure is
+    * tiny at oracle scale), labeling each member with the component min. */
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM ($NearPairSql)),
+       |e AS (SELECT doc_a AS v, doc_b AS w FROM p
+       |      UNION SELECT doc_b, doc_a FROM p),
+       |r AS (SELECT v, v AS w FROM (SELECT DISTINCT v FROM e)
+       |      UNION SELECT e.v, r.w FROM e JOIN r ON e.w = r.v),
+       |lab AS (SELECT v AS doc_id, min(w) AS cluster_id FROM r GROUP BY 1)
+       |SELECT doc_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |FROM lab""".stripMargin
+
+  // --------------------------------------------------------------------
   // Sketch-only similarity estimation: jaccard estimated as the fraction
   // of agreeing minhash signature slots (the Broder estimator —
   // P[min-slot agreement] = exact jaccard). At 100 TB the exact
@@ -365,6 +437,7 @@ object Dedup {
     "q_dedup_filtered" -> (qDedupFiltered _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_novelty" -> (qNovelty _),
     "q_simhash_pairs" -> (qSimhashPairs _))
@@ -375,6 +448,7 @@ object Dedup {
     "q_dedup_filtered" -> qDedupFilteredSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
+    "q_dedup_clusters" -> qDedupClustersSql,
     "q_minhash_est" -> qMinhashEstSql,
     "q_novelty" -> qNoveltySql,
     "q_simhash_pairs" -> qSimhashPairsSql)

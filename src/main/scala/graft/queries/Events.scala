@@ -191,6 +191,113 @@ object Events {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
   // --------------------------------------------------------------------
+  // Ranking-distribution family: ntile quartiles, percent_rank and
+  // cume_dist per event_type ordered by (value, event_id) — the unique
+  // tiebreaker makes every rank deterministic, so the doubles are the
+  // same (rank−1)/(n−1) arithmetic in both engines. Row-parallel within
+  // each partition; partitioning by a low-cardinality key is the
+  // documented skew risk here (one task per event_type at any scale —
+  // for a 100 TB ranking you'd pre-bucket by range boundaries from a
+  // sampled CDF, the approach approx_percentile's sketch enables).
+  def qNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"event_type", $"event_id",
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+  }
+
+  val qNtileSql: String =
+    """SELECT event_type, event_id,
+      |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |       percent_rank() OVER w AS pr,
+      |       cume_dist() OVER w AS cd
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Funnel (ordered sequence match): per user, the earliest view, the
+  // earliest click AFTER that view, and the earliest purchase AFTER that
+  // click — the classic product-analytics conversion funnel, which is a
+  // sequential dependency (stage n's window opens at stage n−1's match)
+  // rather than a plain per-type min. Three keyed aggregations chained by
+  // equi-joins on user_id: every stage is a filtered partial/final min —
+  // shuffle keys never change, so at scale AQE/bucketing keeps all three
+  // stages on one partitioning of user_id with no re-exchange. Output
+  // reports the deepest stage reached and the exact microsecond
+  // view→purchase latency for full conversions.
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("view_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .join(views, Seq("user_id"))
+      .filter($"ts" > $"view_ts")
+      .groupBy($"user_id").agg(min($"ts").as("click_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter($"ts" > $"click_ts")
+      .groupBy($"user_id").agg(min($"ts").as("purchase_ts"))
+    views
+      .join(clicks, Seq("user_id"), "left_outer")
+      .join(purchases, Seq("user_id"), "left_outer")
+      .select($"user_id", $"view_ts", $"click_ts", $"purchase_ts",
+        (when($"purchase_ts".isNotNull, 3)
+          .when($"click_ts".isNotNull, 2)
+          .otherwise(1)).as("stage"),
+        when($"purchase_ts".isNotNull,
+          unix_micros($"purchase_ts") - unix_micros($"view_ts")).as("convert_us"))
+  }
+
+  val qFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS view_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS click_ts
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS purchase_ts
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1)
+      |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+      |       CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+      |                 WHEN c.click_ts IS NOT NULL THEN 2
+      |                 ELSE 1 END AS INTEGER) AS stage,
+      |       CASE WHEN p.purchase_ts IS NOT NULL
+      |            THEN date_diff('microsecond', v.view_ts, p.purchase_ts)
+      |       END AS convert_us
+      |FROM v
+      |LEFT JOIN c ON c.user_id = v.user_id
+      |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // PII / log scrubbing: mask every digit run in the event payload and
+  // count the masks — the redaction pass a training pipeline runs before
+  // text lands in the corpus. Pure row-local regexp projection (no
+  // shuffle, whole-stage codegen'd); the pattern sticks to character
+  // classes shared by Java regex and RE2 so both engines see identical
+  // semantics. At 100 TB this is the shape of all scrub/normalize
+  // passes: map-only, scan-bound, zero exchange.
+  def qRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_id",
+        regexp_replace($"props", "[0-9]+", "#").as("scrubbed"),
+        regexp_count($"props", lit("[0-9]+")).cast("long").as("n_masked"))
+  }
+
+  val qRedactSql: String =
+    """SELECT event_id,
+      |       regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,
+      |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_masked
+      |FROM events""".stripMargin
+
+  // --------------------------------------------------------------------
   // HLL approximate distinct: per event_type approx user count. The HLL
   // sketch is mergeable (associative partial agg — scales like a sum, no
   // distinct shuffle). DuckDB's HLL implementation differs, so the raw
@@ -222,6 +329,9 @@ object Events {
     "q_running_sum" -> (qRunningSum _),
     "q_rolling_window" -> (qRollingWindow _),
     "q_lead_lag" -> (qLeadLag _),
+    "q_ntile" -> (qNtile _),
+    "q_funnel" -> (qFunnel _),
+    "q_redact" -> (qRedact _),
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
     "q_approx_distinct" -> (qApproxDistinct _))
@@ -231,6 +341,9 @@ object Events {
     "q_running_sum" -> qRunningSumSql,
     "q_rolling_window" -> qRollingWindowSql,
     "q_lead_lag" -> qLeadLagSql,
+    "q_ntile" -> qNtileSql,
+    "q_funnel" -> qFunnelSql,
+    "q_redact" -> qRedactSql,
     "q_sessionize" -> qSessionizeSql,
     "q_session_window" -> qSessionWindowSql,
     "q_approx_distinct" -> qApproxDistinctSql)

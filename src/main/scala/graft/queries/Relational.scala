@@ -250,8 +250,56 @@ object Relational {
   }
 
   // --------------------------------------------------------------------
+  // MERGE / upsert: reconcile a base table with a delta batch — the
+  // warehouse mutation the reference's transactional sink family (S4)
+  // grows into once loads become incremental. Simulated deterministically
+  // from `orders`: base = keys with o_orderkey % 7 != 0, delta = keys
+  // with % 5 == 0 carrying revised prices (×1.05, exact IEEE on both
+  // engines) — so the merge exercises all three MERGE arms: matched
+  // (update), not-matched-by-target (insert), not-matched-by-source
+  // (keep). One full-outer equi-join on the key; at scale both sides are
+  // bucketed/partitioned on the merge key, so the join is co-located and
+  // the delta (usually ≪ base) can instead drive a shuffle-free
+  // broadcast outer join.
+  def qUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, sfDir)
+      .filter($"o_orderkey" % 7 =!= 0)
+      .select($"o_orderkey".as("b_key"), $"o_orderstatus".as("b_status"),
+        $"o_totalprice".as("b_price"))
+    val delta = Tables.orders(spark, sfDir)
+      .filter($"o_orderkey" % 5 === 0)
+      .select($"o_orderkey".as("d_key"), lit("U").as("d_status"),
+        ($"o_totalprice" * 1.05).as("d_price"))
+    base.join(delta, $"b_key" === $"d_key", "full_outer")
+      .select(
+        coalesce($"b_key", $"d_key").as("o_orderkey"),
+        coalesce($"d_status", $"b_status").as("status"),
+        coalesce($"d_price", $"b_price").as("price"),
+        (when($"b_key".isNull, "insert")
+          .when($"d_key".isNull, "keep")
+          .otherwise("update")).as("op"))
+  }
+
+  val qUpsertSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS b_key, o_orderstatus AS b_status, o_totalprice AS b_price
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |delta AS (
+      |  SELECT o_orderkey AS d_key, 'U' AS d_status, o_totalprice * 1.05 AS d_price
+      |  FROM orders WHERE o_orderkey % 5 = 0)
+      |SELECT coalesce(b_key, d_key) AS o_orderkey,
+      |       coalesce(d_status, b_status) AS status,
+      |       coalesce(d_price, b_price) AS price,
+      |       CASE WHEN b_key IS NULL THEN 'insert'
+      |            WHEN d_key IS NULL THEN 'keep'
+      |            ELSE 'update' END AS op
+      |FROM base FULL JOIN delta ON b_key = d_key""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
+    "q_upsert" -> (qUpsert _),
     "q_join_filter_max" -> (qJoinFilterMax _),
     "q_left_join" -> (qLeftJoin _),
     "q_islands" -> (qIslands _),
@@ -262,6 +310,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
+    "q_upsert" -> qUpsertSql,
     "q_join_filter_max" -> qJoinFilterMaxSql,
     "q_left_join" -> qLeftJoinSql,
     "q_islands" -> qIslandsSql,

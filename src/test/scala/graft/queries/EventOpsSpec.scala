@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Unit semantics for the ranking-distribution, redaction, and anti-join
+  * queries (their driver-gate coverage is the DuckDB oracle; these pin
+  * the fine-grained per-row semantics on controlled inputs). */
+class EventOpsSpec extends SparkTestBase {
+
+  private def writeEvents(dir: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  test("ntile/percent_rank/cume_dist on 4 distinct values") {
+    import spark.implicits._
+    val dir = tempDir("ntile")
+    writeEvents(dir, Seq(
+      (1L, 1000000000L, 1L, "x", 10.0, "{}"),
+      (2L, 2000000000L, 1L, "x", 20.0, "{}"),
+      (3L, 3000000000L, 1L, "x", 30.0, "{}"),
+      (4L, 4000000000L, 1L, "x", 40.0, "{}")))
+    val got = Events.qNtile(spark, dir)
+      .select("event_id", "quartile", "pr", "cd")
+      .as[(Long, Int, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1, 2, 3, 4))
+    assert(got.map(_._3).toSeq == Seq(0.0, 1.0 / 3, 2.0 / 3, 1.0))
+    assert(got.map(_._4).toSeq == Seq(0.25, 0.5, 0.75, 1.0))
+  }
+
+  test("redaction masks every digit run and counts the masks") {
+    import spark.implicits._
+    val dir = tempDir("redact")
+    writeEvents(dir, Seq(
+      (1L, 1000000000L, 1L, "x", 0.0, """{"k": 69}"""),
+      (2L, 2000000000L, 1L, "x", 0.0, "no digits here"),
+      (3L, 3000000000L, 1L, "x", 0.0, "a1b22c333")))
+    val got = Events.qRedact(spark, dir)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, """{"k": #}""", 1L),
+      (2L, "no digits here", 0L),
+      (3L, "a#b#c#", 3L)))
+  }
+
+  test("funnel stages require strictly ordered view -> click -> purchase") {
+    import spark.implicits._
+    val dir = tempDir("funnel")
+    val us = 1000L // ns per µs: ts column is raw nanos
+    writeEvents(dir, Seq(
+      // user 1: full conversion, 5µs view->purchase
+      (1L, 10L * us, 1L, "view", 0.0, "{}"),
+      (2L, 12L * us, 1L, "click", 0.0, "{}"),
+      (3L, 15L * us, 1L, "purchase", 0.0, "{}"),
+      // user 2: click BEFORE the first view — not a funnel click
+      (4L, 10L * us, 2L, "click", 0.0, "{}"),
+      (5L, 20L * us, 2L, "view", 0.0, "{}"),
+      // user 3: view then click, no purchase
+      (6L, 10L * us, 3L, "view", 0.0, "{}"),
+      (7L, 11L * us, 3L, "click", 0.0, "{}"),
+      // user 4: purchase only — never enters the funnel
+      (8L, 10L * us, 4L, "purchase", 0.0, "{}")))
+    val got = Events.qFunnel(spark, dir)
+      .select("user_id", "stage", "convert_us")
+      .as[(Long, Int, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3, Some(5L)), (2L, 1, None), (3L, 2, None)))
+  }
+
+  test("upsert op labels partition the key space as the mod filters dictate") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val ops = Relational.qUpsert(spark, sfDir)
+      .groupBy("op").count().as[(String, Long)].collect().toMap
+    val keys = graft.core.Tables.orders(spark, sfDir)
+      .select($"o_orderkey").as[Long].collect()
+    assert(ops.getOrElse("insert", 0L) == keys.count(k => k % 5 == 0 && k % 7 == 0))
+    assert(ops.getOrElse("update", 0L) == keys.count(k => k % 5 == 0 && k % 7 != 0))
+    assert(ops.getOrElse("keep", 0L) == keys.count(k => k % 5 != 0 && k % 7 != 0))
+  }
+
+  test("anti join complements the urgent-customer semi set") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val anti = Analytics.qAntiJoin(spark, sfDir).count()
+    val urgentCustomers = graft.core.Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey").distinct().count()
+    val customers = graft.core.Tables.customer(spark, sfDir).count()
+    assert(anti == customers - urgentCustomers)
+    assert(anti > 0, "anti join must be non-trivial on testdata")
+  }
+}

@@ -96,6 +96,43 @@ class LlmOpsSpec extends SparkTestBase {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("duplicate clusters close transitively over a near-dup chain") {
+    import spark.implicits._
+    // a~b and b~c pass the 0.6 jaccard bar, a~c (6 changed tokens) does
+    // NOT — pairwise anti-join dedup would treat {a,c} as unrelated, the
+    // cluster must still merge all three through b.
+    val a = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val bChanges = Set(5, 15, 25)
+    val b = (1 to 60).map(i => if (bChanges(i)) s"B$i" else s"tok$i").mkString(" ")
+    val cChanges = Set(35, 45, 55)
+    val c = (1 to 60).map(i =>
+      if (bChanges(i)) s"B$i" else if (cChanges(i)) s"C$i" else s"tok$i").mkString(" ")
+    val other = (100 to 160).map(i => s"other$i").mkString(" ")
+    val docs = Seq((0L, a), (1L, b), (2L, c), (9L, other)).toDF("doc_id", "text")
+    val dir = tempDir("clusters")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.nearDupPairs(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (1L, 2L)), s"pairs: $pairs")
+    val clusters = Dedup.qDedupClusters(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(clusters == Set((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L)),
+      s"clusters: $clusters")
+  }
+
+  test("decontamination flags only train docs sharing a 5-gram with the eval split") {
+    import spark.implicits._
+    val evalDoc = "a1 a2 a3 a4 a5 a6 a7 a8" // doc_id 0 -> eval split
+    val leaked = "z1 z2 a1 a2 a3 a4 a5 z3" // shares exactly one 5-gram
+    val clean = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq((0L, evalDoc), (1L, leaked), (2L, clean)).toDF("doc_id", "text")
+    val dir = tempDir("decontam")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.qDecontam(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 1L, 4L, 0.25)), s"decontam: $got")
+  }
+
   test("exact dedup groups identical texts under one keeper") {
     import spark.implicits._
     val docs = Seq((5L, "a b c"), (9L, "a b c"), (7L, "x y z"))

@@ -124,6 +124,34 @@ class PlanQualitySpec extends SparkTestBase {
     assert(chunks == total, s"chunk tokens $chunks != corpus tokens $total")
   }
 
+  test("decontamination probes the corpus through a broadcast hash join") {
+    // the eval shingle set must be the broadcast side — the corpus scan
+    // may never shuffle for the probe
+    val p = plan(Curation.qDecontam(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("anti join broadcasts the filtered key set and stays anti") {
+    val p = plan(Analytics.qAntiJoin(spark, sfDir))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("redaction is a map-only scan — no exchange in the plan") {
+    val p = plan(Events.qRedact(spark, sfDir))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("funnel stages all shuffle on user_id only") {
+    // every aggregation and join in the funnel is keyed by user_id — no
+    // other partitioning expression may appear in any exchange (the
+    // executedPlan is an AQE wrapper, so inspect the plan text)
+    val p = plan(Events.qFunnel(spark, sfDir))
+    val parts = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+    assert(parts.nonEmpty, p)
+    parts.foreach(part => assert(part.contains("user_id"), part))
+  }
+
   test("bloom join filters the fact scan before the join") {
     val p = plan(Scale.qBloomJoin(spark, sfDir))
     assert(p.contains("might_contain"), p)
