@@ -262,6 +262,75 @@ object Analytics {
       |FROM lineitem GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // Ordered string aggregation (LISTAGG / string_agg): the sorted distinct
+  // part types per brand, pipe-joined. Expressed as collect_set →
+  // array_sort → array_join so the result is deterministic under ANY
+  // partitioning/arrival order — the property that makes string_agg safe
+  // distributed (an unordered LISTAGG is nondeterministic at scale and
+  // can't be hash-verified). collect_set is a mergeable partial aggregate;
+  // the sort happens per group AFTER aggregation (groups are small), not
+  // as a global sort.
+  def qStringAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .groupBy($"p_brand")
+      .agg(
+        array_join(array_sort(collect_set($"p_type")), "|").as("types"),
+        countDistinct($"p_type").as("n_types"))
+  }
+
+  val qStringAggSql: String =
+    """SELECT p_brand,
+      |       string_agg(DISTINCT p_type, '|' ORDER BY p_type) AS types,
+      |       count(DISTINCT p_type) AS n_types
+      |FROM part GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Percent-of-total (window share): each nation's share of global
+  // revenue — an unpartitioned window, but over the POST-AGGREGATE 25-row
+  // frame, which is the scalable formulation (aggregate first, window
+  // over the reduced result; never a global window over fact rows). The
+  // share divides two doubles that are themselves exact decimal casts, so
+  // the IEEE result is engine-identical.
+  def qShare(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byNation = qRevenueByNation(spark, sfDir)
+      .select($"n_name", $"revenue")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    byNation.select($"n_name", $"revenue",
+      ($"revenue" / sum($"revenue").over(w)).as("share"))
+  }
+
+  val qShareSql: String =
+    s"""WITH rev AS (SELECT n_name, revenue FROM ($qRevenueByNationSql))
+       |SELECT n_name, revenue,
+       |       revenue / sum(revenue) OVER () AS share
+       |FROM rev""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Correlated-subquery shape (TPC-H Q17 family): line items heavier than
+  // their own order's average quantity. SQL engines decorrelate this into
+  // the windowed form Spark is handed directly: one avg over the order
+  // partition, filter against it — a single keyed window, no self-join,
+  // no per-row subquery execution. l_quantity is integral so the double
+  // average is exact on both engines.
+  def qAboveAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_orderkey")
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        avg($"l_quantity").over(w).as("ord_avg"))
+      .filter($"l_quantity" > $"ord_avg")
+  }
+
+  val qAboveAvgSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, ord_avg
+      |FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+      |             avg(l_quantity) OVER (PARTITION BY l_orderkey) AS ord_avg
+      |      FROM lineitem)
+      |WHERE l_quantity > ord_avg""".stripMargin
+
+  // --------------------------------------------------------------------
   // Exact percentiles (continuous interpolation) per group. Exact over
   // integral doubles so both engines interpolate identically; at scale
   // swap to approx_percentile (t-digest sketch, mergeable) — exact
@@ -318,6 +387,9 @@ object Analytics {
     "q_except_all" -> (qExceptAll _),
     "q_intersect" -> (qIntersect _),
     "q_pivot" -> (qPivot _),
+    "q_string_agg" -> (qStringAgg _),
+    "q_share" -> (qShare _),
+    "q_above_avg" -> (qAboveAvg _),
     "q_string_funcs" -> (qStringFuncs _),
     "q_percentile" -> (qPercentile _),
     "q_percentile_approx" -> (qPercentileApprox _))
@@ -334,6 +406,9 @@ object Analytics {
     "q_except_all" -> qExceptAllSql,
     "q_intersect" -> qIntersectSql,
     "q_pivot" -> qPivotSql,
+    "q_string_agg" -> qStringAggSql,
+    "q_share" -> qShareSql,
+    "q_above_avg" -> qAboveAvgSql,
     "q_string_funcs" -> qStringFuncsSql,
     "q_percentile" -> qPercentileSql,
     "q_percentile_approx" -> qPercentileApproxSql)

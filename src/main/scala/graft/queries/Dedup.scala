@@ -304,8 +304,12 @@ object Dedup {
   // join+min building blocks, O(log²  n) worst-case rounds — but for
   // near-dup clustering the propagation loop IS the production algorithm
   // (diameter is bounded by the LSH chain length).
-  // Convergence is detected with a bounded existence probe
-  // (limit(1).count on the changed-label join), not a full count.
+  // Convergence detection exploits monotonicity: labels only ever
+  // DECREASE under min-propagation, so Σ lbl is strictly decreasing
+  // until the fixpoint — an unchanged sum means no label moved. That
+  // makes the per-round convergence check one cheap aggregate over the
+  // just-checkpointed frame instead of a shuffle join against the
+  // previous round's labels.
   def duplicateClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pairs = nearDupPairs(spark, sfDir).select($"doc_a", $"doc_b")
@@ -314,9 +318,13 @@ object Dedup {
       .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .toDF("v", "w")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"lbl".cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
     var labels = edges.select($"v").distinct()
       .select($"v", $"v".as("lbl"))
       .localCheckpoint()
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 32) {
@@ -326,10 +334,9 @@ object Dedup {
         .union(labels)
         .groupBy($"v").agg(min($"lbl").as("lbl"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), Seq("v"))
-        .filter($"n.lbl" =!= $"o.lbl")
-        .limit(1).count() == 0
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       rounds += 1
     }
@@ -356,6 +363,30 @@ object Dedup {
        |SELECT doc_id, cluster_id,
        |       count(*) OVER (PARTITION BY cluster_id) AS n_members
        |FROM lab""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Cluster-based dedup result: keep exactly ONE document per duplicate
+  // cluster (the component-minimum id) plus every unclustered document.
+  // This is the semantically-correct keeper set that pairwise filtering
+  // (qDedupFiltered) approximates: under chained duplicates a~b~c the
+  // pairwise form's survivorship depends on which pairs the LSH surfaced,
+  // while the closure keeps exactly min(component). One anti join of the
+  // corpus against the non-keeper cluster members (a set ≪ corpus —
+  // broadcastable at any realistic dup rate).
+  def qClusterKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val victims = duplicateClusters(spark, sfDir)
+      .filter($"doc_id" =!= $"cluster_id")
+      .select($"doc_id")
+    Tables.documents(spark, sfDir)
+      .join(victims, Seq("doc_id"), "left_anti")
+      .select($"doc_id")
+  }
+
+  val qClusterKeepSql: String =
+    s"""SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (
+       |  SELECT doc_id FROM ($qDedupClustersSql) WHERE doc_id <> cluster_id)""".stripMargin
 
   // --------------------------------------------------------------------
   // Sketch-only similarity estimation: jaccard estimated as the fraction
@@ -438,6 +469,7 @@ object Dedup {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_cluster_keep" -> (qClusterKeep _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_novelty" -> (qNovelty _),
     "q_simhash_pairs" -> (qSimhashPairs _))
@@ -449,6 +481,7 @@ object Dedup {
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_cluster_keep" -> qClusterKeepSql,
     "q_minhash_est" -> qMinhashEstSql,
     "q_novelty" -> qNoveltySql,
     "q_simhash_pairs" -> qSimhashPairsSql)

@@ -218,6 +218,74 @@ object Events {
       |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin
 
   // --------------------------------------------------------------------
+  // Frame-pinned window navigation: first/last/nth event type per user
+  // over the FULL partition frame. last_value is the classic cross-engine
+  // trap — the default window frame ends at CURRENT ROW, making
+  // last_value degenerate — so the frame is pinned to
+  // UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING explicitly on both sides.
+  def qFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id",
+        first($"event_type").over(w).as("first_type"),
+        last($"event_type").over(w).as("last_type"),
+        nth_value($"event_type", 2).over(w).as("second_type"))
+  }
+
+  val qFirstLastSql: String =
+    """SELECT user_id, event_id,
+      |       first_value(event_type) OVER w AS first_type,
+      |       last_value(event_type) OVER w AS last_type,
+      |       nth_value(event_type, 2) OVER w AS second_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Gap filling over a generated date spine: per (day, priority) order
+  // counts with explicit 0 rows for silent days — the time-series
+  // completion every reporting pipeline needs (a plain GROUP BY silently
+  // drops empty buckets). The spine is GENERATED (sequence over the
+  // min..max day) and cross-joined with the distinct priorities: both
+  // sides are tiny derived sets, so the only full-data passes are the
+  // bounds aggregate and the daily aggregate — the spine join is
+  // broadcast against the aggregated (not raw) rows.
+  def qGapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfDir)
+    val daily = orders
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"),
+        $"o_orderpriority".as("priority"))
+      .agg(count(lit(1)).as("n"))
+    val spine = orders
+      .agg(date_trunc("day", min($"o_orderdate")).as("lo"),
+        date_trunc("day", max($"o_orderdate")).as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("interval 1 day"))).as("day"))
+    val prios = orders.select($"o_orderpriority".as("priority")).distinct()
+    spine.crossJoin(prios)
+      .join(daily, Seq("day", "priority"), "left_outer")
+      .select($"day", $"priority", coalesce($"n", lit(0L)).as("n_orders"))
+  }
+
+  val qGapFillSql: String =
+    """WITH b AS (
+      |  SELECT date_trunc('day', min(o_orderdate)) AS lo,
+      |         date_trunc('day', max(o_orderdate)) AS hi
+      |  FROM orders),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+      |prios AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+      |daily AS (
+      |  SELECT date_trunc('day', o_orderdate) AS day,
+      |         o_orderpriority AS priority, count(*) AS n
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT s.day, p.priority, coalesce(d.n, 0) AS n_orders
+      |FROM spine s
+      |CROSS JOIN prios p
+      |LEFT JOIN daily d ON d.day = s.day AND d.priority = p.priority""".stripMargin
+
+  // --------------------------------------------------------------------
   // Funnel (ordered sequence match): per user, the earliest view, the
   // earliest click AFTER that view, and the earliest purchase AFTER that
   // click — the classic product-analytics conversion funnel, which is a
@@ -330,6 +398,8 @@ object Events {
     "q_rolling_window" -> (qRollingWindow _),
     "q_lead_lag" -> (qLeadLag _),
     "q_ntile" -> (qNtile _),
+    "q_first_last" -> (qFirstLast _),
+    "q_gap_fill" -> (qGapFill _),
     "q_funnel" -> (qFunnel _),
     "q_redact" -> (qRedact _),
     "q_sessionize" -> (qSessionize _),
@@ -342,6 +412,8 @@ object Events {
     "q_rolling_window" -> qRollingWindowSql,
     "q_lead_lag" -> qLeadLagSql,
     "q_ntile" -> qNtileSql,
+    "q_first_last" -> qFirstLastSql,
+    "q_gap_fill" -> qGapFillSql,
     "q_funnel" -> qFunnelSql,
     "q_redact" -> qRedactSql,
     "q_sessionize" -> qSessionizeSql,

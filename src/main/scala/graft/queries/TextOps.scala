@@ -311,6 +311,41 @@ object TextOps {
       |SELECT tok, n, TRUE AS sketch_ok FROM e""".stripMargin
 
   // --------------------------------------------------------------------
+  // TF-IDF top terms: the 3 most characteristic terms per document,
+  // ranked by (rarest document frequency, highest term frequency, term) —
+  // a pure-integer ordering, so the output is hash-stable across engines
+  // while still exercising the full TF-IDF machinery (per-doc term
+  // counts, corpus document frequency, join back, per-doc rank). The
+  // float idf = ln(N/df) is a monotone transform of this ordering and
+  // deliberately left out of the output (ln() can differ in the last ulp
+  // between engines). Two keyed aggregations + one equi-join on term;
+  // the df side is vocabulary-sized — orders of magnitude smaller than
+  // the corpus — and the rank window is partitioned by doc_id.
+  def qTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df".asc, $"tf".desc, $"term")
+    tf.join(dfreq, Seq("term"))
+      .select($"doc_id", $"term", $"tf", $"df", row_number().over(w).as("rk"))
+      .filter($"rk" <= 3)
+  }
+
+  val qTfidfSql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |r AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |             row_number() OVER (PARTITION BY tf.doc_id
+      |                                ORDER BY dfreq.df ASC, tf.tf DESC, tf.term) AS rk
+      |      FROM tf JOIN dfreq USING (term))
+      |SELECT doc_id, term, tf, df, CAST(rk AS INTEGER) AS rk
+      |FROM r WHERE rk <= 3""".stripMargin
+
+  // --------------------------------------------------------------------
   // Fuzzy match: 5 documents whose prefix is closest to a probe string
   // by Levenshtein distance — the typo-tolerant lookup shape. Both
   // engines implement unit-cost edit distance identically, so the exact
@@ -470,6 +505,7 @@ object TextOps {
     "q_typed_agg" -> (qTypedAgg _),
     "q_pack" -> (qPack _),
     "q_edit_distance" -> (qEditDistance _),
+    "q_tfidf" -> (qTfidf _),
     "q_heavy_hitters" -> (qHeavyHitters _))
 
   val oracleSql: Map[String, String] = Map(
@@ -486,5 +522,6 @@ object TextOps {
     "q_typed_agg" -> qTypedAggSql,
     "q_pack" -> qPackSql,
     "q_edit_distance" -> qEditDistanceSql,
+    "q_tfidf" -> qTfidfSql,
     "q_heavy_hitters" -> qHeavyHittersSql)
 }

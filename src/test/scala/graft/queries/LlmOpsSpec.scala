@@ -118,6 +118,9 @@ class LlmOpsSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(clusters == Set((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L)),
       s"clusters: $clusters")
+    // keeper set: one doc per cluster (the min) + all unclustered docs
+    val kept = Dedup.qClusterKeep(spark, dir).as[Long].collect().toSet
+    assert(kept == Set(0L, 9L), s"kept: $kept")
   }
 
   test("decontamination flags only train docs sharing a 5-gram with the eval split") {

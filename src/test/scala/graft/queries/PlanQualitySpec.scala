@@ -161,6 +161,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(joinIdx >= 0 && filterIdx > joinIdx, p)
   }
 
+  test("hive-partitioned writes give partition-pruned scans") {
+    import spark.implicits._
+    // the write side of the scale story: land data partitioned by a query
+    // key and a filter on that key must prune at PLAN time (read only the
+    // matching directories), not scan-and-discard
+    val dir = tempDir("partwrite")
+    graft.core.Tables.events(spark, sfDir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(s"$dir/events_by_type")
+    val pruned = spark.read.parquet(s"$dir/events_by_type")
+      .filter($"event_type" === "click")
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p)
+    val clicks = pruned.count()
+    val total = graft.core.Tables.events(spark, sfDir)
+      .filter($"event_type" === "click").count()
+    assert(clicks == total)
+  }
+
   test("rolling_hashes is SQL-callable and matches the column API") {
     graft.functions.GraftFunctions.register(spark)
     val viaSql = spark.sql("SELECT rolling_hashes('abcdef', 5) AS h")
