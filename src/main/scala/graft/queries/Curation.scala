@@ -120,11 +120,44 @@ object Curation {
       |FROM sh JOIN ev USING (s) JOIN sz ON sz.doc_id = sh.doc_id
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Per-source duplication report: what fraction of each source's
+  // documents sit in a near-dup cluster — the curation dashboard number
+  // that decides which crawls get deprioritized. Reuses the memoized
+  // cluster labels (Dedup.duplicateClusters — the maintained index, not
+  // a recompute); the member set is ≪ corpus, so the indicator join
+  // broadcasts. The rate divides two exact longs.
+  def qDupRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val members = Dedup.duplicateClusters(spark, sfDir)
+      .select($"doc_id", lit(1L).as("in_cluster"))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source")
+      .join(broadcast(members), Seq("doc_id"), "left_outer")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce($"in_cluster", lit(0L))).as("n_clustered"))
+      .select($"source", $"n_docs", $"n_clustered",
+        ($"n_clustered".cast("double") / $"n_docs").as("dup_rate"))
+  }
+
+  val qDupRateSql: String =
+    s"""WITH mem AS (SELECT doc_id FROM (${Dedup.qDedupClustersSql}))
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM mem)
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+       |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM mem)
+       |                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate
+       |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curate" -> (qCurate _),
-    "q_decontam" -> (qDecontam _))
+    "q_decontam" -> (qDecontam _),
+    "q_dup_rate" -> (qDupRate _))
 
   val oracleSql: Map[String, String] = Map(
     "q_curate" -> qCurateSql,
-    "q_decontam" -> qDecontamSql)
+    "q_decontam" -> qDecontamSql,
+    "q_dup_rate" -> qDupRateSql)
 }

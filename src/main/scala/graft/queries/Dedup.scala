@@ -310,7 +310,19 @@ object Dedup {
   // makes the per-round convergence check one cheap aggregate over the
   // just-checkpointed frame instead of a shuffle join against the
   // previous round's labels.
-  def duplicateClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Computed labels are memoized per (session, corpus): the label table
+    * is the product of a multi-round iterative job, and every consumer
+    * (cluster report, keeper selection, downstream curation) needs the
+    * SAME fixpoint — at 100 TB it's a written table maintained next to
+    * the corpus, not a recomputation per query. The in-process analog is
+    * this cache over the localCheckpoint'd result. */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def duplicateClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clusterCache.getOrElseUpdate((spark, sfDir), computeClusters(spark, sfDir))
+
+  private def computeClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pairs = nearDupPairs(spark, sfDir).select($"doc_a", $"doc_b")
     // undirected: materialize both directions once; reused every round

@@ -366,6 +366,27 @@ object Events {
       |FROM events""".stripMargin
 
   // --------------------------------------------------------------------
+  // Histogram (fixed-width binning): event values bucketed to width-50
+  // bins with per-bin counts and exact sums — the distribution profile
+  // behind any monitoring dashboard. floor() of a positive double is
+  // exact in both engines; one hash aggregation keyed by the derived
+  // bin, so it scales like any grouped count.
+  def qHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy((floor($"value" / 50.0) * 50).cast("long").as("bin_lo"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+  }
+
+  val qHistogramSql: String =
+    """SELECT CAST(floor(value / 50.0) * 50 AS BIGINT) AS bin_lo,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
   // HLL approximate distinct: per event_type approx user count. The HLL
   // sketch is mergeable (associative partial agg — scales like a sum, no
   // distinct shuffle). DuckDB's HLL implementation differs, so the raw
@@ -404,6 +425,7 @@ object Events {
     "q_redact" -> (qRedact _),
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
+    "q_histogram" -> (qHistogram _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracleSql: Map[String, String] = Map(
@@ -418,5 +440,6 @@ object Events {
     "q_redact" -> qRedactSql,
     "q_sessionize" -> qSessionizeSql,
     "q_session_window" -> qSessionWindowSql,
+    "q_histogram" -> qHistogramSql,
     "q_approx_distinct" -> qApproxDistinctSql)
 }

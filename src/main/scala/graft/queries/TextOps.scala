@@ -491,6 +491,35 @@ object TextOps {
       |FROM documents GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // Exact-k per-group sampling (the reservoir-sampling result, computed
+  // deterministically): exactly 3 documents per source, chosen by rank
+  // over an engine-portable pseudo-random ordering (md5 of the doc id —
+  // both engines produce identical digests, so the "random" choice is
+  // reproducible and hash-checkable). This is how eval/holdout sets get
+  // carved per stratum when EXACT counts matter (q_sample_stratified's
+  // Bernoulli gives binomial counts); physically one keyed window rank —
+  // and at 100 TB the same plan compiles to the bounded top-k operator
+  // via TopKWindowRewrite, so no source partition is ever fully sorted.
+  def qReservoir(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"rnd", $"doc_id")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", md5($"doc_id".cast("string")).as("rnd"))
+      .select($"source", $"doc_id", row_number().over(w).as("pick"))
+      .filter($"pick" <= 3)
+      .select($"source", $"doc_id", $"pick")
+  }
+
+  val qReservoirSql: String =
+    """SELECT source, doc_id, CAST(pick AS INTEGER) AS pick
+      |FROM (SELECT source, doc_id,
+      |             row_number() OVER (PARTITION BY source
+      |                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+      |      FROM documents)
+      |WHERE pick <= 3""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (qTextStats _),
     "q_corpus_stats" -> (qCorpusStats _),
@@ -501,6 +530,7 @@ object TextOps {
     "q_bpe_tokens" -> (qBpeTokens _),
     "q_rolling_fp" -> (qRollingFp _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_reservoir" -> (qReservoir _),
     "q_chunk" -> (qChunk _),
     "q_typed_agg" -> (qTypedAgg _),
     "q_pack" -> (qPack _),
@@ -518,6 +548,7 @@ object TextOps {
     "q_bpe_tokens" -> qBpeTokensSql,
     "q_rolling_fp" -> qRollingFpSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_reservoir" -> qReservoirSql,
     "q_chunk" -> qChunkSql,
     "q_typed_agg" -> qTypedAggSql,
     "q_pack" -> qPackSql,

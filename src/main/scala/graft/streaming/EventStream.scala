@@ -180,6 +180,52 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class FunnelProgress(viewUs: Long, clickUs: Long, done: Boolean)
+  case class FunnelOut(user_id: Long, stage: Int, convert_us: Long)
+
+  /** Streaming conversion funnel: a per-user state machine over the
+    * strictly-ordered view → click → purchase sequence (batch analog:
+    * Events.qFunnel). State is one fixed-size record per user (earliest
+    * view µs, earliest qualifying click µs, done flag); a user emits
+    * exactly ONE FunnelOut on first completion, with the exact
+    * microsecond view→purchase latency. Events are processed in
+    * event-time order within each micro-batch; cross-batch stragglers
+    * are bounded by the watermark. A production deployment adds a state
+    * TTL (setTimeoutTimestamp) to reap users who never convert — left
+    * out here so the spec can drive batches without timeout
+    * interleaving. */
+  def funnel(events: Dataset[EventRow]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    def fn(userId: Long, rows: Iterator[EventRow],
+        state: GroupState[FunnelProgress]): Iterator[FunnelOut] = {
+      var s = state.getOption.getOrElse(FunnelProgress(0L, 0L, done = false))
+      var out = List.empty[FunnelOut]
+      rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+        val t = micros(e.ts)
+        if (!s.done) e.event_type match {
+          case "view" if s.viewUs == 0L =>
+            s = s.copy(viewUs = t)
+          case "click" if s.viewUs > 0L && s.clickUs == 0L && t > s.viewUs =>
+            s = s.copy(clickUs = t)
+          case "purchase" if s.clickUs > 0L && t > s.clickUs =>
+            out ::= FunnelOut(userId, 3, t - s.viewUs)
+            s = s.copy(done = true)
+          case _ =>
+        }
+      }
+      state.update(s)
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-user sessionization with a 30-minute inactivity gap via
     * flatMapGroupsWithState — the custom-state operator
     * (KeyValueGroupedDataset) the brief calls for. Emits a session when

@@ -161,6 +161,15 @@ class PlanQualitySpec extends SparkTestBase {
     assert(joinIdx >= 0 && filterIdx > joinIdx, p)
   }
 
+  test("reservoir per-group sampler is rewritten to the bounded top-k operator") {
+    // the qReservoir scaladoc claims the stock window-rank form compiles
+    // to the bounded operator under the rewrite rule — pin it
+    graft.plans.TopKWindowRewrite.register(spark)
+    val p = plan(TextOps.qReservoir(spark, sfDir))
+    assert(p.contains("TopKPerGroupPartial"), p)
+    assert(p.contains("TopKPerGroupFinal"), p)
+  }
+
   test("hive-partitioned writes give partition-pruned scans") {
     import spark.implicits._
     // the write side of the scale story: land data partitioned by a query

@@ -165,6 +165,34 @@ class EventStreamSpec extends SparkTestBase {
     assert(ests.forall(e => e >= 0.6 && e <= 1.0))
   }
 
+  test("streaming funnel emits one conversion per user across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.EventRow]
+    val q = EventStream.funnel(in.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    // user 7 progresses one stage per micro-batch (state carries across);
+    // user 8's purchase precedes any click → never converts
+    in.addData(
+      EventStream.EventRow(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+      EventStream.EventRow(2, ts("2024-01-01 10:00:01"), 8, "purchase", 1.0))
+    q.processAllAvailable()
+    in.addData(
+      EventStream.EventRow(3, ts("2024-01-01 10:05:00"), 7, "click", 1.0),
+      EventStream.EventRow(4, ts("2024-01-01 10:06:00"), 8, "view", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("funnel").count() == 0) // nobody has purchased post-click yet
+    in.addData(
+      EventStream.EventRow(5, ts("2024-01-01 10:30:00"), 7, "purchase", 1.0),
+      // a second purchase must NOT re-emit
+      EventStream.EventRow(6, ts("2024-01-01 10:31:00"), 7, "purchase", 1.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("funnel")
+      .as[EventStream.FunnelOut].collect().toSeq
+    assert(rows == Seq(EventStream.FunnelOut(7L, 3, 1800000000L)), s"got $rows")
+  }
+
   test("sessionize splits on the 30-minute gap and flushes by timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
