@@ -45,9 +45,22 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
 
   /** Read one normalized table (committed batches only). Empty-but-typed
     * DataFrame when nothing has been committed. */
-  def table(name: String): DataFrame = {
+  def table(name: String): DataFrame = tableImpl(name, None)
+
+  /** Snapshot read: the table AS OF a committed batch id — exactly the
+    * batches with id <= asOf (ids sort in writer order). Batches are
+    * append-only and markers immutable, so a snapshot is reproducible
+    * forever: the same asOf reads the same bytes regardless of how many
+    * batches landed since — the training-data reproducibility contract
+    * ("the corpus as of snapshot X") that ingest-time mutation cannot
+    * give. Cost is identical to a current read: the pruning happens on
+    * the marker listing, no data is scanned to decide membership. */
+  def tableAsOf(name: String, asOf: String): DataFrame = tableImpl(name, Some(asOf))
+
+  private def tableImpl(name: String, asOf: Option[String]): DataFrame = {
     val schema = tableSchemas(name)
     val dirs = committedBatchIds()
+      .filter(b => asOf.forall(b <= _))
       .map(b => rootPath.resolve(name).resolve(s"batch=$b"))
       .filter(Files.isDirectory(_))
       .map(_.toString)

@@ -40,6 +40,20 @@ class ShiftWarehouseSpec extends SparkTestBase {
     assert(wh.shifts.count() === 2) // first batch intact, second invisible
   }
 
+  test("as-of snapshot reads are stable as later batches land") {
+    // validatePks=false so the same fixture page can land twice
+    val wh = new ShiftWarehouse(spark, tempDir("wh-snap"), validatePks = false)
+    val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)
+    wh.appendBatch(ShiftNormalizer.normalize(page), "b0")
+    val snapAtB0 = wh.tableAsOf("shifts", "b0")
+    assert(snapAtB0.count() === 2)
+    wh.appendBatch(ShiftNormalizer.normalize(page), "b1")
+    // current read sees both batches; the b0 snapshot is unchanged
+    assert(wh.shifts.count() === 4)
+    assert(wh.tableAsOf("shifts", "b0").count() === 2)
+    assert(wh.tableAsOf("shifts", "b1").count() === 4)
+  }
+
   test("clear removes everything (DELETE CASCADE semantics)") {
     val wh = new ShiftWarehouse(spark, tempDir("wh-clear"))
     val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)
