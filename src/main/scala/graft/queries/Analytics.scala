@@ -262,6 +262,31 @@ object Analytics {
       |FROM lineitem GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // Unpivot (melt): wide measure columns → tall (measure, value) rows —
+  // the inverse reshape of qPivot, and the canonical feed for
+  // measure-generic pipelines (one quality/monitoring rule over any
+  // measure instead of one per column). Row-local generation (each input
+  // row fans out to 3), no shuffle; Spark plans it as Expand, the same
+  // operator grouping sets use.
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_orderkey" <= 100)
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_quantity", $"l_extendedprice", $"l_discount")
+      .unpivot(
+        Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+        "measure", "value")
+  }
+
+  val qUnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, measure, value
+      |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      |      FROM lineitem WHERE l_orderkey <= 100)
+      |UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))""".stripMargin
+
+  // --------------------------------------------------------------------
   // Ordered string aggregation (LISTAGG / string_agg): the sorted distinct
   // part types per brand, pipe-joined. Expressed as collect_set →
   // array_sort → array_join so the result is deterministic under ANY
@@ -387,6 +412,7 @@ object Analytics {
     "q_except_all" -> (qExceptAll _),
     "q_intersect" -> (qIntersect _),
     "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
     "q_string_agg" -> (qStringAgg _),
     "q_share" -> (qShare _),
     "q_above_avg" -> (qAboveAvg _),
@@ -406,6 +432,7 @@ object Analytics {
     "q_except_all" -> qExceptAllSql,
     "q_intersect" -> qIntersectSql,
     "q_pivot" -> qPivotSql,
+    "q_unpivot" -> qUnpivotSql,
     "q_string_agg" -> qStringAggSql,
     "q_share" -> qShareSql,
     "q_above_avg" -> qAboveAvgSql,
