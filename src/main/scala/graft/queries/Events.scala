@@ -387,6 +387,42 @@ object Events {
       |FROM events GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // Winsorization (outlier clamping): clamp each value into its
+  // event_type's [p05, p95] band — the robust-statistics cleaning pass
+  // that precedes any mean/variance feature at training time (a single
+  // corrupt reading otherwise dominates). Two passes: a per-group exact
+  // percentile aggregate (tiny result, broadcast back), then a row-local
+  // clamp. The percentile interpolation is engine-identical on these
+  // doubles (proven by q_percentile), and least/greatest pass either the
+  // raw value or that percentile through unchanged. At 100 TB the
+  // percentile pass swaps to approx_percentile (mergeable sketch, same
+  // plan shape).
+  def qWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(
+        expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+    Tables.events(spark, sfDir)
+      .join(broadcast(bands), Seq("event_type"))
+      .select($"event_id", $"event_type",
+        least(greatest($"value", $"lo"), $"hi").as("v_clamped"),
+        ($"value" < $"lo" || $"value" > $"hi").as("was_clamped"))
+  }
+
+  val qWinsorizeSql: String =
+    """WITH bands AS (
+      |  SELECT event_type,
+      |         quantile_cont(value, 0.05) AS lo,
+      |         quantile_cont(value, 0.95) AS hi
+      |  FROM events GROUP BY 1)
+      |SELECT event_id, e.event_type,
+      |       least(greatest(value, lo), hi) AS v_clamped,
+      |       (value < lo OR value > hi) AS was_clamped
+      |FROM events e JOIN bands USING (event_type)""".stripMargin
+
+  // --------------------------------------------------------------------
   // HLL approximate distinct: per event_type approx user count. The HLL
   // sketch is mergeable (associative partial agg — scales like a sum, no
   // distinct shuffle). DuckDB's HLL implementation differs, so the raw
@@ -426,6 +462,7 @@ object Events {
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
     "q_histogram" -> (qHistogram _),
+    "q_winsorize" -> (qWinsorize _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracleSql: Map[String, String] = Map(
@@ -441,5 +478,6 @@ object Events {
     "q_sessionize" -> qSessionizeSql,
     "q_session_window" -> qSessionWindowSql,
     "q_histogram" -> qHistogramSql,
+    "q_winsorize" -> qWinsorizeSql,
     "q_approx_distinct" -> qApproxDistinctSql)
 }

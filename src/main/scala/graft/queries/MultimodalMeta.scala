@@ -72,11 +72,64 @@ object MultimodalMeta {
       |       CAST(least(256, nb - i * 256) AS BIGINT) AS frame_bytes
       |FROM f, unnest(range(nf)) AS t(i)""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Feature-extract → nearest assets: the modality-agnostic similarity
+  // pipeline (decode → fixed-dim feature vector → distance → top-k),
+  // with an engine-portable "feature extractor" standing in for the
+  // codec: 8 per-byte frequencies computed by length/replace arithmetic
+  // (a real deployment swaps ONLY the extractor stage for the batched
+  // decoder in graft.multimodal — the plan downstream is identical).
+  // Probe = asset 0's vector (1 row, broadcast); distance = squared L2
+  // written LONGHAND so both engines evaluate the identical
+  // left-to-right float expression; output is rank-only (ids, no
+  // floats), the fp-stable convention of the ANN family.
+  private val FeatureChars = Seq("a", "e", "r", "s", "t", "n", "o", "l")
+
+  def qAssetSim(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def freqCols(prefix: String) = FeatureChars.zipWithIndex.map { case (ch, i) =>
+      ((length($"text") - length(replace($"text", lit(ch), lit(""))))
+        .cast("double") / length($"text")).as(s"$prefix$i")
+    }
+    val feats = Tables.documents(spark, sfDir)
+      .select($"doc_id" +: freqCols("f"): _*)
+    val probe = feats.filter($"doc_id" === 0)
+      .select((0 until FeatureChars.size).map(i => col(s"f$i").as(s"p$i")): _*)
+    val dist = (0 until FeatureChars.size)
+      .map(i => (col(s"f$i") - col(s"p$i")) * (col(s"f$i") - col(s"p$i")))
+      .reduceLeft(_ + _)
+    feats.filter($"doc_id" =!= 0)
+      .join(broadcast(probe))
+      .select($"doc_id".as("asset_id"), dist.as("d"))
+      .orderBy($"d", $"asset_id")
+      .limit(5)
+      .select($"asset_id")
+  }
+
+  val qAssetSimSql: String = {
+    val f = FeatureChars.zipWithIndex.map { case (ch, i) =>
+      s"CAST(length(text) - length(replace(text, '$ch', '')) AS DOUBLE) / length(text) AS f$i"
+    }.mkString(",\n      |         ")
+    s"""WITH feats AS (
+       |  SELECT doc_id,
+       |         $f
+       |  FROM documents),
+       |probe AS (SELECT ${(0 until FeatureChars.size).map(i => s"f$i AS p$i").mkString(", ")}
+       |          FROM feats WHERE doc_id = 0)
+       |SELECT doc_id AS asset_id
+       |FROM feats CROSS JOIN probe
+       |WHERE doc_id <> 0
+       |ORDER BY ${(0 until FeatureChars.size).map(i => s"(f$i - p$i) * (f$i - p$i)").mkString(" + ")}, asset_id
+       |LIMIT 5""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asset_meta" -> (qAssetMeta _),
-    "q_frame_sample" -> (qFrameSample _))
+    "q_frame_sample" -> (qFrameSample _),
+    "q_asset_sim" -> (qAssetSim _))
 
   val oracleSql: Map[String, String] = Map(
     "q_asset_meta" -> qAssetMetaSql,
-    "q_frame_sample" -> qFrameSampleSql)
+    "q_frame_sample" -> qFrameSampleSql,
+    "q_asset_sim" -> qAssetSimSql)
 }
