@@ -356,6 +356,57 @@ object Analytics {
       |WHERE l_quantity > ord_avg""".stripMargin
 
   // --------------------------------------------------------------------
+  // Statistical moments + correlation with ORDER-INDEPENDENT exactness:
+  // stddev/variance/corr built-ins accumulate floating sums whose value
+  // depends on partition merge order — nondeterministic distributed, and
+  // never hash-identical across engines. Instead the five power sums
+  // (Σx, Σy, Σx², Σy², Σxy) run in DECIMAL (exact, associative — safe
+  // under any partitioning), are cast once to double, and the textbook
+  // formulas are written LONGHAND in the same left-to-right shape on
+  // both sides — every derived double is then bit-identical. This is the
+  // pattern for ANY moment-based statistic at 100 TB: exact mergeable
+  // sums first, float algebra once at the end.
+  def qStatsMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val x = dec($"l_quantity")
+    val y = dec($"l_extendedprice")
+    val agg = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(dec(x * x, 38, 4)).cast("double").as("sxx"),
+        sum(dec(y * y, 38, 4)).cast("double").as("syy"),
+        sum(dec(x * y, 38, 4)).cast("double").as("sxy"))
+    agg.select($"l_returnflag",
+      $"n".cast("long").as("n_items"),
+      ($"sx" / $"n").as("mean_qty"),
+      (($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("var_qty"),
+      (($"sxy" - $"sx" * $"sy" / $"n") /
+        sqrt(($"sxx" - $"sx" * $"sx" / $"n") * ($"syy" - $"sy" * $"sy" / $"n")))
+        .as("corr_qty_price"))
+  }
+
+  val qStatsMomentsSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+      |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+      |         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag,
+      |       CAST(n AS BIGINT) AS n_items,
+      |       sx / n AS mean_qty,
+      |       (sxx - sx * sx / n) / (n - 1) AS var_qty,
+      |       (sxy - sx * sy / n)
+      |         / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+      |FROM s""".stripMargin
+
+  // --------------------------------------------------------------------
   // Exact percentiles (continuous interpolation) per group. Exact over
   // integral doubles so both engines interpolate identically; at scale
   // swap to approx_percentile (t-digest sketch, mergeable) — exact
@@ -418,6 +469,7 @@ object Analytics {
     "q_above_avg" -> (qAboveAvg _),
     "q_string_funcs" -> (qStringFuncs _),
     "q_percentile" -> (qPercentile _),
+    "q_stats_moments" -> (qStatsMoments _),
     "q_percentile_approx" -> (qPercentileApprox _))
 
   val oracleSql: Map[String, String] = Map(
@@ -438,5 +490,6 @@ object Analytics {
     "q_above_avg" -> qAboveAvgSql,
     "q_string_funcs" -> qStringFuncsSql,
     "q_percentile" -> qPercentileSql,
+    "q_stats_moments" -> qStatsMomentsSql,
     "q_percentile_approx" -> qPercentileApproxSql)
 }

@@ -311,6 +311,30 @@ object TextOps {
       |SELECT tok, n, TRUE AS sketch_ok FROM e""".stripMargin
 
   // --------------------------------------------------------------------
+  // Text normalization: the canonical pre-dedup cleanup pass (casefold,
+  // collapse whitespace runs, trim) — exact dedup is only as good as its
+  // canonical form, so this runs BEFORE fingerprinting in a real
+  // pipeline. Row-local, codegen'd, zero shuffle; emits the md5 of the
+  // normalized form (the dedup key) plus a changed flag so the pass is
+  // auditable. Patterns stay in the Java-regex ∩ RE2 subset.
+  def qNormalizeText(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val norm = trim(regexp_replace(lower($"text"), " +", " "))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        md5(norm.cast("binary")).as("norm_fp"),
+        (norm =!= $"text").as("changed"),
+        length(norm).cast("long").as("n_chars_norm"))
+  }
+
+  val qNormalizeTextSql: String =
+    """SELECT doc_id,
+      |       md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_fp,
+      |       trim(regexp_replace(lower(text), ' +', ' ', 'g')) <> text AS changed,
+      |       CAST(length(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+      |FROM documents""".stripMargin
+
+  // --------------------------------------------------------------------
   // TF-IDF top terms: the 3 most characteristic terms per document,
   // ranked by (rarest document frequency, highest term frequency, term) —
   // a pure-integer ordering, so the output is hash-stable across engines
@@ -536,6 +560,7 @@ object TextOps {
     "q_pack" -> (qPack _),
     "q_edit_distance" -> (qEditDistance _),
     "q_tfidf" -> (qTfidf _),
+    "q_normalize_text" -> (qNormalizeText _),
     "q_heavy_hitters" -> (qHeavyHitters _))
 
   val oracleSql: Map[String, String] = Map(
@@ -554,5 +579,6 @@ object TextOps {
     "q_pack" -> qPackSql,
     "q_edit_distance" -> qEditDistanceSql,
     "q_tfidf" -> qTfidfSql,
+    "q_normalize_text" -> qNormalizeTextSql,
     "q_heavy_hitters" -> qHeavyHittersSql)
 }

@@ -188,6 +188,19 @@ class PlanQualitySpec extends SparkTestBase {
     assert(clicks == total)
   }
 
+  test("schema evolution: mergeSchema unions batch schemas, old rows null-fill") {
+    import spark.implicits._
+    // ingest reality at 100 TB: later batches grow columns; readers must
+    // see the union schema with nulls for pre-evolution rows
+    val dir = tempDir("evolve")
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/t/batch=0")
+    Seq((2L, "b", 9L)).toDF("id", "v1", "v2").write.parquet(s"$dir/t/batch=1")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "batch"))
+    val rows = merged.select("id", "v2").as[(Long, Option[Long])].collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some(9L)))
+  }
+
   test("rolling_hashes is SQL-callable and matches the column API") {
     graft.functions.GraftFunctions.register(spark)
     val viaSql = spark.sql("SELECT rolling_hashes('abcdef', 5) AS h")
