@@ -387,6 +387,32 @@ object Events {
       |FROM events GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // Latest state per key (SCD1 current view): each user's most recent
+  // event — the dedup-to-current materialization every upsert-less event
+  // log needs downstream. One keyed window with a unique (ts, event_id)
+  // descending order; Spark bounds it with WindowGroupLimit (rank-limit
+  // pushdown — no partition is fully sorted), and under the registered
+  // TopKWindowRewrite the bounded custom operator takes over the same
+  // shape.
+  def qLatestPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"event_type", $"ts",
+        row_number().over(w).as("rk"))
+      .filter($"rk" === 1)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+  }
+
+  val qLatestPerKeySql: String =
+    """SELECT user_id, event_id, event_type, ts
+      |FROM (SELECT user_id, event_id, event_type, ts,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY ts DESC, event_id DESC) AS rk
+      |      FROM events)
+      |WHERE rk = 1""".stripMargin
+
+  // --------------------------------------------------------------------
   // Winsorization (outlier clamping): clamp each value into its
   // event_type's [p05, p95] band — the robust-statistics cleaning pass
   // that precedes any mean/variance feature at training time (a single
@@ -463,6 +489,7 @@ object Events {
     "q_session_window" -> (qSessionWindow _),
     "q_histogram" -> (qHistogram _),
     "q_winsorize" -> (qWinsorize _),
+    "q_latest_per_key" -> (qLatestPerKey _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracleSql: Map[String, String] = Map(
@@ -479,5 +506,6 @@ object Events {
     "q_session_window" -> qSessionWindowSql,
     "q_histogram" -> qHistogramSql,
     "q_winsorize" -> qWinsorizeSql,
+    "q_latest_per_key" -> qLatestPerKeySql,
     "q_approx_distinct" -> qApproxDistinctSql)
 }
