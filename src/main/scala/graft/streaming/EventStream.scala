@@ -186,25 +186,40 @@ object EventStream {
   /** Streaming conversion funnel: a per-user state machine over the
     * strictly-ordered view → click → purchase sequence (batch analog:
     * Events.qFunnel). State is one fixed-size record per user (earliest
-    * view µs, earliest qualifying click µs, done flag); a user emits
-    * exactly ONE FunnelOut on first completion, with the exact
-    * microsecond view→purchase latency. Events are processed in
+    * view µs, earliest qualifying click µs, done flag); each completed
+    * funnel pass emits ONE FunnelOut with the exact microsecond
+    * view→purchase latency, and completion drops the state (a later
+    * view legitimately starts a fresh pass). Events are processed in
     * event-time order within each micro-batch; cross-batch stragglers
-    * are bounded by the watermark. A production deployment adds a state
-    * TTL (setTimeoutTimestamp) to reap users who never convert — left
-    * out here so the spec can drive batches without timeout
-    * interleaving. */
-  def funnel(events: Dataset[EventRow]): Dataset[FunnelOut] = {
+    * are bounded by the watermark.
+    *
+    * State is TTL-bounded (the part that makes this safe at scale —
+    * without a timeout, every user who ever viewed holds a state row
+    * forever): `ttlUs` of event-time inactivity fires the timeout, which
+    * REMOVES the state and emits the abandonment record — FunnelOut with
+    * the deepest stage reached and convert_us = -1 — so funnel drop-off
+    * is observable from the same output stream as conversions. */
+  def funnel(events: Dataset[EventRow],
+      ttlUs: Long = 86400000000L): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
 
     def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
     def fn(userId: Long, rows: Iterator[EventRow],
         state: GroupState[FunnelProgress]): Iterator[FunnelOut] = {
+      if (state.hasTimedOut) {
+        // state exists only for unconverted users mid-funnel — expiry IS
+        // the abandonment record
+        val s = state.get
+        state.remove()
+        return Iterator.single(FunnelOut(userId, if (s.clickUs > 0L) 2 else 1, -1L))
+      }
       var s = state.getOption.getOrElse(FunnelProgress(0L, 0L, done = false))
       var out = List.empty[FunnelOut]
+      var lastUs = 0L
       rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
         val t = micros(e.ts)
+        lastUs = math.max(lastUs, t)
         if (!s.done) e.event_type match {
           case "view" if s.viewUs == 0L =>
             s = s.copy(viewUs = t)
@@ -216,14 +231,20 @@ object EventStream {
           case _ =>
         }
       }
-      state.update(s)
+      if (s.done) {
+        // conversion recorded — no further state needed for this user
+        state.remove()
+      } else if (s.viewUs > 0L) {
+        state.update(s)
+        state.setTimeoutTimestamp((lastUs + ttlUs) / 1000)
+      }
       out.iterator
     }
 
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   /** Per-user sessionization with a 30-minute inactivity gap via

@@ -187,10 +187,19 @@ class EventStreamSpec extends SparkTestBase {
       EventStream.EventRow(5, ts("2024-01-01 10:30:00"), 7, "purchase", 1.0),
       // a second purchase must NOT re-emit
       EventStream.EventRow(6, ts("2024-01-01 10:31:00"), 7, "purchase", 1.0))
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable()
     val rows = spark.table("funnel")
       .as[EventStream.FunnelOut].collect().toSeq
     assert(rows == Seq(EventStream.FunnelOut(7L, 3, 1800000000L)), s"got $rows")
+    // advance the watermark past user 8's TTL (view at 10:06 + 24 h):
+    // the state is reaped and the abandonment record (stage 1, -1) lands
+    in.addData(EventStream.EventRow(7, ts("2024-01-03 12:00:00"), 9, "view", 1.0))
+    q.processAllAvailable(); q.stop()
+    val all = spark.table("funnel")
+      .as[EventStream.FunnelOut].collect().toSet
+    assert(all.contains(EventStream.FunnelOut(8L, 1, -1L)), s"got $all")
+    // converted user 7 must NOT produce an abandonment row
+    assert(!all.exists(o => o.user_id == 7L && o.convert_us == -1L), s"got $all")
   }
 
   test("sessionize splits on the 30-minute gap and flushes by timeout") {
