@@ -352,6 +352,14 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // a silent non-fixpoint would mis-cluster every component still
+    // propagating — fail loudly instead (32 rounds covers components of
+    // diameter 32 under min-propagation; duplicate clusters converge in
+    // 3-5; a corpus needing more wants the large-star/small-star rounds
+    // cited above)
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicate clustering did not converge within $rounds rounds")
     edges.unpersist()
     labels
       .withColumn("n_members",
