@@ -356,6 +356,40 @@ object Analytics {
       |WHERE l_quantity > ord_avg""".stripMargin
 
   // --------------------------------------------------------------------
+  // Date/time scalar-function family (SURVEY §2.8 breadth): calendar
+  // part extraction, date arithmetic, and truncation over the order
+  // timestamps — all row-local and codegen'd, restricted to parts whose
+  // numbering agrees across engines (day-of-week conventions differ, so
+  // DOW is expressed as a date-diff mod 7 from a pinned Monday instead
+  // of either engine's builtin).
+  def qDateFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .filter($"o_orderkey" <= 1000)
+      .select($"o_orderkey",
+        year($"o_orderdate").as("y"),
+        quarter($"o_orderdate").as("q"),
+        month($"o_orderdate").as("m"),
+        dayofmonth($"o_orderdate").as("d"),
+        datediff(to_date(lit("1998-01-01")), to_date($"o_orderdate"))
+          .cast("long").as("days_to_98"),
+        date_trunc("month", $"o_orderdate").as("month_start"),
+        (pmod(datediff(to_date($"o_orderdate"), to_date(lit("1995-01-02"))), lit(7)) + 1)
+          .cast("int").as("dow_monday1"))
+  }
+
+  val qDateFuncsSql: String =
+    """SELECT o_orderkey,
+      |       CAST(year(o_orderdate) AS INTEGER) AS y,
+      |       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+      |       CAST(month(o_orderdate) AS INTEGER) AS m,
+      |       CAST(day(o_orderdate) AS INTEGER) AS d,
+      |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98,
+      |       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |       CAST(((date_diff('day', DATE '1995-01-02', CAST(o_orderdate AS DATE)) % 7 + 7) % 7) + 1 AS INTEGER) AS dow_monday1
+      |FROM orders WHERE o_orderkey <= 1000""".stripMargin
+
+  // --------------------------------------------------------------------
   // Statistical moments + correlation with ORDER-INDEPENDENT exactness:
   // stddev/variance/corr built-ins accumulate floating sums whose value
   // depends on partition merge order — nondeterministic distributed, and
@@ -470,6 +504,7 @@ object Analytics {
     "q_string_funcs" -> (qStringFuncs _),
     "q_percentile" -> (qPercentile _),
     "q_stats_moments" -> (qStatsMoments _),
+    "q_date_funcs" -> (qDateFuncs _),
     "q_percentile_approx" -> (qPercentileApprox _))
 
   val oracleSql: Map[String, String] = Map(
@@ -491,5 +526,6 @@ object Analytics {
     "q_string_funcs" -> qStringFuncsSql,
     "q_percentile" -> qPercentileSql,
     "q_stats_moments" -> qStatsMomentsSql,
+    "q_date_funcs" -> qDateFuncsSql,
     "q_percentile_approx" -> qPercentileApproxSql)
 }
