@@ -34,33 +34,54 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
   private def commitsDir: Path = rootPath.resolve("_commits")
   private def stagingDir(batchId: String): Path = rootPath.resolve("_staging").resolve(batchId)
 
-  private def committedBatchIds(): Seq[String] =
+  /** Commit markers are `<seq>.<batchId>` with a zero-padded monotonic
+    * sequence assigned at commit time: COMMIT order, not batch-id
+    * lexicographic order, defines the history. (Round-4 review finding:
+    * id schemes like `run-p00001`/`run-kpis` don't sort in commit order,
+    * which silently broke as-of snapshots keyed on id sorting.) Markers
+    * written by the pre-sequence layout (bare batch id) are still read,
+    * treated as sequence-less and ordered first by name. */
+  private def committedMarkers(): Seq[(String, String)] =
     if (!Files.isDirectory(commitsDir)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
       val s = Files.list(commitsDir)
-      try s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted.map { n =>
+        n.split("\\.", 2) match {
+          case Array(seq, id) if seq.length == 8 && seq.forall(_.isDigit) => (seq, id)
+          case _ => ("", n)
+        }
+      }.sortBy(_._1)
       finally s.close()
     }
 
+  private def committedBatchIds(): Seq[String] = committedMarkers().map(_._2)
+
   /** Read one normalized table (committed batches only). Empty-but-typed
     * DataFrame when nothing has been committed. */
-  def table(name: String): DataFrame = tableImpl(name, None)
+  def table(name: String): DataFrame = tableFor(name, committedBatchIds())
 
   /** Snapshot read: the table AS OF a committed batch id — exactly the
-    * batches with id <= asOf (ids sort in writer order). Batches are
-    * append-only and markers immutable, so a snapshot is reproducible
-    * forever: the same asOf reads the same bytes regardless of how many
-    * batches landed since — the training-data reproducibility contract
-    * ("the corpus as of snapshot X") that ingest-time mutation cannot
-    * give. Cost is identical to a current read: the pruning happens on
-    * the marker listing, no data is scanned to decide membership. */
-  def tableAsOf(name: String, asOf: String): DataFrame = tableImpl(name, Some(asOf))
+    * batches committed at or before it, in COMMIT order (the sequence
+    * stamped on the marker, independent of how batch ids sort). Batches
+    * are append-only and markers immutable, so a snapshot is
+    * reproducible forever: the same asOf reads the same bytes regardless
+    * of how many batches landed since — the training-data
+    * reproducibility contract ("the corpus as of snapshot X") that
+    * ingest-time mutation cannot give. Cost is identical to a current
+    * read: the pruning happens on the marker listing, no data is scanned
+    * to decide membership. An id that was never committed is an error,
+    * not a silent partial snapshot. */
+  def tableAsOf(name: String, asOf: String): DataFrame = {
+    val ids = committedBatchIds()
+    val cut = ids.indexOf(asOf)
+    require(cut >= 0, s"batch id '$asOf' was never committed")
+    tableFor(name, ids.take(cut + 1))
+  }
 
-  private def tableImpl(name: String, asOf: Option[String]): DataFrame = {
+  private def tableFor(name: String, batchIds: Seq[String]): DataFrame = {
     val schema = tableSchemas(name)
-    val dirs = committedBatchIds()
-      .filter(b => asOf.forall(b <= _))
+    val dirs = batchIds
       .map(b => rootPath.resolve(name).resolve(s"batch=$b"))
       .filter(Files.isDirectory(_))
       .map(_.toString)
@@ -111,7 +132,11 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
         Files.move(staging.resolve(name), dest, StandardCopyOption.ATOMIC_MOVE)
       }
       Files.createDirectories(commitsDir)
-      Files.createFile(commitsDir.resolve(batchId))
+      // single-writer (like the reference's one ETL process): next
+      // sequence = max committed + 1, stamped on the marker name
+      val nextSeq = committedMarkers().map(_._1).filter(_.nonEmpty)
+        .map(_.toLong).maxOption.getOrElse(0L) + 1
+      Files.createFile(commitsDir.resolve(f"$nextSeq%08d.$batchId"))
     } catch {
       case e: Throwable =>
         // rollback: nothing committed; remove staged files and any moved-

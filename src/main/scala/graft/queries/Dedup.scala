@@ -315,12 +315,22 @@ object Dedup {
     * (cluster report, keeper selection, downstream curation) needs the
     * SAME fixpoint — at 100 TB it's a written table maintained next to
     * the corpus, not a recomputation per query. The in-process analog is
-    * this cache over the localCheckpoint'd result. */
+    * this cache over the localCheckpoint'd result. Like any maintained
+    * index it can go stale if the corpus under sfDir is REWRITTEN
+    * in-place within one session — call [[invalidateClusterCache]] after
+    * such a rewrite (tests use fresh directories instead). */
   private val clusterCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def duplicateClusters(spark: SparkSession, sfDir: String): DataFrame =
     clusterCache.getOrElseUpdate((spark, sfDir), computeClusters(spark, sfDir))
+
+  /** Drop memoized cluster labels (all corpora, or one sfDir). */
+  def invalidateClusterCache(sfDir: Option[String] = None): Unit =
+    sfDir match {
+      case Some(d) => clusterCache.keys.filter(_._2 == d).foreach(clusterCache.remove)
+      case None => clusterCache.clear()
+    }
 
   private def computeClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -330,41 +340,48 @@ object Dedup {
       .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .toDF("v", "w")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum($"lbl".cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+    // empty label sums read back as null — a clean corpus (zero verified
+    // pairs) must yield zero clusters, not an NPE
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum($"lbl".cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .head().getDecimal(0)
-    var labels = edges.select($"v").distinct()
-      .select($"v", $"v".as("lbl"))
-      .localCheckpoint()
-    var prevSum = labelSum(labels)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 32) {
-      val next = edges.as("e")
-        .join(labels.as("l"), $"e.w" === $"l.v")
-        .select($"e.v".as("v"), $"l.lbl".as("lbl"))
-        .union(labels)
-        .groupBy($"v").agg(min($"lbl").as("lbl"))
-        .localCheckpoint()
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
-      rounds += 1
+      if (s == null) java.math.BigDecimal.ZERO else s
     }
-    // a silent non-fixpoint would mis-cluster every component still
-    // propagating — fail loudly instead (32 rounds covers components of
-    // diameter 32 under min-propagation; duplicate clusters converge in
-    // 3-5; a corpus needing more wants the large-star/small-star rounds
-    // cited above)
-    if (!converged)
-      throw new IllegalStateException(
-        s"duplicate clustering did not converge within $rounds rounds")
-    edges.unpersist()
-    labels
-      .withColumn("n_members",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"lbl")))
-      .select($"v".as("doc_id"), $"lbl".as("cluster_id"), $"n_members")
+    try {
+      var labels = edges.select($"v").distinct()
+        .select($"v", $"v".as("lbl"))
+        .localCheckpoint()
+      var prevSum = labelSum(labels)
+      var converged = labels.isEmpty
+      var rounds = 0
+      while (!converged && rounds < 32) {
+        val next = edges.as("e")
+          .join(labels.as("l"), $"e.w" === $"l.v")
+          .select($"e.v".as("v"), $"l.lbl".as("lbl"))
+          .union(labels)
+          .groupBy($"v").agg(min($"lbl").as("lbl"))
+          .localCheckpoint()
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        labels = next
+        rounds += 1
+      }
+      // a silent non-fixpoint would mis-cluster every component still
+      // propagating — fail loudly instead (32 rounds covers components of
+      // diameter 32 under min-propagation; duplicate clusters converge in
+      // 3-5; a corpus needing more wants the large-star/small-star rounds
+      // cited above)
+      if (!converged)
+        throw new IllegalStateException(
+          s"duplicate clustering did not converge within $rounds rounds")
+      labels
+        .withColumn("n_members",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"lbl")))
+        .select($"v".as("doc_id"), $"lbl".as("cluster_id"), $"n_members")
+    } finally {
+      edges.unpersist()
+    }
   }
 
   def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame =

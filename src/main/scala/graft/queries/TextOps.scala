@@ -319,7 +319,10 @@ object TextOps {
   // auditable. Patterns stay in the Java-regex ∩ RE2 subset.
   def qNormalizeText(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val norm = trim(regexp_replace(lower($"text"), " +", " "))
+    // explicit class, not \s: Java and RE2 disagree on \s membership
+    // (\x0B); tabs/newlines must collapse too or whitespace variants of
+    // the same text fingerprint differently
+    val norm = trim(regexp_replace(lower($"text"), "[ \t\n\r]+", " "))
     Tables.documents(spark, sfDir)
       .select($"doc_id",
         md5(norm.cast("binary")).as("norm_fp"),
@@ -328,11 +331,11 @@ object TextOps {
   }
 
   val qNormalizeTextSql: String =
-    """SELECT doc_id,
-      |       md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_fp,
-      |       trim(regexp_replace(lower(text), ' +', ' ', 'g')) <> text AS changed,
-      |       CAST(length(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
-      |FROM documents""".stripMargin
+    "SELECT doc_id,\n" +
+      "       md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g'))) AS norm_fp,\n" +
+      "       trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g')) <> text AS changed,\n" +
+      "       CAST(length(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm\n" +
+      "FROM documents"
 
   // --------------------------------------------------------------------
   // TF-IDF top terms: the 3 most characteristic terms per document,

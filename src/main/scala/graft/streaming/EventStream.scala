@@ -180,7 +180,8 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
-  case class FunnelProgress(viewUs: Long, clickUs: Long, done: Boolean)
+  case class FunnelProgress(viewUs: Long, clickUs: Long, done: Boolean,
+      lastUs: Long = 0L)
   case class FunnelOut(user_id: Long, stage: Int, convert_us: Long)
 
   /** Streaming conversion funnel: a per-user state machine over the
@@ -216,10 +217,11 @@ object EventStream {
       }
       var s = state.getOption.getOrElse(FunnelProgress(0L, 0L, done = false))
       var out = List.empty[FunnelOut]
-      var lastUs = 0L
       rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
         val t = micros(e.ts)
-        lastUs = math.max(lastUs, t)
+        // max over ALL batches (kept in state): a late out-of-order batch
+        // must never pull the TTL deadline backwards
+        s = s.copy(lastUs = math.max(s.lastUs, t))
         if (!s.done) e.event_type match {
           case "view" if s.viewUs == 0L =>
             s = s.copy(viewUs = t)
@@ -236,7 +238,7 @@ object EventStream {
         state.remove()
       } else if (s.viewUs > 0L) {
         state.update(s)
-        state.setTimeoutTimestamp((lastUs + ttlUs) / 1000)
+        state.setTimeoutTimestamp((s.lastUs + ttlUs) / 1000)
       }
       out.iterator
     }

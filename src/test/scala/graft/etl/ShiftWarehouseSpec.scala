@@ -54,6 +54,21 @@ class ShiftWarehouseSpec extends SparkTestBase {
     assert(wh.tableAsOf("shifts", "b1").count() === 4)
   }
 
+  test("as-of snapshots follow commit order even when ids sort differently") {
+    // 'run-kpis' < 'run-p00001' lexicographically, but it is committed
+    // SECOND — the snapshot at it must contain both batches
+    val wh = new ShiftWarehouse(spark, tempDir("wh-snap-order"), validatePks = false)
+    val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)
+    wh.appendBatch(ShiftNormalizer.normalize(page), "run-p00001")
+    wh.appendBatch(ShiftNormalizer.normalize(page), "run-kpis")
+    assert(wh.tableAsOf("shifts", "run-p00001").count() === 2)
+    assert(wh.tableAsOf("shifts", "run-kpis").count() === 4)
+    val e = intercept[IllegalArgumentException] {
+      wh.tableAsOf("shifts", "never-committed")
+    }
+    assert(e.getMessage.contains("never committed"))
+  }
+
   test("clear removes everything (DELETE CASCADE semantics)") {
     val wh = new ShiftWarehouse(spark, tempDir("wh-clear"))
     val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)

@@ -136,6 +136,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == Set((1L, 1L, 4L, 0.25)), s"decontam: $got")
   }
 
+  test("duplicate clustering on a clean corpus yields zero clusters, all docs kept") {
+    import spark.implicits._
+    // zero verified pairs must be the easy case (empty result), not an NPE
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    val dir = tempDir("cleancorpus")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Dedup.qDedupClusters(spark, dir).count() == 0)
+    val kept = Dedup.qClusterKeep(spark, dir).as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("text normalization collapses tabs and newlines into the same fingerprint") {
+    import spark.implicits._
+    val docs = Seq((1L, "A\tb  c"), (2L, "a b\nc"), (3L, "a bc")).toDF("doc_id", "text")
+    val dir = tempDir("normtext")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fp = TextOps.qNormalizeText(spark, dir)
+      .select("doc_id", "norm_fp").as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L), "whitespace variants must share a canonical form")
+    assert(fp(1L) != fp(3L))
+  }
+
   test("exact dedup groups identical texts under one keeper") {
     import spark.implicits._
     val docs = Seq((5L, "a b c"), (9L, "a b c"), (7L, "x y z"))
