@@ -387,6 +387,31 @@ object Events {
       |FROM events GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // Regex capture-group extraction: pull the numeric payload field out
+  // of the JSON-ish props string — the untyped-log-to-typed-column step
+  // of event ingestion (from_json covers schema'd payloads, q_json_extract;
+  // this is the pattern path for ragged ones). Both engines return ''
+  // for a non-matching extract — pinned by the no_match column — and
+  // the empty string is nullif'd before the BIGINT cast (ANSI-safe).
+  // Row-local, codegen'd, no shuffle.
+  def qRegexExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_id",
+        nullif(regexp_extract($"props", "\"k\": ([0-9]+)", 1), lit(""))
+          .cast("long").as("k_val"),
+        $"props".rlike("\"k\": [0-9]+").as("has_k"),
+        regexp_extract($"props", "z([0-9]+)x", 1).as("no_match"))
+  }
+
+  val qRegexExtractSql: String =
+    """SELECT event_id,
+      |       CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS k_val,
+      |       regexp_matches(props, '"k": [0-9]+') AS has_k,
+      |       regexp_extract(props, 'z([0-9]+)x', 1) AS no_match
+      |FROM events""".stripMargin
+
+  // --------------------------------------------------------------------
   // Latest state per key (SCD1 current view): each user's most recent
   // event — the dedup-to-current materialization every upsert-less event
   // log needs downstream. One keyed window with a unique (ts, event_id)
@@ -490,6 +515,7 @@ object Events {
     "q_histogram" -> (qHistogram _),
     "q_winsorize" -> (qWinsorize _),
     "q_latest_per_key" -> (qLatestPerKey _),
+    "q_regex_extract" -> (qRegexExtract _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracleSql: Map[String, String] = Map(
@@ -507,5 +533,6 @@ object Events {
     "q_histogram" -> qHistogramSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_latest_per_key" -> qLatestPerKeySql,
+    "q_regex_extract" -> qRegexExtractSql,
     "q_approx_distinct" -> qApproxDistinctSql)
 }
