@@ -11,6 +11,11 @@ object Verify {
     // — the driver always runs the full set)
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").toSet else Set.empty
+    // Fail fast on typos: a misspelled subset name would run zero queries
+    // and make the local iteration loop look green without verifying
+    // anything (ADVICE r4).
+    require((only -- SparkEntry.queries.keySet).isEmpty,
+      s"unknown query names: ${(only -- SparkEntry.queries.keySet).mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

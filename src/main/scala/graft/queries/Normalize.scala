@@ -29,6 +29,12 @@ object Normalize {
   // (shift_data_processor.py:53-60) — child rows stamped with shift_id.
   // The nested build (collect_list) and the explode round-trip are both
   // narrow per-key operations: one shuffle on the group key, no join.
+  // Perf note (r5): the r4 bench read 6.4 s for this query vs r3's 3.2 s
+  // with zero code change; an idle re-run measures 1.4 s at sf0.1 — the
+  // swing was driver-machine contention, which Bench now surfaces via its
+  // load1/rerun fields. The second groupBy reuses the first's hash
+  // partitioning (alias-aware output partitioning), so the plan has one
+  // exchange, not two.
   def qExplode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nested = Tables.lineitem(spark, sfDir)
