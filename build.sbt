@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures the tail of the sbt log and json-parses the bench's
+// summary line. sbt's default LoggedOutput prefixes every forked-process
+// line with "[info] ", which breaks that parse (BENCH_r01..r05 all show
+// parsed:null). StdoutOutput forwards the child's stdout/stderr verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop sbt's trailing "[success] Total time: ..." line so the
+// bench's compact JSON summary is the LAST line of the log tail.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
