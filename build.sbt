@@ -19,6 +19,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ...and drop sbt's trailing "[success] Total time: ..." line so the
 // bench's compact JSON summary is the LAST line of the log tail.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by sbt's command layer, not a task
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

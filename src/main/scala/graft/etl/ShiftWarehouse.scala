@@ -40,7 +40,13 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
     * id schemes like `run-p00001`/`run-kpis` don't sort in commit order,
     * which silently broke as-of snapshots keyed on id sorting.) Markers
     * written by the pre-sequence layout (bare batch id) are still read,
-    * treated as sequence-less and ordered first by name. */
+    * treated as sequence-less and ordered first by name. A legacy bare id
+    * that itself LOOKS sequenced (e.g. `20240101.nightly`) is
+    * disambiguated by checking that the parsed id's batch directory
+    * actually exists — otherwise the truncated id would miss its
+    * `batch=<id>` dirs and the batch's data would silently disappear
+    * from every read (ADVICE r5). New ids that would collide with the
+    * marker grammar are rejected at append time. */
   private def committedMarkers(): Seq[(String, String)] =
     if (!Files.isDirectory(commitsDir)) Seq.empty
     else {
@@ -48,12 +54,19 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
       val s = Files.list(commitsDir)
       try s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted.map { n =>
         n.split("\\.", 2) match {
-          case Array(seq, id) if seq.length == 8 && seq.forall(_.isDigit) => (seq, id)
+          case Array(seq, id) if seq.length == 8 && seq.forall(_.isDigit) &&
+            (batchDirExists(id) || !batchDirExists(n)) => (seq, id)
           case _ => ("", n)
         }
       }.sortBy(_._1)
       finally s.close()
     }
+
+  /** Does any table carry data for this batch id? Used only to
+    * disambiguate legacy (pre-sequence) markers from sequenced ones. */
+  private def batchDirExists(id: String): Boolean =
+    tableSchemas.keys.exists(t =>
+      Files.isDirectory(rootPath.resolve(t).resolve(s"batch=$id")))
 
   private def committedBatchIds(): Seq[String] = committedMarkers().map(_._2)
 
@@ -116,6 +129,10 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
     appendTables(Seq("kpis" -> kpiRows), batchId)
 
   private def appendTables(tables: Seq[(String, DataFrame)], batchId: String): Unit = {
+    // Keep the marker grammar unambiguous: an id whose prefix reads as a
+    // `<8-digit-seq>.` would collide with sequenced marker names.
+    require(!batchId.matches("""\d{8}\..*"""),
+      s"batch id '$batchId' collides with the <seq>.<id> marker grammar")
     require(!committedBatchIds().contains(batchId), s"batch $batchId already committed")
     val staging = stagingDir(batchId)
     try {

@@ -315,21 +315,24 @@ object Analytics {
   // revenue — an unpartitioned window, but over the POST-AGGREGATE 25-row
   // frame, which is the scalable formulation (aggregate first, window
   // over the reduced result; never a global window over fact rows). The
-  // share divides two doubles that are themselves exact decimal casts, so
-  // the IEEE result is engine-identical.
+  // denominator is summed in DECIMAL, not double: each revenue is an
+  // exact decimal(18,4) value (lossless in a double at these magnitudes),
+  // so the decimal re-cast is exact and the sum is order-independent —
+  // a double window-sum would depend on shuffle arrival order and flake
+  // the hash gate in the last ulp.
   def qShare(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val byNation = qRevenueByNation(spark, sfDir)
       .select($"n_name", $"revenue")
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     byNation.select($"n_name", $"revenue",
-      ($"revenue" / sum($"revenue").over(w)).as("share"))
+      ($"revenue" / sum(dec($"revenue", 28, 4)).over(w).cast("double")).as("share"))
   }
 
   val qShareSql: String =
     s"""WITH rev AS (SELECT n_name, revenue FROM ($qRevenueByNationSql))
        |SELECT n_name, revenue,
-       |       revenue / sum(revenue) OVER () AS share
+       |       revenue / CAST(sum(CAST(revenue AS DECIMAL(28,4))) OVER () AS DOUBLE) AS share
        |FROM rev""".stripMargin
 
   // --------------------------------------------------------------------

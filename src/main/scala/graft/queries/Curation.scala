@@ -83,12 +83,14 @@ object Curation {
   def qDecontam(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // staged once (same pattern as Dedup.shingled): the frame feeds the
-    // eval set, the train probe AND the per-doc sizes — unpersisted,
-    // Spark re-scans + re-tokenizes the corpus per branch
-    val sh5 = Tables.documents(spark, sfDir)
-      .select($"doc_id", graft.functions.functions.word_shingles($"text", 5).as("sh"))
-      .filter(size($"sh") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eval set, the train probe AND the per-doc sizes — unstaged,
+    // Spark re-scans + re-tokenizes the corpus per branch. Lifecycle is
+    // owned by Staging (one entry per session+corpus, explicit release).
+    val sh5 = graft.operators.Staging.persisted(spark, sfDir, "shingled5") {
+      Tables.documents(spark, sfDir)
+        .select($"doc_id", graft.functions.functions.word_shingles($"text", 5).as("sh"))
+        .filter(size($"sh") > 0)
+    }
     val inv = sh5.select($"doc_id", explode($"sh").as("s"))
       .select($"doc_id", xxhash64($"s").as("h"))
     val evalSet = inv.filter($"doc_id" % 20 === 0).select($"h").distinct()

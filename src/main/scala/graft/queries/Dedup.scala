@@ -93,16 +93,16 @@ object Dedup {
     * and as many re-tokenizations in one query. Staging the narrow
     * (doc_id, shingles) projection once is the pattern a 100 TB run uses
     * (there you'd write it to a table; in-process MEMORY_AND_DISK is the
-    * local analog — spill-safe, never recomputed). Re-persisting an
-    * equal plan is a no-op via Spark's CacheManager, so repeated query
-    * construction over the same sfDir shares one cache entry. */
-  private def shingled(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select($"doc_id", shingleCol($"text").as("sh"))
-      .filter(size($"sh") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+    * local analog — spill-safe, never recomputed). Lifecycle is owned by
+    * [[graft.operators.Staging]]: one entry per (session, corpus),
+    * released by `Staging.invalidate`. */
+  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Staging.persisted(spark, sfDir, "shingled3") {
+      import spark.implicits._
+      Tables.documents(spark, sfDir)
+        .select($"doc_id", shingleCol($"text").as("sh"))
+        .filter(size($"sh") > 0)
+    }
 
   def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -318,19 +318,19 @@ object Dedup {
     * this cache over the localCheckpoint'd result. Like any maintained
     * index it can go stale if the corpus under sfDir is REWRITTEN
     * in-place within one session — call [[invalidateClusterCache]] after
-    * such a rewrite (tests use fresh directories instead). */
-  private val clusterCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
+    * such a rewrite (tests use fresh directories instead). Lifecycle is
+    * owned by [[graft.operators.Staging]] (memoized entry per
+    * session+corpus; invalidation drops the reference and the
+    * ContextCleaner reclaims the checkpoint blocks). */
   def duplicateClusters(spark: SparkSession, sfDir: String): DataFrame =
-    clusterCache.getOrElseUpdate((spark, sfDir), computeClusters(spark, sfDir))
-
-  /** Drop memoized cluster labels (all corpora, or one sfDir). */
-  def invalidateClusterCache(sfDir: Option[String] = None): Unit =
-    sfDir match {
-      case Some(d) => clusterCache.keys.filter(_._2 == d).foreach(clusterCache.remove)
-      case None => clusterCache.clear()
+    graft.operators.Staging.memoized(spark, sfDir, "dup-clusters") {
+      computeClusters(spark, sfDir)
     }
+
+  /** Drop staged dedup state — cluster labels AND the shingle stages —
+    * for one corpus or all. */
+  def invalidateClusterCache(sfDir: Option[String] = None): Unit =
+    graft.operators.Staging.invalidate(sfDir)
 
   private def computeClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

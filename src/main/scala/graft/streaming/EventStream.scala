@@ -238,7 +238,12 @@ object EventStream {
         state.remove()
       } else if (s.viewUs > 0L) {
         state.update(s)
-        state.setTimeoutTimestamp((s.lastUs + ttlUs) / 1000)
+        // Clamp to just past the current watermark: with EventTimeTimeout,
+        // a deadline at-or-before the watermark throws and fails the whole
+        // stream — reachable when ttlUs is smaller than the watermark
+        // delay and a straggler event updates state late (ADVICE r5).
+        val wmMs = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(math.max(wmMs + 1, (s.lastUs + ttlUs) / 1000))
       }
       out.iterator
     }
@@ -282,7 +287,10 @@ object EventStream {
       } else {
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000, "30 seconds")
+          // Same watermark clamp as the funnel TTL: a deadline at-or-
+          // before the watermark is an error, reachable via stragglers.
+          state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs() + 1,
+            s.lastUs / 1000 + gapUs / 1000 + 30000))
         }
       }
       out.reverseIterator

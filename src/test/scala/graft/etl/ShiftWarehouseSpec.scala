@@ -69,6 +69,35 @@ class ShiftWarehouseSpec extends SparkTestBase {
     assert(e.getMessage.contains("never committed"))
   }
 
+  test("legacy marker that mimics the <seq>.<id> grammar stays visible (ADVICE r5)") {
+    // A pre-sequence layout wrote bare batch-id markers. An id like
+    // '20240101.nightly' parses as seq=20240101/id=nightly under the new
+    // grammar — without the batch-dir disambiguation, reads would look
+    // for batch=nightly, miss, and silently drop the batch's data.
+    val root = tempDir("wh-legacy")
+    val wh = new ShiftWarehouse(spark, root)
+    val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)
+    val legacyId = "20240101.nightly"
+    // simulate the legacy layout: data dirs + bare-id marker, no sequence
+    val wh2 = new ShiftWarehouse(spark, root, validatePks = false)
+    wh2.appendBatch(ShiftNormalizer.normalize(page), "tmp-stage")
+    val base = java.nio.file.Paths.get(root)
+    Seq("shifts", "breaks", "allowances", "award_interpretations").foreach { t =>
+      java.nio.file.Files.move(
+        base.resolve(t).resolve("batch=tmp-stage"),
+        base.resolve(t).resolve(s"batch=$legacyId"))
+    }
+    java.nio.file.Files.delete(base.resolve("_commits").resolve("00000001.tmp-stage"))
+    java.nio.file.Files.createFile(base.resolve("_commits").resolve(legacyId))
+    assert(wh.shifts.count() === 2, "legacy batch must stay visible")
+    assert(wh.committedBatches === Seq(legacyId))
+    // and NEW ids that would collide with the marker grammar are rejected
+    val e = intercept[IllegalArgumentException] {
+      wh.appendBatch(ShiftNormalizer.normalize(page), "20240102.late")
+    }
+    assert(e.getMessage.contains("marker grammar"))
+  }
+
   test("clear removes everything (DELETE CASCADE semantics)") {
     val wh = new ShiftWarehouse(spark, tempDir("wh-clear"))
     val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)
