@@ -421,12 +421,14 @@ object Events {
   // shape.
   def qLatestPerKey(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
-    Tables.events(spark, sfDir)
-      .select($"user_id", $"event_id", $"event_type", $"ts",
-        row_number().over(w).as("rk"))
-      .filter($"rk" === 1)
-      .select($"user_id", $"event_id", $"event_type", $"ts")
+    // k=1 per key through the bounded top-k operator: no per-user sort of
+    // the event history, just a single-slot selection per group (the
+    // window form sorts every user's partition; WindowGroupLimit bounds
+    // it but still sorts).
+    graft.plans.TopKPerGroup.topKPerGroup(
+      Tables.events(spark, sfDir)
+        .select($"user_id", $"event_id", $"event_type", $"ts"),
+      Seq($"user_id"), Seq($"ts".desc, $"event_id".desc), k = 1)
   }
 
   val qLatestPerKeySql: String =

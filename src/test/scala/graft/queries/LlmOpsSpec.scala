@@ -216,7 +216,7 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
-  test("LSH ANN recall vs brute force is measured and nontrivial") {
+  test("LSH ANN recall@5 vs brute force is >= 0.9") {
     import spark.implicits._
     val brute = Similarity.qAnnBrute(spark, sfDir)
       .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
@@ -224,10 +224,23 @@ class LlmOpsSpec extends SparkTestBase {
       .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
     info(f"LSH ANN recall@5 = $recall%.2f (${(brute & lsh).size}/${brute.size})")
-    // 6 sign-bit planes keep a meaningful share of true neighbors in-bucket;
-    // the point of the test is that the approximation is quantified, not
-    // silently assumed
-    assert(recall >= 0.2, f"recall collapsed: $recall%.2f")
+    // 8 bands × 2 sign bits: production-grade recall, candidate volume
+    // paid honestly (this corpus is near-isotropic — see Similarity's
+    // parameter-honesty note)
+    assert(recall >= 0.9, f"recall below target: $recall%.2f")
+  }
+
+  test("IVF ANN recall@5 vs brute force is >= 0.8 at nprobe=6") {
+    import spark.implicits._
+    val brute = Similarity.qAnnBrute(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val ivf = Similarity.qAnnIvf(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(f"IVF ANN recall@5 = $recall%.2f (${(brute & ivf).size}/${brute.size})")
+    // Voronoi cells carry little signal on unstructured vectors; 6 of ~9
+    // cells probed gives 0.9 measured — assert with headroom below it
+    assert(recall >= 0.8, f"recall below target: $recall%.2f")
   }
 
   test("approx distinct is within 5% of true distinct") {

@@ -170,6 +170,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("TopKPerGroupFinal"), p)
   }
 
+  test("ANN ranking selects top-k via the bounded operator — no sort of the candidate set") {
+    val p = plan(Similarity.qAnnLsh(spark, sfDir))
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"), p)
+    // the rank-ordinal window sorts only the bounded survivors: the plan
+    // prints top-down, so the Window (and its sort) must sit ABOVE the
+    // final top-k stage, never between the scan and the selection
+    val win = p.indexOf("Window")
+    val topk = p.indexOf("TopKPerGroupFinal")
+    assert(win >= 0 && topk > win, p)
+  }
+
+  test("latest-per-key is a pure bounded selection — no window, no sort") {
+    val p = plan(Events.qLatestPerKey(spark, sfDir))
+    assert(p.contains("TopKPerGroupFinal"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort"), p)
+  }
+
   test("hive-partitioned writes give partition-pruned scans") {
     import spark.implicits._
     // the write side of the scale story: land data partitioned by a query
