@@ -157,13 +157,43 @@ object Curation {
        |                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate
        |FROM documents GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Partition-pruned per-source sweep: the same per-source statistics a
+  // curation dashboard computes, but read from the Hive-partitioned
+  // (`source=<s>/`) corpus layout — the filter on `source` prunes at
+  // PLAN time to the two matching directories (PartitionFilters on the
+  // scan, pinned in PlanQualitySpec) instead of scanning 20 sources and
+  // discarding 18. At 100 TB the flat layout difference is reading ~10 TB
+  // vs ~1 PB of irrelevant bytes. The oracle runs against the FLAT file,
+  // proving the partitioned mirror is byte-equivalent.
+  def qSourcePruned(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.PartitionedCorpus.documentsPartitioned(spark, sfDir)
+      .filter($"source".isin("src3", "src7"))
+      .groupBy($"source", $"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        min($"doc_id").as("first_doc"))
+  }
+
+  val qSourcePrunedSql: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       min(doc_id) AS first_doc
+      |FROM documents
+      |WHERE source IN ('src3', 'src7')
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curate" -> (qCurate _),
     "q_decontam" -> (qDecontam _),
-    "q_dup_rate" -> (qDupRate _))
+    "q_dup_rate" -> (qDupRate _),
+    "q_source_pruned" -> (qSourcePruned _))
 
   val oracleSql: Map[String, String] = Map(
     "q_curate" -> qCurateSql,
     "q_decontam" -> qDecontamSql,
-    "q_dup_rate" -> qDupRateSql)
+    "q_dup_rate" -> qDupRateSql,
+    "q_source_pruned" -> qSourcePrunedSql)
 }

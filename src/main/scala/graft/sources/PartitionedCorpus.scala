@@ -1,0 +1,71 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+
+/** Hive-partitioned mirror of the documents corpus.
+  *
+  * The testdata ships `documents` as a single flat parquet file; a 100 TB
+  * corpus would never be laid out that way — it lands partitioned by its
+  * natural pruning keys (crawl source, ingest day) so that per-source
+  * curation, decontamination sweeps and dashboard queries read only the
+  * directories they touch (partition pruning at PLAN time, the same
+  * mechanism the shift warehouse's `batch=` layout uses).
+  *
+  * [[documentsPartitioned]] materializes a `source=<s>/` layout once per
+  * corpus (idempotent, atomic publish via temp-dir rename) and reads it
+  * back through partition discovery. Queries that filter on `source`
+  * then show `PartitionFilters` on the scan instead of scan-and-discard
+  * (pinned in PlanQualitySpec) while returning byte-identical results to
+  * the flat layout — which is exactly what the driver's oracle checks,
+  * since the oracle SQL runs against the FLAT file.
+  */
+object PartitionedCorpus {
+
+  /** Mirror root: one directory per distinct corpus, content-addressed by
+    * the corpus path (testdata corpora are immutable, so staleness is not
+    * a concern; a mutable corpus would key on a snapshot id instead). */
+  private def mirrorDir(sfDir: String): Path =
+    Paths.get(sys.props("java.io.tmpdir"), "graft-corpus-mirror",
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString,
+      "documents")
+
+  def documentsPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = mirrorDir(sfDir)
+    this.synchronized {
+      if (!Files.exists(dest.resolve("_SUCCESS"))) {
+        val tmp = dest.resolveSibling(s"${dest.getFileName}.tmp${System.nanoTime()}")
+        Tables.documents(spark, sfDir)
+          .write.mode("overwrite")
+          .partitionBy("source")
+          .parquet(tmp.toString)
+        Files.createDirectories(dest.getParent)
+        try Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // lost a cross-process race: someone else published a complete
+          // mirror first — use theirs, drop ours
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            deleteRecursively(tmp)
+        }
+      }
+    }
+    // partition discovery appends `source`; restore the flat column order
+    // so downstream code and the oracle compare see the same schema
+    spark.read.parquet(dest.toString)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete)
+      finally s.close()
+    }
+}

@@ -188,6 +188,27 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Sort"), p)
   }
 
+  test("source-partitioned corpus sweep prunes partitions at plan time") {
+    val df = Curation.qSourcePruned(spark, sfDir)
+    val p = plan(df)
+    // the source filter must reach the scan as a PARTITION filter (prune
+    // directories), not a data filter (scan-and-discard)
+    assert(p.contains("PartitionFilters") && p.contains("src3"), p)
+    // and the untouched wide column (text) must not be read at all
+    assert(!p.contains("text"), p)
+    // byte-equivalent to the flat layout
+    import spark.implicits._
+    val flat = graft.core.Tables.documents(spark, sfDir)
+      .filter($"source".isin("src3", "src7"))
+      .groupBy($"source", $"lang")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val pruned = df.select("source", "lang", "n_docs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pruned == flat)
+  }
+
   test("hive-partitioned writes give partition-pruned scans") {
     import spark.implicits._
     // the write side of the scale story: land data partitioned by a query
