@@ -129,6 +129,36 @@ object Analytics {
       |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
   // --------------------------------------------------------------------
+  // Explicit GROUPING SETS: the general form rollup/cube specialize —
+  // here the two single-column marginals plus the pair, WITHOUT the
+  // grand total (a set no rollup or cube over two columns produces).
+  // Same one-pass physical shape (Expand before the partial aggregate:
+  // each row fans out once per set, map-side combine still applies);
+  // grouping_id() disambiguates a genuinely-NULL group value from an
+  // aggregated-away column, which matters the moment a grouping column
+  // is nullable.
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"),
+          Seq($"l_returnflag"), Seq($"l_linestatus")),
+        $"l_returnflag", $"l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        sum(dec($"l_extendedprice")).cast("double").as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), (l_linestatus))""".stripMargin
+
+  // --------------------------------------------------------------------
   // Top-k per group: 3 highest-value items per return flag — window rank
   // partitioned by the group key (parallel; contrast with O1's global
   // top-k).
@@ -503,6 +533,7 @@ object Analytics {
     "q_unpivot" -> (qUnpivot _),
     "q_string_agg" -> (qStringAgg _),
     "q_share" -> (qShare _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_above_avg" -> (qAboveAvg _),
     "q_string_funcs" -> (qStringFuncs _),
     "q_percentile" -> (qPercentile _),
@@ -525,6 +556,7 @@ object Analytics {
     "q_unpivot" -> qUnpivotSql,
     "q_string_agg" -> qStringAggSql,
     "q_share" -> qShareSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_above_avg" -> qAboveAvgSql,
     "q_string_funcs" -> qStringFuncsSql,
     "q_percentile" -> qPercentileSql,

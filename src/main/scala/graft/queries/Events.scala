@@ -218,6 +218,34 @@ object Events {
       |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin
 
   // --------------------------------------------------------------------
+  // Tie-aware ranking family: rank (gaps after ties) vs dense_rank (no
+  // gaps) over an ordering WITH real ties (user_id repeats within an
+  // event type), plus row_number over the tie-broken ordering. Tied rows
+  // share their rank values on every engine, so the output is
+  // deterministic even though the ordering key is non-unique — the
+  // row_number window adds event_id to the sort, which is the rule this
+  // repo follows everywhere a unique ordinal is emitted.
+  def qRankFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tied = Window.partitionBy($"event_type").orderBy($"user_id")
+    val unique = Window.partitionBy($"event_type").orderBy($"user_id", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"event_type", $"event_id", $"user_id",
+        rank().over(tied).as("rk"),
+        dense_rank().over(tied).as("drk"),
+        row_number().over(unique).as("rn"))
+  }
+
+  val qRankFuncsSql: String =
+    """SELECT event_type, event_id, user_id,
+      |       CAST(rank() OVER t AS INTEGER) AS rk,
+      |       CAST(dense_rank() OVER t AS INTEGER) AS drk,
+      |       CAST(row_number() OVER u AS INTEGER) AS rn
+      |FROM events
+      |WINDOW t AS (PARTITION BY event_type ORDER BY user_id),
+      |       u AS (PARTITION BY event_type ORDER BY user_id, event_id)""".stripMargin
+
+  // --------------------------------------------------------------------
   // Frame-pinned window navigation: first/last/nth event type per user
   // over the FULL partition frame. last_value is the classic cross-engine
   // trap — the default window frame ends at CURRENT ROW, making
@@ -508,6 +536,7 @@ object Events {
     "q_rolling_window" -> (qRollingWindow _),
     "q_lead_lag" -> (qLeadLag _),
     "q_ntile" -> (qNtile _),
+    "q_rank_funcs" -> (qRankFuncs _),
     "q_first_last" -> (qFirstLast _),
     "q_gap_fill" -> (qGapFill _),
     "q_funnel" -> (qFunnel _),
@@ -526,6 +555,7 @@ object Events {
     "q_rolling_window" -> qRollingWindowSql,
     "q_lead_lag" -> qLeadLagSql,
     "q_ntile" -> qNtileSql,
+    "q_rank_funcs" -> qRankFuncsSql,
     "q_first_last" -> qFirstLastSql,
     "q_gap_fill" -> qGapFillSql,
     "q_funnel" -> qFunnelSql,

@@ -547,7 +547,61 @@ object TextOps {
       |WHERE pick <= 3""".stripMargin
 
   // --------------------------------------------------------------------
+  // Gopher-style repetition signals (Rae et al. 2021 §A1.1: "fraction of
+  // characters in the most common n-gram" / "fraction in duplicate
+  // n-grams" — word-count analogs here since the corpus is flat word
+  // text): the quality-filter family that catches boilerplate and
+  // looping generations. Entirely ROW-LOCAL higher-order-function
+  // arithmetic — the plan is a map-only scan, no shuffle, no state; at
+  // 100 TB this runs at IO speed next to qQualityScore. The per-row
+  // cost is O(distinct-bigrams × bigrams) ≈ 22k comparisons on these
+  // ~150-word docs, still far below the hashing work a shuffle would do.
+  // All fractions divide exact small ints, so the doubles are
+  // engine-identical.
+  def qRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = split($"text", " ")
+    def grams(n: Int) = transform(
+      sequence(lit(1), size(words) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(words, i + lit(j))): _*))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", grams(2).as("bg"), grams(3).as("tg"))
+      .select($"doc_id",
+        size($"bg").cast("long").as("n_bigrams"),
+        array_max(transform(array_distinct($"bg"),
+          b => size(filter($"bg", x => x === b)))).cast("long").as("top_bigram_n"),
+        ((size($"tg") - size(array_distinct($"tg"))).cast("double")
+          / size($"tg")).as("dup_trigram_frac"))
+      .withColumn("top_bigram_frac",
+        $"top_bigram_n".cast("double") / $"n_bigrams")
+      .select($"doc_id", $"n_bigrams", $"top_bigram_n",
+        $"top_bigram_frac", $"dup_trigram_frac")
+  }
+
+  val qRepetitionSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (SELECT doc_id,
+      |              unnest(list_transform(range(1, len(ws)),
+      |                     i -> ws[i] || ' ' || ws[i+1])) AS g
+      |       FROM w),
+      |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |                 CAST(max(c) AS BIGINT) AS top_bigram_n
+      |          FROM bgc GROUP BY 1),
+      |tstat AS (SELECT doc_id,
+      |                 CAST(len(ws) - 2 AS DOUBLE) AS n_tri,
+      |                 CAST(len(ws) - 2
+      |                      - len(list_distinct(list_transform(range(1, len(ws) - 1),
+      |                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+      |                      AS DOUBLE) AS n_dup_tri
+      |          FROM w)
+      |SELECT b.doc_id, b.n_bigrams, b.top_bigram_n,
+      |       CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
+      |       t.n_dup_tri / t.n_tri AS dup_trigram_frac
+      |FROM bstat b JOIN tstat t ON t.doc_id = b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition" -> (qRepetition _),
     "q_text_stats" -> (qTextStats _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_lang_id" -> (qLangId _),
@@ -567,6 +621,7 @@ object TextOps {
     "q_heavy_hitters" -> (qHeavyHitters _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_repetition" -> qRepetitionSql,
     "q_text_stats" -> qTextStatsSql,
     "q_corpus_stats" -> qCorpusStatsSql,
     "q_lang_id" -> qLangIdSql,
