@@ -52,8 +52,8 @@ final class EtlServer(
   def start(port: Int = 8010): Int = synchronized {
     require(server == null, "server already started")
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    server.createContext("/run-etl", post(runEtl))
-    server.createContext("/clear-data", post(_ => {
+    server.createContext("/run-etl", post("/run-etl", runEtl))
+    server.createContext("/clear-data", post("/clear-data", _ => {
       ShiftsEtl.clear(warehouse)
       (200, """{"status": "Data cleared successfully"}""")
     }))
@@ -66,31 +66,47 @@ final class EtlServer(
   }
 
   private def runEtl(x: HttpExchange): (Int, String) = {
-    val batchSize: Option[Int] = Option(x.getRequestURI.getQuery)
-      .flatMap(_.split("&").collectFirst {
-        case p if p.startsWith("batch_size=") =>
-          p.stripPrefix("batch_size=").toInt
-      })
-    val pages = PageSource.pages(apiUrl, pageSize = batchSize)(fetch)
+    // request-validation phase: failures here are the CLIENT's (400) —
+    // a bad batch_size value or range, mirroring the reference's query
+    // validation. Failures after this point are the pipeline's.
+    val pages =
+      try {
+        val batchSize: Option[Int] = Option(x.getRequestURI.getQuery)
+          .flatMap(_.split("&").collectFirst {
+            case p if p.startsWith("batch_size=") =>
+              p.stripPrefix("batch_size=").toInt
+          })
+        PageSource.pages(apiUrl, pageSize = batchSize)(fetch)
+      } catch {
+        case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
+          throw EtlServer.ClientError(e.getMessage)
+      }
     val runId = s"http-${runSeq.incrementAndGet()}"
     ShiftsEtl.run(pages, warehouse, asOfDate(), runId)
     (200, """{"status": "ETL process completed successfully"}""")
   }
 
   /** POST-only wrapper with the reference's error mapping. */
-  private def post(handler: HttpExchange => (Int, String)): HttpHandler =
+  private def post(path: String, handler: HttpExchange => (Int, String)): HttpHandler =
     new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
         val (status, body) =
-          if (x.getRequestMethod != "POST")
+          // HttpServer context matching is longest-PREFIX: without the
+          // exact-path check, POST /run-etl2 would run a full ETL
+          // (review r6; the reference FastAPI app 404s)
+          if (x.getRequestURI.getPath != path)
+            (404, """{"detail": "Not Found"}""")
+          else if (x.getRequestMethod != "POST")
             (405, """{"detail": "Method Not Allowed"}""")
           else try handler(x)
           catch {
-            // clean-failure tier: bad input / failed fetch / validation
+            // clean-failure tier mirrors the reference's ValueError→400:
+            // failed fetch and bad batch_size only. Everything else —
+            // including warehouse integrity failures (duplicate PK, like
+            // the reference's psycopg2 IntegrityError) and Spark
+            // infrastructure faults — is a 500 (review r6).
             case e @ (_: PageSource.FetchFailedException |
-                      _: IllegalArgumentException |
-                      _: NumberFormatException |
-                      _: IllegalStateException) =>
+                      _: EtlServer.ClientError) =>
               (400, s"""{"detail": ${EtlServer.quote(e.getMessage)}}""")
             case e: Exception =>
               (500, s"""{"detail": ${EtlServer.quote(s"ETL process failed: ${e.getMessage}")}}""")
@@ -105,6 +121,10 @@ final class EtlServer(
 }
 
 object EtlServer {
+
+  /** A request-validation failure — the only non-fetch 400 tier. */
+  private[etl] final case class ClientError(msg: String)
+    extends RuntimeException(msg)
 
   /** Production wiring: live HTTP fetch against `apiUrl`, wall-clock
     * as-of date (the reference's CURRENT_DATE). */

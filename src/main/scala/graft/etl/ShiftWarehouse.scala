@@ -52,15 +52,29 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
     else {
       import scala.jdk.CollectionConverters._
       val s = Files.list(commitsDir)
-      try s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted.map { n =>
-        n.split("\\.", 2) match {
-          case Array(seq, id) if seq.length == 8 && seq.forall(_.isDigit) &&
-            (batchDirExists(id) || !batchDirExists(n)) => (seq, id)
-          case _ => ("", n)
-        }
-      }.sortBy(_._1)
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+        .map(parseMarker).sortBy(_._1)
       finally s.close()
     }
+
+  /** Marker-name → (seq, id), memoized: markers are immutable once
+    * written, and the legacy disambiguation below stats up to 5 batch
+    * dirs per marker — without the memo every table read would pay
+    * O(markers × tables) filesystem stats (review r6). */
+  private val markerParse =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def parseMarker(n: String): (String, String) =
+    markerParse.getOrElseUpdate(n, n.split("\\.", 2) match {
+      // A name whose FULL form owns a batch directory is a legacy bare
+      // id, even if its prefix looks like a sequence — preferring the
+      // full-name dir also kills the double-read a seq-parse would cause
+      // when the truncated id collides with another batch's dir
+      // (review r6).
+      case Array(seq, id) if seq.length == 8 && seq.forall(_.isDigit) &&
+        !batchDirExists(n) => (seq, id)
+      case _ => ("", n)
+    })
 
   /** Does any table carry data for this batch id? Used only to
     * disambiguate legacy (pre-sequence) markers from sequenced ones. */
@@ -228,7 +242,7 @@ object ShiftWarehouse {
     "allowances" -> "allowance_id",
     "award_interpretations" -> "award_id")
 
-  private[etl] def deleteRecursively(p: Path): Unit =
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))

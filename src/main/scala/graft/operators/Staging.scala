@@ -52,7 +52,14 @@ object Staging {
 
   /** Release staged frames: all corpora, or just one. Persisted entries
     * are unpersisted (non-blocking); memoized entries are dereferenced.
-    * Call after rewriting a corpus in place, or when done with one. */
+    * Call after rewriting a corpus in place, or when done with one.
+    *
+    * Deliberately releases ACROSS sessions: entries are keyed by session
+    * only so each session's plans stay bound to it, but staleness is a
+    * property of the corpus — if its files changed, every session's
+    * staged frames over it are stale and must be rebuilt; a
+    * per-session invalidation would leave sibling sessions serving a
+    * fixpoint computed from bytes that no longer exist. */
   def invalidate(corpus: Option[String] = None): Unit =
     entries.keys
       .filter(k => corpus.forall(_ == k._2))

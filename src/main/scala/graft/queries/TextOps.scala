@@ -565,6 +565,10 @@ object TextOps {
       sequence(lit(1), size(words) - lit(n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(words, i + lit(j))): _*))
     Tables.documents(spark, sfDir)
+      // guard: sequence(1, size-n+1) steps DOWN to [1, 0] on docs shorter
+      // than the n-gram and element_at(_, 0) throws; such docs carry no
+      // repetition signal — drop them on BOTH engines (review r6)
+      .filter(size(words) >= 3)
       .select($"doc_id", grams(2).as("bg"), grams(3).as("tg"))
       .select($"doc_id",
         size($"bg").cast("long").as("n_bigrams"),
@@ -579,7 +583,8 @@ object TextOps {
   }
 
   val qRepetitionSql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
       |bg AS (SELECT doc_id,
       |              unnest(list_transform(range(1, len(ws)),
       |                     i -> ws[i] || ' ' || ws[i+1])) AS g

@@ -50,7 +50,7 @@ object PartitionedCorpus {
           // mirror first — use theirs, drop ours
           case _: java.nio.file.FileAlreadyExistsException |
                _: java.nio.file.DirectoryNotEmptyException =>
-            deleteRecursively(tmp)
+            graft.etl.ShiftWarehouse.deleteRecursively(tmp)
         }
       }
     }
@@ -59,13 +59,4 @@ object PartitionedCorpus {
     spark.read.parquet(dest.toString)
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.delete)
-      finally s.close()
-    }
 }

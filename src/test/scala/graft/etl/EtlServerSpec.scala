@@ -59,10 +59,10 @@ class EtlServerSpec extends SparkTestBase {
         assert(wh.kpis.count() > 0)
 
         // re-running against already-loaded data violates the PK like the
-        // reference's plain INSERT (shift_data_processor.py:124-144
-        // rollback) — clean 400, warehouse unchanged
+        // reference's plain INSERT (shift_data_processor.py:124-144,
+        // psycopg2 IntegrityError → generic 500) — warehouse unchanged
         val (code2, body2) = post(s"http://127.0.0.1:$port/run-etl")
-        assert(code2 == 400, body2)
+        assert(code2 == 500, body2)
         assert(body2.contains("duplicate key"), body2)
         assert(wh.shifts.count() == 2)
 
@@ -119,6 +119,13 @@ class EtlServerSpec extends SparkTestBase {
       conn.setRequestMethod("GET")
       assert(conn.getResponseCode == 405)
       conn.disconnect()
+
+      // prefix-matched paths must NOT trigger a run (HttpServer contexts
+      // match by longest prefix; the reference 404s)
+      val (code404, _) = post(s"http://127.0.0.1:$port/run-etl2")
+      assert(code404 == 404)
+      val (code404b, _) = post(s"http://127.0.0.1:$port/run-etl/x")
+      assert(code404b == 404)
     } finally srv.stop()
   }
 }

@@ -96,6 +96,13 @@ class ShiftWarehouseSpec extends SparkTestBase {
       wh.appendBatch(ShiftNormalizer.normalize(page), "20240102.late")
     }
     assert(e.getMessage.contains("marker grammar"))
+    // collision case (review r6): a SEQUENCED batch whose id equals the
+    // legacy marker's truncated suffix must not be double-read, and the
+    // legacy batch must not vanish — full-name dir wins the parse
+    val whNoPk = new ShiftWarehouse(spark, root, validatePks = false)
+    whNoPk.appendBatch(ShiftNormalizer.normalize(page), "nightly")
+    assert(whNoPk.committedBatches.sorted === Seq(legacyId, "nightly").sorted)
+    assert(whNoPk.shifts.count() === 4, "each batch read exactly once")
   }
 
   test("clear removes everything (DELETE CASCADE semantics)") {
