@@ -286,6 +286,51 @@ object Dedup {
        |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // Verbatim passage overlap: document pairs sharing ≥3 distinct 8-word
+  // n-grams — the scalable n-gram approximation of exact-substring
+  // dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+  // Models Better", which uses suffix arrays for the exact form): a
+  // shared 8-gram IS a shared 8-word verbatim passage, and runs of
+  // shared 8-grams witness longer copied spans. Distinct from the
+  // 3-gram jaccard pairs (topical similarity): this catches quotation /
+  // template / mirror-site text reuse even between otherwise-different
+  // documents. Same inverted-index shape as qNgramJaccard — posting-list
+  // self-join on the 64-bit shingle hash, Σdf² cost; at 100 TB hot
+  // boilerplate shingles get a df-cutoff (they witness template text,
+  // not pairwise copying) and the count becomes a per-pair sketch.
+  def qPassageOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val inv = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        explode(graft.functions.functions.word_shingles($"text", 8)).as("s"))
+      .select($"doc_id", xxhash64($"s").as("h"))
+    inv.as("a").join(inv.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_shared8"))
+      .filter($"n_shared8" >= 3)
+  }
+
+  val qPassageOverlapSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(string_split(text, ' ')) - 6),
+      |                i -> string_split(text, ' ')[i] || ' ' ||
+      |                     string_split(text, ' ')[i+1] || ' ' ||
+      |                     string_split(text, ' ')[i+2] || ' ' ||
+      |                     string_split(text, ' ')[i+3] || ' ' ||
+      |                     string_split(text, ' ')[i+4] || ' ' ||
+      |                     string_split(text, ' ')[i+5] || ' ' ||
+      |                     string_split(text, ' ')[i+6] || ' ' ||
+      |                     string_split(text, ' ')[i+7])) AS s
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared8
+      |FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 3""".stripMargin
+
+  // --------------------------------------------------------------------
   // Duplicate CLUSTERS: the transitive closure of the verified near-dup
   // pairs. Pairwise anti-join dedup (qDedupFiltered) under-deletes when
   // duplicates chain (a~b, b~c but a!~c must still collapse to one
@@ -509,6 +554,7 @@ object Dedup {
     "q_cluster_keep" -> (qClusterKeep _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_novelty" -> (qNovelty _),
+    "q_passage_overlap" -> (qPassageOverlap _),
     "q_simhash_pairs" -> (qSimhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
@@ -521,5 +567,6 @@ object Dedup {
     "q_cluster_keep" -> qClusterKeepSql,
     "q_minhash_est" -> qMinhashEstSql,
     "q_novelty" -> qNoveltySql,
+    "q_passage_overlap" -> qPassageOverlapSql,
     "q_simhash_pairs" -> qSimhashPairsSql)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -605,8 +606,81 @@ object TextOps {
       |       t.n_dup_tri / t.n_tri AS dup_trigram_frac
       |FROM bstat b JOIN tstat t ON t.doc_id = b.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Unigram-LM quality proxy: how "expected" a document's tokens are
+  // under the corpus's own unigram distribution — the integer-exact
+  // stand-in for the perplexity filter every pretraining pipeline runs
+  // (CCNet/Wenzek et al. 2020 score with a real LM; the unigram version
+  // ranks the same gross outliers). mean_tok_freq is low and n_rare high
+  // for gibberish/OCR noise; boilerplate sits at the other extreme.
+  // Plan shape: one token hash-agg builds the frequency table (the
+  // vocabulary — even web-scale it is millions of rows, BROADCASTABLE),
+  // then a broadcast join back and a per-doc agg keyed by doc_id. The
+  // corpus is never shuffled on the token. Output stays in exact longs
+  // until two final single-division doubles.
+  def qUnigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cf"))
+    toks.join(broadcast(freq), Seq("tok"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        (sum($"cf").cast("double") / count(lit(1))).as("mean_tok_freq"),
+        sum(when($"cf" <= 5, 1L).otherwise(0L)).as("n_rare"))
+  }
+
+  val qUnigramLmSql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |f AS (SELECT tok, count(*) AS cf FROM t GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_toks,
+      |       CAST(sum(cf) AS DOUBLE) / count(*) AS mean_tok_freq,
+      |       CAST(sum(CASE WHEN cf <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      |FROM t JOIN f USING (tok)
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Token-length distribution with cumulative share: the corpus
+  // composition report behind context-window packing and length-bucketed
+  // batching (how much of the token budget sits in which length band).
+  // Per-doc token counts reduce to ~tens of bucket rows BEFORE any
+  // window runs — the two global windows order a post-aggregate frame,
+  // never fact rows (the same aggregate-first discipline as q_share).
+  // Cumulative fraction divides exact longs, cast to double once.
+  def qLengthDist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val buckets = Tables.documents(spark, sfDir)
+      .select(tokenCount($"text").as("n_toks"))
+      .groupBy((floor($"n_toks" / 25) * 25).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("total_toks"))
+    val wCum = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    buckets.select($"bucket", $"n_docs", $"total_toks",
+      (sum($"total_toks").over(wCum).cast("double")
+        / sum($"total_toks").over(wAll).cast("double")).as("cum_frac"))
+  }
+
+  val qLengthDistSql: String =
+    """WITH per AS (
+      |  SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks
+      |  FROM documents),
+      |b AS (SELECT (n_toks // 25) * 25 AS bucket, count(*) AS n_docs,
+      |             CAST(sum(n_toks) AS BIGINT) AS total_toks
+      |      FROM per GROUP BY 1)
+      |SELECT bucket, n_docs, total_toks,
+      |       CAST(sum(total_toks) OVER (ORDER BY bucket
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         / CAST(sum(total_toks) OVER () AS DOUBLE) AS cum_frac
+      |FROM b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition" -> (qRepetition _),
+    "q_unigram_lm" -> (qUnigramLm _),
+    "q_length_dist" -> (qLengthDist _),
     "q_text_stats" -> (qTextStats _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_lang_id" -> (qLangId _),
@@ -627,6 +701,8 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_repetition" -> qRepetitionSql,
+    "q_unigram_lm" -> qUnigramLmSql,
+    "q_length_dist" -> qLengthDistSql,
     "q_text_stats" -> qTextStatsSql,
     "q_corpus_stats" -> qCorpusStatsSql,
     "q_lang_id" -> qLangIdSql,
