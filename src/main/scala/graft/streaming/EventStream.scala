@@ -113,6 +113,14 @@ object EventStream {
   case class DocRow(doc_id: Long, ts: Timestamp, text: String)
   case class CandidateOut(band_hash: Long, doc_a: Long, doc_b: Long, est_jaccard: Double)
 
+  /** LSH band hashes (one per band) of a minhash signature column —
+    * ONE expression shared by the streaming side and the static corpus
+    * index so the equi-join keys agree bit-for-bit. */
+  private def bandHashCol(sig: org.apache.spark.sql.Column, bands: Int,
+      rowsPerBand: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => xxhash64(j, hash(slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)))))
+
   /** Streaming minhash-LSH near-dup candidates: the streaming face of
     * queries.Dedup.nearDupPairs. Each arriving document is shingled and
     * minhash-signed with the SAME native kernels as the batch path, then
@@ -142,9 +150,7 @@ object EventStream {
         graft.functions.functions.minhash_sig(
           graft.functions.functions.word_shingles($"text", 3), numHashes).as("sig"))
       .select($"doc_id", $"ts", $"sig",
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          j => xxhash64(j, hash(slice($"sig", j * rowsPerBand + 1, lit(rowsPerBand))))))
-          .as("band_hash"))
+        explode(bandHashCol($"sig", bands, rowsPerBand)).as("band_hash"))
       .as[(Long, Timestamp, Seq[Long], Long)]
 
     def estJaccard(a: Array[Long], b: Array[Long]): Double = {
@@ -178,6 +184,49 @@ object EventStream {
     banded
       .groupByKey(_._4)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Static LSH band index of a corpus (`doc_id`, `text` columns) — the
+    * batch-maintained side of [[corpusNearDup]]. At 100 TB this is a
+    * written table refreshed with each corpus snapshot, bucketed on
+    * band_hash so the stream join co-locates. */
+  def corpusBandIndex(corpus: DataFrame, numHashes: Int = 96,
+      bands: Int = 32): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val rowsPerBand = numHashes / bands
+    corpus.select($"doc_id".as("corpus_doc_id"),
+      explode(bandHashCol(
+        graft.functions.functions.minhash_sig(
+          graft.functions.functions.word_shingles($"text", 3), numHashes),
+        bands, rowsPerBand)).as("band_hash"))
+  }
+
+  /** Streaming face of queries.Dedup's INCREMENTAL dedup: each arriving
+    * document is banded with the same kernels and equi-joined against
+    * the static corpus index — near-dup suspects against the committed
+    * corpus surface in real time, before ingestion commits them. A
+    * stream-static inner equi-join is STATELESS on the stream side
+    * (nothing buffers; the static side behaves like a dimension), so the
+    * only state is the within-watermark pair dedup. Exact jaccard
+    * verification stays a batch job over the emitted candidates, like
+    * the batch pipeline's verify stage. */
+  def corpusNearDup(docs: Dataset[DocRow], corpusIndex: DataFrame,
+      numHashes: Int = 96, bands: Int = 32): DataFrame = {
+    import docs.sparkSession.implicits._
+    val rowsPerBand = numHashes / bands
+    docs
+      .withWatermark("ts", "2 hours")
+      .select($"doc_id", $"ts",
+        explode(bandHashCol(
+          graft.functions.functions.minhash_sig(
+            graft.functions.functions.word_shingles($"text", 3), numHashes),
+          bands, rowsPerBand)).as("band_hash"))
+      .join(corpusIndex, Seq("band_hash"))
+      .filter($"doc_id" =!= $"corpus_doc_id")
+      .select($"doc_id", $"corpus_doc_id", $"ts")
+      // one row per (new doc, corpus doc) regardless of how many bands
+      // collided; watermark bounds the dedup state
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_doc_id")
   }
 
   case class FunnelProgress(viewUs: Long, clickUs: Long, done: Boolean,

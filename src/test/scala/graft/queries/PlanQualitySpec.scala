@@ -188,6 +188,32 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Sort"), p)
   }
 
+  test("unigram-LM joins the corpus to a broadcast vocabulary — no token shuffle of the fact side") {
+    val p = plan(TextOps.qUnigramLm(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("passage overlap is a pure equi self-join — no nested loop, no cross") {
+    val p = plan(Dedup.qPassageOverlap(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("length distribution windows run over the post-aggregate bucket frame") {
+    val df = TextOps.qLengthDist(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // the windows are global BY DESIGN (cumulative share needs the total)
+    // but they must sit above an Aggregate — never over raw documents
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val hasAggBelow = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined
+      assert(hasAggBelow, df.queryExecution.optimizedPlan.toString)
+    }
+  }
+
   test("source-partitioned corpus sweep prunes partitions at plan time") {
     val df = Curation.qSourcePruned(spark, sfDir)
     val p = plan(df)

@@ -165,6 +165,30 @@ class EventStreamSpec extends SparkTestBase {
     assert(ests.forall(e => e >= 0.6 && e <= 1.0))
   }
 
+  test("stream-vs-corpus near-dup flags arrivals against the static band index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val perturbed = base.replace("tok30", "changed")
+    val novel = (1 to 60).map(i => s"fresh$i").mkString(" ")
+    // the committed corpus: the base doc plus an unrelated one
+    val corpus = Seq((100L, base), (101L, (1 to 60).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val index = EventStream.corpusBandIndex(corpus)
+    val in = MemoryStream[EventStream.DocRow]
+    val q = EventStream.corpusNearDup(in.toDS(), index)
+      .writeStream.format("memory").queryName("corpdup")
+      .outputMode("append").start()
+    in.addData(
+      EventStream.DocRow(2, ts("2024-01-01 10:00:00"), perturbed),
+      EventStream.DocRow(3, ts("2024-01-01 10:00:01"), novel))
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("corpdup")
+      .select("doc_id", "corpus_doc_id").as[(Long, Long)].collect()
+    assert(pairs.toSet == Set((2L, 100L)), s"got ${pairs.mkString(",")}")
+    assert(pairs.length == 1, "band collisions must dedup to one row per pair")
+  }
+
   test("streaming funnel emits one conversion per user across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
