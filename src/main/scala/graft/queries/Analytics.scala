@@ -159,6 +159,102 @@ object Analytics {
       |                        (l_returnflag), (l_linestatus))""".stripMargin
 
   // --------------------------------------------------------------------
+  // Array scalar-function family (§2.8): sort/slice/reverse/element_at/
+  // contains/distinct/HOF-aggregate over a per-order quantity array.
+  // The array build is one keyed collect_list (bounded: ≤7 items/order);
+  // everything after is row-local codegen'd array arithmetic. Outputs
+  // are scalars extracted FROM the arrays — array-typed output columns
+  // would hash differently across engines' parquet writers, scalars
+  // cannot. l_quantity values are integral doubles, so sums are exact.
+  def qArrayFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"l_quantity")).as("qs"))
+      .select($"l_orderkey",
+        size($"qs").cast("long").as("n_items"),
+        element_at($"qs", 1).as("min_qty"),
+        element_at($"qs", least(lit(2), size($"qs"))).as("second_qty"),
+        aggregate(slice(reverse($"qs"), 1, 2), lit(0.0), _ + _).as("top2_sum"),
+        array_contains($"qs", 10.0).as("has_ten"),
+        size(array_distinct($"qs")).cast("long").as("n_distinct_qty"))
+  }
+
+  val qArrayFuncsSql: String =
+    """SELECT l_orderkey,
+      |       CAST(len(qs) AS BIGINT) AS n_items,
+      |       qs[1] AS min_qty,
+      |       qs[least(2, len(qs))] AS second_qty,
+      |       list_sum(list_reverse(qs)[1:2]) AS top2_sum,
+      |       list_contains(qs, 10.0) AS has_ten,
+      |       CAST(len(list_distinct(qs)) AS BIGINT) AS n_distinct_qty
+      |FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+      |      FROM lineitem GROUP BY 1)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Map scalar-function family (§2.8): per language, a source→doc-count
+  // map built with map_from_entries, then probed/inspected with
+  // element_at / map_keys / map_values / size. Maps never leave the
+  // query: outputs are scalars extracted from them (map-typed columns
+  // don't hash portably across engines), and the oracle derives the
+  // same scalars with conditional aggregation over the underlying
+  // counts — equal by construction.
+  def qMapFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"lang")
+      .agg(map_from_entries(
+        array_sort(collect_list(struct($"source", $"n")))).as("m"))
+      .select($"lang",
+        size($"m").cast("long").as("n_sources"),
+        element_at($"m", "src3").as("src3_docs"),
+        array_max(map_values($"m")).as("max_source_docs"),
+        array_join(array_sort(map_keys($"m")), ",").as("sources"))
+  }
+
+  val qMapFuncsSql: String =
+    """SELECT lang,
+      |       count(*) AS n_sources,
+      |       max(CASE WHEN source = 'src3' THEN n END) AS src3_docs,
+      |       max(n) AS max_source_docs,
+      |       string_agg(source, ',' ORDER BY source) AS sources
+      |FROM (SELECT lang, source, count(*) AS n
+      |      FROM documents GROUP BY 1, 2)
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Math scalar-function family (§2.8): abs/sign/mod/ceil/floor/
+  // greatest/least — the engine-stable subset (exact on integral inputs;
+  // no transcendentals, whose last-ulp behavior differs across libm
+  // builds and would flake the hash gate — the same rule that keeps
+  // ln() out of q_tfidf). Row-local, map-only scan.
+  def qMathFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber",
+        abs($"l_quantity" - 25.0).as("abs_dev"),
+        signum($"l_quantity" - 25.0).cast("long").as("sgn"),
+        ($"l_orderkey" % 7).as("mod7"),
+        ceil($"l_quantity" / 7.0).cast("long").as("ceil7"),
+        floor($"l_quantity" / 7.0).cast("long").as("floor7"),
+        greatest($"l_quantity", lit(25.0)).as("hi"),
+        least($"l_quantity", lit(25.0)).as("lo"))
+  }
+
+  val qMathFuncsSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |       abs(l_quantity - 25.0) AS abs_dev,
+      |       CAST(sign(l_quantity - 25.0) AS BIGINT) AS sgn,
+      |       l_orderkey % 7 AS mod7,
+      |       CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil7,
+      |       CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor7,
+      |       greatest(l_quantity, 25.0) AS hi,
+      |       least(l_quantity, 25.0) AS lo
+      |FROM lineitem""".stripMargin
+
+  // --------------------------------------------------------------------
   // Top-k per group: 3 highest-value items per return flag — window rank
   // partitioned by the group key (parallel; contrast with O1's global
   // top-k).
@@ -534,6 +630,9 @@ object Analytics {
     "q_string_agg" -> (qStringAgg _),
     "q_share" -> (qShare _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_array_funcs" -> (qArrayFuncs _),
+    "q_map_funcs" -> (qMapFuncs _),
+    "q_math_funcs" -> (qMathFuncs _),
     "q_above_avg" -> (qAboveAvg _),
     "q_string_funcs" -> (qStringFuncs _),
     "q_percentile" -> (qPercentile _),
@@ -557,6 +656,9 @@ object Analytics {
     "q_string_agg" -> qStringAggSql,
     "q_share" -> qShareSql,
     "q_grouping_sets" -> qGroupingSetsSql,
+    "q_array_funcs" -> qArrayFuncsSql,
+    "q_map_funcs" -> qMapFuncsSql,
+    "q_math_funcs" -> qMathFuncsSql,
     "q_above_avg" -> qAboveAvgSql,
     "q_string_funcs" -> qStringFuncsSql,
     "q_percentile" -> qPercentileSql,
