@@ -221,6 +221,70 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
 
   private[graft] def committedBatches: Seq[String] = committedBatchIds()
 
+  /** Compact the committed history into ONE batch per table — the
+    * small-files maintenance a 100 TB ingest needs: per-page commits
+    * accumulate a directory (and shuffle-partition-many files) per
+    * batch, and scan planning degrades with file count long before data
+    * size matters. Semantics:
+    *
+    *  - Equivalent current reads: `table(name)` returns the same rows
+    *    before and after (asserted in the spec); files collapse to
+    *    `numFiles` per table.
+    *  - History REWRITE: like VACUUM/OPTIMIZE in table formats, prior
+    *    batch ids disappear — as-of snapshots older than the compaction
+    *    are no longer addressable. Callers needing history keep the
+    *    pre-compaction root.
+    *  - Single-writer, like append: the swap window (new marker written
+    *    after old markers removed) is not atomic for concurrent READERS
+    *    of the marker listing; the reference's one-ETL-process
+    *    discipline applies. A table-format transaction log would make
+    *    this a single swap — out of scope for a parquet warehouse.
+    */
+  def compact(batchId: String = "compacted", numFiles: Int = 1): Unit = {
+    require(!batchId.matches("""\d{8}\..*"""),
+      s"batch id '$batchId' collides with the <seq>.<id> marker grammar")
+    val liveTables = tableSchemas.keys.toSeq.sorted
+      .map(n => n -> table(n))
+      .filter(_._2.take(1).nonEmpty)
+    if (liveTables.isEmpty) return
+    val staging = stagingDir(batchId)
+    try {
+      // stage the union of every committed batch, coalesced
+      liveTables.foreach { case (name, df) =>
+        df.coalesce(numFiles).write.mode("overwrite")
+          .parquet(staging.resolve(name).toString)
+      }
+      // swap: retire old batch dirs + markers, publish the compacted batch
+      val oldMarkers =
+        if (Files.isDirectory(commitsDir)) {
+          import scala.jdk.CollectionConverters._
+          val s = Files.list(commitsDir)
+          try s.iterator().asScala.toList finally s.close()
+        } else Nil
+      liveTables.foreach { case (name, _) =>
+        val dest = rootPath.resolve(name).resolve(s"batch=$batchId")
+        Files.createDirectories(dest.getParent)
+        // old dirs first, so a crash mid-swap leaves the staged data
+        // unpublished (markers gone -> tables read empty, recoverable
+        // from staging) rather than double-counted
+        val tdir = rootPath.resolve(name)
+        if (Files.isDirectory(tdir)) {
+          import scala.jdk.CollectionConverters._
+          val s = Files.list(tdir)
+          try s.iterator().asScala.filter(p =>
+            p.getFileName.toString.startsWith("batch=") && p != dest)
+            .foreach(deleteRecursively)
+          finally s.close()
+        }
+        Files.move(staging.resolve(name), dest, StandardCopyOption.ATOMIC_MOVE)
+      }
+      oldMarkers.foreach(Files.deleteIfExists(_))
+      markerParse.clear() // parse memo may hold retired names
+      Files.createDirectories(commitsDir)
+      Files.createFile(commitsDir.resolve(f"${1L}%08d.$batchId"))
+    } finally deleteRecursively(staging)
+  }
+
   /** `clear_data` (shift_data_processor.py:300-326): DELETE ... CASCADE ≡
     * dropping parent and all derived child tables + kpis. */
   def clear(): Unit = deleteRecursively(rootPath)

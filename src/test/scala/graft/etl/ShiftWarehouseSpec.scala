@@ -105,6 +105,35 @@ class ShiftWarehouseSpec extends SparkTestBase {
     assert(whNoPk.shifts.count() === 4, "each batch read exactly once")
   }
 
+  test("compaction collapses the batch history to one dir per table, same rows") {
+    val root = tempDir("wh-compact")
+    val wh = new ShiftWarehouse(spark, root, validatePks = false)
+    val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)
+    wh.appendBatch(ShiftNormalizer.normalize(page), "b0")
+    wh.appendBatch(ShiftNormalizer.normalize(page), "b1")
+    wh.appendBatch(ShiftNormalizer.normalize(page), "b2")
+    val before = wh.shifts.count()
+    assert(before === 6)
+
+    wh.compact()
+    assert(wh.shifts.count() === before, "current reads unchanged")
+    assert(wh.breaks.count() === 6)
+    assert(wh.committedBatches === Seq("compacted"), "history rewritten to one batch")
+    val shiftDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "shifts")).toArray.toSeq
+    assert(shiftDirs.size === 1, s"one batch dir expected, got $shiftDirs")
+    val files = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "shifts", "batch=compacted"))
+      .toArray.map(_.toString).count(_.endsWith(".parquet"))
+    assert(files === 1, "coalesced to one data file")
+
+    // the warehouse keeps working after compaction: appends sequence on
+    wh.appendBatch(ShiftNormalizer.normalize(page), "b3")
+    assert(wh.shifts.count() === 8)
+    assert(wh.tableAsOf("shifts", "compacted").count() === 6)
+    assert(wh.committedBatches === Seq("compacted", "b3"))
+  }
+
   test("clear removes everything (DELETE CASCADE semantics)") {
     val wh = new ShiftWarehouse(spark, tempDir("wh-clear"))
     val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)
