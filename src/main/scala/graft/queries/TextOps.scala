@@ -559,13 +559,16 @@ object TextOps {
   // ~150-word docs, still far below the hashing work a shuffle would do.
   // All fractions divide exact small ints, so the doubles are
   // engine-identical.
-  def qRepetition(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** Metric columns over any (doc_id, text) frame — factored out so the
+    * property spec can drive the REAL expressions with generated
+    * corpora, not a re-implementation. */
+  private[queries] def repetitionMetrics(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val words = split($"text", " ")
     def grams(n: Int) = transform(
       sequence(lit(1), size(words) - lit(n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(words, i + lit(j))): _*))
-    Tables.documents(spark, sfDir)
+    docs
       // guard: sequence(1, size-n+1) steps DOWN to [1, 0] on docs shorter
       // than the n-gram and element_at(_, 0) throws; such docs carry no
       // repetition signal — drop them on BOTH engines (review r6)
@@ -582,6 +585,9 @@ object TextOps {
       .select($"doc_id", $"n_bigrams", $"top_bigram_n",
         $"top_bigram_frac", $"dup_trigram_frac")
   }
+
+  def qRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionMetrics(Tables.documents(spark, sfDir))
 
   val qRepetitionSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
