@@ -243,6 +243,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.8, f"recall below target: $recall%.2f")
   }
 
+  test("IVF over KMeans-learned centroids is wired and competitive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the production index path: learn the cells instead of the
+    // deterministic oracle subset, feed them through the same
+    // inverted-list plan
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val learned = graft.operators.KMeans
+      .fit(graft.operators.KMeans.prep(
+        graft.core.Tables.embeddings(spark, sfDir), "embedding", "vec_id"),
+        k = 9, iters = 3)
+      .select(col("cluster_id").as("cid"), col("cv"))
+    val brute = Similarity.qAnnBrute(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val ivf = Similarity.ivfTopK(emb, learned, nprobe = 6)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(f"KMeans-IVF recall@5 = $recall%.2f (${(brute & ivf).size}/${brute.size})")
+    // learned cells should do no worse than the arbitrary-subset cells
+    // minus noise; the point is the wiring and a sane floor
+    assert(recall >= 0.7, f"recall collapsed: $recall%.2f")
+  }
+
   test("approx distinct is within 5% of true distinct") {
     import spark.implicits._
     // qApproxDistinct asserts the tolerance in-query (approx_ok) so the
