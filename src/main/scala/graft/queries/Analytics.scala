@@ -225,6 +225,31 @@ object Analytics {
       |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // Customer-order distribution (TPC-H Q13 shape): the double
+  // aggregation — count orders per customer (LEFT join so zero-order
+  // customers count), then count customers per order-count. The second
+  // aggregate runs over the already-reduced per-customer frame; no
+  // re-scan of facts. A histogram over an aggregate is the canonical
+  // "aggregate of an aggregate" the optimizer must not collapse.
+  def qOrderDist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir).select($"c_custkey")
+      .join(Tables.orders(spark, sfDir).select($"o_custkey", $"o_orderkey"),
+        $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"))
+      .groupBy($"n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val qOrderDistSql: String =
+    """SELECT n_orders, count(*) AS n_customers
+      |FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+      |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY 1)
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
   // Math scalar-function family (§2.8): abs/sign/mod/ceil/floor/
   // greatest/least — the engine-stable subset (exact on integral inputs;
   // no transcendentals, whose last-ulp behavior differs across libm
@@ -633,6 +658,7 @@ object Analytics {
     "q_array_funcs" -> (qArrayFuncs _),
     "q_map_funcs" -> (qMapFuncs _),
     "q_math_funcs" -> (qMathFuncs _),
+    "q_order_dist" -> (qOrderDist _),
     "q_above_avg" -> (qAboveAvg _),
     "q_string_funcs" -> (qStringFuncs _),
     "q_percentile" -> (qPercentile _),
@@ -659,6 +685,7 @@ object Analytics {
     "q_array_funcs" -> qArrayFuncsSql,
     "q_map_funcs" -> qMapFuncsSql,
     "q_math_funcs" -> qMathFuncsSql,
+    "q_order_dist" -> qOrderDistSql,
     "q_above_avg" -> qAboveAvgSql,
     "q_string_funcs" -> qStringFuncsSql,
     "q_percentile" -> qPercentileSql,

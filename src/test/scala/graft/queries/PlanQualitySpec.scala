@@ -188,6 +188,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Sort"), p)
   }
 
+  test("repetition and math scalar families are map-only scans — no exchange") {
+    Seq(TextOps.qRepetition(spark, sfDir), Analytics.qMathFuncs(spark, sfDir))
+      .foreach { df =>
+        val p = plan(df)
+        assert(!p.contains("Exchange"), p)
+      }
+  }
+
   test("unigram-LM joins the corpus to a broadcast vocabulary — no token shuffle of the fact side") {
     val p = plan(TextOps.qUnigramLm(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p)
