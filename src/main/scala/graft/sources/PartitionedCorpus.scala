@@ -27,12 +27,14 @@ object PartitionedCorpus {
 
   /** Mirror root: one directory per distinct corpus, content-addressed by
     * the corpus path (testdata corpora are immutable, so staleness is not
-    * a concern; a mutable corpus would key on a snapshot id instead). */
+    * a concern; a mutable corpus would key on a snapshot id instead).
+    * Lives under the build's target/ dir — repo-local scratch, cleaned
+    * with the build. */
   private def mirrorDir(sfDir: String): Path =
-    Paths.get(sys.props("java.io.tmpdir"), "graft-corpus-mirror",
+    Paths.get("target", "corpus-mirror",
       java.security.MessageDigest.getInstance("MD5")
         .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString,
-      "documents")
+      "documents").toAbsolutePath
 
   def documentsPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
     val dest = mirrorDir(sfDir)
