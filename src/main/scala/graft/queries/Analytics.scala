@@ -250,6 +250,30 @@ object Analytics {
       |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // Null-safe equality: Spark's <=> (DuckDB IS NOT DISTINCT FROM) treats
+  // NULL as a joinable value — the semantics SCD merges and
+  // change-detection diffs need, where standard = silently drops every
+  // NULL-keyed row. Nulls are injected via nullif on a tiny dim⋈dim
+  // join so the null×null match is visible in the output (region 4 and
+  // its nations pair through the NULL key).
+  def qNullSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.nation(spark, sfDir)
+      .select($"n_name", nullif($"n_regionkey", lit(4)).as("nk"))
+    val reg = Tables.region(spark, sfDir)
+      .select($"r_name", nullif($"r_regionkey", lit(4)).as("rk"))
+    nat.join(broadcast(reg), $"nk" <=> $"rk")
+      .select($"n_name", $"r_name",
+        $"nk".isNull.as("via_null_key"))
+  }
+
+  val qNullSafeSql: String =
+    """SELECT n_name, r_name, nk IS NULL AS via_null_key
+      |FROM (SELECT n_name, nullif(n_regionkey, 4) AS nk FROM nation) n
+      |JOIN (SELECT r_name, nullif(r_regionkey, 4) AS rk FROM region) r
+      |  ON nk IS NOT DISTINCT FROM rk""".stripMargin
+
+  // --------------------------------------------------------------------
   // Math scalar-function family (§2.8): abs/sign/mod/ceil/floor/
   // greatest/least — the engine-stable subset (exact on integral inputs;
   // no transcendentals, whose last-ulp behavior differs across libm
@@ -659,6 +683,7 @@ object Analytics {
     "q_map_funcs" -> (qMapFuncs _),
     "q_math_funcs" -> (qMathFuncs _),
     "q_order_dist" -> (qOrderDist _),
+    "q_null_safe" -> (qNullSafe _),
     "q_above_avg" -> (qAboveAvg _),
     "q_string_funcs" -> (qStringFuncs _),
     "q_percentile" -> (qPercentile _),
@@ -686,6 +711,7 @@ object Analytics {
     "q_map_funcs" -> qMapFuncsSql,
     "q_math_funcs" -> qMathFuncsSql,
     "q_order_dist" -> qOrderDistSql,
+    "q_null_safe" -> qNullSafeSql,
     "q_above_avg" -> qAboveAvgSql,
     "q_string_funcs" -> qStringFuncsSql,
     "q_percentile" -> qPercentileSql,
