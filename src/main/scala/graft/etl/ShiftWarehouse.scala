@@ -48,14 +48,8 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
     * from every read (ADVICE r5). New ids that would collide with the
     * marker grammar are rejected at append time. */
   private def committedMarkers(): Seq[(String, String)] =
-    if (!Files.isDirectory(commitsDir)) Seq.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      val s = Files.list(commitsDir)
-      try s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
-        .map(parseMarker).sortBy(_._1)
-      finally s.close()
-    }
+    listDir(commitsDir).map(_.getFileName.toString).sorted
+      .map(parseMarker).sortBy(_._1)
 
   /** Marker-name → (seq, id), memoized: markers are immutable once
     * written, and the legacy disambiguation below stats up to 5 batch
@@ -81,6 +75,27 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
   private def batchDirExists(id: String): Boolean =
     tableSchemas.keys.exists(t =>
       Files.isDirectory(rootPath.resolve(t).resolve(s"batch=$id")))
+
+  /** List a directory's entries (empty for a non-directory), with the
+    * stream closed — the pattern appendTables/compact/markers all need. */
+  private def listDir(p: Path): Seq[Path] =
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+
+  /** Keep the marker grammar unambiguous: an id whose prefix reads as a
+    * `<8-digit-seq>.` would collide with sequenced marker names. */
+  private def validateBatchId(batchId: String): Unit =
+    require(!batchId.matches("""\d{8}\..*"""),
+      s"batch id '$batchId' collides with the <seq>.<id> marker grammar")
+
+  /** Next commit sequence number: max committed + 1 (single-writer). */
+  private def nextSeq(): Long =
+    committedMarkers().map(_._1).filter(_.nonEmpty)
+      .map(_.toLong).maxOption.getOrElse(0L) + 1
 
   private def committedBatchIds(): Seq[String] = committedMarkers().map(_._2)
 
@@ -143,10 +158,7 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
     appendTables(Seq("kpis" -> kpiRows), batchId)
 
   private def appendTables(tables: Seq[(String, DataFrame)], batchId: String): Unit = {
-    // Keep the marker grammar unambiguous: an id whose prefix reads as a
-    // `<8-digit-seq>.` would collide with sequenced marker names.
-    require(!batchId.matches("""\d{8}\..*"""),
-      s"batch id '$batchId' collides with the <seq>.<id> marker grammar")
+    validateBatchId(batchId)
     require(!committedBatchIds().contains(batchId), s"batch $batchId already committed")
     val staging = stagingDir(batchId)
     try {
@@ -163,11 +175,8 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
         Files.move(staging.resolve(name), dest, StandardCopyOption.ATOMIC_MOVE)
       }
       Files.createDirectories(commitsDir)
-      // single-writer (like the reference's one ETL process): next
-      // sequence = max committed + 1, stamped on the marker name
-      val nextSeq = committedMarkers().map(_._1).filter(_.nonEmpty)
-        .map(_.toLong).maxOption.getOrElse(0L) + 1
-      Files.createFile(commitsDir.resolve(f"$nextSeq%08d.$batchId"))
+      // single-writer (like the reference's one ETL process)
+      Files.createFile(commitsDir.resolve(f"${nextSeq()}%08d.$batchId"))
     } catch {
       case e: Throwable =>
         // rollback: nothing committed; remove staged files and any moved-
@@ -234,54 +243,74 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
     *    batch ids disappear — as-of snapshots older than the compaction
     *    are no longer addressable. Callers needing history keep the
     *    pre-compaction root.
-    *  - Single-writer, like append: the swap window (new marker written
-    *    after old markers removed) is not atomic for concurrent READERS
-    *    of the marker listing; the reference's one-ETL-process
-    *    discipline applies. A table-format transaction log would make
-    *    this a single swap — out of scope for a parquet warehouse.
+    *  - Crash-safe ordering (review r6): stage → publish new dirs →
+    *    marker swap → GC old dirs. A crash before the marker swap
+    *    leaves reads untouched (new dirs are unmarked orphans, cleaned
+    *    by the next compact); a crash after it leaves reads correct
+    *    with orphaned history dirs. Old data is never deleted before
+    *    its replacement is durable. The only unsafe window is the
+    *    two-file marker swap itself (reads see empty tables; all data
+    *    still on disk).
+    *  - Single-writer, like append: the marker swap is not atomic for
+    *    concurrent READERS; the reference's one-ETL-process discipline
+    *    applies. A table-format transaction log would make it a single
+    *    swap — out of scope for a parquet warehouse.
+    *
+    * Returns the committed compacted batch id (unique per run, so
+    * periodic re-compaction works).
     */
-  def compact(batchId: String = "compacted", numFiles: Int = 1): Unit = {
-    require(!batchId.matches("""\d{8}\..*"""),
-      s"batch id '$batchId' collides with the <seq>.<id> marker grammar")
+  def compact(numFiles: Int = 1): String = {
+    // unique id per run so compaction is re-runnable (a fixed id would
+    // collide with its own previous output — review r6 #2)
+    val batchId = s"compacted-${nextSeq()}"
+    validateBatchId(batchId)
     val liveTables = tableSchemas.keys.toSeq.sorted
       .map(n => n -> table(n))
       .filter(_._2.take(1).nonEmpty)
-    if (liveTables.isEmpty) return
+    if (liveTables.isEmpty) return batchId
     val staging = stagingDir(batchId)
     try {
-      // stage the union of every committed batch, coalesced
+      // 1. stage the union of every committed batch, coalesced
       liveTables.foreach { case (name, df) =>
         df.coalesce(numFiles).write.mode("overwrite")
           .parquet(staging.resolve(name).toString)
       }
-      // swap: retire old batch dirs + markers, publish the compacted batch
-      val oldMarkers =
-        if (Files.isDirectory(commitsDir)) {
-          import scala.jdk.CollectionConverters._
-          val s = Files.list(commitsDir)
-          try s.iterator().asScala.toList finally s.close()
-        } else Nil
+      // 2. PUBLISH FIRST: move staged dirs into place while the old
+      // markers (and old dirs) are untouched — a crash anywhere up to
+      // here leaves reads exactly as they were, and the new dirs are
+      // invisible orphans (no marker). Old data is never deleted before
+      // the replacement is durable (review r6 #1/#3).
+      require(!committedBatchIds().contains(batchId),
+        s"batch $batchId already committed")
+      val oldMarkers = listDir(commitsDir)
       liveTables.foreach { case (name, _) =>
         val dest = rootPath.resolve(name).resolve(s"batch=$batchId")
         Files.createDirectories(dest.getParent)
-        // old dirs first, so a crash mid-swap leaves the staged data
-        // unpublished (markers gone -> tables read empty, recoverable
-        // from staging) rather than double-counted
-        val tdir = rootPath.resolve(name)
-        if (Files.isDirectory(tdir)) {
-          import scala.jdk.CollectionConverters._
-          val s = Files.list(tdir)
-          try s.iterator().asScala.filter(p =>
-            p.getFileName.toString.startsWith("batch=") && p != dest)
-            .foreach(deleteRecursively)
-          finally s.close()
-        }
+        // an existing dest can only be an unmarked orphan from a prior
+        // crash (the id is not committed — checked above): clear it so
+        // the move cannot fail on a non-empty directory
+        deleteRecursively(dest)
         Files.move(staging.resolve(name), dest, StandardCopyOption.ATOMIC_MOVE)
       }
+      // 3. marker swap: retire old markers, then commit the new one.
+      // The only non-crash-safe window is between these two marker ops
+      // (reads see EMPTY tables, all data still on disk) — the
+      // documented single-writer caveat, now a two-file window instead
+      // of spanning every dir deletion.
       oldMarkers.foreach(Files.deleteIfExists(_))
       markerParse.clear() // parse memo may hold retired names
       Files.createDirectories(commitsDir)
-      Files.createFile(commitsDir.resolve(f"${1L}%08d.$batchId"))
+      Files.createFile(commitsDir.resolve(f"${nextSeq()}%08d.$batchId"))
+      // 4. garbage-collect LAST: every batch dir not owned by the new
+      // marker is retired history or an orphan from a prior crash —
+      // both invisible to readers by now.
+      liveTables.foreach { case (name, _) =>
+        val dest = rootPath.resolve(name).resolve(s"batch=$batchId")
+        listDir(rootPath.resolve(name))
+          .filter(p => p.getFileName.toString.startsWith("batch=") && p != dest)
+          .foreach(deleteRecursively)
+      }
+      batchId
     } finally deleteRecursively(staging)
   }
 

@@ -209,7 +209,10 @@ object Analytics {
         array_sort(collect_list(struct($"source", $"n")))).as("m"))
       .select($"lang",
         size($"m").cast("long").as("n_sources"),
-        element_at($"m", "src3").as("src3_docs"),
+        // try_element_at: a lang with no src3 source must yield NULL like
+        // the oracle's conditional max — plain element_at THROWS under
+        // ANSI mode on a missing map key (review r6)
+        try_element_at($"m", lit("src3")).as("src3_docs"),
         array_max(map_values($"m")).as("max_source_docs"),
         array_join(array_sort(map_keys($"m")), ",").as("sources"))
   }

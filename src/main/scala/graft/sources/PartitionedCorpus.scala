@@ -28,13 +28,21 @@ object PartitionedCorpus {
   /** Mirror root: one directory per distinct corpus, content-addressed by
     * the corpus path (testdata corpora are immutable, so staleness is not
     * a concern; a mutable corpus would key on a snapshot id instead).
-    * Lives under the build's target/ dir — repo-local scratch, cleaned
-    * with the build. */
-  private def mirrorDir(sfDir: String): Path =
-    Paths.get("target", "corpus-mirror",
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString,
-      "documents").toAbsolutePath
+    * Lives under the build's target/ dir when the process runs from the
+    * project root (repo-local scratch, cleaned with the build); any
+    * other launch directory falls back to the system temp dir — a bare
+    * relative path would scatter mirrors into whatever cwd the launcher
+    * happened to use (review r6). */
+  private def mirrorDir(sfDir: String): Path = {
+    val target = Paths.get("target")
+    val base =
+      if (Files.isDirectory(target)) target
+      else Paths.get(sys.props("java.io.tmpdir"), "graft-scratch")
+    base.resolve("corpus-mirror")
+      .resolve(java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .resolve("documents").toAbsolutePath
+  }
 
   def documentsPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
     val dest = mirrorDir(sfDir)

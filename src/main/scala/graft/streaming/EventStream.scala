@@ -186,19 +186,28 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** A corpus band index WITH the parameters that define its join key:
+    * band hashes computed under different (numHashes, bands) never
+    * match, so the index must carry them — a bare DataFrame invited a
+    * silent zero-match join against a mismatched stream side
+    * (review r6). */
+  final case class CorpusIndex(df: DataFrame, numHashes: Int, bands: Int)
+
   /** Static LSH band index of a corpus (`doc_id`, `text` columns) — the
     * batch-maintained side of [[corpusNearDup]]. At 100 TB this is a
     * written table refreshed with each corpus snapshot, bucketed on
     * band_hash so the stream join co-locates. */
   def corpusBandIndex(corpus: DataFrame, numHashes: Int = 96,
-      bands: Int = 32): DataFrame = {
+      bands: Int = 32): CorpusIndex = {
     import corpus.sparkSession.implicits._
     val rowsPerBand = numHashes / bands
-    corpus.select($"doc_id".as("corpus_doc_id"),
-      explode(bandHashCol(
-        graft.functions.functions.minhash_sig(
-          graft.functions.functions.word_shingles($"text", 3), numHashes),
-        bands, rowsPerBand)).as("band_hash"))
+    CorpusIndex(
+      corpus.select($"doc_id".as("corpus_doc_id"),
+        explode(bandHashCol(
+          graft.functions.functions.minhash_sig(
+            graft.functions.functions.word_shingles($"text", 3), numHashes),
+          bands, rowsPerBand)).as("band_hash")),
+      numHashes, bands)
   }
 
   /** Streaming face of queries.Dedup's INCREMENTAL dedup: each arriving
@@ -210,9 +219,12 @@ object EventStream {
     * only state is the within-watermark pair dedup. Exact jaccard
     * verification stays a batch job over the emitted candidates, like
     * the batch pipeline's verify stage. */
-  def corpusNearDup(docs: Dataset[DocRow], corpusIndex: DataFrame,
-      numHashes: Int = 96, bands: Int = 32): DataFrame = {
+  def corpusNearDup(docs: Dataset[DocRow], corpusIndex: CorpusIndex): DataFrame = {
     import docs.sparkSession.implicits._
+    // the stream side MUST band under the index's own parameters —
+    // they define the join key
+    val numHashes = corpusIndex.numHashes
+    val bands = corpusIndex.bands
     val rowsPerBand = numHashes / bands
     docs
       .withWatermark("ts", "2 hours")
@@ -221,7 +233,7 @@ object EventStream {
           graft.functions.functions.minhash_sig(
             graft.functions.functions.word_shingles($"text", 3), numHashes),
           bands, rowsPerBand)).as("band_hash"))
-      .join(corpusIndex, Seq("band_hash"))
+      .join(corpusIndex.df, Seq("band_hash"))
       .filter($"doc_id" =!= $"corpus_doc_id")
       .select($"doc_id", $"corpus_doc_id", $"ts")
       // one row per (new doc, corpus doc) regardless of how many bands

@@ -106,6 +106,10 @@ class ShiftWarehouseSpec extends SparkTestBase {
   }
 
   test("compaction collapses the batch history to one dir per table, same rows") {
+    def ls(parts: String*): Seq[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(parts.head, parts.tail: _*))
+      try s.toArray.map(_.toString).toSeq finally s.close()
+    }
     val root = tempDir("wh-compact")
     val wh = new ShiftWarehouse(spark, root, validatePks = false)
     val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)
@@ -115,23 +119,29 @@ class ShiftWarehouseSpec extends SparkTestBase {
     val before = wh.shifts.count()
     assert(before === 6)
 
-    wh.compact()
+    val cid = wh.compact()
     assert(wh.shifts.count() === before, "current reads unchanged")
     assert(wh.breaks.count() === 6)
-    assert(wh.committedBatches === Seq("compacted"), "history rewritten to one batch")
-    val shiftDirs = java.nio.file.Files.list(
-      java.nio.file.Paths.get(root, "shifts")).toArray.toSeq
-    assert(shiftDirs.size === 1, s"one batch dir expected, got $shiftDirs")
-    val files = java.nio.file.Files.list(
-      java.nio.file.Paths.get(root, "shifts", "batch=compacted"))
-      .toArray.map(_.toString).count(_.endsWith(".parquet"))
-    assert(files === 1, "coalesced to one data file")
+    assert(wh.committedBatches === Seq(cid), "history rewritten to one batch")
+    assert(ls(root, "shifts").size === 1, "one batch dir expected")
+    assert(ls(root, "shifts", s"batch=$cid").count(_.endsWith(".parquet")) === 1,
+      "coalesced to one data file")
 
     // the warehouse keeps working after compaction: appends sequence on
     wh.appendBatch(ShiftNormalizer.normalize(page), "b3")
     assert(wh.shifts.count() === 8)
-    assert(wh.tableAsOf("shifts", "compacted").count() === 6)
-    assert(wh.committedBatches === Seq("compacted", "b3"))
+    assert(wh.tableAsOf("shifts", cid).count() === 6)
+    assert(wh.committedBatches === Seq(cid, "b3"))
+
+    // periodic maintenance: a SECOND compaction must work (review r6 —
+    // a fixed batch id collided with its own previous output)
+    val cid2 = wh.compact()
+    assert(cid2 !== cid)
+    assert(wh.shifts.count() === 8, "re-compaction preserves all rows")
+    assert(wh.committedBatches === Seq(cid2))
+    assert(ls(root, "shifts").size === 1)
+    wh.appendBatch(ShiftNormalizer.normalize(page), "b4")
+    assert(wh.shifts.count() === 10)
   }
 
   test("clear removes everything (DELETE CASCADE semantics)") {
