@@ -307,6 +307,34 @@ object Analytics {
       |FROM lineitem""".stripMargin
 
   // --------------------------------------------------------------------
+  // Bitwise scalar family — integer-exact by construction (the same rule
+  // that keeps transcendentals out of qMathFuncs): and/or/xor, shifts,
+  // popcount over the 64-bit key. The practical uses in this engine are
+  // hash-family construction (CountMinAgg's chained hashes), simhash
+  // band slicing (Dedup), and bitmap-style flag packing. Map-only scan.
+  def qBitwiseFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_id",
+        ($"event_id".bitwiseAND(255L)).as("b_and"),
+        ($"event_id".bitwiseOR(4096L)).as("b_or"),
+        ($"event_id".bitwiseXOR($"user_id")).as("b_xor"),
+        shiftleft($"event_id", 3).as("b_shl"),
+        shiftright($"event_id", 2).as("b_shr"),
+        bit_count($"event_id").as("b_pop"))
+  }
+
+  val qBitwiseFuncsSql: String =
+    """SELECT event_id,
+      |       event_id & 255 AS b_and,
+      |       event_id | 4096 AS b_or,
+      |       xor(event_id, user_id) AS b_xor,
+      |       event_id << 3 AS b_shl,
+      |       event_id >> 2 AS b_shr,
+      |       CAST(bit_count(event_id) AS INTEGER) AS b_pop
+      |FROM events""".stripMargin
+
+  // --------------------------------------------------------------------
   // Top-k per group: 3 highest-value items per return flag — window rank
   // partitioned by the group key (parallel; contrast with O1's global
   // top-k).
@@ -685,6 +713,7 @@ object Analytics {
     "q_array_funcs" -> (qArrayFuncs _),
     "q_map_funcs" -> (qMapFuncs _),
     "q_math_funcs" -> (qMathFuncs _),
+    "q_bitwise_funcs" -> (qBitwiseFuncs _),
     "q_order_dist" -> (qOrderDist _),
     "q_null_safe" -> (qNullSafe _),
     "q_above_avg" -> (qAboveAvg _),
@@ -713,6 +742,7 @@ object Analytics {
     "q_array_funcs" -> qArrayFuncsSql,
     "q_map_funcs" -> qMapFuncsSql,
     "q_math_funcs" -> qMathFuncsSql,
+    "q_bitwise_funcs" -> qBitwiseFuncsSql,
     "q_order_dist" -> qOrderDistSql,
     "q_null_safe" -> qNullSafeSql,
     "q_above_avg" -> qAboveAvgSql,

@@ -199,6 +199,79 @@ object Dedup {
   val qNgramJaccardSql: String = NearPairSql
 
   // --------------------------------------------------------------------
+  // PREFIX-FILTERED jaccard join — the algorithmic upgrade of
+  // qNgramJaccard's inverted index (Chaudhuri et al., ICDE'06; Xiao et
+  // al., WWW'08 "PPJoin"): under a global rarest-first token order, a
+  // pair with jaccard ≥ t must share a token among each side's first
+  // L = n − ⌈t·n⌉ + 1 tokens (overlap ≥ ⌈t·n⌉ for both members), so
+  // only those PREFIX tokens need indexing. At t = 0.6 that is ~40% of
+  // the postings — and because the global order puts the rarest tokens
+  // first, the dropped 60% are precisely the high-df postings whose df²
+  // join cost dominates. Candidate generation cost falls from Σ df² to
+  // Σ df_prefix² with perfect recall (the filter is EXACT, not a
+  // sketch); verification is the same full-set jaccard. The prefix rank
+  // is a per-document window (≤ a few hundred tokens per doc — never a
+  // corpus-scale sort); ⌈0.6n⌉ is computed in integer arithmetic
+  // ((3n+4) div 5) so the prefix boundary is engine-stable. Output
+  // equals q_ngram_jaccard / q_dedup_near exactly (asserted in
+  // LlmOpsSpec along with the candidate-volume reduction).
+  private val JacT = 0.6
+
+  def qPrefixJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(spark, sfDir)
+    val inv = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("s"))
+      .select($"doc_id", $"n", xxhash64($"s").as("h"))
+    val dfc = inv.groupBy($"h").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df", $"h")
+    val prefix = inv.join(dfc, Seq("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= $"n" - expr("(n * 3 + 4) div 5") + 1)
+      .select($"doc_id", $"h")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val sa = sh.select($"doc_id".as("a_id"), $"sh".as("sa"))
+    val sb = sh.select($"doc_id".as("b_id"), $"sh".as("sb"))
+    cand
+      .join(sa, $"doc_a" === $"a_id")
+      .join(sb, $"doc_b" === $"b_id")
+      .withColumn("c", size(array_intersect($"sa", $"sb")))
+      .withColumn("jac",
+        $"c".cast("double") / (size($"sa") + size($"sb") - $"c"))
+      .filter($"jac" >= JacT)
+      .select($"doc_a", $"doc_b", $"jac")
+  }
+
+  val qPrefixJaccardSql: String = NearPairSql
+
+  /** Candidate-pair counts for the full inverted index vs the prefix
+    * index — the measured pruning win (spec-only; not oracle-routed). */
+  private[graft] def prefixCandidateCounts(spark: SparkSession,
+      sfDir: String): (Long, Long) = {
+    import spark.implicits._
+    val sh = shingled(spark, sfDir)
+    val inv = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("s"))
+      .select($"doc_id", $"n", xxhash64($"s").as("h"))
+    val full = inv.as("a").join(inv.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct().count()
+    val dfc = inv.groupBy($"h").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df", $"h")
+    val prefix = inv.join(dfc, Seq("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= $"n" - expr("(n * 3 + 4) div 5") + 1)
+      .select($"doc_id", $"h")
+    val pruned = prefix.as("a").join(prefix.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct().count()
+    (full, pruned)
+  }
+
+  // --------------------------------------------------------------------
   // Incremental near-dup: dedup an ARRIVING batch against the committed
   // corpus — the production crawl-ingest flow (the streaming face is
   // EventStream.nearDupCandidates). Asymmetric banding: both sides get
@@ -549,6 +622,7 @@ object Dedup {
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_filtered" -> (qDedupFiltered _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_prefix_jaccard" -> (qPrefixJaccard _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_cluster_keep" -> (qClusterKeep _),
@@ -562,6 +636,7 @@ object Dedup {
     "q_dedup_near" -> qDedupNearSql,
     "q_dedup_filtered" -> qDedupFilteredSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_prefix_jaccard" -> qPrefixJaccardSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_cluster_keep" -> qClusterKeepSql,

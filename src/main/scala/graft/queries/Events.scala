@@ -297,6 +297,121 @@ object Events {
       .select($"day", $"priority", coalesce($"n", lit(0L)).as("n_orders"))
   }
 
+  // --------------------------------------------------------------------
+  // Scalable GLOBAL row numbering (total-order index) — the operation a
+  // naive row_number() OVER (ORDER BY ...) does through one single-task
+  // window, rebuilt as the two-pass partitioned form that survives
+  // 100 TB: (1) aggregate per-bucket counts (here: day buckets of the
+  // order key) and prefix-sum them into bucket offsets — a window over
+  // the tiny post-aggregate day frame only; (2) number rows WITHIN each
+  // bucket (keyed window, bounded partitions) and add the bucket offset
+  // via a broadcast join. The unique (ts, event_id) order key makes the
+  // result identical to the global form — the oracle runs the naive
+  // global window and must hash-match. A hot bucket stays a bounded
+  // skew (one day), and the bucket granularity is a free knob (hour
+  // buckets at higher rates) — same design as q_islands_scalable.
+  def qGlobalIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", date_trunc("day", $"ts").as("day"))
+    val dayW = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ev.groupBy($"day").agg(count(lit(1)).as("n"))
+      .select($"day", coalesce(sum($"n").over(dayW), lit(0L)).as("off"))
+    val inDay = Window.partitionBy($"day").orderBy($"ts", $"event_id")
+    ev.join(broadcast(offs), Seq("day"))
+      .select($"event_id",
+        ($"off" + row_number().over(inDay)).as("idx"))
+  }
+
+  val qGlobalIndexSql: String =
+    """SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS idx
+      |FROM events""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Linear interpolation over an hourly spine — time-series completion
+  // one step past qGapFill's zero-fill: silent (type, hour) buckets get
+  // the linear blend of the nearest known values on either side, the
+  // standard sensor/metric resampling step. Physically: one aggregate
+  // for the known points (exact DECIMAL sums), a generated hour spine ×
+  // distinct types (both tiny, broadcast), and two frame-bounded
+  // IGNORE NULLS window passes per type to carry (prev, next) anchors —
+  // no self-join against the raw rows, partitions keyed by event_type.
+  // Numeric determinism: anchors are exact decimal sums cast once to
+  // double, hour positions are exact epoch-ms longs, and the blend
+  // (pv·(nh−h) + nv·(h−ph)) / (nh−ph) is written as the same IEEE
+  // expression on both engines — identical inputs, identical rounding.
+  // Rows outside the known range (no anchor on one side) stay NULL on
+  // both sides: extrapolation is a policy, not an interpolation.
+  def qInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val known = ev
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(sum(dec($"value")).cast("double").as("v"))
+    val spine = ev
+      .agg(date_trunc("hour", min($"ts")).as("lo"),
+        date_trunc("hour", max($"ts")).as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("hour"))
+    val types = ev.select($"event_type").distinct()
+    val grid = spine.crossJoin(types)
+      .join(known, Seq("hour", "event_type"), "left_outer")
+      .withColumn("hm", unix_millis($"hour"))
+      .withColumn("khm", when($"v".isNotNull, $"hm"))
+    val w = Window.partitionBy($"event_type").orderBy($"hour")
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid
+      .select($"event_type", $"hour", $"v", $"hm",
+        last($"v", ignoreNulls = true).over(back).as("pv"),
+        last($"khm", ignoreNulls = true).over(back).as("phm"),
+        first($"v", ignoreNulls = true).over(fwd).as("nv"),
+        first($"khm", ignoreNulls = true).over(fwd).as("nhm"))
+      .select($"event_type", $"hour",
+        when($"v".isNotNull, $"v")
+          .otherwise(
+            ($"pv" * ($"nhm" - $"hm").cast("double")
+              + $"nv" * ($"hm" - $"phm").cast("double"))
+              / ($"nhm" - $"phm").cast("double")).as("value_filled"),
+        ($"v".isNull && $"pv".isNotNull && $"nv".isNotNull).as("interpolated"))
+  }
+
+  val qInterpolateSql: String =
+    """WITH known AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT unnest(generate_series(date_trunc('hour', min(ts)),
+      |                                date_trunc('hour', max(ts)),
+      |                                INTERVAL 1 HOUR)) AS hour
+      |  FROM events),
+      |grid AS (
+      |  SELECT s.hour, t.event_type, k.v,
+      |         epoch_ms(s.hour) AS hm,
+      |         CASE WHEN k.v IS NOT NULL THEN epoch_ms(s.hour) END AS khm
+      |  FROM spine s
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+      |  LEFT JOIN known k ON k.hour = s.hour AND k.event_type = t.event_type),
+      |anch AS (
+      |  SELECT event_type, hour, v, hm,
+      |         last_value(v IGNORE NULLS) OVER b AS pv,
+      |         last_value(khm IGNORE NULLS) OVER b AS phm,
+      |         first_value(v IGNORE NULLS) OVER f AS nv,
+      |         first_value(khm IGNORE NULLS) OVER f AS nhm
+      |  FROM grid
+      |  WINDOW b AS (PARTITION BY event_type ORDER BY hour
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         f AS (PARTITION BY event_type ORDER BY hour
+      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, hour,
+      |       CASE WHEN v IS NOT NULL THEN v
+      |            ELSE (pv * CAST(nhm - hm AS DOUBLE)
+      |                  + nv * CAST(hm - phm AS DOUBLE))
+      |                 / CAST(nhm - phm AS DOUBLE) END AS value_filled,
+      |       (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS interpolated
+      |FROM anch""".stripMargin
+
   val qGapFillSql: String =
     """WITH b AS (
       |  SELECT date_trunc('day', min(o_orderdate)) AS lo,
@@ -539,6 +654,8 @@ object Events {
     "q_rank_funcs" -> (qRankFuncs _),
     "q_first_last" -> (qFirstLast _),
     "q_gap_fill" -> (qGapFill _),
+    "q_global_index" -> (qGlobalIndex _),
+    "q_interpolate" -> (qInterpolate _),
     "q_funnel" -> (qFunnel _),
     "q_redact" -> (qRedact _),
     "q_sessionize" -> (qSessionize _),
@@ -558,6 +675,8 @@ object Events {
     "q_rank_funcs" -> qRankFuncsSql,
     "q_first_last" -> qFirstLastSql,
     "q_gap_fill" -> qGapFillSql,
+    "q_global_index" -> qGlobalIndexSql,
+    "q_interpolate" -> qInterpolateSql,
     "q_funnel" -> qFunnelSql,
     "q_redact" -> qRedactSql,
     "q_sessionize" -> qSessionizeSql,

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Domain-mixture resampling — the "sampling weights per source" step of
+  * LLM pretraining data assembly (each corpus component gets a target
+  * epoch count; e.g. curated sources are seen ~2× per run while bulk
+  * web is subsampled). No reference analog; BASELINE.json north star.
+  *
+  * Semantics: each source carries a mixture weight w; a document with
+  * weight w is emitted floor(w) times plus one extra copy with
+  * probability frac(w). The Bernoulli draw is DETERMINISTIC — the first
+  * 16 bits of md5(doc_id) compared against a fixed hex threshold — so a
+  * rerun (or a different engine) reproduces the sample bit-for-bit,
+  * which is what makes a training mixture auditable.
+  *
+  * Scale design: the whole operator is a map-only scan. The per-row
+  * decision is row-local arithmetic (no count pre-pass, no sampleBy
+  * frequency scan), and the replication join is against a 3-row literal
+  * copies table (broadcast — no shuffle of the corpus). At 100 TB this
+  * runs at IO speed and composes with the curation anti joins. Contrast
+  * with qSampleStratified (engine-specific Bernoulli, binomial counts):
+  * this form trades that statistical independence for exact
+  * reproducibility and up-sampling support.
+  *
+  * Oracle strategy: md5 is engine-portable and lowercase-hex in both
+  * engines, and fixed-width lowercase hex compares lexicographically ==
+  * numerically, so the kept set is identical by construction. Weight
+  * fractions are expressed as hex-string thresholds (0.25 → '4000' =
+  * 0x4000/0x10000), never as floats.
+  */
+object Mixing {
+
+  // weight by source index mod 4: 2.25, 1.0, 0.5, 0.25 — one up-sampled
+  // tier, one kept tier, two sub-sampled tiers
+  private val MaxCopies = 3
+
+  def qMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val m = substring($"source", 4, 8).cast("int") % 4
+    val base = when(m === 0, 2).when(m === 1, 1).otherwise(0)
+    val thr = when(m === 0, "4000").when(m === 2, "8000")
+      .when(m === 3, "4000").otherwise("")
+    val h = substring(md5($"doc_id".cast("string")), 1, 4)
+    val copies = (base + when(h < thr, 1).otherwise(0)).as("n_copies")
+    val copyNos = broadcast((1 to MaxCopies).toDF("copy"))
+    docs.select($"source", $"doc_id", copies)
+      .join(copyNos, $"copy" <= $"n_copies")
+      .select($"source", $"doc_id", $"copy")
+  }
+
+  val qMixtureSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |         CAST(substr(source, 4) AS INT) % 4 AS m,
+      |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id,
+      |         (CASE m WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN h < (CASE m WHEN 0 THEN '4000' WHEN 2 THEN '8000'
+      |                                WHEN 3 THEN '4000' ELSE '' END)
+      |                 THEN 1 ELSE 0 END) AS n_copies
+      |  FROM w)
+      |SELECT source, doc_id, copy
+      |FROM c JOIN (VALUES (1), (2), (3)) t(copy) ON t.copy <= c.n_copies""".stripMargin
+
+  // --------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mixture" -> (qMixture _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_mixture" -> qMixtureSql)
+}

@@ -79,6 +79,47 @@ class EventOpsSpec extends SparkTestBase {
     assert(ops.getOrElse("keep", 0L) == keys.count(k => k % 5 != 0 && k % 7 != 0))
   }
 
+  test("two-pass global index equals the single-window global row_number") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val naive = graft.core.Tables.events(spark, sfDir)
+      .select($"event_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"ts", $"event_id"))
+        .cast("long").as("idx"))
+      .as[(Long, Long)].collect().toSet
+    val scalable = Events.qGlobalIndex(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(scalable == naive)
+  }
+
+  test("linear interpolation blends gap hours exactly and leaves edges null") {
+    import spark.implicits._
+    val dir = tempDir("interp")
+    val h0 = 1704067200L // 2024-01-01T00:00:00Z
+    def ns(h: Long) = (h0 + h * 3600L) * 1000000000L
+    writeEvents(dir, Seq(
+      // type x: known at hours 0 (4+6=10) and 3 (40) -> gap hours 1, 2
+      (1L, ns(0), 1L, "x", 4.0, "{}"),
+      (2L, ns(0), 2L, "x", 6.0, "{}"),
+      (3L, ns(3), 1L, "x", 40.0, "{}"),
+      // type y: single known point at hour 2 -> no interpolation possible
+      (4L, ns(2), 1L, "y", 5.0, "{}")))
+    val got = Events.qInterpolate(spark, dir)
+      .as[(String, java.sql.Timestamp, Option[Double], Boolean)]
+      .collect().map(r => ((r._1, r._2.toInstant.getEpochSecond), (r._3, r._4))).toMap
+    def at(t: String, h: Long) = got((t, h0 + h * 3600L))
+    assert(at("x", 0) == (Some(10.0), false))
+    assert(at("x", 1) == (Some(20.0), true)) // 10 + (40-10)*1/3
+    assert(at("x", 2) == (Some(30.0), true))
+    assert(at("x", 3) == (Some(40.0), false))
+    assert(at("y", 2) == (Some(5.0), false))
+    // outside the known range: no anchor on one side -> stays null
+    assert(at("y", 0) == (None, false))
+    assert(at("y", 3) == (None, false))
+    assert(got.size == 8) // 4-hour spine x 2 types
+  }
+
   test("anti join complements the urgent-customer semi set") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"

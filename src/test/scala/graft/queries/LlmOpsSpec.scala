@@ -267,6 +267,83 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.7, f"recall collapsed: $recall%.2f")
   }
 
+  test("prefix-filtered jaccard plan has no all-pairs join") {
+    assertNoCrossJoin(Dedup.qPrefixJaccard(spark, sfDir))
+  }
+
+  test("prefix filtering is exact: same pairs as the full inverted index, fewer candidates") {
+    import spark.implicits._
+    val full = Dedup.qNgramJaccard(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.qPrefixJaccard(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pref == full, s"prefix=${pref.size} full=${full.size}")
+    val (fullCand, prunedCand) = Dedup.prefixCandidateCounts(spark, sfDir)
+    info(s"candidate pairs: full=$fullCand prefix=$prunedCand")
+    assert(prunedCand <= fullCand,
+      s"prefix index generated MORE candidates: $prunedCand > $fullCand")
+  }
+
+  test("semantic dedup equals a brute-force SemDeDup reimplementation") {
+    import spark.implicits._
+    // independent Scala reimplementation over the collected vectors
+    // (50 at sf0.001): nearest deterministic centroid per vector, then
+    // drop any vector with a lower-id cell-mate at cosine >= 0.40
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = vecs.filter(_._1 % 61 == 0)
+    def cellOf(v: Seq[Double]): Long =
+      cents.map { case (cid, cv) => (-cos(v, cv), cid) }.min._2
+    val cells = vecs.map { case (id, v) => (id, cellOf(v), v) }
+    val expected = (for {
+      (ia, ca, va) <- cells
+      (ib, cb, vb) <- cells
+      if ca == cb && ia < ib && cos(va, vb) >= 0.40
+    } yield (ib, cb)).toSet
+    val got = Similarity.qSemanticDedup(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected, s"got=${got.size} expected=${expected.size}")
+  }
+
+  test("mixture reweighting matches the md5 expansion exactly and never shuffles") {
+    import spark.implicits._
+    val dir = tempDir("mixture")
+    val docs = (0L until 160L).map(i => (i, s"src${i % 4}"))
+    docs.toDF("doc_id", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // exact expectation via an independent md5 reimplementation
+    def hex4(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.take(2).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val expected = (for {
+      (id, src) <- docs
+      m = src.drop(3).toInt % 4
+      base = if (m == 0) 2 else if (m == 1) 1 else 0
+      thr = m match { case 0 => "4000"; case 2 => "8000"; case 3 => "4000"; case _ => "" }
+      n = base + (if (hex4(id) < thr) 1 else 0)
+      c <- 1 to n
+    } yield (src, id, c)).toSet
+    val got = Mixing.qMixture(spark, dir)
+      .as[(String, Long, Int)].collect().toSet
+    assert(got == expected, s"got=${got.size} expected=${expected.size}")
+    // weight-1 tier must pass through exactly once per doc
+    val tier1 = got.filter(_._1 == "src1")
+    assert(tier1.size == 40 && tier1.forall(_._3 == 1))
+    // map-only + broadcast replicate: the corpus is never shuffled
+    val p = Mixing.qMixture(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("approx distinct is within 5% of true distinct") {
     import spark.implicits._
     // qApproxDistinct asserts the tolerance in-query (approx_ok) so the
