@@ -298,6 +298,36 @@ object Events {
   }
 
   // --------------------------------------------------------------------
+  // Modal value per group (MODE / arg-max): the most frequent event type
+  // per user, with a deterministic tie-break (higher count first, then
+  // lexicographic). Physically one keyed count aggregation (partial +
+  // final hash agg) followed by k=1 selection through the native bounded
+  // top-k operator — no window, no sort of the (user, type) counts. The
+  // same two-step shape computes any arg-max/arg-min ("value whose
+  // aggregate is largest") at corpus scale.
+  def qMode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, sfDir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    graft.plans.TopKPerGroup.topKPerGroup(counts,
+        Seq($"user_id"), Seq($"n".desc, $"event_type".asc), k = 1)
+      .select($"user_id", $"event_type".as("modal_type"), $"n".as("n_events"))
+  }
+
+  val qModeSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT user_id, event_type, n,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY n DESC, event_type) AS rk
+      |  FROM c)
+      |SELECT user_id, event_type AS modal_type, n AS n_events
+      |FROM r WHERE rk = 1""".stripMargin
+
+  // --------------------------------------------------------------------
   // Scalable GLOBAL row numbering (total-order index) — the operation a
   // naive row_number() OVER (ORDER BY ...) does through one single-task
   // window, rebuilt as the two-pass partitioned form that survives
@@ -656,6 +686,7 @@ object Events {
     "q_gap_fill" -> (qGapFill _),
     "q_global_index" -> (qGlobalIndex _),
     "q_interpolate" -> (qInterpolate _),
+    "q_mode" -> (qMode _),
     "q_funnel" -> (qFunnel _),
     "q_redact" -> (qRedact _),
     "q_sessionize" -> (qSessionize _),
@@ -677,6 +708,7 @@ object Events {
     "q_gap_fill" -> qGapFillSql,
     "q_global_index" -> qGlobalIndexSql,
     "q_interpolate" -> qInterpolateSql,
+    "q_mode" -> qModeSql,
     "q_funnel" -> qFunnelSql,
     "q_redact" -> qRedactSql,
     "q_sessionize" -> qSessionizeSql,

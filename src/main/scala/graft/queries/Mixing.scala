@@ -38,9 +38,13 @@ object Mixing {
   // tier, one kept tier, two sub-sampled tiers
   private val MaxCopies = 3
 
-  def qMixture(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
+  /** Row-local weighted expansion over any (doc_id, source) frame — a
+    * plain DataFrame function, so the SAME code resamples a batch corpus
+    * and reweights documents arriving on a stream (the copies join is a
+    * stream-static broadcast join; StreamingCurationSpec asserts
+    * bit-identical output on both faces). */
+  private[queries] def mixtureExpand(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val m = substring($"source", 4, 8).cast("int") % 4
     val base = when(m === 0, 2).when(m === 1, 1).otherwise(0)
     val thr = when(m === 0, "4000").when(m === 2, "8000")
@@ -52,6 +56,9 @@ object Mixing {
       .join(copyNos, $"copy" <= $"n_copies")
       .select($"source", $"doc_id", $"copy")
   }
+
+  def qMixture(spark: SparkSession, sfDir: String): DataFrame =
+    mixtureExpand(Tables.documents(spark, sfDir))
 
   val qMixtureSql: String =
     """WITH w AS (

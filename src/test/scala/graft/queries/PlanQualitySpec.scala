@@ -188,6 +188,13 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Sort"), p)
   }
 
+  test("mode (arg-max per group) is agg + bounded selection — no window, no sort") {
+    val p = plan(Events.qMode(spark, sfDir))
+    assert(p.contains("TopKPerGroupFinal"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort"), p)
+  }
+
   test("repetition and math scalar families are map-only scans — no exchange") {
     Seq(TextOps.qRepetition(spark, sfDir), Analytics.qMathFuncs(spark, sfDir))
       .foreach { df =>

@@ -38,4 +38,27 @@ class StreamingCurationSpec extends SparkTestBase {
       .select("doc_id", "top_bigram_frac").as[(Long, Double)].collect().toMap
     assert(topFrac(1L) > topFrac(2L))
   }
+
+  test("mixture reweighting expands a stream exactly like a batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one doc per weight tier: src0 w=2.25, src1 w=1.0, src2 w=0.5, src3 w=0.25
+    val docs = (0L until 40L).map(i => (i, s"src${i % 4}"))
+
+    val batch = Mixing.mixtureExpand(docs.toDF("doc_id", "source"))
+      .as[(String, Long, Int)].collect().toSet
+
+    val in = MemoryStream[(Long, String)]
+    val q = Mixing.mixtureExpand(in.toDS().toDF("doc_id", "source"))
+      .writeStream.format("memory").queryName("streammix")
+      .outputMode("append").start()
+    in.addData(docs: _*)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("streammix")
+      .as[(String, Long, Int)].collect().toSet
+    assert(streamed == batch, "stream and batch expansions must agree exactly")
+    // the up-sampled tier really multiplies rows on the stream face too
+    assert(streamed.count(_._1 == "src0") >= 20) // 10 docs x >=2 copies
+  }
 }
