@@ -214,10 +214,26 @@ object Dedup {
   // corpus-scale sort); ⌈0.6n⌉ is computed in integer arithmetic
   // ((3n+4) div 5) so the prefix boundary is engine-stable. Output
   // equals q_ngram_jaccard / q_dedup_near exactly (asserted in
-  // LlmOpsSpec along with the candidate-volume reduction).
-  private val JacT = 0.6
+  // LlmOpsSpec along with the candidate-volume reduction — measured
+  // 12,025 → 195 candidate pairs (62×) at sf0.001). At the small test
+  // SFs the fixed cost of the df aggregation + prefix rank exceeds the
+  // verification saved (the full index is already cheap there); the
+  // crossover is exactly where it hurts — hot-shingle corpora whose
+  // Σ df² dominates.
+  // t as an exact rational (num/den) so the prefix-length bound below is
+  // DERIVED from the same constant the verify filter uses — sizing the
+  // prefix for a different t than the cutoff silently breaks the
+  // exactness guarantee (prefix too short ⇒ missed true pairs).
+  private val JacNum = 3
+  private val JacDen = 5
+  private val JacT: Double = JacNum.toDouble / JacDen
 
-  def qPrefixJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, n, h) hashed postings + the rarest-first PREFIX postings
+    * (rank ≤ n − ⌈t·n⌉ + 1, integer-exact) — shared by the shipped query
+    * and the spec's candidate-count measurement so they can never index
+    * differently. */
+  private def prefixIndex(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val sh = shingled(spark, sfDir)
     val inv = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("s"))
@@ -225,17 +241,36 @@ object Dedup {
     val dfc = inv.groupBy($"h").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"df", $"h")
-    val prefix = inv.join(dfc, Seq("h"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= $"n" - expr("(n * 3 + 4) div 5") + 1)
-      .select($"doc_id", $"h")
-    val cand = prefix.as("a").join(prefix.as("b"),
+    // staged like the shingle frame: BOTH sides of the candidate
+    // self-join reference the prefix postings, and the subplan above
+    // them (df agg + per-doc rank) is the expensive part — without
+    // materialization Spark executes it once per join side (measured
+    // ~2× the query time at sf0.1)
+    val prefix = graft.operators.Staging.persisted(spark, sfDir, "prefix3") {
+      inv.join(dfc, Seq("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= $"n"
+          - expr(s"(n * $JacNum + ${JacDen - 1}) div $JacDen") + 1)
+        .select($"doc_id", $"h")
+    }
+    (inv, prefix)
+  }
+
+  private def candPairs(postings: DataFrame): DataFrame = {
+    import postings.sparkSession.implicits._
+    postings.as("a").join(postings.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
+  }
+
+  def qPrefixJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(spark, sfDir)
+    val (_, prefix) = prefixIndex(spark, sfDir)
     val sa = sh.select($"doc_id".as("a_id"), $"sh".as("sa"))
     val sb = sh.select($"doc_id".as("b_id"), $"sh".as("sb"))
-    cand
+    candPairs(prefix)
       .join(sa, $"doc_a" === $"a_id")
       .join(sb, $"doc_b" === $"b_id")
       .withColumn("c", size(array_intersect($"sa", $"sb")))
@@ -251,24 +286,8 @@ object Dedup {
     * index — the measured pruning win (spec-only; not oracle-routed). */
   private[graft] def prefixCandidateCounts(spark: SparkSession,
       sfDir: String): (Long, Long) = {
-    import spark.implicits._
-    val sh = shingled(spark, sfDir)
-    val inv = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("s"))
-      .select($"doc_id", $"n", xxhash64($"s").as("h"))
-    val full = inv.as("a").join(inv.as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id", $"b.doc_id").distinct().count()
-    val dfc = inv.groupBy($"h").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"df", $"h")
-    val prefix = inv.join(dfc, Seq("h"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= $"n" - expr("(n * 3 + 4) div 5") + 1)
-      .select($"doc_id", $"h")
-    val pruned = prefix.as("a").join(prefix.as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id", $"b.doc_id").distinct().count()
-    (full, pruned)
+    val (inv, prefix) = prefixIndex(spark, sfDir)
+    (candPairs(inv.select("doc_id", "h")).count(), candPairs(prefix).count())
   }
 
   // --------------------------------------------------------------------

@@ -280,8 +280,10 @@ class LlmOpsSpec extends SparkTestBase {
     assert(pref == full, s"prefix=${pref.size} full=${full.size}")
     val (fullCand, prunedCand) = Dedup.prefixCandidateCounts(spark, sfDir)
     info(s"candidate pairs: full=$fullCand prefix=$prunedCand")
-    assert(prunedCand <= fullCand,
-      s"prefix index generated MORE candidates: $prunedCand > $fullCand")
+    // subset-by-construction makes <= vacuous; the pruning must be REAL
+    // (a broken prefix filter that keeps every posting would tie)
+    assert(prunedCand < fullCand,
+      s"prefix index pruned nothing: $prunedCand >= $fullCand")
   }
 
   test("semantic dedup equals a brute-force SemDeDup reimplementation") {
