@@ -77,9 +77,36 @@ object Mixing {
       |FROM c JOIN (VALUES (1), (2), (3)) t(copy) ON t.copy <= c.n_copies""".stripMargin
 
   // --------------------------------------------------------------------
+  // Deterministic train/val/test split — the holdout carve every
+  // training run needs to be REPRODUCIBLE: membership is a pure function
+  // of the document id (first 16 bits of md5 against fixed hex
+  // boundaries: train < 0xe666 ≈ 90%, val < 0xf333 ≈ 5%, test = rest),
+  // so any engine, any run, any subset of the corpus assigns the same
+  // split — no global shuffle, no count pre-pass, new documents land in
+  // stable splits without reshuffling old ones (the property a
+  // row_number-based split lacks). Map-only scan.
+  def qSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h = substring(md5($"doc_id".cast("string")), 1, 4)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        when(h < "e666", "train").when(h < "f333", "val")
+          .otherwise("test").as("split"))
+  }
+
+  val qSplitSql: String =
+    """SELECT doc_id,
+      |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+      |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_mixture" -> (qMixture _))
+    "q_mixture" -> (qMixture _),
+    "q_split" -> (qSplit _))
 
   val oracleSql: Map[String, String] = Map(
-    "q_mixture" -> qMixtureSql)
+    "q_mixture" -> qMixtureSql,
+    "q_split" -> qSplitSql)
 }

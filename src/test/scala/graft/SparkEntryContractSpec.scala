@@ -19,7 +19,8 @@ class SparkEntryContractSpec extends SparkTestBase {
     "MultimodalMeta" -> MultimodalMeta.queries,
     "Analytics" -> Analytics.queries,
     "TemporalJoins" -> TemporalJoins.queries,
-    "Curation" -> Curation.queries)
+    "Curation" -> Curation.queries,
+    "Mixing" -> Mixing.queries)
 
   test("no query is lost to a duplicate key across modules") {
     val all = parts.flatMap(_._2.keys)

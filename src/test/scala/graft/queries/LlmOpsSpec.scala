@@ -346,6 +346,20 @@ class LlmOpsSpec extends SparkTestBase {
       !p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("train/val/test split is total, disjoint, and near the target fractions") {
+    import spark.implicits._
+    val splits = Mixing.qSplit(spark, sfDir).as[(Long, String)].collect()
+    val total = graft.core.Tables.documents(spark, sfDir).count()
+    assert(splits.length == total, "every document gets exactly one split")
+    assert(splits.map(_._1).distinct.length == splits.length)
+    val frac = splits.groupBy(_._2).view.mapValues(_.length.toDouble / total).toMap
+    // 5-sigma binomial bands around the 0.90 / 0.05 / 0.05 targets
+    def band(p: Double) = 5.0 * math.sqrt(p * (1 - p) / total)
+    assert(math.abs(frac.getOrElse("train", 0.0) - 0.90) <= band(0.90), frac.toString)
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.05) <= band(0.05), frac.toString)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.05) <= band(0.05), frac.toString)
+  }
+
   test("approx distinct is within 5% of true distinct") {
     import spark.implicits._
     // qApproxDistinct asserts the tolerance in-query (approx_ok) so the
