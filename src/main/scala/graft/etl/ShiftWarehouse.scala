@@ -157,7 +157,45 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
   def appendKpis(kpiRows: DataFrame, batchId: String): Unit =
     appendTables(Seq("kpis" -> kpiRows), batchId)
 
-  private def appendTables(tables: Seq[(String, DataFrame)], batchId: String): Unit = {
+  /** Upsert one PK'd table: rows whose PK already exists in committed
+    * data REPLACE the old row in [[currentView]] reads — merge-on-read.
+    * Storage stays append-only (the old rows keep living in their
+    * original batches), so [[tableAsOf]] snapshots still see pre-upsert
+    * history; only the read-time winner changes. Within-batch PK
+    * uniqueness is still enforced; the cross-batch check is waived
+    * because replacement is the point. */
+  def upsertBatch(name: String, df: DataFrame, batchId: String): Unit = {
+    require(pkColumns.contains(name), s"table $name has no PK to upsert on")
+    appendTables(Seq(name -> df), batchId, crossBatchPkCheck = false)
+  }
+
+  /** Current (SCD1) view of a PK'd table: the latest committed row per
+    * key, resolved at read time. Each batch is stamped with its commit
+    * sequence and the per-key winner is selected through the bounded
+    * top-k operator (k = 1 — no window, no sort over the unioned
+    * batches). The plan grows with the batch count like any
+    * merge-on-read table; [[compact]] is the rewrite that collapses
+    * history when that matters. */
+  def currentView(name: String): DataFrame = {
+    val pk = pkColumns(name)
+    val schema = tableSchemas(name)
+    val ids = committedBatchIds()
+    val parts = ids.zipWithIndex.flatMap { case (b, i) =>
+      val dir = rootPath.resolve(name).resolve(s"batch=$b")
+      if (Files.isDirectory(dir))
+        Some(spark.read.schema(schema).parquet(dir.toString)
+          .withColumn("_seq", lit(i.toLong)))
+      else None
+    }
+    if (parts.isEmpty) tableFor(name, ids)
+    else graft.plans.TopKPerGroup.topKPerGroup(
+        parts.reduce(_.unionByName(_)),
+        Seq(col(pk)), Seq(col("_seq").desc), k = 1)
+      .drop("_seq")
+  }
+
+  private def appendTables(tables: Seq[(String, DataFrame)], batchId: String,
+      crossBatchPkCheck: Boolean = true): Unit = {
     validateBatchId(batchId)
     require(!committedBatchIds().contains(batchId), s"batch $batchId already committed")
     val staging = stagingDir(batchId)
@@ -166,7 +204,8 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
         df.write.mode("overwrite").parquet(staging.resolve(name).toString)
       }
       if (validatePks) tables.foreach { case (name, _) =>
-        pkColumns.get(name).foreach(pk => validatePk(name, pk, batchId, staging))
+        pkColumns.get(name).foreach(pk =>
+          validatePk(name, pk, batchId, staging, crossBatchPkCheck))
       }
       // Publish: move staged dirs into place, then the commit marker last.
       tables.foreach { case (name, _) =>
@@ -201,13 +240,15 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
     * Per-page cost is one committed-PK-column scan; for bulk re-loads use
     * validatePks=false and one [[validateAllPks]] at the end (O(total)
     * once instead of per page). */
-  private def validatePk(name: String, pk: String, batchId: String, staging: Path): Unit = {
+  private def validatePk(name: String, pk: String, batchId: String,
+      staging: Path, crossBatch: Boolean = true): Unit = {
     val staged = spark.read.schema(tableSchemas(name)).parquet(staging.resolve(name).toString)
     val withinDup = staged.select(pk)
       .groupBy(col(pk)).count().filter(col("count") > 1).limit(1).collect()
     if (withinDup.nonEmpty)
       throw new IllegalStateException(
         s"duplicate key value violates unique constraint: $name.$pk = ${withinDup.head.get(0)} (batch $batchId)")
+    if (!crossBatch) return
     val crossDup = table(name).select(pk)
       .join(broadcast(staged.select(pk)), Seq(pk), "left_semi")
       .limit(1).collect()

@@ -105,6 +105,37 @@ class ShiftWarehouseSpec extends SparkTestBase {
     assert(whNoPk.shifts.count() === 4, "each batch read exactly once")
   }
 
+  test("upsert replaces rows per PK in the current view, history stays as-of readable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val wh = new ShiftWarehouse(spark, tempDir("wh-upsert"))
+    val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)
+    wh.appendBatch(ShiftNormalizer.normalize(page), "b0")
+    val original = wh.shifts.select($"shift_id", $"shift_cost".cast("double"))
+      .as[(String, Double)].collect().toMap
+    assert(original.size == 2)
+    val (replacedId, keptId) = (original.keys.min, original.keys.max)
+    // SCD1 correction: same PK, new cost
+    val corrected = wh.shifts.filter($"shift_id" === replacedId)
+      .withColumn("shift_cost", lit(999.5).cast("decimal(13,4)"))
+    wh.upsertBatch("shifts", corrected, "b1-fix")
+    // a plain append with the same PK would have rolled back — upsert commits
+    val cur = wh.currentView("shifts")
+      .select($"shift_id", $"shift_cost".cast("double"))
+      .as[(String, Double)].collect().toMap
+    assert(cur.size == 2, "one row per PK in the current view")
+    assert(cur(replacedId) == 999.5, "later batch wins per PK")
+    assert(cur(keptId) == original(keptId), "untouched PK keeps its row")
+    // bag-semantics table read sees both versions; as-of sees the old one
+    assert(wh.shifts.count() == 3)
+    assert(wh.tableAsOf("shifts", "b0").count() == 2)
+    // within-batch duplicate PKs still roll an upsert back
+    intercept[IllegalStateException] {
+      wh.upsertBatch("shifts", corrected.union(corrected), "b2-dup")
+    }
+    assert(wh.currentView("shifts").count() == 2)
+  }
+
   test("compaction collapses the batch history to one dir per table, same rows") {
     def ls(parts: String*): Seq[String] = {
       val s = java.nio.file.Files.list(java.nio.file.Paths.get(parts.head, parts.tail: _*))

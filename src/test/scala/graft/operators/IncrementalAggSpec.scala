@@ -56,6 +56,35 @@ class IncrementalAggSpec extends SparkTestBase {
       events.filter($"event_id" % 3 <= 1).count())
   }
 
+  test("a stream maintains the same state through foreachBatch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the streaming face of incremental view maintenance: each
+    // micro-batch is just another ingest; replay safety comes from the
+    // versioned commit (a re-run of the same batch would double-count —
+    // production keys the version off batchId, exactly like the
+    // warehouse's replay-safe foreachBatch sink in EventStream)
+    val agg = new IncrementalAgg(spark, tempDir("incrstream"),
+      Seq("event_type"), "value")
+    val in = MemoryStream[(String, Double)]
+    val q = in.toDS().toDF("event_type", "value")
+      .writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => { agg.ingest(batch); () })
+      .start()
+    in.addData(("click", 1.0), ("view", 2.0))
+    q.processAllAvailable()
+    in.addData(("click", 3.5))
+    q.processAllAvailable()
+    q.stop()
+    val got = agg.summary
+      .select($"event_type", $"cnt", $"vsum", $"vavg")
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(got == Set(("click", 2L, 4.5, 2.25), ("view", 1L, 2.0, 2.0)))
+    assert(agg.currentVersion.contains(2L))
+  }
+
   test("old versions stay as-of readable until pruned") {
     import spark.implicits._
     val agg = new IncrementalAgg(spark, tempDir("incrprune"),
