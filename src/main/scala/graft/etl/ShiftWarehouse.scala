@@ -163,35 +163,76 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
     * original batches), so [[tableAsOf]] snapshots still see pre-upsert
     * history; only the read-time winner changes. Within-batch PK
     * uniqueness is still enforced; the cross-batch check is waived
-    * because replacement is the point. */
+    * because replacement is the point. The batch is flagged in
+    * `_upserts/` so [[validateAllPks]] can tell a correction from an
+    * accidental double-insert and [[compact]] knows plain bag
+    * compaction would lose the replacement order. */
   def upsertBatch(name: String, df: DataFrame, batchId: String): Unit = {
     require(pkColumns.contains(name), s"table $name has no PK to upsert on")
+    validateBatchId(batchId)
+    // flag BEFORE the commit marker: a flag for a batch that never
+    // commits is inert residue, while the reverse order could leave a
+    // committed upsert looking like an append after a crash
+    Files.createDirectories(upsertsDir)
+    val flag = upsertsDir.resolve(batchId)
+    if (!Files.exists(flag)) Files.createFile(flag)
     appendTables(Seq(name -> df), batchId, crossBatchPkCheck = false)
   }
 
-  /** Current (SCD1) view of a PK'd table: the latest committed row per
-    * key, resolved at read time. Each batch is stamped with its commit
-    * sequence and the per-key winner is selected through the bounded
-    * top-k operator (k = 1 — no window, no sort over the unioned
-    * batches). The plan grows with the batch count like any
-    * merge-on-read table; [[compact]] is the rewrite that collapses
-    * history when that matters. */
-  def currentView(name: String): DataFrame = {
-    val pk = pkColumns(name)
+  private def upsertsDir: Path = rootPath.resolve("_upserts")
+
+  /** Committed batches that were landed via [[upsertBatch]]. */
+  private def upsertBatchIds(): Set[String] =
+    listDir(upsertsDir).map(_.getFileName.toString).toSet
+      .intersect(committedBatchIds().toSet)
+
+  /** One scan of a table's committed batch dirs with every row tagged by
+    * its batch id and commit sequence — the shared substrate of
+    * [[currentView]] and the append-only PK audit. A single multi-path
+    * FileScan (not a union-per-batch, whose planning cost would grow
+    * O(batches) per read): the batch id is recovered from the file path
+    * and mapped to its commit seq through a broadcast of the tiny
+    * (id, seq) list. The join keys are derived from each dir's own URI,
+    * so they are consistent-by-construction with input_file_name()'s
+    * URI form (our dirs are created by Files.move — no partition-value
+    * escaping is ever applied). None when nothing is committed. */
+  private def taggedTable(name: String): Option[DataFrame] = {
     val schema = tableSchemas(name)
-    val ids = committedBatchIds()
-    val parts = ids.zipWithIndex.flatMap { case (b, i) =>
+    val dirs = committedBatchIds().zipWithIndex.flatMap { case (b, i) =>
       val dir = rootPath.resolve(name).resolve(s"batch=$b")
-      if (Files.isDirectory(dir))
-        Some(spark.read.schema(schema).parquet(dir.toString)
-          .withColumn("_seq", lit(i.toLong)))
-      else None
+      if (Files.isDirectory(dir)) Some((b, i.toLong, dir)) else None
     }
-    if (parts.isEmpty) tableFor(name, ids)
-    else graft.plans.TopKPerGroup.topKPerGroup(
-        parts.reduce(_.unionByName(_)),
-        Seq(col(pk)), Seq(col("_seq").desc), k = 1)
-      .drop("_seq")
+    if (dirs.isEmpty) None
+    else {
+      import spark.implicits._
+      val encSeq = dirs.map { case (b, i, dir) =>
+        val u = dir.toUri.toString.stripSuffix("/")
+        (u.substring(u.lastIndexOf("batch=") + 6), b, i)
+      }
+      val seqDf = broadcast(encSeq.toDF("_bid", "_batch", "_seq"))
+      val scan = spark.read.schema(schema).parquet(dirs.map(_._3.toString): _*)
+        .withColumn("_bid",
+          regexp_extract(input_file_name(), "batch=([^/]+)/", 1))
+      Some(scan.join(seqDf, Seq("_bid")).drop("_bid"))
+    }
+  }
+
+  /** Current (SCD1) view of a PK'd table: the latest committed row per
+    * key, resolved at read time. Rows carry their batch's commit
+    * sequence and the per-key winner is selected through the bounded
+    * top-k operator (k = 1 — no window, no sort over the batch union).
+    * The data read grows with the batch count like any merge-on-read
+    * table; [[compactCurrent]] is the rewrite that collapses history
+    * when that matters. */
+  def currentView(name: String): DataFrame = {
+    require(pkColumns.contains(name), s"table $name has no PK for a current view")
+    val pk = pkColumns(name)
+    taggedTable(name) match {
+      case None => tableFor(name, Seq.empty)
+      case Some(t) => graft.plans.TopKPerGroup.topKPerGroup(
+          t, Seq(col(pk)), Seq(col("_seq").desc), k = 1)
+        .drop("_batch", "_seq")
+    }
   }
 
   private def appendTables(tables: Seq[(String, DataFrame)], batchId: String,
@@ -259,14 +300,24 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
 
   /** One-shot global PK validation over everything committed — the
     * companion to validatePks=false bulk loads: one shuffle keyed by PK
-    * per table, instead of a per-page scan. */
+    * per table, instead of a per-page scan. Rows landed via
+    * [[upsertBatch]] are excluded from the cross-batch uniqueness check:
+    * a correction legitimately shares its PK with the row it supersedes
+    * (its within-batch uniqueness was already enforced at commit), so
+    * only duplicates among APPEND batches are violations. */
   def validateAllPks(): Unit =
     pkColumns.foreach { case (name, pk) =>
-      val dup = table(name).select(pk)
-        .groupBy(col(pk)).count().filter(col("count") > 1).limit(1).collect()
-      if (dup.nonEmpty)
-        throw new IllegalStateException(
-          s"duplicate key value violates unique constraint: $name.$pk = ${dup.head.get(0)}")
+      taggedTable(name).foreach { t =>
+        val ups = upsertBatchIds()
+        val appends =
+          if (ups.isEmpty) t
+          else t.filter(!col("_batch").isInCollection(ups.toSeq))
+        val dup = appends.select(pk)
+          .groupBy(col(pk)).count().filter(col("count") > 1).limit(1).collect()
+        if (dup.nonEmpty)
+          throw new IllegalStateException(
+            s"duplicate key value violates unique constraint: $name.$pk = ${dup.head.get(0)}")
+      }
     }
 
   private[graft] def committedBatches: Seq[String] = committedBatchIds()
@@ -301,12 +352,35 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
     * periodic re-compaction works).
     */
   def compact(numFiles: Int = 1): String = {
+    // bag compaction collapses every batch into one dir, erasing the
+    // commit-order that currentView's winner selection relies on — with
+    // committed upserts that would silently resurrect superseded rows
+    require(upsertBatchIds().isEmpty,
+      "committed upserts present — bag compaction would lose the " +
+        "replacement order; use compactCurrent()")
+    compactAs(table, numFiles)
+  }
+
+  /** Compaction for a warehouse that has taken upserts: PK'd tables are
+    * rewritten to their [[currentView]] (superseded row versions are
+    * garbage-collected — the merge-on-read VACUUM), unkeyed tables to
+    * their bag contents. Afterwards the single compacted batch is
+    * append-semantics again (upsert flags are cleared), and like
+    * [[compact]] the pre-compaction as-of history is retired. */
+  def compactCurrent(numFiles: Int = 1): String = {
+    val id = compactAs(
+      n => if (pkColumns.contains(n)) currentView(n) else table(n), numFiles)
+    deleteRecursively(upsertsDir)
+    id
+  }
+
+  private def compactAs(view: String => DataFrame, numFiles: Int): String = {
     // unique id per run so compaction is re-runnable (a fixed id would
     // collide with its own previous output — review r6 #2)
     val batchId = s"compacted-${nextSeq()}"
     validateBatchId(batchId)
     val liveTables = tableSchemas.keys.toSeq.sorted
-      .map(n => n -> table(n))
+      .map(n => n -> view(n))
       .filter(_._2.take(1).nonEmpty)
     if (liveTables.isEmpty) return batchId
     val staging = stagingDir(batchId)

@@ -134,6 +134,35 @@ class ShiftWarehouseSpec extends SparkTestBase {
       wh.upsertBatch("shifts", corrected.union(corrected), "b2-dup")
     }
     assert(wh.currentView("shifts").count() == 2)
+    // the global PK audit must not flag the legitimate correction...
+    wh.validateAllPks()
+    // ...and a table without a PK is a clear error, not a key lookup
+    intercept[IllegalArgumentException](wh.currentView("kpis"))
+  }
+
+  test("compaction after upserts keeps the corrected row, not the superseded one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val wh = new ShiftWarehouse(spark, tempDir("wh-upsert-compact"))
+    val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)
+    wh.appendBatch(ShiftNormalizer.normalize(page), "b0")
+    val replacedId = wh.shifts.select($"shift_id").as[String].collect().min
+    val corrected = wh.shifts.filter($"shift_id" === replacedId)
+      .withColumn("shift_cost", lit(999.5).cast("decimal(13,4)"))
+    wh.upsertBatch("shifts", corrected, "b1-fix")
+    // bag compaction would merge both row versions under one seq and
+    // could resurrect the superseded row — it must refuse
+    val e = intercept[IllegalArgumentException](wh.compact())
+    assert(e.getMessage.contains("compactCurrent"))
+    wh.compactCurrent()
+    val cost = wh.currentView("shifts").filter($"shift_id" === replacedId)
+      .select($"shift_cost".cast("double")).head().getDouble(0)
+    assert(cost == 999.5, "compaction must keep the corrected version")
+    assert(wh.shifts.count() == 2, "superseded row version is vacuumed")
+    // history is collapsed and append-semantics again: plain compact works
+    wh.validateAllPks()
+    wh.compact()
+    assert(wh.currentView("shifts").count() == 2)
   }
 
   test("compaction collapses the batch history to one dir per table, same rows") {
