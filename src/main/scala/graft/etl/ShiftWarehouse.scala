@@ -181,6 +181,52 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
 
   private def upsertsDir: Path = rootPath.resolve("_upserts")
 
+  /** Tombstone a set of PKs — the scoped merge-on-read DELETE that
+    * [[clear]]'s drop-everything cascade can't express (the "remove
+    * these documents from the corpus" obligation). The keys land as a
+    * tombstone batch under the same commit marker protocol, so deletion
+    * is ordered against every other mutation: a row is dead in
+    * [[currentView]] iff a tombstone with a LATER commit seq covers its
+    * PK — re-inserting (or upserting) the key afterwards resurrects it.
+    * Storage stays append-only; [[tableAsOf]] snapshots from before the
+    * delete still see the rows (reproducibility of past training runs),
+    * and [[compactCurrent]] is the physical erasure that actually
+    * forgets them. `keys` must be a single-column frame of PK values. */
+  def deleteRows(name: String, keys: DataFrame, batchId: String): Unit = {
+    require(pkColumns.contains(name), s"table $name has no PK to delete by")
+    require(keys.columns.length == 1, "keys must be a single PK column")
+    validateBatchId(batchId)
+    require(!committedBatchIds().contains(batchId), s"batch $batchId already committed")
+    val dest = tombstonesDir.resolve(name).resolve(s"batch=$batchId")
+    val staging = stagingDir(batchId)
+    try {
+      keys.toDF(pkColumns(name)).coalesce(1)
+        .write.mode("overwrite").parquet(staging.resolve("tombstones").toString)
+      Files.createDirectories(dest.getParent)
+      deleteRecursively(dest) // uncommitted residue from a prior crash
+      Files.move(staging.resolve("tombstones"), dest, StandardCopyOption.ATOMIC_MOVE)
+      Files.createDirectories(commitsDir)
+      Files.createFile(commitsDir.resolve(f"${nextSeq()}%08d.$batchId"))
+    } catch {
+      case e: Throwable => deleteRecursively(dest); throw e
+    } finally deleteRecursively(staging)
+  }
+
+  private def tombstonesDir: Path = rootPath.resolve("_tombstones")
+
+  /** (pk, _seq) of every committed tombstone for a table. */
+  private def tombstones(name: String): Option[DataFrame] = {
+    val pk = pkColumns(name)
+    val dirs = committedBatchIds().zipWithIndex.flatMap { case (b, i) =>
+      val dir = tombstonesDir.resolve(name).resolve(s"batch=$b")
+      if (Files.isDirectory(dir)) Some((i.toLong, dir)) else None
+    }
+    if (dirs.isEmpty) None
+    else Some(dirs.map { case (i, dir) =>
+      spark.read.parquet(dir.toString).select(col(pk), lit(i).as("_tseq"))
+    }.reduce(_.unionByName(_)))
+  }
+
   /** Committed batches that were landed via [[upsertBatch]]. */
   private def upsertBatchIds(): Set[String] =
     listDir(upsertsDir).map(_.getFileName.toString).toSet
@@ -229,9 +275,21 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
     val pk = pkColumns(name)
     taggedTable(name) match {
       case None => tableFor(name, Seq.empty)
-      case Some(t) => graft.plans.TopKPerGroup.topKPerGroup(
+      case Some(t) =>
+        val winners = graft.plans.TopKPerGroup.topKPerGroup(
           t, Seq(col(pk)), Seq(col("_seq").desc), k = 1)
-        .drop("_batch", "_seq")
+        val alive = tombstones(name) match {
+          case None => winners
+          case Some(ts) =>
+            // a row is dead iff some tombstone was committed AFTER it;
+            // a later re-insert/upsert outlives the tombstone. The
+            // tombstone set is deletions-only (≪ table) — broadcast.
+            val latest = ts.groupBy(col(pk)).agg(max(col("_tseq")).as("_tseq"))
+            winners.join(broadcast(latest), Seq(pk), "left_outer")
+              .filter(col("_tseq").isNull || col("_seq") > col("_tseq"))
+              .drop("_tseq")
+        }
+        alive.drop("_batch", "_seq")
     }
   }
 
@@ -353,24 +411,35 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
     */
   def compact(numFiles: Int = 1): String = {
     // bag compaction collapses every batch into one dir, erasing the
-    // commit-order that currentView's winner selection relies on — with
-    // committed upserts that would silently resurrect superseded rows
-    require(upsertBatchIds().isEmpty,
-      "committed upserts present — bag compaction would lose the " +
-        "replacement order; use compactCurrent()")
+    // commit-order that currentView's winner/tombstone resolution relies
+    // on — with committed upserts or deletes it would silently resurrect
+    // superseded or deleted rows
+    require(upsertBatchIds().isEmpty && tombstoneBatchIds().isEmpty,
+      "committed upserts/deletes present — bag compaction would lose the " +
+        "mutation order; use compactCurrent()")
     compactAs(table, numFiles)
   }
 
-  /** Compaction for a warehouse that has taken upserts: PK'd tables are
-    * rewritten to their [[currentView]] (superseded row versions are
-    * garbage-collected — the merge-on-read VACUUM), unkeyed tables to
-    * their bag contents. Afterwards the single compacted batch is
-    * append-semantics again (upsert flags are cleared), and like
-    * [[compact]] the pre-compaction as-of history is retired. */
+  private def tombstoneBatchIds(): Set[String] = {
+    val committed = committedBatchIds().toSet
+    pkColumns.keys.flatMap(n => listDir(tombstonesDir.resolve(n))
+      .map(_.getFileName.toString.stripPrefix("batch=")))
+      .toSet.intersect(committed)
+  }
+
+  /** Compaction for a warehouse that has taken upserts or deletes: PK'd
+    * tables are rewritten to their [[currentView]] (superseded row
+    * versions and tombstoned rows are physically erased — the
+    * merge-on-read VACUUM, and the point where a deletion obligation is
+    * actually fulfilled on disk), unkeyed tables to their bag contents.
+    * Afterwards the single compacted batch is append-semantics again
+    * (upsert flags and tombstones are cleared), and like [[compact]]
+    * the pre-compaction as-of history is retired. */
   def compactCurrent(numFiles: Int = 1): String = {
     val id = compactAs(
       n => if (pkColumns.contains(n)) currentView(n) else table(n), numFiles)
     deleteRecursively(upsertsDir)
+    deleteRecursively(tombstonesDir)
     id
   }
 

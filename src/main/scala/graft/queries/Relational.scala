@@ -250,6 +250,31 @@ object Relational {
   }
 
   // --------------------------------------------------------------------
+  // Recursive CTE, shared text: Spark 4 accepts the same WITH RECURSIVE
+  // dialect DuckDB runs, so this extends the q_sql_shared
+  // character-for-character contract to ITERATION — the SQL face of the
+  // engine's iterative algorithms (the dedup clustering loop's oracle
+  // already recursed on the DuckDB side; now the Spark side demonstrates
+  // the native operator too). The recursion is a doubling chain (depth
+  // log₂ 65536 = 17 — recursion depth, not data volume, bounds the
+  // plan), joined once against `part` AFTER the fixpoint: each level
+  // counts whether its power-of-two key exists in the table.
+  val qRecursiveCteText: String =
+    """WITH RECURSIVE chain (n) AS (
+      |  SELECT 1
+      |  UNION ALL
+      |  SELECT n * 2 FROM chain WHERE n < 65536
+      |)
+      |SELECT c.n, count(p.p_partkey) AS n_matching_parts
+      |FROM chain c LEFT JOIN part p ON p.p_partkey = c.n
+      |GROUP BY c.n""".stripMargin
+
+  def qRecursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("part")
+    spark.sql(qRecursiveCteText)
+  }
+
+  // --------------------------------------------------------------------
   // MERGE / upsert: reconcile a base table with a delta batch — the
   // warehouse mutation the reference's transactional sink family (S4)
   // grows into once loads become incremental. Simulated deterministically
@@ -306,7 +331,8 @@ object Relational {
     "q_topk" -> (qTopK _),
     "q_page_slice" -> (qPageSlice _),
     "q_kpi_union" -> (qKpiUnion _),
-    "q_sql_shared" -> (qSqlShared _))
+    "q_sql_shared" -> (qSqlShared _),
+    "q_recursive_cte" -> (qRecursiveCte _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
@@ -317,5 +343,6 @@ object Relational {
     "q_topk" -> qTopKSql,
     "q_page_slice" -> qPageSliceSql,
     "q_kpi_union" -> qKpiUnionSql,
-    "q_sql_shared" -> qSqlSharedText)
+    "q_sql_shared" -> qSqlSharedText,
+    "q_recursive_cte" -> qRecursiveCteText)
 }

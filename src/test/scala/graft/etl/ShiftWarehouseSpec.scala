@@ -165,6 +165,32 @@ class ShiftWarehouseSpec extends SparkTestBase {
     assert(wh.currentView("shifts").count() == 2)
   }
 
+  test("scoped delete tombstones a PK; re-insert resurrects; compaction erases") {
+    import spark.implicits._
+    val wh = new ShiftWarehouse(spark, tempDir("wh-delete"))
+    val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)
+    wh.appendBatch(ShiftNormalizer.normalize(page), "b0")
+    val ids = wh.shifts.select($"shift_id").as[String].collect().sorted
+    val (dead, alive) = (ids.head, ids.last)
+    wh.deleteRows("shifts", Seq(dead).toDF("shift_id"), "b1-del")
+    // current view drops the tombstoned key; bag + as-of history keep it
+    assert(wh.currentView("shifts").select($"shift_id").as[String].collect().toSeq
+      == Seq(alive))
+    assert(wh.shifts.count() == 2)
+    assert(wh.tableAsOf("shifts", "b0").count() == 2)
+    // a LATER upsert of the same key outlives the tombstone
+    val back = wh.shifts.filter($"shift_id" === dead)
+    wh.upsertBatch("shifts", back, "b2-back")
+    assert(wh.currentView("shifts").count() == 2, "re-insert resurrects the key")
+    // delete again, then compactCurrent physically forgets the row
+    wh.deleteRows("shifts", Seq(dead).toDF("shift_id"), "b3-del")
+    intercept[IllegalArgumentException](wh.compact())
+    wh.compactCurrent()
+    assert(wh.shifts.select($"shift_id").as[String].collect().toSeq == Seq(alive),
+      "deleted row must be gone from the physical table after VACUUM")
+    assert(wh.currentView("shifts").count() == 1)
+  }
+
   test("compaction collapses the batch history to one dir per table, same rows") {
     def ls(parts: String*): Seq[String] = {
       val s = java.nio.file.Files.list(java.nio.file.Paths.get(parts.head, parts.tail: _*))
