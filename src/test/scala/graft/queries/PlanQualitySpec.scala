@@ -188,6 +188,32 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Sort"), p)
   }
 
+  test("global index's only unpartitioned window runs over the day frame, not the rows") {
+    // the two-pass design: full-input windows are keyed by day; the
+    // single-partition prefix-sum window exists only above the per-day
+    // aggregate (bounded by the number of days)
+    val lp = Events.qGlobalIndex(spark, sfDir).queryExecution.optimizedPlan
+    val globalWindows = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.size == 1, s"expected exactly one global window:\n$lp")
+    val underAgg = globalWindows.head.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(underAgg.nonEmpty,
+      s"global window must sit above the day aggregate:\n$lp")
+  }
+
+  test("interpolation windows are keyed by event_type — never a global sort of the grid") {
+    val lp = Events.qInterpolate(spark, sfDir).queryExecution.optimizedPlan
+    val globalWindows = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, s"unpartitioned window in plan:\n$lp")
+  }
+
   test("mode (arg-max per group) is agg + bounded selection — no window, no sort") {
     val p = plan(Events.qMode(spark, sfDir))
     assert(p.contains("TopKPerGroupFinal"), p)
