@@ -698,6 +698,8 @@ object Analytics {
     "q_revenue_by_nation" -> (qRevenueByNation _),
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
+    "q_multi_distinct" -> (qMultiDistinct _),
+    "q_profile" -> (qProfile _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_topk_per_group" -> (qTopKPerGroup _),
@@ -723,10 +725,84 @@ object Analytics {
     "q_date_funcs" -> (qDateFuncs _),
     "q_percentile_approx" -> (qPercentileApprox _))
 
+  // --------------------------------------------------------------------
+  // Several COUNT(DISTINCT …) on different columns in ONE grouped pass.
+  // Catalyst plans this with an Expand (each input row is replicated once
+  // per distinct column, tagged with a grouping id) followed by two
+  // aggregate stages — one scan of the fact table regardless of how many
+  // distinct columns are asked for, each with map-side partial dedup.
+  // The naive alternative (one self-join or one scan per distinct column)
+  // is what this shape exists to avoid at 100 TB.
+  def qMultiDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"))
+  }
+
+  val qMultiDistinctSql: String =
+    """SELECT l_returnflag,
+      |       count(*) AS n_rows,
+      |       count(DISTINCT l_orderkey) AS n_orders,
+      |       count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Column-profiling audit: per-column row/null/distinct counts plus
+  // lexicographic min/max, the first thing a pipeline runs over a new
+  // 100 TB drop before any transform trusts it. One scan: `stack`
+  // unpivots the audited columns to (col, val) rows (an Expand — ×4 rows,
+  // map-side, no extra scans), then a single grouped aggregate profiles
+  // all columns together. Only long/string columns are audited here:
+  // their string casts are engine-portable, where double/timestamp
+  // formatting is not (the repo's numeric profile lives in
+  // qStatsMoments).
+  def qProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select(expr(
+        """stack(4,
+          |  'o_orderkey', cast(o_orderkey as string),
+          |  'o_custkey', cast(o_custkey as string),
+          |  'o_orderstatus', o_orderstatus,
+          |  'o_orderpriority', o_orderpriority) as (col, val)""".stripMargin))
+      .groupBy($"col")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"val").as("n_nonnull"),
+        countDistinct($"val").as("n_distinct"),
+        min($"val").as("min_val"),
+        max($"val").as("max_val"))
+  }
+
+  val qProfileSql: String =
+    """WITH u AS (
+      |  SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS val FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', o_orderstatus FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', o_orderpriority FROM orders)
+      |SELECT col,
+      |       count(*) AS n_rows,
+      |       count(val) AS n_nonnull,
+      |       count(DISTINCT val) AS n_distinct,
+      |       min(val) AS min_val,
+      |       max(val) AS max_val
+      |FROM u GROUP BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_revenue_by_nation" -> qRevenueByNationSql,
     "q_semi_join" -> qSemiJoinSql,
     "q_anti_join" -> qAntiJoinSql,
+    "q_multi_distinct" -> qMultiDistinctSql,
+    "q_profile" -> qProfileSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
     "q_topk_per_group" -> qTopKPerGroupSql,

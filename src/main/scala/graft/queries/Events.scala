@@ -675,7 +675,36 @@ object Events {
       |FROM events GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // SCD-2 dimension build: turn a change-event stream into versioned
+  // validity intervals. Each event opens a version of the (user, type)
+  // attribute valid from its own timestamp until the next change; the
+  // newest version stays open (NULL valid_to, is_current). This is the
+  // standard warehouse dimension-versioning op — the batch face of what
+  // the warehouse's merge-on-read upsert does at the storage layer.
+  // Scale shape: one keyed window (partitioned by user_id, event_type —
+  // millions of small partitions, no global order anywhere); ties inside
+  // a key are broken by event_id so the interval chain is deterministic.
+  def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"event_id", $"value",
+        $"ts".as("valid_from"),
+        lead($"ts", 1).over(w).as("valid_to"),
+        lead($"ts", 1).over(w).isNull.as("is_current"))
+  }
+
+  val qScd2Sql: String =
+    """SELECT user_id, event_type, event_id, value,
+      |       ts AS valid_from,
+      |       lead(ts) OVER w AS valid_to,
+      |       (lead(ts) OVER w IS NULL) AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> (qScd2 _),
     "q_event_window" -> (qEventWindow _),
     "q_running_sum" -> (qRunningSum _),
     "q_rolling_window" -> (qRollingWindow _),
@@ -698,6 +727,7 @@ object Events {
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_scd2" -> qScd2Sql,
     "q_event_window" -> qEventWindowSql,
     "q_running_sum" -> qRunningSumSql,
     "q_rolling_window" -> qRollingWindowSql,

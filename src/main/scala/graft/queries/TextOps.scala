@@ -683,7 +683,47 @@ object TextOps {
       |         / CAST(sum(total_toks) OVER () AS DOUBLE) AS cum_frac
       |FROM b""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
+  // "Weighted random sampling with a reservoir", IPL 2006): per source,
+  // pick k docs with inclusion probability proportional to n_chars by
+  // ranking on the exponential key -ln(u)/w and keeping the k smallest —
+  // the length-weighted companion of qReservoir's uniform pick. The
+  // uniform u is derived from a Knuth multiplicative hash of doc_id
+  // ((id·2654435761) mod 2^32 — exact integer arithmetic, so both
+  // engines compute bit-identical u; +0.5 keeps ln off zero). Ranks/ids
+  // only are emitted — the ln() key itself is never an output column
+  // (engine ulp differences sit ~1e-16 below the ~1e-3 key gaps, the
+  // same margin argument the ANN rankings use). Scale shape: one scan,
+  // keyed selection — compiles to the bounded top-k operator under
+  // TopKWindowRewrite (no per-source sort; a 100 TB corpus would swap
+  // the toy hash for xxhash64 and drop the oracle, nothing else moves).
+  def qSampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"pri", $"doc_id")
+    Tables.documents(spark, sfDir)
+      .select($"source", $"doc_id",
+        (-log((($"doc_id" * lit(2654435761L)) % lit(4294967296L) + lit(0.5)) / lit(4294967296.0))
+          / $"n_chars".cast("double")).as("pri"))
+      .select($"source", $"doc_id", row_number().over(w).as("pick"))
+      .filter($"pick" <= 3)
+      .select($"source", $"doc_id", $"pick")
+  }
+
+  val qSampleWeightedSql: String =
+    """SELECT source, doc_id, CAST(pick AS INTEGER) AS pick
+      |FROM (SELECT source, doc_id,
+      |             row_number() OVER (
+      |               PARTITION BY source
+      |               ORDER BY -ln((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0)
+      |                          / CAST(n_chars AS DOUBLE),
+      |                        doc_id) AS pick
+      |      FROM documents)
+      |WHERE pick <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_weighted" -> (qSampleWeighted _),
     "q_repetition" -> (qRepetition _),
     "q_unigram_lm" -> (qUnigramLm _),
     "q_length_dist" -> (qLengthDist _),
@@ -706,6 +746,7 @@ object TextOps {
     "q_heavy_hitters" -> (qHeavyHitters _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_sample_weighted" -> qSampleWeightedSql,
     "q_repetition" -> qRepetitionSql,
     "q_unigram_lm" -> qUnigramLmSql,
     "q_length_dist" -> qLengthDistSql,
