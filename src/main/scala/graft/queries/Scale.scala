@@ -196,7 +196,42 @@ object Scale {
        |      WHERE o_orderdate >= TIMESTAMP '$bloomAsOf 00:00:00') o
        |  ON l_orderkey = o_orderkey""".stripMargin
 
+  /** Fact-to-fact join with NO shuffle on either side: both tables read
+    * from bucketed mirrors keyed on the join column
+    * (sources/BucketedTables), so the merge join's clustered-distribution
+    * requirement is satisfied straight off the scans — the plan has no
+    * Exchange anywhere, including the post-join per-order aggregate,
+    * which reuses the same bucket partitioning (pinned in
+    * PlanQualitySpec). The `merge` hint keeps the demonstration honest:
+    * without it, local-scale orders would broadcast, and a broadcast
+    * plan proves nothing about the 100 TB case where neither fact side
+    * fits in memory. Results are byte-identical to the flat-layout join
+    * — the oracle runs against the flat parquet.
+    */
+  def qBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = graft.sources.BucketedTables.bucketed(spark, sfDir, "lineitem", "l_orderkey")
+      .select($"l_orderkey",
+        $"l_extendedprice".cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2))
+          .as("price"))
+    val o = graft.sources.BucketedTables.bucketed(spark, sfDir, "orders", "o_orderkey")
+      .select($"o_orderkey", $"o_orderpriority")
+    l.hint("merge").join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"price").cast("double").as("order_rev"))
+      .select($"l_orderkey", $"o_orderpriority", $"n_items", $"order_rev")
+  }
+
+  val qBucketedJoinSql: String =
+    """SELECT l_orderkey, o_orderpriority,
+      |       count(*) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_rev
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_islands_scalable" -> (qIslandsScalable _),
     "q_topk_groups_scalable" -> (qTopKPerGroupScalable _),
@@ -204,6 +239,7 @@ object Scale {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_bucketed_join" -> qBucketedJoinSql,
     "q_bloom_join" -> qBloomJoinSql,
     "q_islands_scalable" -> qIslandsScalableSql,
     "q_topk_groups_scalable" -> qTopKPerGroupScalableSql,

@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, Path}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.core.Tables
+
+/** Bucketed mirrors of the fact tables — the co-located-join lever.
+  *
+  * At 100 TB the single biggest shuffle in the whole workload is the
+  * fact-to-fact join (lineitem ⋈ orders): both sides are too big to
+  * broadcast, so every query pays a full two-sided hash repartition.
+  * The standing fix is to land the data bucketed on the join key:
+  * `bucketBy(n, key)` writes each output file hash-assigned by key, the
+  * catalog records the layout, and every later equi-join or aggregation
+  * on that key satisfies its clustered-distribution requirement straight
+  * off the scan — no Exchange on either side, for every query, forever
+  * (amortized across the table's lifetime, which is why warehouses
+  * bucket their fact tables at ingest).
+  *
+  * [[bucketed]] materializes the mirror once per (session, corpus):
+  * an external parquet table under target/ (same repo-local scratch
+  * policy as PartitionedCorpus), registered in the session catalog,
+  * memoized by table existence. Bucket count is a deploy knob — it
+  * should roughly match target parallelism for the key's volume (8 here
+  * for the local runs; a 1000-executor cluster picks hundreds to a few
+  * thousand and both sides must agree for exchange-free joins).
+  */
+object BucketedTables {
+
+  private def suffix(sfDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+
+  private def mirrorPath(sfDir: String, name: String): Path = {
+    val target = Paths.get("target")
+    val base =
+      if (Files.isDirectory(target)) target
+      else Paths.get(sys.props("java.io.tmpdir"), "graft-scratch")
+    base.resolve("bucketed-mirror").resolve(suffix(sfDir)).resolve(name)
+      .toAbsolutePath
+  }
+
+  /** Read table `name` bucketed on `key` (building the mirror if this
+    * session hasn't yet). Thread-safe; idempotent per (session, corpus). */
+  def bucketed(spark: SparkSession, sfDir: String, name: String, key: String,
+      buckets: Int = 8): DataFrame = {
+    val tbl = s"${name}_b_${suffix(sfDir)}"
+    this.synchronized {
+      if (!spark.catalog.tableExists(tbl)) {
+        Tables.read(spark, sfDir, name)
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .bucketBy(buckets, key).sortBy(key)
+          .option("path", mirrorPath(sfDir, name).toString)
+          .saveAsTable(tbl)
+      }
+    }
+    spark.table(tbl)
+  }
+}

@@ -188,6 +188,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Sort"), p)
   }
 
+  test("bucketed fact-to-fact join runs with no Exchange anywhere in the plan") {
+    // both scans are bucketed on the join key, so neither the merge join
+    // nor the post-join per-order aggregate needs a shuffle — this is the
+    // plan shape a 100 TB lineitem⋈orders must have
+    val p = plan(Scale.qBucketedJoin(spark, sfDir))
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("global index's only unpartitioned window runs over the day frame, not the rows") {
     // the two-pass design: full-input windows are keyed by day; the
     // single-partition prefix-sum window exists only above the per-day
