@@ -1,0 +1,47 @@
+package graft.etl
+
+import java.time.LocalDate
+
+import graft.SparkTestBase
+
+/** Literal `.write.jdbc` parity for the reference's KPI-insert path,
+  * against embedded Derby (the RDBMS in the Spark distribution). */
+class JdbcKpiSinkSpec extends SparkTestBase {
+
+  System.setProperty("derby.stream.error.file",
+    java.nio.file.Paths.get("target", "derby.log").toAbsolutePath.toString)
+
+  private lazy val tables =
+    ShiftNormalizer.normalize(PageSource.parsePage(spark, ShiftFixtures.singlePage))
+
+  private lazy val url = JdbcKpiSink.derbyUrl(tempDir("jdbc-kpis") + "/db")
+
+  test("KPI rows round-trip through a real JDBC table, one run per run_id") {
+    val kpis = ShiftKpis.all(tables, LocalDate.parse("2023-12-31"))
+    JdbcKpiSink.append(kpis, url, runId = "r1")
+    JdbcKpiSink.append(ShiftKpis.all(tables, LocalDate.parse("2023-12-01")), url, runId = "r2")
+
+    val back = JdbcKpiSink.read(spark, url)
+    assert(back.count() === 12) // 6 KPIs × 2 runs — append, not overwrite
+
+    // golden values survive the SQL type round-trip (DECIMAL(8,2) in, out)
+    val r1 = back.filter("run_id = 'r1'").collect()
+      .map(r => r.getString(0) -> Option(r.getDecimal(2)).map(BigDecimal(_))).toMap
+    assert(r1("mean_break_length_in_minutes") === Some(BigDecimal("24.41")))
+    assert(r1("min_shift_length_in_hours") === Some(BigDecimal("8.75")))
+    // the 14d-window KPI differs by asOfDate — proves the two runs are
+    // genuinely distinct row sets, not a double-read of one
+    val r2 = back.filter("run_id = 'r2'").collect()
+      .map(r => r.getString(0) -> Option(r.getDecimal(2)).map(BigDecimal(_))).toMap
+    assert(r1("max_allowance_cost_14d") === Some(BigDecimal("0.00")))
+    assert(r2("max_allowance_cost_14d") === Some(BigDecimal("29.70")))
+  }
+
+  test("JDBC read pushes filters into the database as WHERE clauses") {
+    import spark.implicits._
+    val p = JdbcKpiSink.read(spark, url)
+      .filter($"run_id" === "r1").queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(RUN_ID,r1)")
+      || p.contains("EqualTo(run_id,r1)"), p)
+  }
+}
