@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming surface over the events schema — the streaming
@@ -76,6 +77,65 @@ object EventStream {
       // id-only key: a replayed event with a re-stamped timestamp is
       // still the same event; WithinWatermark bounds the state lifetime
       .dropDuplicatesWithinWatermark("event_id")
+
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user lifetime running stats via `transformWithState` — the
+    * Spark-4 arbitrary-state API (state v2) that supersedes
+    * flatMapGroupsWithState for new code: named typed state variables
+    * obtained from a handle instead of one opaque state object, NATIVE
+    * per-state TTL (no hand-rolled timeout bookkeeping — contrast the
+    * funnel's explicit event-time timer below), and a RocksDB-backed
+    * store. Emits the updated running (count, decimal-exact value sum)
+    * for each user touched by a micro-batch; state the TTL deems idle is
+    * dropped by the store itself. Scale: state is keyed by user and
+    * lives off-heap in RocksDB — key count × record size bounds memory,
+    * not an executor heap.
+    *
+    * The value sum is kept as unscaled DECIMAL(18,2) long internally
+    * (same merge-order-independence rule as the batch aggregates) and
+    * exposed as double. */
+  class UserStatsProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, EventRow, UserStats] {
+    @transient private var stats: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // TTL only exists under TimeMode.ProcessingTime — honor it there,
+      // plain state otherwise (TimeMode.None avoids the per-batch timer
+      // sweep when the caller doesn't need expiry)
+      stats = getHandle.getValueState[(Long, Long)]("stats",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        if (timeMode == TimeMode.None()) TTLConfig.NONE else TTLConfig(ttl))
+
+    override def handleInputRows(userId: Long, rows: Iterator[EventRow],
+        tv: TimerValues): Iterator[UserStats] = {
+      var (n, cents) = if (stats.exists()) stats.get() else (0L, 0L)
+      rows.foreach { e =>
+        n += 1
+        cents += math.round(e.value * 100)
+      }
+      stats.update((n, cents))
+      Iterator.single(UserStats(userId, n, cents / 100.0))
+    }
+  }
+
+  /** `transformWithState` requires the RocksDB state store; callers set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+    * on the session (TransformWithStateSpec isolates that on a
+    * newSession). Default time mode is None: ProcessingTime buys state
+    * TTL but schedules timer-sweep micro-batches continuously even with
+    * no input — a busy-loop of empty RocksDB checkpoint commits on an
+    * idle stream. Opt into `TimeMode.ProcessingTime()` (and thus `ttl`)
+    * only when idle-key expiry is actually needed. */
+  def userStats(events: Dataset[EventRow],
+      timeMode: TimeMode = TimeMode.None(),
+      ttl: java.time.Duration = java.time.Duration.ofHours(24)): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor(ttl),
+        timeMode, OutputMode.Update())
+  }
 
   /** Stream–static enrichment join: attach dimension attributes to a
     * stream without shuffling it. The static side is broadcast per
