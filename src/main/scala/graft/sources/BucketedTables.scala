@@ -43,16 +43,21 @@ object BucketedTables {
   }
 
   /** Read table `name` bucketed on `key` (building the mirror if this
-    * session hasn't yet). Thread-safe; idempotent per (session, corpus). */
+    * session hasn't yet). Thread-safe; idempotent per (session, corpus,
+    * key, buckets) — the layout parameters are part of the mirror
+    * identity, or a later caller asking for a different bucketing would
+    * silently get the first one's layout (and a plan that shuffles
+    * after all, or worse, wrong bucket pruning assumptions). */
   def bucketed(spark: SparkSession, sfDir: String, name: String, key: String,
       buckets: Int = 8): DataFrame = {
-    val tbl = s"${name}_b_${suffix(sfDir)}"
+    val layout = s"${name}_${key}_$buckets"
+    val tbl = s"${layout}_b_${suffix(sfDir)}"
     this.synchronized {
       if (!spark.catalog.tableExists(tbl)) {
         Tables.read(spark, sfDir, name)
           .write.mode(SaveMode.Overwrite).format("parquet")
           .bucketBy(buckets, key).sortBy(key)
-          .option("path", mirrorPath(sfDir, name).toString)
+          .option("path", mirrorPath(sfDir, layout).toString)
           .saveAsTable(tbl)
       }
     }

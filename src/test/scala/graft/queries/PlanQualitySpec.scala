@@ -170,6 +170,15 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("TopKPerGroupFinal"), p)
   }
 
+  test("weighted sampler is rewritten to the bounded top-k operator") {
+    // qSampleWeighted's scaladoc claims the E-S exponential-key rank
+    // compiles to the bounded operator under the rewrite rule — pin it
+    graft.plans.TopKWindowRewrite.register(spark)
+    val p = plan(TextOps.qSampleWeighted(spark, sfDir))
+    assert(p.contains("TopKPerGroupPartial"), p)
+    assert(p.contains("TopKPerGroupFinal"), p)
+  }
+
   test("ANN ranking selects top-k via the bounded operator — no sort of the candidate set") {
     val p = plan(Similarity.qAnnLsh(spark, sfDir))
     assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"), p)
