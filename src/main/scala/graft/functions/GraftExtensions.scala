@@ -58,7 +58,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => CosineSim(args.head, args(1))),
     ("dot_product",
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))),
+    ("deflate_len",
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (args: Seq[Expression]) => DeflateLen(args.head)))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

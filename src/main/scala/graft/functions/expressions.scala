@@ -411,6 +411,56 @@ object DotProduct {
 }
 
 /** Column-API entry points for the native expressions. */
+/** DEFLATE-compressed size of a string's UTF-8 bytes (zlib, fixed level
+  * 6, raw stream). compressed/raw is the classic compressibility quality
+  * signal for LLM corpora: highly repetitive boilerplate compresses far
+  * below natural prose, near-random noise barely compresses at all, and
+  * both tails get filtered (the same family of repetition signals as
+  * Rae et al. 2021 "Gopher" §A1.1 — this is the whole-document
+  * complement of qRepetition's n-gram fractions). A native expression
+  * for the usual reason: one fused JVM pass per row, no per-row lambda
+  * dispatch, stays inside WholeStageCodegen. Output is deterministic for
+  * a given zlib build (the JDK bundles its own), so it is stable within
+  * a deployment but NOT engine-portable — the query face is rows-only
+  * checked, never hash-compared against another engine. */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "deflate_len"
+  override def foldable: Boolean = child.foldable
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateLen.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DeflateLen.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
+}
+
+object DeflateLen {
+  /** Fixed level: the signal must not drift with a JVM default change. */
+  val Level = 6
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = new java.util.zip.Deflater(Level, /* nowrap = */ true)
+    try {
+      d.setInput(s.getBytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+}
+
 object functions {
   private def col(e: Expression): Column = GraftColumnBridge.column(e)
   private def ex(c: Column): Expression = GraftColumnBridge.expression(c)
@@ -422,4 +472,5 @@ object functions {
   def simhash60(c: Column): Column = col(SimHash60(ex(c)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
+  def deflate_len(c: Column): Column = col(DeflateLen(ex(c)))
 }
