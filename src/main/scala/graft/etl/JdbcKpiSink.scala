@@ -8,16 +8,17 @@ import org.apache.spark.sql.functions._
 /** Literal JDBC sink parity for the KPI table.
   *
   * The reference loads its KPI rows into Postgres over a database
-  * connection (`etl/app/shift_data_processor.py:123-144` — one INSERT per
-  * KPI inside a single transaction). The engine's primary sink is the
+  * connection (`etl/app/shift_data_processor.py:123-144` — one multi-row
+  * INSERT per run, a single VALUES list in one transaction, into table
+  * `kpis`). The engine's primary sink is the
   * transactional parquet warehouse (atomic commit markers, as-of
   * snapshots — strictly stronger guarantees), but deployments that keep
   * the KPI table in an RDBMS get this 1:1 face: Spark's JDBC writer,
   * appending each partition as one batched-INSERT transaction.
   *
   * Scale/ops notes: the KPI frame is tall-and-tiny (6 rows/run), so it is
-  * coalesced to ONE partition — one connection, one transaction, exactly
-  * the reference's commit unit. Fact-sized JDBC writes would instead tune
+  * coalesced to ONE partition — one connection, one transaction holding
+  * the whole run's batched INSERT, exactly the reference's commit unit. Fact-sized JDBC writes would instead tune
   * `numPartitions`/`batchsize`/`isolationLevel` (one transaction per
   * partition — idempotent-key or staging-table patterns cover partial
   * failure; that is why bulk data lands in the warehouse, not an RDBMS).
@@ -37,9 +38,11 @@ object JdbcKpiSink {
     * string keys: Spark's default string mapping is the dialect's TEXT
     * type (CLOB on Derby), which some engines refuse to compare in WHERE
     * clauses, silently breaking filter pushdown on the read side. Keyed
-    * columns in a JDBC table get bounded, comparable, indexable types. */
+    * columns in a JDBC table get bounded, comparable, indexable types.
+    * Default table name is the reference's (`kpis`); the `run_id` tag is
+    * this sink's one extension (the reference relies on insert time). */
   def append(kpis: DataFrame, url: String, runId: String,
-      table: String = "shift_kpis"): Unit =
+      table: String = "kpis"): Unit =
     kpis.withColumn("run_id", lit(runId))
       .coalesce(1)
       .write.mode(SaveMode.Append)
@@ -50,6 +53,6 @@ object JdbcKpiSink {
     * to the database as WHERE clauses (JDBC source supports filter
     * pushdown — pinned in JdbcKpiSinkSpec). */
   def read(spark: SparkSession, url: String,
-      table: String = "shift_kpis"): DataFrame =
+      table: String = "kpis"): DataFrame =
     spark.read.jdbc(url, table, props)
 }

@@ -445,8 +445,16 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
 
   private def compactAs(view: String => DataFrame, numFiles: Int): String = {
     // unique id per run so compaction is re-runnable (a fixed id would
-    // collide with its own previous output — review r6 #2)
-    val batchId = s"compacted-${nextSeq()}"
+    // collide with its own previous output — review r6 #2). Derived from
+    // nextSeq but probed against the COMMITTED ids: the marker swap
+    // resets the sequence to 1, so a bare `compacted-${nextSeq()}` can
+    // regenerate a still-live earlier compaction's id — back-to-back
+    // compaction of a one-batch warehouse threw "already committed"
+    // (review r7; pinned in the re-compaction spec).
+    val base = nextSeq()
+    val committed = committedBatchIds().toSet
+    val batchId = Iterator.from(0).map(k => s"compacted-${base + k}")
+      .find(id => !committed.contains(id)).get
     validateBatchId(batchId)
     val liveTables = tableSchemas.keys.toSeq.sorted
       .map(n => n -> view(n))

@@ -410,7 +410,6 @@ object DotProduct {
   }
 }
 
-/** Column-API entry points for the native expressions. */
 /** DEFLATE-compressed size of a string's UTF-8 bytes (zlib, fixed level
   * 6, raw stream). compressed/raw is the classic compressibility quality
   * signal for LLM corpora: highly repetitive boilerplate compresses far
@@ -461,6 +460,7 @@ object DeflateLen {
   }
 }
 
+/** Column-API entry points for the native expressions. */
 object functions {
   private def col(e: Expression): Column = GraftColumnBridge.column(e)
   private def ex(c: Column): Expression = GraftColumnBridge.expression(c)

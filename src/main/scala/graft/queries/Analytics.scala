@@ -756,9 +756,9 @@ object Analytics {
   // Column-profiling audit: per-column row/null/distinct counts plus
   // lexicographic min/max, the first thing a pipeline runs over a new
   // 100 TB drop before any transform trusts it. One scan: `stack`
-  // unpivots the audited columns to (col, val) rows (an Expand — ×4 rows,
-  // map-side, no extra scans), then a single grouped aggregate profiles
-  // all columns together. Only long/string columns are audited here:
+  // unpivots the audited columns to (col, val) rows (a map-side Generate
+  // — ×4 rows, no extra scans; pinned in PlanQualitySpec), then a single
+  // grouped aggregate profiles all columns together. Only long/string columns are audited here:
   // their string casts are engine-portable, where double/timestamp
   // formatting is not (the repo's numeric profile lives in
   // qStatsMoments).

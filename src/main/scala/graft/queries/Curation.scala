@@ -80,17 +80,29 @@ object Curation {
   // aggregation, keyed by doc_id with map-side combine. The n-gram join
   // key is the 64-bit xxhash of the shingle (8-byte probe, same trick as
   // qNgramJaccard's inverted index).
-  def qDecontam(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // staged once (same pattern as Dedup.shingled): the frame feeds the
-    // eval set, the train probe AND the per-doc sizes — unstaged,
-    // Spark re-scans + re-tokenizes the corpus per branch. Lifecycle is
-    // owned by Staging (one entry per session+corpus, explicit release).
-    val sh5 = graft.operators.Staging.persisted(spark, sfDir, "shingled5") {
+  /** 5-shingle frame, staged once (same pattern as Dedup.shingled): it
+    * feeds the eval set, the train probe AND the per-doc sizes —
+    * unstaged, Spark re-scans + re-tokenizes the corpus per branch.
+    * Lifecycle is owned by Staging (one entry per session+corpus,
+    * explicit release). */
+  private def shingled5(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Staging.persisted(spark, sfDir, "shingled5") {
+      import spark.implicits._
       Tables.documents(spark, sfDir)
         .select($"doc_id", graft.functions.functions.word_shingles($"text", 5).as("sh"))
         .filter(size($"sh") > 0)
     }
+
+  /** Setup-phase hook: materialize the staged 5-shingle frame (see
+    * Dedup.prewarmStaging for the accounting rationale). */
+  def prewarmStaging(spark: SparkSession, sfDir: String): Unit = {
+    shingled5(spark, sfDir).count()
+    ()
+  }
+
+  def qDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh5 = shingled5(spark, sfDir)
     val inv = sh5.select($"doc_id", explode($"sh").as("s"))
       .select($"doc_id", xxhash64($"s").as("h"))
     val evalSet = inv.filter($"doc_id" % 20 === 0).select($"h").distinct()

@@ -722,7 +722,36 @@ object TextOps {
       |      FROM documents)
       |WHERE pick <= 3""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Whole-document compressibility via the native deflate_len expression
+  // — the Gopher-style quality signal complementing qRepetition's n-gram
+  // fractions (boilerplate compresses far below prose; noise barely at
+  // all). zlib output is deterministic within a deployment but NOT
+  // engine-portable, so the oracle pattern is the approximate-operator
+  // one (q_approx_distinct): ship the portable columns exactly (doc_id,
+  // UTF-8 byte length) plus an in-query envelope assertion — the
+  // compressed size must land in (0, deflateBound(n)] where deflateBound
+  // is zlib's own worst-case formula n + n/4096 + n/16384 + n/2^25 + 13.
+  // Any zlib would satisfy it; a broken kernel (negative, zero, or
+  // exploding output) flips the flag and hash-fails. Map-only scan.
+  def qCompressRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val n = octet_length($"text").cast("long")
+    val bound = n + shiftright(n, 12) + shiftright(n, 14) + shiftright(n, 25) + lit(13L)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", n.as("n_bytes"),
+        graft.functions.functions.deflate_len($"text").as("dl"), bound.as("bnd"))
+      .select($"doc_id", $"n_bytes",
+        ($"dl" > 0 && $"dl" <= $"bnd").as("deflate_ok"))
+  }
+
+  val qCompressRatioSql: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       TRUE AS deflate_ok
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_compress_ratio" -> (qCompressRatio _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_repetition" -> (qRepetition _),
     "q_unigram_lm" -> (qUnigramLm _),
@@ -746,6 +775,7 @@ object TextOps {
     "q_heavy_hitters" -> (qHeavyHitters _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_compress_ratio" -> qCompressRatioSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_repetition" -> qRepetitionSql,
     "q_unigram_lm" -> qUnigramLmSql,

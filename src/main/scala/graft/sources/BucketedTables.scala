@@ -47,7 +47,18 @@ object BucketedTables {
     * key, buckets) — the layout parameters are part of the mirror
     * identity, or a later caller asking for a different bucketing would
     * silently get the first one's layout (and a plan that shuffles
-    * after all, or worse, wrong bucket pruning assumptions). */
+    * after all, or worse, wrong bucket pruning assumptions; pinned in
+    * BucketedJoinSpec).
+    *
+    * Scope assumptions (the local analogs of "bucketing is an ingest
+    * decision"): ONE JVM owns the scratch mirror directory — the
+    * `synchronized` build is per-process, so two concurrent JVMs
+    * pointed at the same target/ could race the same Overwrite (sbt
+    * test forks get their own working dirs; a shared deployment would
+    * bucket at ingest, not on first query). And the corpus under
+    * `sfDir` is IMMUTABLE for the session — a corpus rewritten in
+    * place needs its mirrors rebuilt (drop the catalog table or use a
+    * fresh session), exactly like Staging's invalidation contract. */
   def bucketed(spark: SparkSession, sfDir: String, name: String, key: String,
       buckets: Int = 8): DataFrame = {
     val layout = s"${name}_${key}_$buckets"

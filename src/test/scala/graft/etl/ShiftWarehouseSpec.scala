@@ -230,6 +230,22 @@ class ShiftWarehouseSpec extends SparkTestBase {
     assert(wh.shifts.count() === 10)
   }
 
+  test("compaction is re-runnable back-to-back — ids never collide with live output") {
+    // the marker swap resets the commit sequence, so an id derived from
+    // nextSeq alone can equal the PREVIOUS compaction's still-committed
+    // id (one-batch warehouse: both runs compute `compacted-2`) — the
+    // periodic maintenance job must not fail on its second tick
+    val wh = new ShiftWarehouse(spark, tempDir("wh-recompact"))
+    val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)
+    wh.appendBatch(ShiftNormalizer.normalize(page), "b0")
+    val before = wh.shifts.count()
+    val id1 = wh.compact()
+    val id2 = wh.compact()
+    assert(id1 != id2, s"compaction reused id $id1")
+    assert(wh.shifts.count() == before)
+    assert(wh.committedBatches == Seq(id2), "exactly the newest compacted batch is live")
+  }
+
   test("clear removes everything (DELETE CASCADE semantics)") {
     val wh = new ShiftWarehouse(spark, tempDir("wh-clear"))
     val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)

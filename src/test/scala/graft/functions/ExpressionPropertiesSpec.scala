@@ -117,6 +117,34 @@ class ExpressionPropertiesSpec extends SparkTestBase {
     rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
 
+  test("deflate_len: repetition compresses below noise; empty/null handled; SQL-callable") {
+    import spark.implicits._
+    // compressibility ordering — the property the quality signal relies
+    // on: pure repetition ≪ natural-ish prose ≪ alphanumeric noise
+    val rep = "the same phrase over and over " * 40
+    val noise = samples(Gen.listOfN(rep.length, Gen.alphaNumChar).map(_.mkString), 1).head
+    val rows = Seq(("rep", rep), ("noise", noise)).toDF("k", "t")
+      .select($"k", functions.deflate_len($"t").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("rep") < rows("noise") / 4,
+      s"repetitive text must compress far below noise: $rows")
+    // interpreted eval must equal the codegen'd plan path
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(rows("rep") == DeflateLen.compute(UTF8String.fromString(rep)))
+    // empty string: a few bytes of stream framing, never negative/huge
+    val empty = Seq("").toDF("t")
+      .select(functions.deflate_len($"t")).head().getLong(0)
+    assert(empty > 0 && empty < 16, s"empty-string deflate len: $empty")
+    // null propagates (UnaryExpression default null-intolerance)
+    val nul = Seq[Option[String]](None).toDF("t")
+      .select(functions.deflate_len($"t")).head()
+    assert(nul.isNullAt(0))
+    // SQL registration path
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(s"SELECT deflate_len('${"ab " * 50}') AS n").head().getLong(0)
+    assert(viaSql == DeflateLen.compute(UTF8String.fromString("ab " * 50)))
+  }
+
   // helpers run the actual Catalyst expressions through a real plan
   private def sparkShingles(t: String): Seq[String] = {
     import spark.implicits._

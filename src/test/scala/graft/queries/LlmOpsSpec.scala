@@ -230,7 +230,7 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.9, f"recall below target: $recall%.2f")
   }
 
-  test("IVF ANN recall@5 vs brute force is >= 0.8 at nprobe=6") {
+  test("IVF ANN recall@5 vs brute force is >= 0.9 at nprobe=8") {
     import spark.implicits._
     val brute = Similarity.qAnnBrute(spark, sfDir)
       .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
@@ -238,9 +238,12 @@ class LlmOpsSpec extends SparkTestBase {
       .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     info(f"IVF ANN recall@5 = $recall%.2f (${(brute & ivf).size}/${brute.size})")
-    // Voronoi cells carry little signal on unstructured vectors; 6 of ~9
-    // cells probed gives 0.9 measured — assert with headroom below it
-    assert(recall >= 0.8, f"recall below target: $recall%.2f")
+    // Voronoi cells carry little signal on unstructured vectors, so the
+    // ≥0.9 production bar costs 8 of the 9 cells here (measured
+    // 0.94–0.96 across sf0.001/sf0.01, deterministic centroids); on
+    // clustered data the learned-centroid test below hits 1.00 at
+    // nprobe=6 through the same plan
+    assert(recall >= 0.9, f"recall below target: $recall%.2f")
   }
 
   test("IVF over KMeans-learned centroids is wired and competitive") {
@@ -262,9 +265,11 @@ class LlmOpsSpec extends SparkTestBase {
       .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     info(f"KMeans-IVF recall@5 = $recall%.2f (${(brute & ivf).size}/${brute.size})")
-    // learned cells should do no worse than the arbitrary-subset cells
-    // minus noise; the point is the wiring and a sane floor
-    assert(recall >= 0.7, f"recall collapsed: $recall%.2f")
+    // the production bar at production parameters: learned cells give
+    // IVF its clustered-data premise back — measured 1.00 at nprobe=6
+    // (seed-pinned KMeans, deterministic), asserted at the same ≥0.9
+    // bar as the LSH and subset-centroid paths
+    assert(recall >= 0.9, f"recall below target: $recall%.2f")
   }
 
   test("prefix-filtered jaccard plan has no all-pairs join") {

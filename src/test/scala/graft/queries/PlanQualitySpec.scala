@@ -326,6 +326,38 @@ class PlanQualitySpec extends SparkTestBase {
     assert(rows == Map(1L -> None, 2L -> Some(9L)))
   }
 
+  test("multi-distinct runs as one scan through an Expand — never a scan per distinct column") {
+    val p = plan(Analytics.qMultiDistinct(spark, sfDir))
+    assert("FileScan".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Expand"), p)
+  }
+
+  test("column profile is one scan through a map-side stack Generate") {
+    val p = plan(Analytics.qProfile(spark, sfDir))
+    assert("FileScan".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Generate stack"), p)
+  }
+
+  test("SCD-2 build uses exactly one window, keyed by the dimension key") {
+    val windows = Events.qScd2(spark, sfDir).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 1, windows.mkString("\n"))
+    assert(windows.head.partitionSpec.nonEmpty, windows.head.toString)
+  }
+
+  test("interpolation anchors run directly on the spine join output — no re-partition between them") {
+    // the grid's partitioning (event_type, from the types aggregate)
+    // flows through both broadcast joins, so the anchor windows must
+    // need no new Exchange: in the top-down plan text, nothing between
+    // the Window and the spine's BroadcastHashJoin may be an Exchange
+    val p = plan(Events.qInterpolate(spark, sfDir))
+    val win = p.indexOf("Window")
+    val join = p.indexOf("BroadcastHashJoin")
+    assert(win >= 0 && join > win, p)
+    assert(!p.substring(win, join).contains("Exchange"), p.substring(win, join))
+  }
+
   test("rolling_hashes is SQL-callable and matches the column API") {
     graft.functions.GraftFunctions.register(spark)
     val viaSql = spark.sql("SELECT rolling_hashes('abcdef', 5) AS h")
