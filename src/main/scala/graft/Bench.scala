@@ -58,6 +58,18 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val setupSec = setup.map(_._2).filter(_ >= 0).sum
+    // Cumulative JVM GC time over the timed section: after ~100 queries
+    // the heap holds every staged frame and codegen class, and a major
+    // collection lands on whichever query happens to be running — a
+    // 3–4× one-query spike with a normal warm time and high gc_sec is
+    // heap noise, not a plan regression (r7: q_revenue_by_nation 4.4 s
+    // in-suite vs 1.1 s isolated).
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    }
+    val gc0 = gcMillis()
     var failed = List.empty[String]
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -87,10 +99,11 @@ object Bench {
     val total = ok0.map(_._2).sum
     val load1 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val gcSec = (gcMillis() - gc0) / 1000.0
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""setup":${jmap(setup)},"setup_sec":${fmt(setupSec)},""" +
-        s""""warm":${jmap(warm)},"load1":${fmt(load1)},""" +
+        s""""warm":${jmap(warm)},"load1":${fmt(load1)},"gc_sec":${fmt(gcSec)},""" +
         s""""sf":"$sfDir","failed":${failed.size}}"""
     println(full)
     // The driver captures only the LAST ~2000 chars of the sbt log; at 90+
@@ -114,6 +127,7 @@ object Bench {
       s""""failed":${failed.size}""",
       s""""n_queries":${results.size}""",
       s""""load1":${fmt(load1)}""",
+      s""""gc_sec":${fmt(gcSec)}""",
       s""""setup":${jmap(setup)}""",
       s""""setup_sec":${fmt(setupSec)}""",
       s""""queries":${jmap(slowest)}""",

@@ -42,21 +42,28 @@ class LlmOpsSpec extends SparkTestBase {
     assertNoCrossJoin(Dedup.qDedupIncremental(spark, sfDir))
   }
 
-  test("dedup pipelines read the staged shingle frame, not the raw corpus per branch") {
-    // shingling is persisted (the local analog of writing a signature
-    // table): every join branch must resolve to the cached relation,
-    // leaving at most the left_anti probe side as a raw documents scan.
-    // (Count logical leaves — the physical string repr also prints the
-    // FileScan nested inside each InMemoryRelation.)
+  test("dedup pipelines read staged frames, not the raw corpus per branch") {
+    // two staging tiers (each the local analog of a maintained table):
+    // the verified PAIR set is persisted, so the dedup keep-set reads
+    // one cached relation + at most one raw probe-side corpus scan...
     val lp = Dedup.qDedupFiltered(spark, sfDir).queryExecution.optimizedPlan
-    val cached = lp.collect {
-      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
-    }
+    def cachedIn(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }
     val raw = lp.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
     }
-    assert(cached.size >= 2, s"expected >=2 cached branches:\n$lp")
+    assert(cachedIn(lp).size == 1, s"expected the staged pair frame:\n$lp")
     assert(raw.size <= 1, s"expected <=1 raw corpus scan, got ${raw.size}:\n$lp")
+    // ...and INSIDE the pair pipeline, every join branch (banded sides,
+    // jaccard-verify sides) resolves to the staged SHINGLE frame — the
+    // cached pair plan must reference it, never re-tokenize the corpus
+    val pairPlan = cachedIn(lp).head.cachedPlan.toString
+    // (string count: AQE wraps the cached plan, hiding nodes from collect)
+    val shingleCaches = "InMemoryTableScan".r.findAllIn(pairPlan).length
+    assert(shingleCaches >= 2,
+      s"pair pipeline must read the staged shingle frame per branch:\n$pairPlan")
   }
 
   test("exact ngram-jaccard equals the minhash-LSH + verify pipeline") {
