@@ -20,6 +20,10 @@ object Bench {
       graft.sources.BucketedTables.bucketed(s, dir, "orders", "o_orderkey")
       ()
     }),
+    "clustered_mirror" -> ((s, dir) => {
+      graft.sources.ClusteredTables.clustered(s, dir, "lineitem", Seq("l_orderkey"))
+      ()
+    }),
     "dedup_staging" -> ((s, dir) => graft.queries.Dedup.prewarmStaging(s, dir)),
     "decontam_staging" -> ((s, dir) => graft.queries.Curation.prewarmStaging(s, dir)))
 

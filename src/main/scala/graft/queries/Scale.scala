@@ -230,7 +230,39 @@ object Scale {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Range-clustered scan: the data-skipping face of the layout story
+  // (sources/ClusteredTables — bucketing kills the JOIN shuffle, range-
+  // clustering kills the SCAN cost of selective predicates). The mirror
+  // is written repartitionByRange + sortWithinPartitions on l_orderkey,
+  // so every parquet row group covers a narrow, disjoint key range and
+  // the pushed range predicate prunes all but the overlapping groups
+  // (footer arithmetic proven in ClusteredTablesSpec: 1–2 of 8 row
+  // groups read vs all 8 on the unsorted layout). Results are
+  // byte-identical to the flat layout — the oracle runs on flat
+  // parquet. Key range [100, 400) exists at every test SF.
+  private val ClusterKeyLo = 100L
+  private val ClusterKeyHi = 400L
+
+  def qClusteredScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.ClusteredTables
+      .clustered(spark, sfDir, "lineitem", Seq("l_orderkey"))
+      .filter($"l_orderkey" >= ClusterKeyLo && $"l_orderkey" < ClusterKeyHi)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("double").as("sum_qty"))
+  }
+
+  val qClusteredScanSql: String =
+    s"""SELECT l_returnflag, count(*) AS n_rows,
+       |       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+       |FROM lineitem
+       |WHERE l_orderkey >= $ClusterKeyLo AND l_orderkey < $ClusterKeyHi
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_clustered_scan" -> (qClusteredScan _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_islands_scalable" -> (qIslandsScalable _),
@@ -239,6 +271,7 @@ object Scale {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_clustered_scan" -> qClusteredScanSql,
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_bloom_join" -> qBloomJoinSql,
     "q_islands_scalable" -> qIslandsScalableSql,
