@@ -22,6 +22,7 @@ object Bench {
     }),
     "clustered_mirror" -> ((s, dir) => {
       graft.sources.ClusteredTables.clustered(s, dir, "lineitem", Seq("l_orderkey"))
+      graft.sources.ClusteredTables.zOrdered(s, dir, "lineitem", "l_orderkey", "l_partkey")
       ()
     }),
     "dedup_staging" -> ((s, dir) => graft.queries.Dedup.prewarmStaging(s, dir)),

@@ -61,7 +61,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => DotProduct(args.head, args(1))),
     ("deflate_len",
       new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
-      (args: Seq[Expression]) => DeflateLen(args.head)))
+      (args: Seq[Expression]) => DeflateLen(args.head)),
+    ("zorder64",
+      new ExpressionInfo(classOf[ZOrder64].getName, "zorder64"),
+      (args: Seq[Expression]) => ZOrder64(args.head, args(1))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

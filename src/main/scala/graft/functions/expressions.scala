@@ -410,6 +410,56 @@ object DotProduct {
   }
 }
 
+/** Morton (Z-order) interleave of two 32-bit-normalized keys: bit i of
+  * `left` lands at output bit 2i, bit i of `right` at 2i+1. The multi-
+  * dimensional clustering key for sort-clustered layouts
+  * (sources/ClusteredTables.zOrdered): sorting by the interleaved value
+  * keeps rows close in BOTH key dimensions, so parquet row-group
+  * min/max statistics prune predicates on EITHER key — a single-key
+  * sort can only ever prune its leading key. Inputs must already be
+  * normalized into [0, 2^32) (the writer's min/max rescale does this);
+  * out-of-range bits are masked, never an error, because a clustering
+  * key's worst failure mode is a bad layout, not a wrong result.
+  * Interleave uses the standard O(1) magic-mask bit spreading, fused in
+  * one codegen'd call. */
+case class ZOrder64(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two bigint, got ${l.simpleString}, ${r.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder64"
+  override def foldable: Boolean = left.foldable && right.foldable
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder64.compute(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ZOrder64.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ZOrder64 =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrder64 {
+  /** Spread the low 32 bits of v to the even bit positions of a long. */
+  def spread(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  def compute(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+}
+
 /** DEFLATE-compressed size of a string's UTF-8 bytes (zlib, fixed level
   * 6, raw stream). compressed/raw is the classic compressibility quality
   * signal for LLM corpora: highly repetitive boilerplate compresses far
@@ -473,4 +523,5 @@ object functions {
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
   def deflate_len(c: Column): Column = col(DeflateLen(ex(c)))
+  def zorder64(a: Column, b: Column): Column = col(ZOrder64(ex(a), ex(b)))
 }

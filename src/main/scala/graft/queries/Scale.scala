@@ -261,7 +261,37 @@ object Scale {
        |WHERE l_orderkey >= $ClusterKeyLo AND l_orderkey < $ClusterKeyHi
        |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Z-order clustered scan: the MULTI-key layout (ClusteredTables
+  // .zOrdered — min/max-normalized keys bit-interleaved by the native
+  // zorder64 Morton kernel, table range-clustered on the curve value).
+  // The filter here is on l_partkey ALONE — the key a plain
+  // sort-by-l_orderkey layout can never skip on — and the footers prove
+  // the z-layout's row-group stats still prune it
+  // (ClusteredTablesSpec). Byte parity with the flat layout via the
+  // oracle; key range exists at every test SF.
+  private val ZPartLo = 10L
+  private val ZPartHi = 60L
+
+  def qZorderScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.ClusteredTables
+      .zOrdered(spark, sfDir, "lineitem", "l_orderkey", "l_partkey")
+      .filter($"l_partkey" >= ZPartLo && $"l_partkey" < ZPartHi)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("double").as("sum_qty"))
+  }
+
+  val qZorderScanSql: String =
+    s"""SELECT l_returnflag, count(*) AS n_rows,
+       |       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+       |FROM lineitem
+       |WHERE l_partkey >= $ZPartLo AND l_partkey < $ZPartHi
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_scan" -> (qZorderScan _),
     "q_clustered_scan" -> (qClusteredScan _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_bloom_join" -> (qBloomJoin _),
@@ -271,6 +301,7 @@ object Scale {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_zorder_scan" -> qZorderScanSql,
     "q_clustered_scan" -> qClusteredScanSql,
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_bloom_join" -> qBloomJoinSql,

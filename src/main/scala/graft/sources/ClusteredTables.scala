@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, max, min}
 
 import graft.core.Tables
 
@@ -54,16 +54,65 @@ object ClusteredTables {
   def clustered(spark: SparkSession, sfDir: String, name: String,
       keys: Seq[String], partitions: Int = 8): DataFrame = {
     val layout = s"${name}_${keys.mkString("_")}_$partitions"
+    build(spark, sfDir, name, layout) { df =>
+      df.repartitionByRange(partitions, keys.map(col): _*)
+        .sortWithinPartitions(keys.map(col): _*)
+    }
+  }
+
+  /** Read table `name` Z-ORDER clustered on two integral keys: each key
+    * is min/max-rescaled to [0, 2^32) and bit-interleaved
+    * (functions.zorder64 — a native codegen'd Morton curve), and the
+    * table is range-clustered on the interleaved value. Rows end up
+    * close in BOTH key dimensions, so row-group min/max stats prune a
+    * predicate on EITHER key — where a plain sort prunes only its
+    * leading key (proven from the footers in ClusteredTablesSpec).
+    * The curve column itself is dropped before the write: it is a
+    * layout decision, not data. */
+  def zOrdered(spark: SparkSession, sfDir: String, name: String,
+      keyA: String, keyB: String, partitions: Int = 8): DataFrame = {
+    val layout = s"${name}_z_${keyA}_${keyB}_$partitions"
+    build(spark, sfDir, name, layout) { df =>
+      // min/max rescale per key (one tiny agg job at build time): the
+      // curve needs both keys on comparable 32-bit scales, or the wider
+      // domain monopolizes the high interleaved bits
+      val Seq((loA, hiA), (loB, hiB)) = Seq(keyA, keyB).map { k =>
+        val r = df.agg(min(col(k)), max(col(k))).head()
+        (r.getLong(0), math.max(r.getLong(1), r.getLong(0) + 1))
+      }
+      def norm(k: String, lo: Long, hi: Long) =
+        (((col(k) - lo).cast("double") / (hi - lo).toDouble)
+          * ((1L << 32) - 1).toDouble).cast("long")
+      df.withColumn("_z",
+          graft.functions.functions.zorder64(
+            norm(keyA, loA, hiA), norm(keyB, loB, hiB)))
+        .repartitionByRange(partitions, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z")
+    }
+  }
+
+  /** On-disk location of a mirror built by [[clustered]] (spec access —
+    * the footer assertions read the parquet files directly). */
+  private[graft] def clusteredPath(sfDir: String, name: String,
+      keys: Seq[String], partitions: Int = 8): String =
+    mirrorPath(sfDir, s"${name}_${keys.mkString("_")}_$partitions").toString
+
+  /** On-disk location of a mirror built by [[zOrdered]]. */
+  private[graft] def zOrderedPath(sfDir: String, name: String,
+      keyA: String, keyB: String, partitions: Int = 8): String =
+    mirrorPath(sfDir, s"${name}_z_${keyA}_${keyB}_$partitions").toString
+
+  private def build(spark: SparkSession, sfDir: String, name: String,
+      layout: String)(shape: DataFrame => DataFrame): DataFrame = {
     val path = mirrorPath(sfDir, layout)
     this.synchronized {
       if (!Files.exists(path.resolve("_SUCCESS"))) {
-        Tables.read(spark, sfDir, name)
-          .repartitionByRange(partitions, keys.map(col): _*)
-          .sortWithinPartitions(keys.map(col): _*)
+        shape(Tables.read(spark, sfDir, name))
           .write.mode(SaveMode.Overwrite).parquet(path.toString)
       }
     }
-    spark.read.schema(graft.core.Tables.read(spark, sfDir, name).schema)
+    spark.read.schema(Tables.read(spark, sfDir, name).schema)
       .parquet(path.toString)
   }
 }

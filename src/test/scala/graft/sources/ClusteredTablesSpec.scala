@@ -43,14 +43,8 @@ class ClusteredTablesSpec extends SparkTestBase {
     Tables.lineitem(spark, sfDir).repartition(8)
       .write.mode("overwrite").parquet(unsortedDir)
 
-    val clusteredDir = {
-      // the mirror path is internal — recover it from the reader's plan
-      val p = ClusteredTables.clustered(spark, sfDir, "lineitem", Seq("l_orderkey"))
-        .queryExecution.executedPlan.toString
-      val m = "file:([^\\],]+)".r.findFirstMatchIn(p)
-      assert(m.nonEmpty, p)
-      m.get.group(1)
-    }
+    val clusteredDir =
+      ClusteredTables.clusteredPath(sfDir, "lineitem", Seq("l_orderkey"))
     def overlapping(ranges: Seq[(Long, Long)]): Int =
       ranges.count { case (mn, mx) => mx >= lo && mn < hi }
 
@@ -68,6 +62,66 @@ class ClusteredTablesSpec extends SparkTestBase {
     // row group — the same stats prune nothing
     assert(overlapping(unsorted) == unsorted.size,
       s"unsorted twin unexpectedly selective (layout assumption broke): $unsorted")
+  }
+
+  test("zorder64 interleave: exact bit placement and order preservation on quadrants") {
+    // slow reference interleave vs the magic-mask kernel
+    def slow(a: Long, b: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val samples = Seq(0L, 1L, 2L, 0xFFFFFFFFL, 0x12345678L, 0xAAAA5555L, 305419896L)
+    for (a <- samples; b <- samples)
+      assert(graft.functions.ZOrder64.compute(a, b) == slow(a, b), s"($a, $b)")
+    // the curve's locality property the layout relies on: if BOTH
+    // coordinates of x are <= those of y, z(x) <= z(y)
+    assert(graft.functions.ZOrder64.compute(3, 7) <=
+      graft.functions.ZOrder64.compute(5, 9))
+    // SQL registration
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT zorder64(1L, 1L) AS z").head().getLong(0) == 3L)
+  }
+
+  test("z-order layout prunes row groups on BOTH keys; single-key sort only on its leading key") {
+    // build both mirrors, then read their footers off disk
+    ClusteredTables.zOrdered(spark, sfDir, "lineitem", "l_orderkey", "l_partkey")
+    ClusteredTables.clustered(spark, sfDir, "lineitem", Seq("l_orderkey"))
+    val zDir = ClusteredTables.zOrderedPath(sfDir, "lineitem", "l_orderkey", "l_partkey")
+    val sortedDir = ClusteredTables.clusteredPath(sfDir, "lineitem", Seq("l_orderkey"))
+    def overlapping(ranges: Seq[(Long, Long)], lo: Long, hi: Long): Int =
+      ranges.count { case (mn, mx) => mx >= lo && mn < hi }
+
+    // secondary-key predicate (l_partkey ∈ [10, 60), ~25% of the domain
+    // at sf0.001): the l_orderkey-sorted layout can NEVER skip on it...
+    val sortedPart = rowGroupRanges(sortedDir, "l_partkey")
+    assert(overlapping(sortedPart, 10, 60) == sortedPart.size,
+      s"single-key sort unexpectedly selective on the secondary key: $sortedPart")
+    // ...the z-layout must (each z range covers a sub-rectangle of the
+    // key plane, so some row groups exclude the partkey band entirely)
+    val zPart = rowGroupRanges(zDir, "l_partkey")
+    val zPartHit = overlapping(zPart, 10, 60)
+    info(s"z-layout row groups overlapping partkey [10,60): $zPartHit/${zPart.size}")
+    assert(zPartHit < zPart.size, s"z-layout pruned nothing on l_partkey: $zPart")
+    // and it still prunes on the primary key too (weaker than the pure
+    // sort, but real): some row group must exclude orderkey [100,400)
+    val zOrd = rowGroupRanges(zDir, "l_orderkey")
+    val zOrdHit = overlapping(zOrd, 100, 400)
+    info(s"z-layout row groups overlapping orderkey [100,400): $zOrdHit/${zOrd.size}")
+    assert(zOrdHit < zOrd.size, s"z-layout pruned nothing on l_orderkey: $zOrd")
+  }
+
+  test("z-order scan matches the flat layout") {
+    import spark.implicits._
+    val z = graft.queries.Scale.qZorderScan(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSet
+    val flat = Tables.lineitem(spark, sfDir)
+      .filter($"l_partkey" >= 10 && $"l_partkey" < 60)
+      .groupBy($"l_returnflag")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.sum($"l_quantity").cast("double").as("sum_qty"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(z == flat)
   }
 
   test("clustered scan pushes the range predicate and matches the flat layout") {
