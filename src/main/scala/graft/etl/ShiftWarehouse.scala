@@ -214,17 +214,33 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
 
   private def tombstonesDir: Path = rootPath.resolve("_tombstones")
 
-  /** (pk, _seq) of every committed tombstone for a table. */
+  /** (pk, _tseq) of every committed tombstone for a table. One
+    * multi-path scan with the batch seq recovered from the file path —
+    * the same shape as [[taggedTable]], for the same reason: a
+    * union-per-batch plan grows O(tombstone batches) at planning time,
+    * and a long-lived warehouse accumulates deletion batches just like
+    * data batches (review r7; previously a unionByName reduce). */
   private def tombstones(name: String): Option[DataFrame] = {
     val pk = pkColumns(name)
+    val pkField = tableSchemas(name).fields.find(_.name == pk).get
     val dirs = committedBatchIds().zipWithIndex.flatMap { case (b, i) =>
       val dir = tombstonesDir.resolve(name).resolve(s"batch=$b")
       if (Files.isDirectory(dir)) Some((i.toLong, dir)) else None
     }
     if (dirs.isEmpty) None
-    else Some(dirs.map { case (i, dir) =>
-      spark.read.parquet(dir.toString).select(col(pk), lit(i).as("_tseq"))
-    }.reduce(_.unionByName(_)))
+    else {
+      import spark.implicits._
+      val encSeq = dirs.map { case (i, dir) =>
+        val u = dir.toUri.toString.stripSuffix("/")
+        (u.substring(u.lastIndexOf("batch=") + 6), i)
+      }
+      val seqDf = broadcast(encSeq.toDF("_bid", "_tseq"))
+      val scan = spark.read.schema(StructType(Seq(pkField)))
+        .parquet(dirs.map(_._2.toString): _*)
+        .withColumn("_bid",
+          regexp_extract(input_file_name(), "batch=([^/]+)/", 1))
+      Some(scan.join(seqDf, Seq("_bid")).select(col(pk), col("_tseq")))
+    }
   }
 
   /** Committed batches that were landed via [[upsertBatch]]. */

@@ -50,11 +50,33 @@ object ClusteredTables {
 
   /** Read table `name` range-clustered on `keys` (building the mirror on
     * first use). `partitions` sizes the range split — the local analog
-    * of targeting ~1 GB files per key range at scale. */
+    * of targeting ~1 GB files per key range at scale.
+    *
+    * `bloomKeys` additionally writes a parquet BLOOM FILTER per listed
+    * column — the skipping lever for point lookups on columns the sort
+    * order does NOT cover: min/max stats on an unsorted column span the
+    * whole domain and prune nothing, while the bloom answers "key
+    * definitely absent from this row group" at ~1% false-positive cost
+    * (the reader consults it for = predicates automatically). Sort
+    * covers the range queries on the cluster key; blooms cover point
+    * probes on everything else — together they are the poor-man's
+    * secondary index an immutable 100 TB fact table actually gets.
+    *
+    * Dictionary encoding is turned OFF for bloom columns: parquet-mr
+    * drops the bloom when a chunk stays fully dictionary-encoded (the
+    * dictionary is already an exact membership filter), which is every
+    * chunk at test scale. At 100 TB cardinality the dictionary caps out
+    * chunk-by-chunk and the bloom takes over; forcing plain encoding
+    * locally exercises the same path the big corpus would take. */
   def clustered(spark: SparkSession, sfDir: String, name: String,
-      keys: Seq[String], partitions: Int = 8): DataFrame = {
-    val layout = s"${name}_${keys.mkString("_")}_$partitions"
-    build(spark, sfDir, name, layout) { df =>
+      keys: Seq[String], partitions: Int = 8,
+      bloomKeys: Seq[String] = Seq.empty): DataFrame = {
+    val layout = (s"${name}_${keys.mkString("_")}_$partitions" +:
+      bloomKeys.map(k => s"bf_$k")).mkString("_")
+    build(spark, sfDir, name, layout,
+      bloomKeys.flatMap(k => Seq(
+        s"parquet.bloom.filter.enabled#$k" -> "true",
+        s"parquet.enable.dictionary#$k" -> "false")).toMap) { df =>
       df.repartitionByRange(partitions, keys.map(col): _*)
         .sortWithinPartitions(keys.map(col): _*)
     }
@@ -95,8 +117,10 @@ object ClusteredTables {
   /** On-disk location of a mirror built by [[clustered]] (spec access —
     * the footer assertions read the parquet files directly). */
   private[graft] def clusteredPath(sfDir: String, name: String,
-      keys: Seq[String], partitions: Int = 8): String =
-    mirrorPath(sfDir, s"${name}_${keys.mkString("_")}_$partitions").toString
+      keys: Seq[String], partitions: Int = 8,
+      bloomKeys: Seq[String] = Seq.empty): String =
+    mirrorPath(sfDir, (s"${name}_${keys.mkString("_")}_$partitions" +:
+      bloomKeys.map(k => s"bf_$k")).mkString("_")).toString
 
   /** On-disk location of a mirror built by [[zOrdered]]. */
   private[graft] def zOrderedPath(sfDir: String, name: String,
@@ -104,12 +128,14 @@ object ClusteredTables {
     mirrorPath(sfDir, s"${name}_z_${keyA}_${keyB}_$partitions").toString
 
   private def build(spark: SparkSession, sfDir: String, name: String,
-      layout: String)(shape: DataFrame => DataFrame): DataFrame = {
+      layout: String, writeOptions: Map[String, String] = Map.empty)(
+      shape: DataFrame => DataFrame): DataFrame = {
     val path = mirrorPath(sfDir, layout)
     this.synchronized {
       if (!Files.exists(path.resolve("_SUCCESS"))) {
         shape(Tables.read(spark, sfDir, name))
-          .write.mode(SaveMode.Overwrite).parquet(path.toString)
+          .write.mode(SaveMode.Overwrite).options(writeOptions)
+          .parquet(path.toString)
       }
     }
     spark.read.schema(Tables.read(spark, sfDir, name).schema)

@@ -52,6 +52,22 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(labelsOf(Seq.empty).isEmpty)
   }
 
+  test("randomized graphs match the union-find oracle (seeded)") {
+    // structure-free confidence: sparse random graphs produce a mix of
+    // singleton-pair, chain, and blob components; fixed seeds keep runs
+    // deterministic
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60 + rnd.nextInt(40)
+      val edges = Seq.fill(n) {
+        val a = rnd.nextInt(80).toLong
+        val b = rnd.nextInt(80).toLong
+        (a, b)
+      }.filter { case (a, b) => a != b }
+      assert(labelsOf(edges) == ufComponents(edges), s"seed=$seed edges=$edges")
+    }
+  }
+
   test("labels are component minima on a graph with interleaved ids") {
     // two components whose id ranges interleave — guards against any
     // accidental reliance on contiguity

@@ -124,6 +124,71 @@ class ClusteredTablesSpec extends SparkTestBase {
     assert(z == flat)
   }
 
+  test("bloom-filtered write: point probes on a non-sort column get definite-absent answers") {
+    import scala.jdk.CollectionConverters._
+    // sort on l_orderkey, bloom on l_partkey: min/max stats can't prune
+    // a point probe on l_partkey (every group spans the domain — proven
+    // in the z-order test), but the bloom can
+    ClusteredTables.clustered(spark, sfDir, "lineitem", Seq("l_orderkey"),
+      bloomKeys = Seq("l_partkey"))
+    val dir = ClusteredTables.clusteredPath(sfDir, "lineitem", Seq("l_orderkey"),
+      bloomKeys = Seq("l_partkey"))
+    val conf = spark.sessionState.newHadoopConf()
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.length > 0).sorted
+    assert(files.nonEmpty)
+    // present keys per row group (ground truth), absent probe set
+    val presentByFile = files.map { f =>
+      f.getAbsolutePath -> spark.read.parquet(f.getAbsolutePath)
+        .select("l_partkey").distinct()
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+    val allPresent = presentByFile.values.flatten.toSet
+    val absentProbes = (1L to 5000L).filterNot(allPresent).take(100)
+    assert(absentProbes.size >= 50, "need absent keys for the FPR check")
+    var falsePositives = 0
+    var definiteAbsent = 0
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.foreach { block =>
+        val cm = block.getColumns.asScala
+          .find(_.getPath.toDotString == "l_partkey").get
+        val bloom = r.getBloomFilterDataReader(block).readBloomFilter(cm)
+        assert(bloom != null, s"no bloom filter written in ${f.getName}")
+        // NO false negatives, ever: every present key must hit
+        presentByFile(f.getAbsolutePath).take(50).foreach { k =>
+          assert(bloom.findHash(bloom.hash(k)), s"false negative for $k")
+        }
+        absentProbes.foreach { k =>
+          if (bloom.findHash(bloom.hash(k))) falsePositives += 1
+          else definiteAbsent += 1
+        }
+      } finally r.close()
+    }
+    info(s"absent-key probes: $definiteAbsent definite-absent, $falsePositives false-positive")
+    // ~1% target FPR; assert the skip signal is real with wide slack
+    assert(definiteAbsent > falsePositives * 4,
+      s"bloom rejects too few absent keys: $definiteAbsent vs $falsePositives")
+  }
+
+  test("files.maxPartitionBytes is the scan-parallelism knob: smaller splits, more tasks") {
+    // the spill-sizing lever from the scale brief, pinned: the same file
+    // set fans out to more scan partitions as the split size shrinks
+    val dir = s"$sfDir/lineitem.parquet"
+    def scanPartitions(maxBytes: Long): Int = {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", maxBytes.toString)
+      try Tables.lineitem(spark, sfDir).rdd.getNumPartitions
+      finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+    val coarse = scanPartitions(128L * 1024 * 1024)
+    val fine = scanPartitions(64L * 1024)
+    info(s"scan partitions: $coarse at 128MB splits, $fine at 64KB splits")
+    assert(fine > coarse,
+      s"shrinking maxPartitionBytes must add scan parallelism: $coarse -> $fine")
+  }
+
   test("clustered scan pushes the range predicate and matches the flat layout") {
     import spark.implicits._
     val p = graft.queries.Scale.qClusteredScan(spark, sfDir)
