@@ -451,6 +451,69 @@ object Dedup {
       |HAVING count(*) >= 3""".stripMargin
 
   // --------------------------------------------------------------------
+  // VERBATIM SPAN EXTRACTION — the span-level upgrade of
+  // qPassageOverlap's shared-8-gram count, and the scalable stand-in for
+  // what Lee et al. 2022's suffix-array dedup actually deliver: the
+  // LENGTH of the longest copied passage per document pair. Positional
+  // 8-gram hashes meet in an equi-join; a match at positions (pa, pb)
+  // belongs to the diagonal pa−pb, and CONSECUTIVE matches on one
+  // diagonal are exactly a shared verbatim span — so the longest copied
+  // passage is a gaps-and-islands pass per (pair, diagonal), reusing the
+  // same islands idiom as q_islands. k consecutive shared 8-grams
+  // witness a span of k+7 words; the ≥3 threshold (≥10-word span)
+  // matches qPassageOverlap's gate but rejects the scattered-phrase
+  // pairs a bare count admits. Cost: Σ df² join (same inverted-index
+  // shape and df-cutoff story as qNgramJaccard) + keyed windows over
+  // per-(pair, diagonal) partitions — each partition is one pair's
+  // match list, never corpus-scale.
+  /** Core on an arbitrary (doc_id, text) frame — specs feed controlled
+    * documents; the shipped query feeds the corpus table. */
+  private[queries] def verbatimSpans(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val words = split($"text", " ")
+    // positional 8-grams: (doc_id, p, h); docs under 8 words have none
+    val grams = docs
+      .select($"doc_id", words.as("ws"))
+      .filter(size($"ws") >= 8)
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(0, size(ws) - 8), i -> xxhash64(array_join(slice(ws, i + 1, 8), ' ')))")))
+      .select($"doc_id", $"pos".as("p"), $"col".as("h"))
+    val matches = grams.as("a").join(grams.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.p".as("pa"), ($"a.p" - $"b.p").as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa")
+    matches
+      .withColumn("isl", $"pa" - row_number().over(w))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"isl")
+      .agg(count(lit(1)).as("run"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(max($"run").as("max_run"))
+      .filter($"max_run" >= 3)
+      .select($"doc_a", $"doc_b", ($"max_run" + 7).as("span_words"))
+  }
+
+  def qVerbatimSpans(spark: SparkSession, sfDir: String): DataFrame =
+    verbatimSpans(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  val qVerbatimSpansSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, i AS p, array_to_string(ws[i+1:i+8], ' ') AS s
+      |      FROM w, unnest(range(len(ws) - 7)) AS t(i)
+      |      WHERE len(ws) >= 8),
+      |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, a.p - b.p AS diag
+      |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |r AS (SELECT doc_a, doc_b, diag, pa,
+      |             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+      |      FROM m),
+      |runs AS (SELECT doc_a, doc_b, count(*) AS run
+      |         FROM r GROUP BY doc_a, doc_b, diag, isl)
+      |SELECT doc_a, doc_b, max(run) + 7 AS span_words
+      |FROM runs GROUP BY 1, 2
+      |HAVING max(run) >= 3""".stripMargin
+
+  // --------------------------------------------------------------------
   // Duplicate CLUSTERS: the transitive closure of the verified near-dup
   // pairs. Pairwise anti-join dedup (qDedupFiltered) under-deletes when
   // duplicates chain (a~b, b~c but a!~c must still collapse to one
@@ -630,6 +693,7 @@ object Dedup {
     "q_minhash_est" -> (qMinhashEst _),
     "q_novelty" -> (qNovelty _),
     "q_passage_overlap" -> (qPassageOverlap _),
+    "q_verbatim_spans" -> (qVerbatimSpans _),
     "q_simhash_pairs" -> (qSimhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
@@ -644,5 +708,6 @@ object Dedup {
     "q_minhash_est" -> qMinhashEstSql,
     "q_novelty" -> qNoveltySql,
     "q_passage_overlap" -> qPassageOverlapSql,
+    "q_verbatim_spans" -> qVerbatimSpansSql,
     "q_simhash_pairs" -> qSimhashPairsSql)
 }

@@ -279,6 +279,32 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.9, f"recall below target: $recall%.2f")
   }
 
+  test("verbatim spans: exact copied-passage length, scattered phrases rejected") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared12 = words("copy", 12) // a 12-word verbatim passage
+    val docs = Seq(
+      // docs 0 and 1 share exactly the 12-word passage at different offsets
+      (0L, words("alpha", 5) + " " + shared12 + " " + words("omega", 6)),
+      (1L, words("beta", 9) + " " + shared12),
+      // doc 2 shares only a 9-word chunk (2 consecutive 8-grams — below
+      // the 3-consecutive/10-word gate)
+      (2L, words("gamma", 4) + " " + (1 to 9).map(i => s"copy$i").mkString(" ")
+        + " " + words("delta", 8)),
+      // doc 3 shares nothing
+      (3L, words("zeta", 30))).toDF("doc_id", "text")
+    val spans = Dedup.verbatimSpans(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    // 12 shared words = 5 consecutive 8-grams = run 5 → span 5 + 7 = 12;
+    // the 9-word and zero-overlap pairs are rejected
+    assert(spans == Set((0L, 1L, 12L)), spans)
+  }
+
+  test("verbatim span plan is inverted-index blocked — no all-pairs join") {
+    assertNoCrossJoin(Dedup.qVerbatimSpans(spark, sfDir))
+  }
+
   test("prefix-filtered jaccard plan has no all-pairs join") {
     assertNoCrossJoin(Dedup.qPrefixJaccard(spark, sfDir))
   }
