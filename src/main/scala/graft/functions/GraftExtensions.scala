@@ -64,7 +64,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => DeflateLen(args.head)),
     ("zorder64",
       new ExpressionInfo(classOf[ZOrder64].getName, "zorder64"),
-      (args: Seq[Expression]) => ZOrder64(args.head, args(1))))
+      (args: Seq[Expression]) => ZOrder64(args.head, args(1))),
+    ("word_gram_hashes",
+      new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
+      (args: Seq[Expression]) => WordGramHashes(args.head, intArg(args(1), "n"))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

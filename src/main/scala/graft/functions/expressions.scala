@@ -410,6 +410,75 @@ object DotProduct {
   }
 }
 
+/** Positional word-n-gram hashes: element i is the xxhash64 (seed 42 —
+  * Catalyst's) of words i..i+n-1 joined by single spaces, i.e. exactly
+  * `transform(sequence(0, size(ws)-n), i -> xxhash64(array_join(slice(
+  * ws, i+1, n), ' ')))` over `ws = split(text, ' ')` — but computed in
+  * one O(bytes) pass with ZERO string allocation: splitting on a single
+  * space and re-joining with a single space reproduces the original
+  * byte span between the word boundaries (empty tokens from doubled
+  * spaces included), so each gram hash is just XXH64 over a slice of
+  * the input's own bytes. The HOF formulation allocates n strings per
+  * position through interpreted lambdas; this stays in codegen
+  * (verbatim-span extraction measured 2.6× the cost of its sibling
+  * passage query on the HOF path). Fewer than n words → empty array. */
+case class WordGramHashes(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if n < 1 => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName n must be >= 1, got $n")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_gram_hashes"
+  override def foldable: Boolean = child.foldable
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordGramHashes.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordGramHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramHashes =
+    copy(child = newChild)
+}
+
+object WordGramHashes {
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes // materialized once; spans index into it
+    val total = bytes.length
+    // word start offsets: 0, and every byte after a 0x20 (a space byte
+    // never occurs inside a multi-byte UTF-8 sequence)
+    var spaces = 0
+    var i = 0
+    while (i < total) { if (bytes(i) == 0x20) spaces += 1; i += 1 }
+    val numWords = spaces + 1
+    if (numWords < n) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](numWords)
+    var w = 1
+    i = 0
+    while (i < total) {
+      if (bytes(i) == 0x20) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    def end(word: Int): Int = if (word == numWords - 1) total else starts(word + 1) - 1
+    val out = new Array[Long](numWords - n + 1)
+    var p = 0
+    while (p <= numWords - n) {
+      val off = starts(p)
+      out(p) = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off,
+        end(p + n - 1) - off, 42L)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Morton (Z-order) interleave of two 32-bit-normalized keys: bit i of
   * `left` lands at output bit 2i, bit i of `right` at 2i+1. The multi-
   * dimensional clustering key for sort-clustered layouts
@@ -524,4 +593,5 @@ object functions {
   def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
   def deflate_len(c: Column): Column = col(DeflateLen(ex(c)))
   def zorder64(a: Column, b: Column): Column = col(ZOrder64(ex(a), ex(b)))
+  def word_gram_hashes(c: Column, n: Int): Column = col(WordGramHashes(ex(c), n))
 }

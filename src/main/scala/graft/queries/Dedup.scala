@@ -470,13 +470,14 @@ object Dedup {
     * documents; the shipped query feeds the corpus table. */
   private[queries] def verbatimSpans(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val words = split($"text", " ")
-    // positional 8-grams: (doc_id, p, h); docs under 8 words have none
+    // positional 8-grams: (doc_id, p, h) via the native word_gram_hashes
+    // kernel — one O(bytes) codegen'd pass per document, hash-identical
+    // to the HOF transform/slice/array_join formulation it replaced
+    // (asserted in ExpressionPropertiesSpec); docs under 8 words yield
+    // no grams
     val grams = docs
-      .select($"doc_id", words.as("ws"))
-      .filter(size($"ws") >= 8)
-      .select($"doc_id", posexplode(expr(
-        "transform(sequence(0, size(ws) - 8), i -> xxhash64(array_join(slice(ws, i + 1, 8), ' ')))")))
+      .select($"doc_id",
+        posexplode(graft.functions.functions.word_gram_hashes($"text", 8)))
       .select($"doc_id", $"pos".as("p"), $"col".as("h"))
     val matches = grams.as("a").join(grams.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")

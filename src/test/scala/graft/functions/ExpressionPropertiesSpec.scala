@@ -145,6 +145,41 @@ class ExpressionPropertiesSpec extends SparkTestBase {
     assert(viaSql == DeflateLen.compute(UTF8String.fromString("ab " * 50)))
   }
 
+  test("word_gram_hashes equals the HOF transform/slice/array_join formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, split}
+    // pieces include doubled spaces (empty tokens), unicode, and
+    // boundary lengths around n=3
+    val piece: Gen[String] = Gen.oneOf(
+      word, Gen.const(""), Gen.const("é中"), Gen.const("a b"))
+    val texts: Seq[String] = samples(
+      Gen.choose(0, 12).flatMap(k => Gen.listOfN(k, piece).map(_.mkString(" "))), 80)
+    val df = texts.toDF("text")
+      .withColumn("ws", split($"text", " "))
+      .select(
+        graft.functions.functions.word_gram_hashes($"text", 3).as("native"),
+        // guarded: the HOF form ERRORS below 3 words (descending
+        // sequence → slice(0)) — the old query needed a size filter the
+        // kernel makes unnecessary
+        expr("CASE WHEN size(ws) >= 3 THEN " +
+          "transform(sequence(0, size(ws) - 3), i -> xxhash64(array_join(slice(ws, i + 1, 3), ' '))) " +
+          "ELSE array() END").as("hof"),
+        $"text")
+    df.collect().foreach { r =>
+      val native = r.getSeq[Long](0)
+      // the HOF sequence(0, size-3) goes DESCENDING (and wraps) when the
+      // doc has under 3 words — the kernel's contract there is simply
+      // "empty", which the shipped query used to get from a size filter
+      val words = r.getString(2).split(" ", -1).length
+      if (words < 3) assert(native.isEmpty, r.getString(2))
+      else assert(native == r.getSeq[Long](1), s"text='${r.getString(2)}'")
+    }
+    // SQL registration
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT word_gram_hashes('a b c d', 3) AS g")
+      .head().getSeq[Long](0).length == 2)
+  }
+
   // helpers run the actual Catalyst expressions through a real plan
   private def sparkShingles(t: String): Seq[String] = {
     import spark.implicits._
