@@ -466,9 +466,12 @@ object Dedup {
   // shape and df-cutoff story as qNgramJaccard) + keyed windows over
   // per-(pair, diagonal) partitions — each partition is one pair's
   // match list, never corpus-scale.
-  /** Core on an arbitrary (doc_id, text) frame — specs feed controlled
-    * documents; the shipped query feeds the corpus table. */
-  private[queries] def verbatimSpans(docs: DataFrame): DataFrame = {
+  /** Maximal consecutive-match runs per (pair, diagonal): one row per
+    * shared verbatim span candidate, with the span's start position in
+    * BOTH documents. Shared by span REPORTING (qVerbatimSpans) and span
+    * REMOVAL (qSpanDedup) so the two can never disagree on what counts
+    * as a copied passage. */
+  private def spanRuns(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     // positional 8-grams: (doc_id, p, h) via the native word_gram_hashes
     // kernel — one O(bytes) codegen'd pass per document, hash-identical
@@ -488,12 +491,74 @@ object Dedup {
     matches
       .withColumn("isl", $"pa" - row_number().over(w))
       .groupBy($"doc_a", $"doc_b", $"diag", $"isl")
-      .agg(count(lit(1)).as("run"))
+      .agg(count(lit(1)).as("run"), min($"pa").as("pa0"))
+      .select($"doc_a", $"doc_b", $"diag", $"run", $"pa0",
+        ($"pa0" - $"diag").as("pb0"))
+  }
+
+  /** Core on an arbitrary (doc_id, text) frame — specs feed controlled
+    * documents; the shipped query feeds the corpus table. */
+  private[queries] def verbatimSpans(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    spanRuns(docs)
       .groupBy($"doc_a", $"doc_b")
       .agg(max($"run").as("max_run"))
       .filter($"max_run" >= 3)
       .select($"doc_a", $"doc_b", ($"max_run" + 7).as("span_words"))
   }
+
+  /** Span-level dedup RESULT: the corpus with every ≥10-word copied
+    * passage removed from the HIGHER-id document of its pair (the
+    * lower id keeps the only remaining occurrence — Lee et al. 2022's
+    * remove-all-but-one policy at span granularity, where the
+    * document-level operators drop whole near-dup docs). Covered word
+    * intervals union per doc (overlapping spans from different partners
+    * collapse via the distinct), survivors are re-joined in word order;
+    * a document copied in its ENTIRETY loses every word and drops out
+    * of the output — identically on both engines. Interval explode is
+    * bounded by Σ span lengths (the copied text itself), not corpus
+    * size. */
+  private[queries] def spanDedup(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val covered = spanRuns(docs)
+      .filter($"run" >= 3)
+      .select($"doc_b".as("doc_id"),
+        explode(sequence($"pb0", $"pb0" + $"run" + 6)).as("wi"))
+      .distinct()
+    val words = docs
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .select($"doc_id", $"pos", $"col".as("word"))
+    words.join(covered, words("doc_id") === covered("doc_id")
+        && $"pos" === $"wi", "left_anti")
+      .groupBy($"doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"pos", $"word"))),
+          x => x.getField("word")), " ").as("text_clean"))
+  }
+
+  def qSpanDedup(spark: SparkSession, sfDir: String): DataFrame =
+    spanDedup(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  val qSpanDedupSql: String =
+    """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, i AS p, array_to_string(ws[i+1:i+8], ' ') AS s
+      |      FROM w0, unnest(range(len(ws) - 7)) AS t(i)
+      |      WHERE len(ws) >= 8),
+      |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, a.p - b.p AS diag
+      |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |r AS (SELECT doc_a, doc_b, diag, pa,
+      |             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+      |      FROM m),
+      |runs AS (SELECT doc_a, doc_b, diag, count(*) AS run, min(pa) AS pa0
+      |         FROM r GROUP BY doc_a, doc_b, diag, isl),
+      |cov AS (SELECT DISTINCT doc_b AS doc_id, unnest(range(pa0 - diag, pa0 - diag + run + 7)) AS wi
+      |        FROM runs WHERE run >= 3),
+      |wrd AS (SELECT doc_id, i AS pos, ws[i+1] AS word
+      |        FROM w0, unnest(range(len(ws))) AS t(i))
+      |SELECT wrd.doc_id, string_agg(word, ' ' ORDER BY pos) AS text_clean
+      |FROM wrd LEFT JOIN cov ON wrd.doc_id = cov.doc_id AND wrd.pos = cov.wi
+      |WHERE cov.wi IS NULL
+      |GROUP BY 1""".stripMargin
 
   def qVerbatimSpans(spark: SparkSession, sfDir: String): DataFrame =
     verbatimSpans(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
@@ -695,6 +760,7 @@ object Dedup {
     "q_novelty" -> (qNovelty _),
     "q_passage_overlap" -> (qPassageOverlap _),
     "q_verbatim_spans" -> (qVerbatimSpans _),
+    "q_span_dedup" -> (qSpanDedup _),
     "q_simhash_pairs" -> (qSimhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
@@ -710,5 +776,6 @@ object Dedup {
     "q_novelty" -> qNoveltySql,
     "q_passage_overlap" -> qPassageOverlapSql,
     "q_verbatim_spans" -> qVerbatimSpansSql,
+    "q_span_dedup" -> qSpanDedupSql,
     "q_simhash_pairs" -> qSimhashPairsSql)
 }

@@ -301,6 +301,32 @@ class LlmOpsSpec extends SparkTestBase {
     assert(spans == Set((0L, 1L, 12L)), spans)
   }
 
+  test("span dedup removes each copied passage from the higher-id doc only") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared12 = words("copy", 12)
+    val docs = Seq(
+      (0L, words("alpha", 5) + " " + shared12 + " " + words("omega", 6)),
+      (1L, words("beta", 9) + " " + shared12),
+      // sub-gate 9-word overlap — must NOT be removed
+      (2L, words("gamma", 4) + " " + (1 to 9).map(i => s"copy$i").mkString(" ")
+        + " " + words("delta", 8)),
+      (3L, words("zeta", 30)),
+      // doc 4 is doc 1 COPIED IN FULL → every word covered → dropped
+      (4L, words("beta", 9) + " " + shared12)).toDF("doc_id", "text")
+    val cleaned = Dedup.spanDedup(docs)
+      .as[(Long, String)].collect().toMap
+    // lower id keeps the passage; higher id loses exactly those 12 words
+    assert(cleaned(0L) == docs.filter($"doc_id" === 0L).head().getString(1))
+    assert(cleaned(1L) == words("beta", 9), cleaned(1L))
+    // sub-gate overlap untouched; unrelated doc untouched
+    assert(cleaned(2L) == docs.filter($"doc_id" === 2L).head().getString(1))
+    assert(cleaned(3L) == words("zeta", 30))
+    // a full-document copy loses every word and drops out
+    assert(!cleaned.contains(4L), cleaned.keySet)
+  }
+
   test("verbatim span plan is inverted-index blocked — no all-pairs join") {
     assertNoCrossJoin(Dedup.qVerbatimSpans(spark, sfDir))
   }
