@@ -266,7 +266,7 @@ object Dedup {
         .withColumn("rk", row_number().over(w))
         .filter($"rk" <= $"n"
           - expr(s"(n * $JacNum + ${JacDen - 1}) div $JacDen") + 1)
-        .select($"doc_id", $"h")
+        .select($"doc_id", $"n", $"h")
     }
     (inv, prefix)
   }
@@ -284,10 +284,23 @@ object Dedup {
     ()
   }
 
+  /** Candidate pairs from a postings frame. When the frame carries the
+    * per-document set size `n`, PPJoin's LENGTH filter is applied inside
+    * the join: jac ≥ t forces t·|A| ≤ |B| ≤ |A|/t (a pair whose sizes
+    * differ more cannot reach the threshold even at full containment),
+    * in exact integer arithmetic — candidates drop before the
+    * shuffle-heavy distinct and the set-intersection verify, with zero
+    * effect on the output (the filter is an implication of the verify
+    * predicate; same-pairs-as-full-index stays asserted in LlmOpsSpec). */
   private def candPairs(postings: DataFrame): DataFrame = {
     import postings.sparkSession.implicits._
-    postings.as("a").join(postings.as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+    val lengthFiltered = postings.columns.contains("n")
+    val cond = $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
+      (if (lengthFiltered)
+        $"a.n" * JacNum <= $"b.n" * JacDen &&
+          $"b.n" * JacNum <= $"a.n" * JacDen
+      else lit(true))
+    postings.as("a").join(postings.as("b"), cond)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
   }

@@ -54,10 +54,12 @@ private[sources] class PagedJsonTable(dir: String) extends Table with SupportsRe
 }
 
 private[sources] class PagedJsonScanBuilder(dir: String)
-  extends ScanBuilder with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownLimit
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var limit: Int = -1
   private var required: StructType = ShiftSchemas.pageSchema
+  private var countPushed = false
 
   // partial push: each partition caps its output; Spark still applies the
   // global limit above (return false = "not fully pushed")
@@ -66,8 +68,63 @@ private[sources] class PagedJsonScanBuilder(dir: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (requiredSchema.nonEmpty) required = requiredSchema
 
-  override def build(): Scan = new PagedJsonScan(dir, required, limit)
+  // COUNT(*) pushdown: the source is one-row-per-page-file, so a global
+  // count is the page-directory FILE COUNT — answerable from a listing
+  // without reading (or parsing) a single byte of page content. The
+  // DSv2-native analog of parquet's footer-count: like any
+  // metadata-backed count it trusts the layout (a malformed page that
+  // would fail a full scan still counts — its row exists, its parse is
+  // what fails). Complete pushdown (no partial re-agg above the scan);
+  // anything beyond a bare grouping-free COUNT(*) is declined.
+  private def isBareCountStar(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    isBareCountStar(agg) && limit < 0
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    if (isBareCountStar(agg) && limit < 0) { countPushed = true; true }
+    else false
+
+  override def build(): Scan =
+    if (countPushed) new PagedJsonCountScan(dir)
+    else new PagedJsonScan(dir, required, limit)
 }
+
+/** Completely-pushed COUNT(*): one partition, one row, file count from
+  * the listing — no page bytes read. */
+private[sources] class PagedJsonCountScan(dir: String) extends Scan with Batch {
+  override def readSchema(): StructType =
+    new StructType().add("count(*)", org.apache.spark.sql.types.LongType, nullable = false)
+  override def description(): String = s"PagedJsonCountScan(dir=$dir, pushed=COUNT(*))"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val s = Files.list(Paths.get(dir))
+    val n =
+      try s.iterator().asScala.count(_.toString.endsWith(".json"))
+      finally s.close()
+    Array(PagedJsonCountPartition(n))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow = new GenericInternalRow(
+            Array[Any](p.asInstanceOf[PagedJsonCountPartition].n.toLong))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private[sources] case class PagedJsonCountPartition(n: Int) extends InputPartition
 
 private[sources] class PagedJsonScan(dir: String, schema: StructType, limit: Int)
   extends Scan with Batch {

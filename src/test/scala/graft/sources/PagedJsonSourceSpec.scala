@@ -53,6 +53,24 @@ class PagedJsonSourceSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("unparseable page")), e.getMessage)
   }
 
+  test("bare COUNT(*) is answered from the file listing — no page bytes parsed") {
+    val dir = writePages(4)
+    // one row per page file makes a global count pure metadata (the
+    // DSv2 analog of parquet's footer count): plant a malformed page to
+    // prove the pushed path never parses content
+    Files.write(Paths.get(dir, "page999.json"), "{not json".getBytes("UTF-8"))
+    val counted = read(dir).groupBy().count()
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("PagedJsonCountScan"), plan)
+    assert(counted.head().getLong(0) == 5)
+    // the row-reading path still fails loudly on the same directory
+    intercept[org.apache.spark.SparkException](read(dir).collect())
+    // and a LIMIT below the count disables the pushdown (partial limit
+    // pushdown may not be double-counted by a metadata count)
+    val limited = read(dir).limit(2).groupBy().count()
+    assert(!limited.queryExecution.executedPlan.toString.contains("PagedJsonCountScan"))
+  }
+
   test("pages flow into the normalizer like any other page DataFrame") {
     val dir = writePages(3)
     import org.apache.spark.sql.functions.explode
