@@ -281,6 +281,7 @@ object Dedup {
     shingled(spark, sfDir).count()
     prefixIndex(spark, sfDir)._2.count()
     nearDupPairs(spark, sfDir).count()
+    corpusGrams(spark, sfDir).count()
     ()
   }
 
@@ -479,22 +480,37 @@ object Dedup {
   // shape and df-cutoff story as qNgramJaccard) + keyed windows over
   // per-(pair, diagonal) partitions — each partition is one pair's
   // match list, never corpus-scale.
+  /** Positional 8-grams (doc_id, p, h) via the native word_gram_hashes
+    * kernel — one O(bytes) codegen'd pass per document, hash-identical
+    * to the HOF transform/slice/array_join formulation it replaced
+    * (asserted in ExpressionPropertiesSpec); docs under 8 words yield
+    * no grams. */
+  private def gramFrame(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id",
+        posexplode(graft.functions.functions.word_gram_hashes($"text", 8)))
+      .select($"doc_id", $"pos".as("p"), $"col".as("h"))
+  }
+
+  /** Corpus gram frame, staged per (session, corpus) like the shingle
+    * table: BOTH sides of the span self-join reference it, and two
+    * shipped queries (spans report, span dedup) share it — unstaged,
+    * Spark re-runs the scan + kernel once per reference. Spec paths
+    * over controlled in-memory docs stay unstaged (tiny, and a
+    * session-wide cache must not key on arbitrary test frames). */
+  private def corpusGrams(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Staging.persisted(spark, sfDir, "grams8") {
+      gramFrame(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    }
+
   /** Maximal consecutive-match runs per (pair, diagonal): one row per
     * shared verbatim span candidate, with the span's start position in
     * BOTH documents. Shared by span REPORTING (qVerbatimSpans) and span
     * REMOVAL (qSpanDedup) so the two can never disagree on what counts
     * as a copied passage. */
-  private def spanRuns(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    // positional 8-grams: (doc_id, p, h) via the native word_gram_hashes
-    // kernel — one O(bytes) codegen'd pass per document, hash-identical
-    // to the HOF transform/slice/array_join formulation it replaced
-    // (asserted in ExpressionPropertiesSpec); docs under 8 words yield
-    // no grams
-    val grams = docs
-      .select($"doc_id",
-        posexplode(graft.functions.functions.word_gram_hashes($"text", 8)))
-      .select($"doc_id", $"pos".as("p"), $"col".as("h"))
+  private def spanRuns(grams: DataFrame): DataFrame = {
+    import grams.sparkSession.implicits._
     val matches = grams.as("a").join(grams.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
@@ -509,16 +525,19 @@ object Dedup {
         ($"pa0" - $"diag").as("pb0"))
   }
 
-  /** Core on an arbitrary (doc_id, text) frame — specs feed controlled
-    * documents; the shipped query feeds the corpus table. */
-  private[queries] def verbatimSpans(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    spanRuns(docs)
+  private def spansFromRuns(runs: DataFrame): DataFrame = {
+    import runs.sparkSession.implicits._
+    runs
       .groupBy($"doc_a", $"doc_b")
       .agg(max($"run").as("max_run"))
       .filter($"max_run" >= 3)
       .select($"doc_a", $"doc_b", ($"max_run" + 7).as("span_words"))
   }
+
+  /** Core on an arbitrary (doc_id, text) frame — specs feed controlled
+    * documents; the shipped query goes through the staged corpus grams. */
+  private[queries] def verbatimSpans(docs: DataFrame): DataFrame =
+    spansFromRuns(spanRuns(gramFrame(docs)))
 
   /** Span-level dedup RESULT: the corpus with every ≥10-word copied
     * passage removed from the HIGHER-id document of its pair (the
@@ -531,9 +550,12 @@ object Dedup {
     * of the output — identically on both engines. Interval explode is
     * bounded by Σ span lengths (the copied text itself), not corpus
     * size. */
-  private[queries] def spanDedup(docs: DataFrame): DataFrame = {
+  private[queries] def spanDedup(docs: DataFrame): DataFrame =
+    dedupFromRuns(docs, spanRuns(gramFrame(docs)))
+
+  private def dedupFromRuns(docs: DataFrame, runs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val covered = spanRuns(docs)
+    val covered = runs
       .filter($"run" >= 3)
       .select($"doc_b".as("doc_id"),
         explode(sequence($"pb0", $"pb0" + $"run" + 6)).as("wi"))
@@ -550,7 +572,9 @@ object Dedup {
   }
 
   def qSpanDedup(spark: SparkSession, sfDir: String): DataFrame =
-    spanDedup(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    dedupFromRuns(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      spanRuns(corpusGrams(spark, sfDir)))
 
   val qSpanDedupSql: String =
     """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -574,7 +598,7 @@ object Dedup {
       |GROUP BY 1""".stripMargin
 
   def qVerbatimSpans(spark: SparkSession, sfDir: String): DataFrame =
-    verbatimSpans(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    spansFromRuns(spanRuns(corpusGrams(spark, sfDir)))
 
   val qVerbatimSpansSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -329,6 +329,14 @@ class LlmOpsSpec extends SparkTestBase {
 
   test("verbatim span plan is inverted-index blocked — no all-pairs join") {
     assertNoCrossJoin(Dedup.qVerbatimSpans(spark, sfDir))
+    assertNoCrossJoin(Dedup.qSpanDedup(spark, sfDir))
+    // the islands window partitions on (pair, diagonal) — one pair's
+    // match list per partition, never corpus-scale
+    val windows = Dedup.qVerbatimSpans(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
   }
 
   test("prefix-filtered jaccard plan has no all-pairs join") {
