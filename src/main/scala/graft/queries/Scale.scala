@@ -246,8 +246,13 @@ object Scale {
 
   def qClusteredScan(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // clusteredRange prunes non-overlapping FILES from the build-time
+    // min/max manifest before the scan is planned (table-format-style
+    // plan-time skipping; ClusteredTablesSpec pins the file count); the
+    // row-level filter below still applies — file ranges are coarse
     graft.sources.ClusteredTables
-      .clustered(spark, sfDir, "lineitem", Seq("l_orderkey"))
+      .clusteredRange(spark, sfDir, "lineitem", Seq("l_orderkey"),
+        "l_orderkey", ClusterKeyLo, ClusterKeyHi)
       .filter($"l_orderkey" >= ClusterKeyLo && $"l_orderkey" < ClusterKeyHi)
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_rows"),

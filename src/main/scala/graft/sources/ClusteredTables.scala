@@ -76,10 +76,40 @@ object ClusteredTables {
     build(spark, sfDir, name, layout,
       bloomKeys.flatMap(k => Seq(
         s"parquet.bloom.filter.enabled#$k" -> "true",
-        s"parquet.enable.dictionary#$k" -> "false")).toMap) { df =>
+        s"parquet.enable.dictionary#$k" -> "false")).toMap,
+      manifestKeys = keys) { df =>
       df.repartitionByRange(partitions, keys.map(col): _*)
         .sortWithinPartitions(keys.map(col): _*)
     }
+  }
+
+  /** Range read over a clustered mirror with PLAN-TIME file pruning:
+    * only files whose manifest [min, max] overlaps [lo, hi) are handed
+    * to the scan — non-overlapping files are never listed, planned, or
+    * opened (no task launches for them), one step beyond the reader's
+    * row-group skipping which still schedules a task per file. This is
+    * the core read-path trick of every table format (Iceberg/Delta
+    * manifests), reproduced on plain parquet from the stats the build
+    * step already collected. The row-level predicate must still be
+    * applied by the caller — file ranges are coarse. Falls back to the
+    * full file set when the manifest is missing (a crash between data
+    * write and manifest write costs pruning, never correctness). */
+  def clusteredRange(spark: SparkSession, sfDir: String, name: String,
+      keys: Seq[String], key: String, lo: Long, hi: Long,
+      partitions: Int = 8): DataFrame = {
+    clustered(spark, sfDir, name, keys, partitions) // ensure built + manifest
+    readPruned(spark, Tables.read(spark, sfDir, name).schema,
+      Paths.get(clusteredPath(sfDir, name, keys, partitions)), key, lo, hi)
+  }
+
+  /** [[clusteredRange]] for a z-ordered mirror: the manifest carries
+    * BOTH original keys, so either dimension prunes files. */
+  def zOrderedRange(spark: SparkSession, sfDir: String, name: String,
+      keyA: String, keyB: String, key: String, lo: Long, hi: Long,
+      partitions: Int = 8): DataFrame = {
+    zOrdered(spark, sfDir, name, keyA, keyB, partitions)
+    readPruned(spark, Tables.read(spark, sfDir, name).schema,
+      Paths.get(zOrderedPath(sfDir, name, keyA, keyB, partitions)), key, lo, hi)
   }
 
   /** Read table `name` Z-ORDER clustered on two integral keys: each key
@@ -94,7 +124,7 @@ object ClusteredTables {
   def zOrdered(spark: SparkSession, sfDir: String, name: String,
       keyA: String, keyB: String, partitions: Int = 8): DataFrame = {
     val layout = s"${name}_z_${keyA}_${keyB}_$partitions"
-    build(spark, sfDir, name, layout) { df =>
+    build(spark, sfDir, name, layout, manifestKeys = Seq(keyA, keyB)) { df =>
       // min/max rescale per key (one tiny agg job at build time): the
       // curve needs both keys on comparable 32-bit scales, or the wider
       // domain monopolizes the high interleaved bits
@@ -128,7 +158,8 @@ object ClusteredTables {
     mirrorPath(sfDir, s"${name}_z_${keyA}_${keyB}_$partitions").toString
 
   private def build(spark: SparkSession, sfDir: String, name: String,
-      layout: String, writeOptions: Map[String, String] = Map.empty)(
+      layout: String, writeOptions: Map[String, String] = Map.empty,
+      manifestKeys: Seq[String] = Seq.empty)(
       shape: DataFrame => DataFrame): DataFrame = {
     val path = mirrorPath(sfDir, layout)
     this.synchronized {
@@ -136,9 +167,76 @@ object ClusteredTables {
         shape(Tables.read(spark, sfDir, name))
           .write.mode(SaveMode.Overwrite).options(writeOptions)
           .parquet(path.toString)
+        if (manifestKeys.nonEmpty) writeManifest(spark, path, manifestKeys)
       }
     }
     spark.read.schema(Tables.read(spark, sfDir, name).schema)
       .parquet(path.toString)
+  }
+
+  private val ManifestName = "_key_manifest.tsv"
+
+  /** Per-file [min, max] of each integral layout key, aggregated over
+    * the file's row groups and written as `file \t key \t min \t max`
+    * lines — the footers are open on the driver anyway right after the
+    * build (a handful of files locally; a manifest job at scale). */
+  private def writeManifest(spark: SparkSession, dir: Path,
+      keys: Seq[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val files = listParquet(dir)
+    val lines = files.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.toString), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        keys.flatMap { k =>
+          val stats = blocks.flatMap(_.getColumns.asScala
+            .find(_.getPath.toDotString == k)).map(_.getStatistics)
+          // a key with absent/invalid stats gets no line — readPruned
+          // keeps unlisted files conservatively
+          if (stats.isEmpty || stats.exists(s => s == null || s.isEmpty)) None
+          else Some(s"${f.getFileName}\t$k\t" +
+            s"${stats.map(_.genericGetMin.asInstanceOf[Long]).min}\t" +
+            s"${stats.map(_.genericGetMax.asInstanceOf[Long]).max}")
+        }
+      } finally r.close()
+    }
+    Files.write(dir.resolve(ManifestName), lines.asJava)
+    ()
+  }
+
+  private def listParquet(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet") && Files.size(p) > 0)
+        .toSeq.sortBy(_.getFileName.toString)
+    } finally s.close()
+  }
+
+  private def readPruned(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      dir: Path, key: String, lo: Long, hi: Long): DataFrame = {
+    val mf = dir.resolve(ManifestName)
+    val all = listParquet(dir)
+    val keep =
+      if (!Files.exists(mf)) all
+      else {
+        import scala.jdk.CollectionConverters._
+        val ranges = Files.readAllLines(mf).asScala
+          .map(_.split("\t"))
+          .collect { case Array(f, k, mn, mx) if k == key =>
+            f -> (mn.toLong, mx.toLong)
+          }.toMap
+        // unlisted files are kept (no stats = no proof of non-overlap)
+        all.filter(p => ranges.get(p.getFileName.toString)
+          .forall { case (mn, mx) => mx >= lo && mn < hi })
+      }
+    if (keep.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(keep.map(_.toString): _*)
   }
 }

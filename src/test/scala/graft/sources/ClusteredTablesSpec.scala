@@ -189,6 +189,45 @@ class ClusteredTablesSpec extends SparkTestBase {
       s"shrinking maxPartitionBytes must add scan parallelism: $coarse -> $fine")
   }
 
+  test("manifest prunes files at plan time; missing manifest falls back to all files") {
+    import spark.implicits._
+    val pruned = ClusteredTables.clusteredRange(
+      spark, sfDir, "lineitem", Seq("l_orderkey"), "l_orderkey", lo, hi)
+    val total = ClusteredTables.clustered(spark, sfDir, "lineitem", Seq("l_orderkey"))
+      .inputFiles.length
+    info(s"pruned read plans ${pruned.inputFiles.length} of $total files")
+    // ~20% key-range selectivity over 8 disjoint file ranges → ≤3 files
+    // ever reach the scan; the skipped 5 launch no tasks at all
+    assert(total >= 6 && pruned.inputFiles.length <= 3, s"${pruned.inputFiles.length}/$total")
+    // parity after the row-level filter
+    val flatRows = Tables.lineitem(spark, sfDir)
+      .filter($"l_orderkey" >= lo && $"l_orderkey" < hi).count()
+    assert(pruned.filter($"l_orderkey" >= lo && $"l_orderkey" < hi).count() == flatRows)
+    // a range outside the key domain plans ZERO files and returns empty
+    val none = ClusteredTables.clusteredRange(
+      spark, sfDir, "lineitem", Seq("l_orderkey"), "l_orderkey", -500, -100)
+    assert(none.inputFiles.isEmpty && none.count() == 0)
+    // fallback: with the manifest moved aside, every file is planned and
+    // results are unchanged — a lost manifest costs pruning, not rows
+    val dir = java.nio.file.Paths.get(
+      ClusteredTables.clusteredPath(sfDir, "lineitem", Seq("l_orderkey")))
+    val mf = dir.resolve("_key_manifest.tsv")
+    val aside = dir.resolve("_key_manifest.tsv.bak")
+    java.nio.file.Files.move(mf, aside)
+    try {
+      val full = ClusteredTables.clusteredRange(
+        spark, sfDir, "lineitem", Seq("l_orderkey"), "l_orderkey", lo, hi)
+      assert(full.inputFiles.length == total)
+      assert(full.filter($"l_orderkey" >= lo && $"l_orderkey" < hi).count() == flatRows)
+    } finally java.nio.file.Files.move(aside, mf)
+    // the z-order manifest carries BOTH keys: the secondary key alone
+    // prunes files too (the sort-only layout never can — proven above)
+    val zPruned = ClusteredTables.zOrderedRange(
+      spark, sfDir, "lineitem", "l_orderkey", "l_partkey", "l_partkey", 10, 60)
+    info(s"z-pruned read on secondary key plans ${zPruned.inputFiles.length} of $total files")
+    assert(zPruned.inputFiles.length < total, s"${zPruned.inputFiles.length}/$total")
+  }
+
   test("clustered scan pushes the range predicate and matches the flat layout") {
     import spark.implicits._
     val p = graft.queries.Scale.qClusteredScan(spark, sfDir)
