@@ -26,7 +26,8 @@ object Bench {
       ()
     }),
     "dedup_staging" -> ((s, dir) => graft.queries.Dedup.prewarmStaging(s, dir)),
-    "decontam_staging" -> ((s, dir) => graft.queries.Curation.prewarmStaging(s, dir)))
+    "decontam_staging" -> ((s, dir) => graft.queries.Curation.prewarmStaging(s, dir)),
+    "ivf_cells" -> ((s, dir) => graft.queries.Similarity.prewarmStaging(s, dir)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
