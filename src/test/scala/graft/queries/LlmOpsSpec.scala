@@ -253,6 +253,20 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.9, f"recall below target: $recall%.2f")
   }
 
+  test("int8-quantized ANN recall@5 vs float brute force is >= 0.8") {
+    import spark.implicits._
+    val brute = Similarity.qAnnBrute(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val quant = Similarity.qAnnQuant(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val recall = (brute & quant).size.toDouble / brute.size
+    info(f"quantized ANN recall@5 = $recall%.2f (${(brute & quant).size}/${brute.size})")
+    // 8x memory for a measured 0.86 here / 0.82 at sf0.01 — the int8
+    // error (~4e-3) sits above this corpus's tight top-k cosine gaps,
+    // so some rank flips are structural, not bugs
+    assert(recall >= 0.8, f"recall below target: $recall%.2f")
+  }
+
   test("IVF over KMeans-learned centroids is wired and competitive") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
