@@ -267,6 +267,19 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.8, f"recall below target: $recall%.2f")
   }
 
+  test("quantized scoring inside IVF cells keeps recall near the quantization floor") {
+    import spark.implicits._
+    val brute = Similarity.qAnnBrute(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val composed = Similarity.qAnnIvfQuant(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val recall = (brute & composed).size.toDouble / brute.size
+    info(f"IVF+int8 recall@5 = $recall%.2f (${(brute & composed).size}/${brute.size})")
+    // both levers composed: the loss is roughly additive (IVF ≥0.9 gate
+    // × int8 ≈0.86) — the production configuration's honest floor
+    assert(recall >= 0.75, f"recall below target: $recall%.2f")
+  }
+
   test("IVF over KMeans-learned centroids is wired and competitive") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
