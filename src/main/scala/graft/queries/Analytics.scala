@@ -613,15 +613,27 @@ object Analytics {
     import spark.implicits._
     val x = dec($"l_quantity")
     val y = dec($"l_extendedprice")
+    // DECIMAL→DOUBLE via the oracle engine's own recipe —
+    // double(unscaled) / double(10^scale), two IEEE steps — instead of
+    // Spark's correctly-rounded single conversion: for sums past 2^53
+    // (Σprice² here) the two disagree by one ulp on half-ulp boundaries
+    // (hit at sf0.001, round 7). Both steps below are exact-decimal
+    // until the final cast, so the shape is engine-portable by
+    // construction rather than by luck.
+    def viaUnscaled(c: Column, scale: Int): Column = {
+      val f = java.math.BigDecimal.valueOf(math.pow(10, scale).toLong)
+      (c * lit(f)).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        .cast("double") / lit(math.pow(10, scale))
+    }
     val agg = Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
       .agg(
         count(lit(1)).cast("double").as("n"),
-        sum(x).cast("double").as("sx"),
-        sum(y).cast("double").as("sy"),
-        sum(dec(x * x, 38, 4)).cast("double").as("sxx"),
-        sum(dec(y * y, 38, 4)).cast("double").as("syy"),
-        sum(dec(x * y, 38, 4)).cast("double").as("sxy"))
+        viaUnscaled(sum(x), 2).as("sx"),
+        viaUnscaled(sum(y), 2).as("sy"),
+        viaUnscaled(sum(dec(x * x, 38, 4)), 4).as("sxx"),
+        viaUnscaled(sum(dec(y * y, 38, 4)), 4).as("syy"),
+        viaUnscaled(sum(dec(x * y, 38, 4)), 4).as("sxy"))
     agg.select($"l_returnflag",
       $"n".cast("long").as("n_items"),
       ($"sx" / $"n").as("mean_qty"),
