@@ -235,10 +235,16 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
         (u.substring(u.lastIndexOf("batch=") + 6), i)
       }
       val seqDf = broadcast(encSeq.toDF("_bid", "_tseq"))
+      // Anchored to the file's PARENT directory: an unanchored
+      // "batch=..." matched the FIRST occurrence in the URI, while the
+      // broadcast side takes the LAST — a warehouse root path that
+      // itself contains "batch=" made them disagree and the inner join
+      // silently dropped every tombstone (deleted rows resurrect with
+      // no error; review r8, advisor finding). Same fix in taggedTable.
       val scan = spark.read.schema(StructType(Seq(pkField)))
         .parquet(dirs.map(_._2.toString): _*)
         .withColumn("_bid",
-          regexp_extract(input_file_name(), "batch=([^/]+)/", 1))
+          regexp_extract(input_file_name(), "/batch=([^/]+)/[^/]*$", 1))
       Some(scan.join(seqDf, Seq("_bid")).select(col(pk), col("_tseq")))
     }
   }
@@ -272,9 +278,13 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
         (u.substring(u.lastIndexOf("batch=") + 6), b, i)
       }
       val seqDf = broadcast(encSeq.toDF("_bid", "_batch", "_seq"))
+      // parent-dir-anchored for the same reason as tombstones(): the
+      // first-vs-last "batch=" asymmetry under a root path containing
+      // "batch=" (here a dropped row is visible missing data, but the
+      // extraction must still be correct)
       val scan = spark.read.schema(schema).parquet(dirs.map(_._3.toString): _*)
         .withColumn("_bid",
-          regexp_extract(input_file_name(), "batch=([^/]+)/", 1))
+          regexp_extract(input_file_name(), "/batch=([^/]+)/[^/]*$", 1))
       Some(scan.join(seqDf, Seq("_bid")).drop("_bid"))
     }
   }

@@ -279,6 +279,9 @@ object Dedup {
     * Queries still build them on demand when nobody prewarmed. */
   def prewarmStaging(spark: SparkSession, sfDir: String): Unit = {
     shingled(spark, sfDir).count()
+    // review r8: advisor flagged this count as warming a plain def, but
+    // the prefix postings ARE Staging.persisted ("prefix3", above) —
+    // the finding predates the mid-r7 staging commit; nothing to change
     prefixIndex(spark, sfDir)._2.count()
     nearDupPairs(spark, sfDir).count()
     corpusGrams(spark, sfDir).count()

@@ -113,7 +113,7 @@ object ClusteredTables {
   }
 
   /** Read table `name` Z-ORDER clustered on two integral keys: each key
-    * is min/max-rescaled to [0, 2^32) and bit-interleaved
+    * is min/max-rescaled to [0, 2^31) and bit-interleaved
     * (functions.zorder64 — a native codegen'd Morton curve), and the
     * table is range-clustered on the interleaved value. Rows end up
     * close in BOTH key dimensions, so row-group min/max stats prune a
@@ -123,18 +123,25 @@ object ClusteredTables {
     * layout decision, not data. */
   def zOrdered(spark: SparkSession, sfDir: String, name: String,
       keyA: String, keyB: String, partitions: Int = 8): DataFrame = {
-    val layout = s"${name}_z_${keyA}_${keyB}_$partitions"
+    val layout = s"${name}_z31_${keyA}_${keyB}_$partitions"
     build(spark, sfDir, name, layout, manifestKeys = Seq(keyA, keyB)) { df =>
       // min/max rescale per key (one tiny agg job at build time): the
-      // curve needs both keys on comparable 32-bit scales, or the wider
-      // domain monopolizes the high interleaved bits
+      // curve needs both keys on comparable scales, or the wider
+      // domain monopolizes the high interleaved bits. Normalized to
+      // [0, 2^31): with 2^32-scaled keys, keyB's top bit landed at long
+      // bit 63 (spread<<1), so the SIGNED repartitionByRange sort split
+      // the curve at the keyB midpoint and the partition straddling the
+      // sign wrap spanned nearly the whole key plane — near-useless
+      // min/max stats for that file (review r8, advisor finding). At
+      // 31 bits the interleaved value tops out at bit 61 and stays
+      // nonnegative, so signed order == unsigned Morton order.
       val Seq((loA, hiA), (loB, hiB)) = Seq(keyA, keyB).map { k =>
         val r = df.agg(min(col(k)), max(col(k))).head()
         (r.getLong(0), math.max(r.getLong(1), r.getLong(0) + 1))
       }
       def norm(k: String, lo: Long, hi: Long) =
         (((col(k) - lo).cast("double") / (hi - lo).toDouble)
-          * ((1L << 32) - 1).toDouble).cast("long")
+          * ((1L << 31) - 1).toDouble).cast("long")
       df.withColumn("_z",
           graft.functions.functions.zorder64(
             norm(keyA, loA, hiA), norm(keyB, loB, hiB)))
@@ -155,7 +162,7 @@ object ClusteredTables {
   /** On-disk location of a mirror built by [[zOrdered]]. */
   private[graft] def zOrderedPath(sfDir: String, name: String,
       keyA: String, keyB: String, partitions: Int = 8): String =
-    mirrorPath(sfDir, s"${name}_z_${keyA}_${keyB}_$partitions").toString
+    mirrorPath(sfDir, s"${name}_z31_${keyA}_${keyB}_$partitions").toString
 
   private def build(spark: SparkSession, sfDir: String, name: String,
       layout: String, writeOptions: Map[String, String] = Map.empty,
@@ -192,11 +199,19 @@ object ClusteredTables {
       try {
         val blocks = r.getFooter.getBlocks.asScala.toSeq
         keys.flatMap { k =>
-          val stats = blocks.flatMap(_.getColumns.asScala
-            .find(_.getPath.toDotString == k)).map(_.getStatistics)
+          val cols = blocks.flatMap(_.getColumns.asScala
+            .find(_.getPath.toDotString == k))
+          val stats = cols.map(_.getStatistics)
           // a key with absent/invalid stats gets no line — readPruned
-          // keeps unlisted files conservatively
-          if (stats.isEmpty || stats.exists(s => s == null || s.isEmpty)) None
+          // keeps unlisted files conservatively. Non-INT64 keys are
+          // skipped the same way: the Long cast on genericGetMin threw
+          // ClassCastException AFTER the data write for any other key
+          // type clustered() legally accepts, failing the whole mirror
+          // build over an optional index (review r8, advisor finding).
+          val int64 = cols.nonEmpty && cols.forall(
+            _.getPrimitiveType.getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+          if (!int64 || stats.exists(s => s == null || s.isEmpty)) None
           else Some(s"${f.getFileName}\t$k\t" +
             s"${stats.map(_.genericGetMin.asInstanceOf[Long]).min}\t" +
             s"${stats.map(_.genericGetMax.asInstanceOf[Long]).max}")
