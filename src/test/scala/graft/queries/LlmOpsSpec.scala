@@ -237,7 +237,7 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.9, f"recall below target: $recall%.2f")
   }
 
-  test("IVF ANN recall@5 vs brute force is >= 0.9 at nprobe=8") {
+  test("IVF ANN (learned centroids, shipped default) recall@5 vs brute force is >= 0.9 at nprobe=6") {
     import spark.implicits._
     val brute = Similarity.qAnnBrute(spark, sfDir)
       .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
@@ -245,11 +245,11 @@ class LlmOpsSpec extends SparkTestBase {
       .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     info(f"IVF ANN recall@5 = $recall%.2f (${(brute & ivf).size}/${brute.size})")
-    // Voronoi cells carry little signal on unstructured vectors, so the
-    // ≥0.9 production bar costs 8 of the 9 cells here (measured
-    // 0.94–0.96 across sf0.001/sf0.01, deterministic centroids); on
-    // clustered data the learned-centroid test below hits 1.00 at
-    // nprobe=6 through the same plan
+    // the shipped face now runs KMeans-learned centroids at nprobe=6
+    // (measured 1.00 at sf0.001/sf0.01) — the subset-centroid path the
+    // old default used needed nprobe=8 for 0.94–0.96 because Voronoi
+    // cells carry little signal on unstructured vectors; the learned
+    // wiring test below exercises KMeans.fit → ivfTopK directly
     assert(recall >= 0.9, f"recall below target: $recall%.2f")
   }
 
