@@ -1,7 +1,6 @@
 package graft.etl
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -199,17 +198,15 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
     require(!committedBatchIds().contains(batchId), s"batch $batchId already committed")
     val dest = tombstonesDir.resolve(name).resolve(s"batch=$batchId")
     val staging = stagingDir(batchId)
-    try {
-      keys.toDF(pkColumns(name)).coalesce(1)
-        .write.mode("overwrite").parquet(staging.resolve("tombstones").toString)
-      Files.createDirectories(dest.getParent)
-      deleteRecursively(dest) // uncommitted residue from a prior crash
-      Files.move(staging.resolve("tombstones"), dest, StandardCopyOption.ATOMIC_MOVE)
+    try keys.toDF(pkColumns(name)).coalesce(1)
+      .write.mode("overwrite").parquet(staging.resolve("tombstones").toString)
+    catch { case e: Throwable => deleteRecursively(staging); throw e }
+    graft.core.CommitProtocol.publish(staging,
+      Seq(staging.resolve("tombstones") -> dest)) {
       Files.createDirectories(commitsDir)
       Files.createFile(commitsDir.resolve(f"${nextSeq()}%08d.$batchId"))
-    } catch {
-      case e: Throwable => deleteRecursively(dest); throw e
-    } finally deleteRecursively(staging)
+      ()
+    }
   }
 
   private def tombstonesDir: Path = rootPath.resolve("_tombstones")
@@ -332,26 +329,22 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
         pkColumns.get(name).foreach(pk =>
           validatePk(name, pk, batchId, staging, crossBatchPkCheck))
       }
-      // Publish: move staged dirs into place, then the commit marker last.
-      tables.foreach { case (name, _) =>
-        val dest = rootPath.resolve(name).resolve(s"batch=$batchId")
-        Files.createDirectories(dest.getParent)
-        Files.move(staging.resolve(name), dest, StandardCopyOption.ATOMIC_MOVE)
-      }
-      Files.createDirectories(commitsDir)
-      // single-writer (like the reference's one ETL process)
-      Files.createFile(commitsDir.resolve(f"${nextSeq()}%08d.$batchId"))
     } catch {
-      case e: Throwable =>
-        // rollback: nothing committed; remove staged files and any moved-
-        // but-unmarked batch dirs (invisible to readers either way).
-        deleteRecursively(staging)
-        tables.foreach { case (name, _) =>
-          deleteRecursively(rootPath.resolve(name).resolve(s"batch=$batchId"))
-        }
-        throw e
-    } finally {
-      deleteRecursively(staging)
+      // a stage/validate failure discards the staging area — nothing
+      // was ever visible (the reference's rollback)
+      case e: Throwable => deleteRecursively(staging); throw e
+    }
+    // Publish through the shared protocol: move staged dirs into
+    // place, then the commit marker last (single-writer, like the
+    // reference's one ETL process). Rollback of moved-but-unmarked
+    // dirs lives in CommitProtocol.
+    graft.core.CommitProtocol.publish(staging,
+      tables.map { case (name, _) =>
+        staging.resolve(name) -> rootPath.resolve(name).resolve(s"batch=$batchId")
+      }) {
+      Files.createDirectories(commitsDir)
+      Files.createFile(commitsDir.resolve(f"${nextSeq()}%08d.$batchId"))
+      ()
     }
   }
 
@@ -493,32 +486,29 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
         df.coalesce(numFiles).write.mode("overwrite")
           .parquet(staging.resolve(name).toString)
       }
-      // 2. PUBLISH FIRST: move staged dirs into place while the old
-      // markers (and old dirs) are untouched — a crash anywhere up to
-      // here leaves reads exactly as they were, and the new dirs are
-      // invisible orphans (no marker). Old data is never deleted before
+      // 2. PUBLISH through the shared protocol: move staged dirs into
+      // place while the old markers (and old dirs) are untouched — a
+      // crash anywhere up to the marker leaves reads exactly as they
+      // were, and the new dirs are invisible orphans the protocol (or
+      // the next compaction) clears. Old data is never deleted before
       // the replacement is durable (review r6 #1/#3).
       require(!committedBatchIds().contains(batchId),
         s"batch $batchId already committed")
       val oldMarkers = listDir(commitsDir)
-      liveTables.foreach { case (name, _) =>
-        val dest = rootPath.resolve(name).resolve(s"batch=$batchId")
-        Files.createDirectories(dest.getParent)
-        // an existing dest can only be an unmarked orphan from a prior
-        // crash (the id is not committed — checked above): clear it so
-        // the move cannot fail on a non-empty directory
-        deleteRecursively(dest)
-        Files.move(staging.resolve(name), dest, StandardCopyOption.ATOMIC_MOVE)
+      graft.core.CommitProtocol.publish(staging,
+        liveTables.map { case (name, _) =>
+          staging.resolve(name) -> rootPath.resolve(name).resolve(s"batch=$batchId")
+        }) {
+        // 3. marker swap: retire old markers, then commit the new one.
+        // The only non-crash-safe window is between these two marker
+        // ops (reads see EMPTY tables, all data still on disk) — the
+        // documented single-writer caveat, a two-file window.
+        oldMarkers.foreach(Files.deleteIfExists(_))
+        markerParse.clear() // parse memo may hold retired names
+        Files.createDirectories(commitsDir)
+        Files.createFile(commitsDir.resolve(f"${nextSeq()}%08d.$batchId"))
+        ()
       }
-      // 3. marker swap: retire old markers, then commit the new one.
-      // The only non-crash-safe window is between these two marker ops
-      // (reads see EMPTY tables, all data still on disk) — the
-      // documented single-writer caveat, now a two-file window instead
-      // of spanning every dir deletion.
-      oldMarkers.foreach(Files.deleteIfExists(_))
-      markerParse.clear() // parse memo may hold retired names
-      Files.createDirectories(commitsDir)
-      Files.createFile(commitsDir.resolve(f"${nextSeq()}%08d.$batchId"))
       // 4. garbage-collect LAST: every batch dir not owned by the new
       // marker is retired history or an orphan from a prior crash —
       // both invisible to readers by now.
@@ -553,10 +543,9 @@ object ShiftWarehouse {
     "allowances" -> "allowance_id",
     "award_interpretations" -> "award_id")
 
+  /** Forwarded to the shared publish protocol's implementation — the
+    * warehouse's original copy moved to [[graft.core.CommitProtocol]]
+    * when the three publish paths were unified (review r8). */
   private[graft] def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
-      finally s.close()
-    }
+    graft.core.CommitProtocol.deleteRecursively(p)
 }

@@ -65,11 +65,37 @@ object BucketedTables {
     val tbl = s"${layout}_b_${suffix(sfDir)}"
     this.synchronized {
       if (!spark.catalog.tableExists(tbl)) {
-        Tables.read(spark, sfDir, name)
-          .write.mode(SaveMode.Overwrite).format("parquet")
-          .bucketBy(buckets, key).sortBy(key)
-          .option("path", mirrorPath(sfDir, layout).toString)
-          .saveAsTable(tbl)
+        // stage → move → marker through the shared publish protocol
+        // (graft.core.CommitProtocol): the bucketed data lands at a
+        // staging path under a STAGING catalog name (saveAsTable is
+        // what records the bucket spec, so the write must go through
+        // it), and the marker step is the catalog flip — point the
+        // staged table at the published path, then rename it to the
+        // final name readers key on. A crash mid-publish leaves only
+        // the staging table/dir, which the next build clears.
+        val dest = mirrorPath(sfDir, layout)
+        val staging = dest.resolveSibling(dest.getFileName.toString + ".staging")
+        val stagingTbl = s"${tbl}_staging"
+        spark.sql(s"DROP TABLE IF EXISTS `$stagingTbl`")
+        graft.core.CommitProtocol.deleteRecursively(staging)
+        try {
+          Tables.read(spark, sfDir, name)
+            .write.mode(SaveMode.Overwrite).format("parquet")
+            .bucketBy(buckets, key).sortBy(key)
+            .option("path", staging.toString)
+            .saveAsTable(stagingTbl)
+          graft.core.CommitProtocol.publish(staging, Seq(staging -> dest)) {
+            spark.sql(s"ALTER TABLE `$stagingTbl` SET LOCATION '${dest.toString}'")
+            spark.sql(s"ALTER TABLE `$stagingTbl` RENAME TO `$tbl`")
+            ()
+          }
+        } catch {
+          // the staging catalog entry is residue either way; data
+          // rollback already happened inside the protocol
+          case e: Throwable =>
+            spark.sql(s"DROP TABLE IF EXISTS `$stagingTbl`")
+            throw e
+        }
       }
     }
     spark.table(tbl)

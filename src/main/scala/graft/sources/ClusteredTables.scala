@@ -30,7 +30,7 @@ import graft.core.Tables
   * PLAN time, before any task launches.)
   *
   * Mirror lifecycle matches BucketedTables: built once per (corpus,
-  * layout) under target/ scratch, memoized by a _SUCCESS-marked
+  * layout) under target/ scratch, memoized by a marker-committed
   * directory; single-JVM, immutable-corpus assumptions apply.
   */
 object ClusteredTables {
@@ -164,17 +164,33 @@ object ClusteredTables {
       keyA: String, keyB: String, partitions: Int = 8): String =
     mirrorPath(sfDir, s"${name}_z31_${keyA}_${keyB}_$partitions").toString
 
+  /** Committed-mirror flag, created by the publish marker. Distinct
+    * from Spark's `_SUCCESS` (which only proves the data JOB finished):
+    * the marker also covers the manifest, which is now staged alongside
+    * the data and published in the same move — the old in-place build
+    * had a crash window where a `_SUCCESS`-complete mirror existed with
+    * no manifest (review r8; safe but pruning-less). Underscore prefix
+    * keeps it invisible to the parquet reader. */
+  private val CommittedMarker = "_GRAFT_COMMITTED"
+
   private def build(spark: SparkSession, sfDir: String, name: String,
       layout: String, writeOptions: Map[String, String] = Map.empty,
       manifestKeys: Seq[String] = Seq.empty)(
       shape: DataFrame => DataFrame): DataFrame = {
     val path = mirrorPath(sfDir, layout)
     this.synchronized {
-      if (!Files.exists(path.resolve("_SUCCESS"))) {
+      if (!Files.exists(path.resolve(CommittedMarker))) {
+        // stage → (manifest) → move → marker, through the one shared
+        // publish implementation (graft.core.CommitProtocol)
+        val staging = path.getParent.resolve(path.getFileName.toString + ".staging")
+        graft.core.CommitProtocol.deleteRecursively(staging)
         shape(Tables.read(spark, sfDir, name))
           .write.mode(SaveMode.Overwrite).options(writeOptions)
-          .parquet(path.toString)
-        if (manifestKeys.nonEmpty) writeManifest(spark, path, manifestKeys)
+          .parquet(staging.toString)
+        if (manifestKeys.nonEmpty) writeManifest(spark, staging, manifestKeys)
+        graft.core.CommitProtocol.publish(staging, Seq(staging -> path)) {
+          Files.createFile(path.resolve(CommittedMarker)); ()
+        }
       }
     }
     spark.read.schema(Tables.read(spark, sfDir, name).schema)

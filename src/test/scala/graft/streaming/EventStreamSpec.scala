@@ -189,6 +189,44 @@ class EventStreamSpec extends SparkTestBase {
     assert(pairs.length == 1, "band collisions must dedup to one row per pair")
   }
 
+  test("streaming span dedup flags a planted verbatim passage against the corpus gram index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus doc 100 holds a distinctive 12-word passage mid-document
+    val passage = (1 to 12).map(i => s"pass$i").mkString(" ")
+    val corpus = Seq(
+      (100L, s"${(1 to 20).map(i => s"lead$i").mkString(" ")} $passage " +
+        (1 to 5).map(i => s"tail$i").mkString(" ")),
+      (101L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val index = EventStream.corpusGramIndex(corpus)
+    val in = MemoryStream[EventStream.DocRow]
+    val q = EventStream.corpusSpanSuspects(in.toDS(), index)
+      .writeStream.format("memory").queryName("spansusp")
+      .outputMode("append").start()
+    // doc 2 copies the passage verbatim inside otherwise-novel text at a
+    // DIFFERENT position (the diagonal does the alignment); doc 3 shares
+    // no 8-gram with the corpus
+    in.addData(
+      EventStream.DocRow(2, ts("2024-01-01 10:00:00"),
+        s"${(1 to 9).map(i => s"new$i").mkString(" ")} $passage " +
+          (1 to 7).map(i => s"end$i").mkString(" ")),
+      EventStream.DocRow(3, ts("2024-01-01 10:00:01"),
+        (1 to 40).map(i => s"fresh$i").mkString(" ")))
+    q.processAllAvailable()
+    // the windowed agg emits on watermark passage: a later short arrival
+    // (< 8 words → no grams, no groups) pushes the watermark past the
+    // 10:00 window
+    in.addData(EventStream.DocRow(9, ts("2024-01-02 12:00:00"), "flush"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("spansusp")
+      .select("doc_id", "corpus_doc_id", "span_words")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSet == Set((2L, 100L)), s"got ${rows.mkString(",")}")
+    // 12 copied words → 5 consecutive 8-gram matches → 5 + 7 = 12
+    assert(rows.map(_._3).toSet == Set(12L), s"span_words ${rows.mkString(",")}")
+  }
+
   test("streaming funnel emits one conversion per user across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
