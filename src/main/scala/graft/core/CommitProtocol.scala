@@ -36,18 +36,31 @@ object CommitProtocol {
   /** Move staged dirs into place, then run the commit marker. See the
     * object doc for the crash semantics. `staging` is the caller's
     * staging ROOT (deleted on every exit path); each `moves` entry is
-    * (stagedDir, destinationDir). */
+    * (stagedDir, destinationDir).
+    *
+    * Rollback scope: destination deletion only covers failures BEFORE
+    * the marker block starts. A marker may be DESTRUCTIVE of prior
+    * state (compaction's swap retires the old commit markers before
+    * writing the new one) — deleting the moved dirs after such a marker
+    * began would destroy the only surviving copy of the data (review
+    * r8). A failure INSIDE the marker therefore leaves the moved dirs
+    * on disk as unmarked residue: invisible to readers (no marker), and
+    * cleared by the residue-delete on the next publish of the same
+    * destinations. */
   def publish(staging: Path, moves: Seq[(Path, Path)])(marker: => Unit): Unit = {
+    var markerStarted = false
     try {
       moves.foreach { case (src, dest) =>
         Files.createDirectories(dest.getParent)
         deleteRecursively(dest) // uncommitted residue from a prior crash
         Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
       }
+      markerStarted = true
       marker
     } catch {
       case e: Throwable =>
-        moves.foreach { case (_, dest) => deleteRecursively(dest) }
+        if (!markerStarted)
+          moves.foreach { case (_, dest) => deleteRecursively(dest) }
         throw e
     } finally deleteRecursively(staging)
   }

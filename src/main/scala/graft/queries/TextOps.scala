@@ -691,20 +691,29 @@ object TextOps {
   // the length-weighted companion of qReservoir's uniform pick. The
   // uniform u is derived from a Knuth multiplicative hash of doc_id
   // ((id·2654435761) mod 2^32 — exact integer arithmetic, so both
-  // engines compute bit-identical u; +0.5 keeps ln off zero). Ranks/ids
-  // only are emitted — the ln() key itself is never an output column
-  // (engine ulp differences sit ~1e-16 below the ~1e-3 key gaps, the
-  // same margin argument the ANN rankings use). Scale shape: one scan,
-  // keyed selection — compiles to the bounded top-k operator under
-  // TopKWindowRewrite (no per-source sort; a 100 TB corpus would swap
-  // the toy hash for xxhash64 and drop the oracle, nothing else moves).
+  // engines compute bit-identical u; +0.5 keeps ln off zero). The
+  // multiply is done in two 16-bit limbs of (id mod 2^32):
+  //   u = (lo·g + ((hi·g) mod 2^16)·2^16) mod 2^32
+  // which equals (id·g) mod 2^32 but never exceeds ~2^48 in any
+  // intermediate — the naive id·g overflowed Long (an ANSI-mode error,
+  // not a wrap) once ids passed ~3.5·10⁹, which the sf1 scale smoke hit
+  // (review r8). Ranks/ids only are emitted — the ln() key itself is
+  // never an output column (engine ulp differences sit ~1e-16 below the
+  // ~1e-3 key gaps, the same margin argument the ANN rankings use).
+  // Scale shape: one scan, keyed selection — compiles to the bounded
+  // top-k operator under TopKWindowRewrite (no per-source sort; a
+  // 100 TB corpus would swap the toy hash for xxhash64 and drop the
+  // oracle, nothing else moves).
+  private val MulModU =
+    "((doc_id % 65536) * 2654435761 + " +
+      "((((doc_id div 65536) % 65536) * 2654435761) % 65536) * 65536) % 4294967296"
   def qSampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"pri", $"doc_id")
     Tables.documents(spark, sfDir)
       .select($"source", $"doc_id",
-        (-log((($"doc_id" * lit(2654435761L)) % lit(4294967296L) + lit(0.5)) / lit(4294967296.0))
+        (-log((expr(MulModU) + lit(0.5)) / lit(4294967296.0))
           / $"n_chars".cast("double")).as("pri"))
       .select($"source", $"doc_id", row_number().over(w).as("pick"))
       .filter($"pick" <= 3)
@@ -712,11 +721,11 @@ object TextOps {
   }
 
   val qSampleWeightedSql: String =
-    """SELECT source, doc_id, CAST(pick AS INTEGER) AS pick
+    s"""SELECT source, doc_id, CAST(pick AS INTEGER) AS pick
       |FROM (SELECT source, doc_id,
       |             row_number() OVER (
       |               PARTITION BY source
-      |               ORDER BY -ln((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0)
+      |               ORDER BY -ln(((${MulModU.replace(" div ", " // ")}) + 0.5) / 4294967296.0)
       |                          / CAST(n_chars AS DOUBLE),
       |                        doc_id) AS pick
       |      FROM documents)

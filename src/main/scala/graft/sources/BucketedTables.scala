@@ -30,17 +30,10 @@ import graft.core.Tables
 object BucketedTables {
 
   private def suffix(sfDir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    graft.core.Scratch.corpusHash(sfDir)
 
-  private def mirrorPath(sfDir: String, name: String): Path = {
-    val target = Paths.get("target")
-    val base =
-      if (Files.isDirectory(target)) target
-      else Paths.get(sys.props("java.io.tmpdir"), "graft-scratch")
-    base.resolve("bucketed-mirror").resolve(suffix(sfDir)).resolve(name)
-      .toAbsolutePath
-  }
+  private def mirrorPath(sfDir: String, name: String): Path =
+    graft.core.Scratch.dir("bucketed-mirror", sfDir).resolve(name)
 
   /** Read table `name` bucketed on `key` (building the mirror if this
     * session hasn't yet). Thread-safe; idempotent per (session, corpus,

@@ -35,18 +35,8 @@ import graft.core.Tables
   */
 object ClusteredTables {
 
-  private def suffix(sfDir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-
-  private def mirrorPath(sfDir: String, layout: String): Path = {
-    val target = Paths.get("target")
-    val base =
-      if (Files.isDirectory(target)) target
-      else Paths.get(sys.props("java.io.tmpdir"), "graft-scratch")
-    base.resolve("clustered-mirror").resolve(suffix(sfDir)).resolve(layout)
-      .toAbsolutePath
-  }
+  private def mirrorPath(sfDir: String, layout: String): Path =
+    graft.core.Scratch.dir("clustered-mirror", sfDir).resolve(layout)
 
   /** Read table `name` range-clustered on `keys` (building the mirror on
     * first use). `partitions` sizes the range split — the local analog

@@ -33,16 +33,9 @@ object PartitionedCorpus {
     * other launch directory falls back to the system temp dir — a bare
     * relative path would scatter mirrors into whatever cwd the launcher
     * happened to use (review r6). */
-  private def mirrorDir(sfDir: String): Path = {
-    val target = Paths.get("target")
-    val base =
-      if (Files.isDirectory(target)) target
-      else Paths.get(sys.props("java.io.tmpdir"), "graft-scratch")
-    base.resolve("corpus-mirror")
-      .resolve(java.security.MessageDigest.getInstance("MD5")
-        .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString)
-      .resolve("documents").toAbsolutePath
-  }
+  private def mirrorDir(sfDir: String): Path =
+    graft.core.Scratch.dir("corpus-mirror", sfDir, hashLen = 32)
+      .resolve("documents")
 
   def documentsPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
     val dest = mirrorDir(sfDir)
