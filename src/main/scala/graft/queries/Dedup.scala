@@ -787,7 +787,72 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
   // --------------------------------------------------------------------
+  // Duplication SATURATION signals over the staged positional-gram
+  // frame — the per-unit "how much of this text exists elsewhere"
+  // measures a curation pipeline thresholds on BEFORE committing to
+  // span-level surgery (Lee et al. 2022 report dup fractions per
+  // document/source before dedup; these are those numbers as queries).
+  // Both are exact integer counts (no floats, no boundary risk): emit
+  // numerator and denominator, let the consumer pick the ratio
+  // threshold. One hash-equi join against the gram document-frequency
+  // table — at 100 TB the df table is a maintained aggregate of the
+  // standing gram index, and the join is shuffle-bounded on the hash.
+
+  /** Per DOCUMENT: how many of its positional 8-grams also occur in at
+    * least one OTHER document (the doc's verbatim-copy saturation). */
+  def qGramCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val g = corpusGrams(spark, sfDir)
+    val dfreq = g.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("docs"))
+    g.join(dfreq, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"docs" >= 2, 1L).otherwise(0L)).as("n_shared"))
+  }
+
+  val qGramCoverageSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, array_to_string(ws[i+1:i+8], ' ') AS s
+      |      FROM w, unnest(range(len(ws) - 7)) AS t(i)
+      |      WHERE len(ws) >= 8),
+      |dfreq AS (SELECT s, count(DISTINCT doc_id) AS docs FROM g GROUP BY 1)
+      |SELECT g.doc_id, count(*) AS n_grams,
+      |       CAST(sum(CASE WHEN dfreq.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      |FROM g JOIN dfreq USING (s)
+      |GROUP BY 1""".stripMargin
+
+  /** Per SOURCE: how many of its distinct 8-grams are EXCLUSIVE to it —
+    * the mixture-level novelty a source contributes (a source whose
+    * grams all exist elsewhere adds volume, not information). */
+  def qSourceNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val g = corpusGrams(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select($"doc_id", $"source"), Seq("doc_id"))
+      .select($"source", $"h").distinct()
+    val spread = g.groupBy($"h").agg(countDistinct($"source").as("srcs"))
+    g.join(spread, Seq("h"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"srcs" === 1, 1L).otherwise(0L)).as("n_exclusive"))
+  }
+
+  val qSourceNoveltySql: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |g0 AS (SELECT doc_id, source, array_to_string(ws[i+1:i+8], ' ') AS s
+      |       FROM w, unnest(range(len(ws) - 7)) AS t(i)
+      |       WHERE len(ws) >= 8),
+      |g AS (SELECT DISTINCT source, s FROM g0),
+      |spread AS (SELECT s, count(DISTINCT source) AS srcs FROM g GROUP BY 1)
+      |SELECT g.source, count(*) AS n_grams,
+      |       CAST(sum(CASE WHEN spread.srcs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive
+      |FROM g JOIN spread USING (s)
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gram_coverage" -> (qGramCoverage _),
+    "q_source_novelty" -> (qSourceNovelty _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_filtered" -> (qDedupFiltered _),
@@ -804,6 +869,8 @@ object Dedup {
     "q_simhash_pairs" -> (qSimhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_gram_coverage" -> qGramCoverageSql,
+    "q_source_novelty" -> qSourceNoveltySql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_near" -> qDedupNearSql,
     "q_dedup_filtered" -> qDedupFilteredSql,

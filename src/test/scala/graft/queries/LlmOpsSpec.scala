@@ -480,4 +480,28 @@ class LlmOpsSpec extends SparkTestBase {
       assert(ok, s"$k: approx_count_distinct fell outside 5% of $n")
     }
   }
+
+  test("gram-coverage and source-novelty are bounded ratios with no all-pairs join") {
+    import spark.implicits._
+    val cov = Dedup.qGramCoverage(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(cov.nonEmpty)
+    cov.foreach { case (id, n, shared) =>
+      assert(shared >= 0 && shared <= n, s"doc $id: $shared/$n")
+    }
+    // this corpus has verified near-dup pairs, so SOME doc must share grams
+    assert(cov.exists(_._3 > 0), "no shared grams found in a corpus with known near-dups")
+    val nov = Dedup.qSourceNovelty(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(nov.nonEmpty)
+    nov.foreach { case (s, n, excl) =>
+      assert(excl >= 0 && excl <= n, s"source $s: $excl/$n")
+    }
+    // both are df-table equi-joins — never an all-pairs plan
+    Seq(Dedup.qGramCoverage(spark, sfDir), Dedup.qSourceNovelty(spark, sfDir))
+      .foreach { df =>
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+      }
+  }
 }

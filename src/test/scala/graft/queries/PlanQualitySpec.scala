@@ -366,6 +366,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(viaSql.forall(h => h >= 0 && h < 2147483647L))
   }
 
+  test("learned-centroid IVF keeps candidate generation an equi-join on cell id") {
+    val p = plan(Similarity.qAnnIvf(spark, sfDir))
+    // the only nested-loop allowed is the k-bounded centroid broadcast
+    // (corpus x 9 centroids / queries x 9); candidates, ranks and the
+    // re-fetches are all hash equi-joins, and selection runs through the
+    // bounded native top-k (no sort of the candidate set)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TopKPerGroup"), p)
+  }
+
+  test("quantized ANN nominates via bounded top-k, then re-ranks a joined shortlist") {
+    val p = plan(Similarity.qAnnQuant(spark, sfDir))
+    // two bounded selections: the k*4 quantized shortlist and the final
+    // float top-k; never a per-query sort of the full candidate set
+    assert("TopKPerGroup".r.findAllMatchIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("native kernels are SQL-callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

@@ -82,6 +82,25 @@ class ClusteredTablesSpec extends SparkTestBase {
     assert(spark.sql("SELECT zorder64(1L, 1L) AS z").head().getLong(0) == 3L)
   }
 
+  test("zorder64 on [0,2^31) keys stays nonnegative — signed sort equals unsigned Morton order") {
+    // the layout normalizes both keys below 2^31 precisely so the
+    // interleaved value tops out at bit 61 (advisor r7: 2^32-scaled keys
+    // put keyB's top bit at long bit 63, and the SIGNED repartitionByRange
+    // split the curve at the sign wrap); pin the boundary arithmetic
+    val top = (1L << 31) - 1
+    val rnd = new scala.util.Random(7)
+    val keys = Seq(0L, 1L, top, top - 1) ++ Seq.fill(200)(rnd.nextLong(top + 1))
+    for (a <- keys; b <- Seq(0L, top, keys(rnd.nextInt(keys.size)))) {
+      val z = graft.functions.ZOrder64.compute(a, b)
+      assert(z >= 0, s"zorder64($a, $b) = $z went negative")
+      assert((z >> 62) == 0, s"zorder64($a, $b) uses bits above 61")
+    }
+    // monotone along each axis at the top of the range (the wrap case):
+    // unsigned Morton order must equal signed Long order
+    assert(graft.functions.ZOrder64.compute(0, top) >
+      graft.functions.ZOrder64.compute(top, top / 2))
+  }
+
   test("z-order layout prunes row groups on BOTH keys; single-key sort only on its leading key") {
     // build both mirrors, then read their footers off disk
     ClusteredTables.zOrdered(spark, sfDir, "lineitem", "l_orderkey", "l_partkey")
