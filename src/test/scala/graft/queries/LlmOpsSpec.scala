@@ -481,6 +481,42 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("centroid model mirror rebuilds when the corpus is rewritten in place") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // a private corpus dir this test owns end-to-end
+    val dir = java.nio.file.Files.createTempDirectory("centroid-staleness").toString
+    def write(srcSf: String): Unit = {
+      val df = graft.core.Tables.embeddings(spark, srcSf)
+      // write through a temp dir — overwriting the parquet being read
+      // in the same job would race the scan
+      val tmp = s"$dir/embeddings.tmp"
+      df.write.mode("overwrite").parquet(tmp)
+      val dest = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+      graft.core.CommitProtocol.deleteRecursively(dest)
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dest)
+    }
+    def mirrorSig(): Long = spark.read
+      .parquet(Similarity.learnedCentroidsPath(dir).toString)
+      .select(col("corpus_sig")).head().getLong(0)
+    write(sfDir)
+    assert(Similarity.learnedCentroids(spark, dir).count() > 0)
+    val sig1 = mirrorSig()
+    // REWRITE the corpus in place (different bytes: sf0.01's embeddings),
+    // then invalidate the session's staged entries — the contract a
+    // corpus rewrite must follow
+    write("/root/testdata/sf0.01")
+    graft.operators.Staging.invalidate(Some(dir))
+    assert(Similarity.learnedCentroids(spark, dir).count() > 0)
+    val sig2 = mirrorSig()
+    // the stale model (valid marker, old sig) must have been detected
+    // and rebuilt against the new bytes
+    assert(sig1 != sig2, s"mirror kept the stale model: sig $sig1")
+    val expected = graft.core.Tables.embeddings(spark, dir)
+      .agg(expr("sum(cast(floor(element_at(embedding, 1) * 1000000.0d) as long))"))
+      .head().getLong(0)
+    assert(sig2 == expected, s"rebuilt sig $sig2 != corpus sig $expected")
+  }
+
   test("gram-coverage and source-novelty are bounded ratios with no all-pairs join") {
     import spark.implicits._
     val cov = Dedup.qGramCoverage(spark, sfDir)
