@@ -194,6 +194,16 @@ final class ShiftWarehouse(spark: SparkSession, root: String, validatePks: Boole
   def deleteRows(name: String, keys: DataFrame, batchId: String): Unit = {
     require(pkColumns.contains(name), s"table $name has no PK to delete by")
     require(keys.columns.length == 1, "keys must be a single PK column")
+    // fail FAST on a key-type mismatch: tombstones() reads committed
+    // tombstone files with the table schema's PK type, so a frame of
+    // the wrong type would write + commit fine and then poison every
+    // later currentView/compaction read with a parquet convert error —
+    // a committed batch can't be un-committed (review r8)
+    val pkType = tableSchemas(name).fields
+      .find(_.name == pkColumns(name)).get.dataType
+    require(keys.schema.fields.head.dataType == pkType,
+      s"delete keys for $name must be ${pkType.simpleString}, " +
+        s"got ${keys.schema.fields.head.dataType.simpleString}")
     validateBatchId(batchId)
     require(!committedBatchIds().contains(batchId), s"batch $batchId already committed")
     val dest = tombstonesDir.resolve(name).resolve(s"batch=$batchId")

@@ -165,6 +165,23 @@ class ShiftWarehouseSpec extends SparkTestBase {
     assert(wh.currentView("shifts").count() == 2)
   }
 
+  test("delete keys of the wrong type are rejected before anything commits") {
+    import spark.implicits._
+    val wh = new ShiftWarehouse(spark, tempDir("wh-delete-type"))
+    val page = PageSource.parsePage(spark, ShiftFixtures.singlePage)
+    wh.appendBatch(ShiftNormalizer.normalize(page), "b0")
+    // shift_id is a string PK; a LongType keys frame would write and
+    // commit fine, then poison every later read when tombstones()
+    // applies the declared schema — must fail fast instead
+    val e = intercept[IllegalArgumentException] {
+      wh.deleteRows("shifts", Seq(42L).toDF("shift_id"), "b1-bad")
+    }
+    assert(e.getMessage.contains("must be string"))
+    // nothing committed, nothing tombstoned
+    assert(wh.currentView("shifts").count() == 2)
+    wh.clear()
+  }
+
   test("scoped delete tombstones a PK; re-insert resurrects; compaction erases") {
     import spark.implicits._
     val wh = new ShiftWarehouse(spark, tempDir("wh-delete"))
