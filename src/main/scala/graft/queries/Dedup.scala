@@ -230,7 +230,8 @@ object Dedup {
   // ((3n+4) div 5) so the prefix boundary is engine-stable. Output
   // equals q_ngram_jaccard / q_dedup_near exactly (asserted in
   // LlmOpsSpec along with the candidate-volume reduction — measured
-  // 12,025 → 195 candidate pairs (62×) at sf0.001). At the small test
+  // 12,025 → 28 candidate pairs at sf0.001 with the positional filter
+  // in candPairs, 1.93M → 613k at sf1). At the small test
   // SFs the fixed cost of the df aggregation + prefix rank exceeds the
   // verification saved (the full index is already cheap there); the
   // crossover is exactly where it hurts — hot-shingle corpora whose
@@ -246,7 +247,10 @@ object Dedup {
   /** (doc_id, n, h) hashed postings + the rarest-first PREFIX postings
     * (rank ≤ n − ⌈t·n⌉ + 1, integer-exact) — shared by the shipped query
     * and the spec's candidate-count measurement so they can never index
-    * differently. */
+    * differently. The prefix frame KEEPS the rank `rk` (the token's
+    * 1-based position in the doc's rarest-first order): [[candPairs]]
+    * needs it for PPJoin's positional filter, the second exact pruning
+    * stage after the length filter. */
   private def prefixIndex(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
@@ -266,10 +270,27 @@ object Dedup {
         .withColumn("rk", row_number().over(w))
         .filter($"rk" <= $"n"
           - expr(s"(n * $JacNum + ${JacDen - 1}) div $JacDen") + 1)
-        .select($"doc_id", $"n", $"h")
+        .select($"doc_id", $"n", $"h", $"rk")
     }
     (inv, prefix)
   }
+
+  /** Per-document shingle sets as SORTED 64-bit hash arrays — the
+    * verification-side mirror of the hashed postings. Verifying
+    * candidates against the raw string arrays shuffles ~20-byte strings
+    * and hashes each one inside `array_intersect`'s per-row set build;
+    * hashing once here cuts the verify payload and compare to 8-byte
+    * longs (measured 70 s → 4 s over 613k candidates at sf1). Same
+    * collision posture as the count-based verify above: a cross-shingle
+    * xxhash64 collision (≈ d²/2^65) could only nudge one pair's
+    * intersection, and the oracle compare at two SFs guards the data. */
+  private def shingledHashed(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Staging.persisted(spark, sfDir, "shingled3h") {
+      import spark.implicits._
+      shingled(spark, sfDir)
+        .select($"doc_id",
+          array_sort(transform($"sh", s => xxhash64(s))).as("hs"))
+    }
 
   /** Materialize this corpus's staged dedup frames (3-shingles, prefix
     * postings, verified near-dup pairs) — the bench's measured SETUP
@@ -283,6 +304,7 @@ object Dedup {
     // the prefix postings ARE Staging.persisted ("prefix3", above) —
     // the finding predates the mid-r7 staging commit; nothing to change
     prefixIndex(spark, sfDir)._2.count()
+    shingledHashed(spark, sfDir).count()
     nearDupPairs(spark, sfDir).count()
     corpusGrams(spark, sfDir).count()
     // the duplicate-cluster fixpoint is the same kind of maintained
@@ -301,14 +323,36 @@ object Dedup {
     * in exact integer arithmetic — candidates drop before the
     * shuffle-heavy distinct and the set-intersection verify, with zero
     * effect on the output (the filter is an implication of the verify
-    * predicate; same-pairs-as-full-index stays asserted in LlmOpsSpec). */
+    * predicate; same-pairs-as-full-index stays asserted in LlmOpsSpec).
+    *
+    * When the frame also carries the rarest-first rank `rk`, PPJoin's
+    * POSITIONAL filter prunes further: a match of token w at ranks
+    * (i, j) bounds the overlap by 1 + min(n_a − i, n_b − j) (every
+    * other shared token sorts after w in BOTH docs' rarest-first
+    * orders, once w is the pair's earliest match), so a match with
+    * 1 + min(n_a − i, n_b − j) < α = ⌈t/(1+t)·(n_a+n_b)⌉ cannot be the
+    * earliest match of a qualifying pair. Dropping such matches is
+    * exact: for a true pair, its globally-earliest shared token lies in
+    * both prefixes (else one side's suffix would have to hold all α
+    * shared tokens but only has ⌈t·n⌉ − 1 slots) and satisfies the
+    * bound, so the pair always survives via that match. The comparison
+    * is cross-multiplied (lhs·(num+den) ≥ (n_a+n_b)·num) to stay in
+    * integer arithmetic. This is the filter that kills the hot-token
+    * tail: high-df tokens sit at the END of the prefix (rarest-first),
+    * exactly where the bound fails — measured 1.93M → 613k candidates
+    * at sf1 on top of the length filter. */
   private def candPairs(postings: DataFrame): DataFrame = {
     import postings.sparkSession.implicits._
     val lengthFiltered = postings.columns.contains("n")
+    val positional = postings.columns.contains("rk")
     val cond = $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
       (if (lengthFiltered)
         $"a.n" * JacNum <= $"b.n" * JacDen &&
           $"b.n" * JacNum <= $"a.n" * JacDen
+      else lit(true)) &&
+      (if (positional)
+        (lit(1) + least($"a.n" - $"a.rk", $"b.n" - $"b.rk")) *
+          (JacNum + JacDen) >= ($"a.n" + $"b.n") * JacNum
       else lit(true))
     postings.as("a").join(postings.as("b"), cond)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
@@ -317,16 +361,16 @@ object Dedup {
 
   def qPrefixJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingled(spark, sfDir)
+    val hs = shingledHashed(spark, sfDir)
     val (_, prefix) = prefixIndex(spark, sfDir)
-    val sa = sh.select($"doc_id".as("a_id"), $"sh".as("sa"))
-    val sb = sh.select($"doc_id".as("b_id"), $"sh".as("sb"))
+    val sa = hs.select($"doc_id".as("a_id"), $"hs".as("ha"))
+    val sb = hs.select($"doc_id".as("b_id"), $"hs".as("hb"))
     candPairs(prefix)
       .join(sa, $"doc_a" === $"a_id")
       .join(sb, $"doc_b" === $"b_id")
-      .withColumn("c", size(array_intersect($"sa", $"sb")))
+      .withColumn("c", size(array_intersect($"ha", $"hb")))
       .withColumn("jac",
-        $"c".cast("double") / (size($"sa") + size($"sb") - $"c"))
+        $"c".cast("double") / (size($"ha") + size($"hb") - $"c"))
       .filter($"jac" >= JacT)
       .select($"doc_a", $"doc_b", $"jac")
   }
