@@ -540,4 +540,59 @@ class LlmOpsSpec extends SparkTestBase {
         assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
       }
   }
+
+  test("cluster-balanced sample honors the quota through the bounded top-k") {
+    import spark.implicits._
+    val df = Similarity.qClusterSample(spark, sfDir)
+    val rows = df.as[(Long, Long, Int)].collect()
+    // deterministic draw: a second run selects the identical sample
+    assert(rows.toSet == Similarity.qClusterSample(spark, sfDir)
+      .as[(Long, Long, Int)].collect().toSet)
+    // every sampled vec_id appears once, each cell at most quota rows,
+    // ranks contiguous from 1
+    assert(rows.map(_._2).distinct.length == rows.length)
+    rows.groupBy(_._1).foreach { case (cell, members) =>
+      assert(members.length <= 32, s"cell $cell over quota: ${members.length}")
+      assert(members.map(_._3).sorted.toSeq == (1 to members.length),
+        s"cell $cell ranks not contiguous")
+    }
+    // the quota cut is the bounded top-k operator (k-row state per
+    // cell), not a corpus-wide window sort
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("embedding outliers equal a brute-force decimal reimplementation") {
+    import spark.implicits._
+    val got = Similarity.qEmbedOutliers(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    // independent recompute over collected vectors: nearest centroid
+    // from the committed mirror, 9-dp decimal quantization, exact
+    // cross-multiplied margin compare — the operator's contract
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val cents = spark.read
+      .parquet(Similarity.learnedCentroidsPath(sfDir).toString)
+      .select($"cluster_id".cast("long"), $"cv")
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val assigned = vecs.map { case (id, v) =>
+      val (c, cid) = cents.map { case (cid, cv) => (cos(v, cv), cid) }
+        .maxBy { case (c, cid) => (c, -cid) }
+      (id, cid, BigDecimal(c).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val expected = assigned.groupBy(_._2).toSeq.flatMap { case (_, members) =>
+      val s = members.map(_._3).sum
+      val n = members.length
+      members.filter { case (_, _, q) => q * 100 * n < s * 100 - n * 12 }
+        .map { case (id, cid, _) => (id, cid) }
+    }.toSet
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+    assert(expected.nonEmpty, "margin flags nothing at this SF — weak test")
+  }
 }
