@@ -284,6 +284,35 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.9, f"recall below target: $recall%.2f")
   }
 
+  test("incremental ANN attaches arrivals to the committed index only, recall >= 0.9") {
+    import spark.implicits._
+    val rows = Similarity.qAnnIncremental(spark, sfDir)
+      .as[(Long, Int, Long)].collect()
+    // asymmetry contract: queries are arrivals, neighbors are committed
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._1 >= 450), "a query came from the committed side")
+    assert(rows.forall(_._3 < 450), "a neighbor came from the arriving side")
+    // recall vs the exact new-vs-committed top-5 over collected vectors
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val (committed, arriving) = vecs.partition(_._1 < 450)
+    val brute = arriving.flatMap { case (qid, qv) =>
+      committed.map { case (nid, nv) => (qid, nid, cos(qv, nv)) }
+        .sortBy { case (_, nid, c) => (-c, nid) }.take(5)
+        .map { case (qid, nid, _) => (qid, nid) }
+    }.toSet
+    val got = rows.map(r => (r._1, r._3)).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    info(f"incremental ANN recall@5 = $recall%.2f (${(brute & got).size}/${brute.size})")
+    assert(recall >= 0.9, f"recall below target: $recall%.2f")
+  }
+
   test("IVF over KMeans-learned centroids is wired and competitive") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
