@@ -364,6 +364,82 @@ object EventStream {
         ($"max_run" + index.gramWords - 1).as("span_words"))
   }
 
+  final case class VecRow(vec_id: Long, ts: Timestamp, v: Seq[Double])
+
+  final case class CellStat(cid: Long, cv: Array[Double],
+      s: BigDecimal, n: Long)
+
+  /** Committed per-cell affinity statistics — the broadcast MODEL of
+    * streaming embedding scoring (the centroid analog of
+    * [[corpusBandIndex]]). Built batch-side in one corpus pass over
+    * (vec_id, v) × (cid, cv): nearest-centroid assignment, then each
+    * cell's exact-decimal affinity sum and count — the same 9-dp
+    * quantization queries.Similarity.qEmbedOutliers aggregates, so the
+    * two faces share one arithmetic and can be asserted bit-equal. The
+    * collected model is centroids + two numbers per cell — kilobytes —
+    * which is the canonical shape of streaming model inference: state
+    * lives in the model, the stream stays stateless. */
+  final case class CellStatsModel(cells: Seq[CellStat]) {
+    require(cells.nonEmpty, "empty centroid model")
+  }
+
+  def cellStatsModel(corpus: DataFrame, centroids: DataFrame): CellStatsModel = {
+    import corpus.sparkSession.implicits._
+    val scored = corpus.join(broadcast(centroids))
+      .withColumn("ccos",
+        graft.functions.functions.cosine_sim($"v", $"cv"))
+    val assigned = graft.plans.TopKPerGroup.topKPerGroup(scored,
+        Seq($"vec_id"), Seq($"ccos".desc, $"cid".asc), k = 1)
+      .select($"cid",
+        round($"ccos", 9).cast("decimal(12,9)").as("q"))
+    val stats = assigned.groupBy($"cid")
+      .agg(sum($"q").as("s"), count(lit(1)).as("n"))
+      .join(centroids, Seq("cid"))
+      .select($"cid".cast("long"), $"cv", $"s".cast("string"), $"n")
+      .as[(Long, Seq[Double], String, Long)].collect()
+    CellStatsModel(stats.toSeq.sortBy(_._1).map { case (cid, cv, s, n) =>
+      CellStat(cid, cv.toArray, BigDecimal(s), n)
+    })
+  }
+
+  /** Streaming face of queries.Similarity's embedding OUTLIER pruning:
+    * each arriving vector is assigned to its nearest model centroid and
+    * flagged when its 9-dp-quantized affinity falls below the cell's
+    * committed mean by the margin — the exact cross-multiplied decimal
+    * predicate of the batch operator (q·100·n < 100·s − 12·n), so a
+    * vector is flagged in-stream iff the batch job over
+    * committed-stats + that vector would flag it (bit-parity asserted
+    * in EventStreamSpec). Pure map over the stream — no state, no
+    * shuffle; the model rides the closure like any deployed scorer.
+    * Corrupt or off-distribution embeddings surface BEFORE ingestion
+    * commits them, the q_embed_outliers policy applied at the door. */
+  def embedOutlierFlags(vecs: Dataset[VecRow],
+      model: CellStatsModel): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val cells = model.cells
+    vecs.flatMap { r =>
+      var best = -2.0
+      var bestCell: CellStat = null
+      cells.foreach { c =>
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val a = r.v
+        while (i < c.cv.length) {
+          d += a(i) * c.cv(i); na += a(i) * a(i); nb += c.cv(i) * c.cv(i)
+          i += 1
+        }
+        val cos = d / (math.sqrt(na) * math.sqrt(nb))
+        // ties break to the lower cid: strict > keeps the first (cells
+        // are sorted by cid), matching the batch (ccos desc, cid asc)
+        if (cos > best) { best = cos; bestCell = c }
+      }
+      val q = BigDecimal(best).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      val margin = graft.queries.Similarity.OutlierCentiMargin
+      if (q * 100 * bestCell.n < bestCell.s * 100 - bestCell.n * margin)
+        Some((r.vec_id, r.ts, bestCell.cid))
+      else None
+    }.toDF("vec_id", "ts", "cell")
+  }
+
   case class FunnelProgress(viewUs: Long, clickUs: Long, done: Boolean,
       lastUs: Long = 0L)
   case class FunnelOut(user_id: Long, stage: Int, convert_us: Long)

@@ -290,4 +290,35 @@ class EventStreamSpec extends SparkTestBase {
     assert(rows.contains((7L, 2L, 600000000L)), s"got $rows")
     assert(rows.contains((7L, 1L, 0L)), s"got $rows")
   }
+
+  test("streaming outlier flags are bit-equal to the batch operator under one model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // batch face first: flags the corpus AND commits the centroid mirror
+    val batch = graft.queries.Similarity.qEmbedOutliers(spark, sfDir)
+      .as[(Long, Long)].collect().map { case (id, c) => (id, c) }.toSet
+    val cents = spark.read
+      .parquet(graft.queries.Similarity.learnedCentroidsPath(sfDir).toString)
+      .select($"cluster_id".cast("long").as("cid"), $"cv")
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val model = EventStream.cellStatsModel(emb, cents)
+    // stream the SAME corpus through the scorer: committed stats + the
+    // shared decimal predicate must reproduce the batch flag set exactly
+    val vecs = emb.as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => EventStream.VecRow(id, ts("2024-01-01 10:00:00"), v) }
+    val in = MemoryStream[EventStream.VecRow]
+    in.addData(vecs.toIndexedSeq)
+    val q = EventStream.embedOutlierFlags(in.toDS(), model)
+      .writeStream.format("memory").queryName("eflags")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("eflags")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream ${streamed.size} vs batch ${batch.size}; " +
+        s"diff ${(streamed diff batch) ++ (batch diff streamed)}")
+    assert(streamed.nonEmpty, "no flags at this SF — vacuous parity")
+  }
 }
