@@ -703,8 +703,47 @@ object Events {
       |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)""".stripMargin
 
   // --------------------------------------------------------------------
+  // Full outer join: align two sparse per-(user, day) activity frames —
+  // purchase days vs error days — keeping days present on EITHER side,
+  // with NULL metrics marking the absent one. This is the reconciliation
+  // shape (ledger-vs-ledger, metrics-vs-metrics) that inner/left joins
+  // cannot express: here "purchased but no errors" and "errored but no
+  // purchases" are both first-class rows. Scale shape: both inputs
+  // aggregate BEFORE the join (per-key day counts, a tiny fraction of the
+  // event volume), then one equi-keyed shuffle join on (user_id, day);
+  // full-outer precludes broadcast by definition (both sides must be
+  // complete), so the reduced frames are exactly what should meet the
+  // SortMergeJoin. Spark coalesces the Seq-form join keys natively.
+  def qFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    def daily(tpe: String, nCol: String): DataFrame =
+      ev.filter($"event_type" === tpe)
+        .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as(nCol),
+          sum(dec($"value")).cast("double").as(s"${nCol}_value"))
+    daily("purchase", "n_purchase")
+      .join(daily("error", "n_error"), Seq("user_id", "day"), "full_outer")
+  }
+
+  val qFullOuterSql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_purchase,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS n_purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |e AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_error,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS n_error_value
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+      |SELECT coalesce(p.user_id, e.user_id) AS user_id,
+      |       coalesce(p.day, e.day) AS day,
+      |       p.n_purchase, p.n_purchase_value, e.n_error, e.n_error_value
+      |FROM p FULL OUTER JOIN e ON p.user_id = e.user_id AND p.day = e.day""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2" -> (qScd2 _),
+    "q_full_outer" -> (qFullOuter _),
     "q_event_window" -> (qEventWindow _),
     "q_running_sum" -> (qRunningSum _),
     "q_rolling_window" -> (qRollingWindow _),
@@ -728,6 +767,7 @@ object Events {
 
   val oracleSql: Map[String, String] = Map(
     "q_scd2" -> qScd2Sql,
+    "q_full_outer" -> qFullOuterSql,
     "q_event_window" -> qEventWindowSql,
     "q_running_sum" -> qRunningSumSql,
     "q_rolling_window" -> qRollingWindowSql,

@@ -102,11 +102,95 @@ object Mixing {
       |FROM documents""".stripMargin
 
   // --------------------------------------------------------------------
+  // Leakage-safe split: qSplit hashes each document INDEPENDENTLY, so the
+  // two sides of a near-duplicate pair can land in different splits — and
+  // then the eval set contains (near-)copies of training documents, the
+  // train/test contamination that inflates benchmark scores (the effect
+  // Lee et al. '22 §6 measure: deduplicated training data reduces
+  // memorized eval overlap). The fix is to hash the duplicate-CLUSTER
+  // representative instead of the document: every member of a connected
+  // component gets the component's label (the component-min id from
+  // [[Dedup.duplicateClusters]]), so whole near-dup clusters co-travel
+  // into one split by construction; singleton documents hash their own id
+  // and keep qSplit's stable-membership property (new documents never
+  // reshuffle old ones — unless new evidence merges their cluster, which
+  // is exactly when membership SHOULD move).
+  //
+  // Scale shape: the cluster-label table covers only members of actual
+  // duplicate clusters (a set ≪ corpus at any realistic dup rate —
+  // the same broadcastability argument as qClusterKeep), so the label
+  // attach is a broadcast left join over a map-only scan; the split
+  // decision itself stays row-local md5 arithmetic.
+  def qLeakSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val reps = Dedup.duplicateClusters(spark, sfDir)
+      .select($"doc_id", $"cluster_id")
+    val h = substring(md5(coalesce($"cluster_id", $"doc_id").cast("string")), 1, 4)
+    Tables.documents(spark, sfDir).select($"doc_id")
+      .join(broadcast(reps), Seq("doc_id"), "left")
+      .select($"doc_id",
+        when(h < "e666", "train").when(h < "f333", "val")
+          .otherwise("test").as("split"))
+  }
+
+  val qLeakSplitSql: String =
+    s"""WITH lab AS (${Dedup.qDedupClustersSql}),
+       |d AS (SELECT documents.doc_id AS doc_id,
+       |             coalesce(lab.cluster_id, documents.doc_id) AS rep
+       |      FROM documents LEFT JOIN lab ON documents.doc_id = lab.doc_id)
+       |SELECT doc_id,
+       |       CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+       |            WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM d""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Shard-export audit: the last step of a training-data pipeline is
+  // writing the corpus as N equal-weight shards that loaders stream
+  // independently. Shard membership must be DETERMINISTIC (a re-export
+  // reproduces the same shards — auditable like the mixture above), so
+  // the shard key is the first md5 hex nibble of doc_id: 16 shards with
+  // no numeric hex conversion, portable across engines by string
+  // equality alone. This query is the balance audit a writer would run
+  // before/after export: per-shard doc and char totals (exact long
+  // sums) plus the id range. The write itself is
+  // `.repartition($"shard").write.partitionBy("shard")` — one shuffle
+  // keyed the same way as this audit, so audit and layout cannot
+  // disagree; ShardExportSpec pins the written layout.
+  def qShardExport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    shardAssign(Tables.documents(spark, sfDir))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"))
+  }
+
+  /** Deterministic 16-way shard key — shared by the audit query and the
+    * export writer so the two cannot drift. */
+  private[queries] def shardAssign(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.withColumn("shard", substring(md5($"doc_id".cast("string")), 1, 1))
+  }
+
+  val qShardExportSql: String =
+    """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mixture" -> (qMixture _),
-    "q_split" -> (qSplit _))
+    "q_split" -> (qSplit _),
+    "q_leak_split" -> (qLeakSplit _),
+    "q_shard_export" -> (qShardExport _))
 
   val oracleSql: Map[String, String] = Map(
     "q_mixture" -> qMixtureSql,
-    "q_split" -> qSplitSql)
+    "q_split" -> qSplitSql,
+    "q_leak_split" -> qLeakSplitSql,
+    "q_shard_export" -> qShardExportSql)
 }

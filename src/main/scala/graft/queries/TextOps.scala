@@ -648,6 +648,57 @@ object TextOps {
       |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // Bigram-LM rarity scoring — the context-sensitive upgrade of
+  // qUnigramLm and the count-level core of the CCNet/KenLM perplexity
+  // filter (Wenzek et al. '20 score documents under a corpus n-gram LM
+  // and drop the high-perplexity tail): a document whose word PAIRS are
+  // corpus-rare reads as disfluent even when every individual word is
+  // common, which is exactly what unigram frequency cannot see. Per doc:
+  // bigram count, mean corpus frequency of its bigrams, and the number
+  // of hapax bigrams (corpus frequency 1 — the strongest oddness
+  // signal). Kept count-valued rather than log-probability-valued so all
+  // arithmetic is exact longs until one final division — the engine
+  // portability discipline of the unigram query (a sum of log doubles
+  // is partition-order-dependent; a sum of longs is not).
+  //
+  // Scale shape: bigram extraction is ROW-LOCAL (zip_with over the
+  // offset slices of the split array — no posexplode self-join); the
+  // corpus frequency table is one hash aggregate keyed by bigram, and
+  // the score join is equi-keyed on the bigram. Unlike the unigram
+  // vocabulary the bigram table GROWS with the corpus (Heaps' law), so
+  // it is deliberately NOT hinted broadcast — at sf0.01 AQE converts
+  // the join to broadcast at runtime; at 100 TB the same plan runs as a
+  // keyed shuffle join, which is the correct shape there.
+  def qBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> concat(a, ' ', b))")).as("bg"))
+    val freq = grams.groupBy($"bg").agg(count(lit(1)).as("cf"))
+    grams.join(freq, Seq("bg"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum($"cf").cast("double") / count(lit(1))).as("mean_bigram_freq"),
+        sum(when($"cf" === 1, 1L).otherwise(0L)).as("n_hapax"))
+  }
+
+  val qBigramLmSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] AS bg
+      |      FROM w, unnest(range(len(ws) - 1)) AS t(i)
+      |      WHERE len(ws) >= 2),
+      |f AS (SELECT bg, count(*) AS cf FROM g GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(cf) AS DOUBLE) / count(*) AS mean_bigram_freq,
+      |       CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |FROM g JOIN f USING (bg)
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
   // Token-length distribution with cumulative share: the corpus
   // composition report behind context-window packing and length-bucketed
   // batching (how much of the token budget sits in which length band).
@@ -764,6 +815,7 @@ object TextOps {
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_repetition" -> (qRepetition _),
     "q_unigram_lm" -> (qUnigramLm _),
+    "q_bigram_lm" -> (qBigramLm _),
     "q_length_dist" -> (qLengthDist _),
     "q_text_stats" -> (qTextStats _),
     "q_corpus_stats" -> (qCorpusStats _),
@@ -788,6 +840,7 @@ object TextOps {
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_repetition" -> qRepetitionSql,
     "q_unigram_lm" -> qUnigramLmSql,
+    "q_bigram_lm" -> qBigramLmSql,
     "q_length_dist" -> qLengthDistSql,
     "q_text_stats" -> qTextStatsSql,
     "q_corpus_stats" -> qCorpusStatsSql,

@@ -120,6 +120,27 @@ class EventOpsSpec extends SparkTestBase {
     assert(got.size == 8) // 4-hour spine x 2 types
   }
 
+  test("full outer join keeps one-sided user-days with null metrics") {
+    import spark.implicits._
+    val dir = tempDir("fullouter")
+    val day = 86400L * 1000 * 1000 * 1000 // one day in ns
+    writeEvents(dir, Seq(
+      (1L, 1L * day + 7, 1L, "purchase", 10.0, "{}"),  // user 1: purchase only
+      (2L, 1L * day + 9, 2L, "error", 5.0, "{}"),      // user 2: error only
+      (3L, 1L * day + 11, 3L, "purchase", 20.0, "{}"), // user 3: both sides
+      (4L, 1L * day + 13, 3L, "error", 2.5, "{}"),
+      (5L, 2L * day + 3, 3L, "purchase", 30.0, "{}"))) // user 3, day 2: purchase only
+    val got = Events.qFullOuter(spark, dir)
+      .select($"user_id", $"n_purchase", $"n_purchase_value", $"n_error", $"n_error_value")
+      .as[(Long, Option[Long], Option[Double], Option[Long], Option[Double])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, Some(1L), Some(10.0), None, None),
+      (2L, None, None, Some(1L), Some(5.0)),
+      (3L, Some(1L), Some(20.0), Some(1L), Some(2.5)),
+      (3L, Some(1L), Some(30.0), None, None)), s"got: $got")
+  }
+
   test("anti join complements the urgent-customer semi set") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"

@@ -130,6 +130,83 @@ class LlmOpsSpec extends SparkTestBase {
     assert(kept == Set(0L, 9L), s"kept: $kept")
   }
 
+  test("leakage-safe split sends whole near-dup clusters to one side") {
+    import spark.implicits._
+    // same chained corpus as the cluster test: {0,1,2} form one cluster
+    // through b even though a~c alone misses the bar; 9 is a singleton
+    val a = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val bChanges = Set(5, 15, 25)
+    val b = (1 to 60).map(i => if (bChanges(i)) s"B$i" else s"tok$i").mkString(" ")
+    val cChanges = Set(35, 45, 55)
+    val c = (1 to 60).map(i =>
+      if (bChanges(i)) s"B$i" else if (cChanges(i)) s"C$i" else s"tok$i").mkString(" ")
+    val other = (100 to 160).map(i => s"other$i").mkString(" ")
+    val docs = Seq((0L, a), (1L, b), (2L, c), (9L, other)).toDF("doc_id", "text")
+    val dir = tempDir("leaksplit")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val split = Mixing.qLeakSplit(spark, dir)
+      .as[(Long, String)].collect().toMap
+    // all cluster members share the REPRESENTATIVE's split: md5("0")
+    // starts 'cfcd' < 'e666' -> train
+    assert(split(0L) == "train" && split(1L) == "train" && split(2L) == "train",
+      s"split: $split")
+    // the singleton keeps qSplit's independent-hash membership
+    assert(split(9L) == Mixing.qSplit(spark, dir)
+      .as[(Long, String)].collect().toMap.apply(9L))
+    // the property itself, stated over the real sf0.001 corpus: no
+    // verified near-dup pair may straddle a split boundary
+    val sfSplit = Mixing.qLeakSplit(spark, sfDir)
+    val pairs = Dedup.nearDupPairs(spark, sfDir).select($"doc_a", $"doc_b")
+    val crossers = pairs
+      .join(sfSplit.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), Seq("doc_a"))
+      .join(sfSplit.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), Seq("doc_b"))
+      .filter($"split_a" =!= $"split_b")
+      .count()
+    assert(crossers == 0L, s"$crossers near-dup pairs straddle a split")
+  }
+
+  test("bigram LM scores controlled documents by corpus pair frequency") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),  // bigrams: "a b" (cf 2), "b c" (cf 1)
+      (2L, "a b d"),  // bigrams: "a b" (cf 2), "b d" (cf 1)
+      (3L, "x"))      // single token: no bigrams, excluded
+      .toDF("doc_id", "text")
+    val dir = tempDir("bigramlm")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.qBigramLm(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 1.5, 1L), (2L, 2L, 1.5, 1L)), s"bigram: $got")
+  }
+
+  test("shard-export audit agrees with the partitioned write it audits") {
+    import spark.implicits._
+    val docs = (1L to 64L).map(i => (i, s"doc $i text", 10L + i))
+      .toDF("doc_id", "text", "n_chars")
+    val dir = tempDir("shard")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val audit = Mixing.qShardExport(spark, dir)
+      .select($"shard", $"n_docs").as[(String, Long)].collect().toMap
+    // the writer path: same shard key, one shuffle, hive-style layout
+    val out = tempDir("shard-out")
+    Mixing.shardAssign(graft.core.Tables.documents(spark, dir))
+      .repartition($"shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val written = spark.read.parquet(out)
+      .groupBy($"shard").count()
+      .as[(String, Long)].collect().toMap
+    assert(written == audit, s"written=$written audit=$audit")
+    // and membership is the md5 nibble, per file layout
+    val misplaced = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5($"doc_id".cast("string")), 1, 1)
+        =!= $"shard")
+      .count()
+    assert(misplaced == 0L)
+  }
+
   test("decontamination flags only train docs sharing a 5-gram with the eval split") {
     import spark.implicits._
     val evalDoc = "a1 a2 a3 a4 a5 a6 a7 a8" // doc_id 0 -> eval split
