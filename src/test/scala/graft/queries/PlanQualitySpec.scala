@@ -384,6 +384,43 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("leak-split attaches cluster labels by broadcast over a map-only scan") {
+    val p = plan(Mixing.qLeakSplit(spark, sfDir))
+    // the label table (cluster members only, ≪ corpus) must broadcast:
+    // a shuffled left join here would re-shuffle the whole corpus just
+    // to tag the few clustered docs
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("full outer join aggregates both sides before the single shuffle join") {
+    val df = Events.qFullOuter(spark, sfDir)
+    val lp = df.queryExecution.optimizedPlan
+    // both aggregates must sit BELOW the join: the join runs on reduced
+    // per-(user, day) frames, never on raw fact rows
+    val join = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(join.size == 1, lp.toString)
+    assert(join.head.joinType.sql == "FULL OUTER", lp.toString)
+    def aggs(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggs(join.head.left).nonEmpty && aggs(join.head.right).nonEmpty, lp.toString)
+  }
+
+  test("bigram LM leaves the frequency join to AQE — no forced broadcast of a corpus-sized table") {
+    // the bigram vocabulary grows with the corpus (Heaps' law): hinting
+    // broadcast would pin an unbounded table into executor memory at
+    // 100 TB. The logical plan must carry NO broadcast hint; the join
+    // stays an equi-join AQE can localize when the vocab happens to fit.
+    val lp = TextOps.qBigramLm(spark, sfDir).queryExecution.optimizedPlan
+    val hints = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
+    }
+    assert(hints.isEmpty, lp.toString)
+  }
+
   test("native kernels are SQL-callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
