@@ -182,15 +182,83 @@ object Mixing {
       |FROM documents GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // TOKEN-BUDGET CAPPING — the "no source dominates the mixture" rule of
+  // corpus assembly (RefinedWeb/Dolma-style per-domain caps, expressed
+  // in tokens because training cost is token-denominated): every source
+  // is capped at BudgetTokens; a source under the cap keeps everything,
+  // an over-budget source is DOWNSAMPLED to the cap in expectation by a
+  // deterministic per-document Bernoulli draw with rate budget/total.
+  //
+  // Determinism is the mixture-weight trick taken one step further: the
+  // rate is data-dependent (unknown until the totals pass), so the hex
+  // threshold cannot be a literal — it is COMPUTED in exact integer
+  // arithmetic, thr = min(65535, (budget·65536) div total), rendered as
+  // 4 lowercase hex digits with int-hex conversion (lpad(lower(hex(·)))
+  // — identical in both engines), and compared against the first 16
+  // md5 bits of doc_id as strings. A source already under budget keeps
+  // all rows via the exact integer predicate total ≤ budget, which also
+  // sidesteps the 5-hex-digit threshold a rate ≥ 1 would need.
+  //
+  // Scale shape: pass 1 is a hash aggregation to one row per source
+  // (map-side combine; sources ≪ corpus); the per-source threshold table
+  // broadcasts back and the keep decision is a map-only scan — the same
+  // two-scan + broadcast shape as the decontamination family, nothing
+  // keyed by document. Re-running on a grown corpus re-derives the rate
+  // from the new totals; membership within an unchanged source is stable
+  // because the draw hashes only doc_id.
+  private[queries] val BudgetTokens = 1000L
+
+  /** Budget-cap decision over any (doc_id, source, n_tokens) frame — a
+    * plain DataFrame function so the spec can drive the under-budget
+    * keep-all branch with a synthetic source (the shipped corpus is
+    * over budget at every SF). */
+  private[queries] def tokenBudgetKeep(d: DataFrame, budget: Long): DataFrame = {
+    import d.sparkSession.implicits._
+    val thr = d.groupBy($"source".as("src2"))
+      .agg(sum($"n_tokens").as("t"))
+      .select($"src2", $"t",
+        lpad(lower(hex(least(lit(65535L),
+          expr(s"($budget * 65536) div t")))), 4, "0").as("th"))
+    d.join(broadcast(thr), $"source" === $"src2")
+      .select($"doc_id", $"source", $"n_tokens",
+        ($"t" <= budget ||
+          substring(md5($"doc_id".cast("string")), 1, 4) < $"th").as("keep"))
+  }
+
+  def qTokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        (length($"text") - length(translate($"text", " ", "")) + 1)
+          .cast("long").as("n_tokens"))
+    tokenBudgetKeep(d, BudgetTokens)
+  }
+
+  val qTokenBudgetSql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |                  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |tot AS (SELECT source, sum(n_tokens) AS t FROM d GROUP BY 1),
+       |thr AS (SELECT source, t,
+       |               lpad(lower(hex(least(65535, ($BudgetTokens * 65536) // t))), 4, '0') AS th
+       |        FROM tot)
+       |SELECT d.doc_id, d.source, d.n_tokens,
+       |       (thr.t <= $BudgetTokens
+       |        OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.th) AS keep
+       |FROM d JOIN thr ON d.source = thr.source""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mixture" -> (qMixture _),
     "q_split" -> (qSplit _),
     "q_leak_split" -> (qLeakSplit _),
-    "q_shard_export" -> (qShardExport _))
+    "q_shard_export" -> (qShardExport _),
+    "q_token_budget" -> (qTokenBudget _))
 
   val oracleSql: Map[String, String] = Map(
     "q_mixture" -> qMixtureSql,
     "q_split" -> qSplitSql,
     "q_leak_split" -> qLeakSplitSql,
-    "q_shard_export" -> qShardExportSql)
+    "q_shard_export" -> qShardExportSql,
+    "q_token_budget" -> qTokenBudgetSql)
 }

@@ -701,4 +701,96 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == expected, s"got ${got.size}, expected ${expected.size}")
     assert(expected.nonEmpty, "margin flags nothing at this SF — weak test")
   }
+
+  test("hard negatives are the exact top-5 foreign-label neighbors") {
+    import spark.implicits._
+    val got = Similarity.qHardNegatives(spark, sfDir)
+      .as[(Long, Int, Long)].collect()
+    // contract half 1: ranks contiguous per probe, never a same-label hit
+    val labels = graft.core.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 5), s"probe $qid ranks")
+      rows.foreach { case (_, _, nid) =>
+        assert(labels(nid) != labels(qid), s"same-label neighbor $nid for $qid")
+      }
+    }
+    // contract half 2: equals a brute-force recompute over collected
+    // vectors (the label filter must not cost recall — it is a predicate
+    // on the candidate set, not an approximation)
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>"), $"label")
+      .as[(Long, Seq[Double], Int)].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.filter(_._1 < 10).flatMap { case (qid, qv, qlab) =>
+      vecs.filter(_._3 != qlab)
+        .map { case (nid, nv, _) => (cos(qv, nv), nid) }
+        .sortBy { case (c, nid) => (-c, nid) }
+        .take(5).zipWithIndex
+        .map { case ((_, nid), i) => (qid, i + 1, nid) }
+    }.toSet
+    assert(got.toSet == expected)
+  }
+
+  test("label audit equals a brute-force decimal reimplementation") {
+    import spark.implicits._
+    val got = Similarity.qLabelAudit(spark, sfDir)
+      .select($"vec_id".cast("long"), $"label", $"best_other")
+      .as[(Long, Int, Int)].collect().toSet
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>"), $"label")
+      .as[(Long, Seq[Double], Int)].collect()
+    // centroid = component-wise SUM of 9-dp decimals (exact, order-free;
+    // cosine is scale-invariant so sum ≡ mean)
+    val cents: Map[Int, Seq[Double]] = vecs.groupBy(_._3).map { case (lab, vs) =>
+      lab -> (0 until vs.head._2.length).map { i =>
+        vs.map(v => BigDecimal(v._2(i)).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+      }
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def q(v: Seq[Double], c: Seq[Double]): BigDecimal =
+      BigDecimal(cos(v, c)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expected = vecs.flatMap { case (id, v, lab) =>
+      val own = q(v, cents(lab))
+      val (qo, other) = cents.filter(_._1 != lab)
+        .map { case (l, c) => (q(v, c), l) }
+        .maxBy { case (c, l) => (c, -l) }
+      // exact cross-multiplied margin, the operator's flag predicate
+      if (qo * 100 > own * 100 + 2) Some((id, lab, other)) else None
+    }.toSet
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+    assert(expected.nonEmpty, "audit flags nothing at this SF — weak test")
+  }
+
+  test("token budget keeps everything under the cap and downsamples to it above") {
+    import spark.implicits._
+    // synthetic corpus: one source safely under budget (keep-all branch,
+    // unreachable on the shipped corpus), one far above it
+    val docs = (1 to 5).map(i => (i.toLong, "small", 100L)) ++
+      (6 to 205).map(i => (i.toLong, "big", 100L))
+    val out = Mixing.tokenBudgetKeep(
+        docs.toDF("doc_id", "source", "n_tokens"), 1000L)
+      .as[(Long, String, Long, Boolean)].collect()
+    val (small, big) = out.partition(_._2 == "small")
+    assert(small.forall(_._4), "under-budget source must keep every doc")
+    val keptTokens = big.filter(_._4).map(_._3).sum
+    // deterministic Bernoulli at rate 1000/20000: expected 1000 kept
+    // tokens; the md5 draw is fixed, so the band only guards against a
+    // broken threshold, not randomness
+    assert(keptTokens > 300 && keptTokens < 3000, s"kept $keptTokens of 20000")
+    assert(!big.forall(_._4), "over-budget source must drop documents")
+    // decision is a pure function of (doc_id, totals): rerun identical
+    assert(out.toSet == Mixing.tokenBudgetKeep(
+      docs.toDF("doc_id", "source", "n_tokens"), 1000L)
+      .as[(Long, String, Long, Boolean)].collect().toSet)
+  }
 }

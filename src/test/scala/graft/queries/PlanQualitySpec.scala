@@ -421,6 +421,45 @@ class PlanQualitySpec extends SparkTestBase {
     assert(hints.isEmpty, lp.toString)
   }
 
+  test("hard negatives filter on label before the cosine kernel runs") {
+    val lp = Similarity.qHardNegatives(spark, sfDir).queryExecution.optimizedPlan
+    // the label inequality must live in the broadcast join condition (or
+    // a filter under it), never above the projection that computes the
+    // cosine — otherwise the kernel runs on same-label rows that can
+    // never qualify
+    val joins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, lp.toString)
+    assert(joins.exists(_.condition.exists(_.toString.toLowerCase.contains("lab"))),
+      lp.toString)
+    // selection through the bounded operator, like the rest of the family
+    val p = plan(Similarity.qHardNegatives(spark, sfDir))
+    assert(p.contains("TopKPerGroup"), p)
+  }
+
+  test("label audit folds own-score and foreign argmax into one agg — no window, no corpus join") {
+    val p = plan(Similarity.qLabelAudit(spark, sfDir))
+    // the foreign-label argmax must run as max(struct) conditional agg
+    // keyed by vec_id, not a row_number window (sorts labels×n rows) and
+    // not an own⋈best join of two corpus-sized frames (second shuffle +
+    // sort-merge)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the ≤#labels-row centroid frame broadcasts into the scoring scan
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("token budget broadcasts the per-source threshold table back over a map-only scan") {
+    val p = plan(Mixing.qTokenBudget(spark, sfDir))
+    // pass 1 reduces to one row per source; the decision join must be a
+    // broadcast of that tiny table, never a shuffle of the corpus on
+    // source (source is also the skew axis — one hot domain would own a
+    // partition)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("native kernels are SQL-callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
