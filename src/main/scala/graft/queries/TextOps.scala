@@ -134,17 +134,27 @@ object TextOps {
   // stopword ratio, bucketed into a keep/review/drop label — the standard
   // pretraining-corpus filter shape. Every component is exact-int
   // arithmetic followed by one division, then a deterministic threshold.
-  def qQualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** (doc_id, source, len_score, diversity, stop_ratio, quality) over any
+    * documents frame — ONE definition of the composite score, shared by
+    * the absolute-threshold filter and the per-source adaptive floor so
+    * the two can never drift. */
+  private[queries] def qualityScored(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val toks = split($"text", " ")
     val stop = langMarkers.values.flatten.toSeq
-    Tables.documents(spark, sfDir)
+    docs
       .select(
-        $"doc_id",
+        $"doc_id", $"source",
         least(lit(1.0), length($"text").cast("double") / 300.0).as("len_score"),
         (size(array_distinct(toks)).cast("double") / size(toks).cast("double")).as("diversity"),
         (hits(toks, stop).cast("double") / size(toks).cast("double")).as("stop_ratio"))
       .withColumn("quality", ($"len_score" + $"diversity") / 2.0)
+  }
+
+  def qQualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    qualityScored(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"len_score", $"diversity", $"stop_ratio", $"quality")
       .withColumn("label",
         when($"quality" >= 0.8, "keep")
           .when($"quality" >= 0.5, "review")
@@ -168,6 +178,48 @@ object TextOps {
        |                / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
        |            FROM documents))""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // ADAPTIVE QUALITY FLOOR — per-source quantile thresholding, the fix
+  // for the absolute-threshold filter's known failure mode: one global
+  // cutoff over-prunes whole domains whose score distribution sits low
+  // (terse reference text, non-English prose under an English-tuned
+  // heuristic) and under-prunes domains that sit high. Cutting each
+  // source at its OWN p25 removes the worst quartile of every domain
+  // while preserving the mixture's domain balance — the
+  // distribution-aware curation practice (CCNet buckets by per-language
+  // perplexity quantiles for the same reason).
+  //
+  // Shape is the winsorize two-pass: an exact per-source percentile
+  // aggregate (tiny result — one row per source — broadcast back), then
+  // a row-local compare; the interpolation is engine-identical on these
+  // doubles (proven by q_percentile). At 100 TB the percentile pass
+  // swaps to approx_percentile (mergeable sketch, same plan). The score
+  // itself is the SAME qualityScored frame the absolute filter uses —
+  // one definition, no drift.
+  def qQualityFloor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = qualityScored(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"source", $"quality")
+    val floors = q.groupBy($"source".as("src2"))
+      .agg(expr("percentile(quality, 0.25)").as("src_floor"))
+    q.join(broadcast(floors), $"source" === $"src2")
+      .select($"doc_id", $"source", $"quality", $"src_floor",
+        ($"quality" < $"src_floor").as("below"))
+  }
+
+  val qQualityFloorSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, source,
+       |         (least(1.0, CAST(length(text) AS DOUBLE) / 300.0)
+       |          + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |            / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 2.0 AS quality
+       |  FROM documents),
+       |fl AS (SELECT source, quantile_cont(quality, 0.25) AS src_floor
+       |       FROM q GROUP BY 1)
+       |SELECT q.doc_id, q.source, q.quality, fl.src_floor,
+       |       (q.quality < fl.src_floor) AS below
+       |FROM q JOIN fl ON q.source = fl.source""".stripMargin
 
   // --------------------------------------------------------------------
   // Document fingerprinting: content hash of normalized text (lowercase,
@@ -833,7 +885,8 @@ object TextOps {
     "q_edit_distance" -> (qEditDistance _),
     "q_tfidf" -> (qTfidf _),
     "q_normalize_text" -> (qNormalizeText _),
-    "q_heavy_hitters" -> (qHeavyHitters _))
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_quality_floor" -> (qQualityFloor _))
 
   val oracleSql: Map[String, String] = Map(
     "q_compress_ratio" -> qCompressRatioSql,
@@ -858,5 +911,6 @@ object TextOps {
     "q_edit_distance" -> qEditDistanceSql,
     "q_tfidf" -> qTfidfSql,
     "q_normalize_text" -> qNormalizeTextSql,
-    "q_heavy_hitters" -> qHeavyHittersSql)
+    "q_heavy_hitters" -> qHeavyHittersSql,
+    "q_quality_floor" -> qQualityFloorSql)
 }

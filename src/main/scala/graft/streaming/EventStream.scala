@@ -440,6 +440,65 @@ object EventStream {
     }.toDF("vec_id", "ts", "cell")
   }
 
+  final case class LabeledVecRow(vec_id: Long, ts: Timestamp,
+      label: Int, v: Seq[Double])
+
+  /** Committed per-label centroid sums — the broadcast MODEL of streaming
+    * label-noise auditing (label analog of [[CellStatsModel]]). Collected
+    * from [[graft.queries.Similarity.labelCentroids]] so batch and stream
+    * share one exact-decimal centroid arithmetic; ≤ #labels × dim doubles
+    * — kilobytes. */
+  final case class LabelCentroidModel(cents: Seq[(Int, Array[Double])]) {
+    require(cents.nonEmpty, "empty label-centroid model")
+  }
+
+  def labelCentroidModel(cent: DataFrame): LabelCentroidModel = {
+    import cent.sparkSession.implicits._
+    LabelCentroidModel(cent.select($"clab", $"cv")
+      .as[(Int, Seq[Double])].collect().toSeq
+      .sortBy(_._1).map { case (l, cv) => (l, cv.toArray) })
+  }
+
+  /** Streaming face of queries.Similarity's LABEL-NOISE AUDIT: each
+    * arriving labeled vector is scored against every committed label
+    * centroid and flagged when the best FOREIGN label's 9-dp-quantized
+    * cosine beats its own label's by the batch margin — the same exact
+    * cross-multiplied decimal predicate (q_other·100 > q_own·100 + 2),
+    * so an arrival is flagged in-stream iff the batch audit over the
+    * committed centroids would flag it (bit-parity asserted in
+    * EventStreamSpec). A label OUTSIDE the committed vocabulary scores
+    * own = −1 (the cosine floor), so any centroid flags it — an unknown
+    * label is by definition suspect — with the same margin arithmetic,
+    * no special case. Pure map over the stream — no state, no shuffle;
+    * mislabeled examples surface BEFORE ingestion commits them. */
+  def labelAuditFlags(vecs: Dataset[LabeledVecRow],
+      model: LabelCentroidModel): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val cents = model.cents
+    vecs.flatMap { r =>
+      def q(cv: Array[Double]): BigDecimal = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val a = r.v
+        while (i < cv.length) {
+          d += a(i) * cv(i); na += a(i) * a(i); nb += cv(i) * cv(i)
+          i += 1
+        }
+        BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val scored = cents.map { case (lab, cv) => (lab, q(cv)) }
+      val own = scored.find(_._1 == r.label).map(_._2)
+        .getOrElse(BigDecimal(-1))
+      // argmax with the batch tie-break (q desc, label asc)
+      val (bestLab, bestQ) = scored.filter(_._1 != r.label)
+        .maxBy { case (l, qv) => (qv, -l) }
+      val margin = graft.queries.Similarity.MislabelCentiMargin
+      if (bestQ * 100 > own * 100 + margin)
+        Some((r.vec_id, r.ts, r.label, bestLab, (bestQ - own).toDouble))
+      else None
+    }.toDF("vec_id", "ts", "label", "best_other", "margin")
+  }
+
   case class FunnelProgress(viewUs: Long, clickUs: Long, done: Boolean,
       lastUs: Long = 0L)
   case class FunnelOut(user_id: Long, stage: Int, convert_us: Long)

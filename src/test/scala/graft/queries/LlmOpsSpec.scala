@@ -771,6 +771,22 @@ class LlmOpsSpec extends SparkTestBase {
     assert(expected.nonEmpty, "audit flags nothing at this SF — weak test")
   }
 
+  test("quality floor cuts roughly the bottom quartile of every source") {
+    import spark.implicits._
+    val rows = TextOps.qQualityFloor(spark, sfDir)
+      .select($"source", $"below").as[(String, Boolean)].collect()
+    // p25 with continuous interpolation: strictly-below count per source
+    // is ~25% (exactly floor(0.25·(n−1))+… on distinct values; ties can
+    // only shrink it) — never zero, never half the source
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val below = docs.count(_._2)
+      assert(below > 0 && below < docs.length / 2,
+        s"$src: $below below-floor of ${docs.length}")
+    }
+    val frac = rows.count(_._2).toDouble / rows.length
+    assert(frac > 0.15 && frac < 0.30, s"global below-floor fraction $frac")
+  }
+
   test("token budget keeps everything under the cap and downsamples to it above") {
     import spark.implicits._
     // synthetic corpus: one source safely under budget (keep-all branch,

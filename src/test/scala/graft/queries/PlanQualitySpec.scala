@@ -460,6 +460,12 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("quality floor broadcasts the per-source percentile frame — no corpus shuffle on source") {
+    val p = plan(TextOps.qQualityFloor(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("native kernels are SQL-callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

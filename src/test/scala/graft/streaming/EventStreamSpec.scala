@@ -321,4 +321,44 @@ class EventStreamSpec extends SparkTestBase {
         s"diff ${(streamed diff batch) ++ (batch diff streamed)}")
     assert(streamed.nonEmpty, "no flags at this SF — vacuous parity")
   }
+
+  test("streaming label-audit flags are bit-equal to the batch operator under one model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = graft.queries.Similarity.qLabelAudit(spark, sfDir)
+      .select($"vec_id".cast("long"), $"label", $"best_other", $"margin")
+      .as[(Long, Int, Int, Double)].collect().toSet
+    val model = EventStream.labelCentroidModel(
+      graft.queries.Similarity.labelCentroids(spark, sfDir))
+    // stream the SAME corpus through the scorer: shared centroid frame +
+    // shared decimal predicate must reproduce the batch flag set exactly,
+    // margins included (both faces subtract the same 9-dp decimals)
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>"))
+      .as[(Long, Int, Seq[Double])].collect()
+      .map { case (id, lab, v) =>
+        EventStream.LabeledVecRow(id, ts("2024-01-01 10:00:00"), lab, v)
+      }
+    // plus one arrival OUTSIDE the committed label vocabulary: own
+    // scores the cosine floor −1, so it must flag against SOME centroid
+    val unknown = EventStream.LabeledVecRow(999999L,
+      ts("2024-01-01 10:00:00"), 99, vecs.head.v)
+    val in = MemoryStream[EventStream.LabeledVecRow]
+    in.addData((vecs :+ unknown).toIndexedSeq)
+    val q = EventStream.labelAuditFlags(in.toDS(), model)
+      .writeStream.format("memory").queryName("lflags")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("lflags")
+      .select("vec_id", "label", "best_other", "margin")
+      .as[(Long, Int, Int, Double)].collect().toSet
+    val (unknownRows, knownRows) = streamed.partition(_._1 == 999999L)
+    assert(knownRows == batch,
+      s"stream ${knownRows.size} vs batch ${batch.size}; " +
+        s"diff ${(knownRows diff batch) ++ (batch diff knownRows)}")
+    assert(knownRows.nonEmpty, "no flags at this SF — vacuous parity")
+    assert(unknownRows.size == 1 && unknownRows.head._4 > 1.0,
+      s"unknown label must flag with margin > 1 (own = cosine floor): $unknownRows")
+  }
 }
