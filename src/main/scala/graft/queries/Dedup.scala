@@ -900,9 +900,53 @@ object Dedup {
       |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // CROSS-SOURCE CONTAMINATION MATRIX — the near-dup pair set rolled up
+  // to source granularity: for every unordered source pair, how many
+  // verified near-duplicate document pairs straddle it (off-diagonal =
+  // inter-source copying: mirrors, scrapes of scrapes, syndication;
+  // diagonal = within-source duplication). This is the matrix a corpus
+  // assembler reads BEFORE setting mixture weights — two sources that
+  // heavily duplicate each other contribute less joint information than
+  // their token counts suggest, and the dedup keeper policy decides
+  // which side's copies survive. Rows are exact integer counts over the
+  // staged pair frame, so the matrix is a cheap standing report once
+  // the pairs exist.
+  //
+  // Scale shape: the expensive part (LSH banding + exact-jaccard
+  // verification) is the maintained [[nearDupPairs]] table, not this
+  // query; what remains is two equi-joins against a (doc_id, source)
+  // projection — at 100 TB each is a keyed shuffle of id+source pairs,
+  // or a co-located join when the pair table is bucketed by doc id —
+  // and a hash aggregation to ≤ sources² rows. The unordered-pair
+  // normalization (least/greatest) happens BEFORE the aggregate so
+  // (a,b) and (b,a) counts can never split.
+  def qSourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    nearDupPairs(spark, sfDir)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), Seq("doc_a"))
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), Seq("doc_b"))
+      .select(least($"sa", $"sb").as("src_x"),
+        greatest($"sa", $"sb").as("src_y"))
+      .groupBy($"src_x", $"src_y")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val qSourceOverlapSql: String =
+    s"""WITH p AS ($NearPairSql),
+       |d AS (SELECT doc_id, source FROM documents)
+       |SELECT least(da.source, db.source) AS src_x,
+       |       greatest(da.source, db.source) AS src_y,
+       |       count(*) AS n_pairs
+       |FROM p JOIN d da ON p.doc_a = da.doc_id
+       |       JOIN d db ON p.doc_b = db.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gram_coverage" -> (qGramCoverage _),
     "q_source_novelty" -> (qSourceNovelty _),
+    "q_source_overlap" -> (qSourceOverlap _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_filtered" -> (qDedupFiltered _),
@@ -921,6 +965,7 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "q_gram_coverage" -> qGramCoverageSql,
     "q_source_novelty" -> qSourceNoveltySql,
+    "q_source_overlap" -> qSourceOverlapSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_near" -> qDedupNearSql,
     "q_dedup_filtered" -> qDedupFilteredSql,

@@ -248,17 +248,78 @@ object Mixing {
        |FROM d JOIN thr ON d.source = thr.source""".stripMargin
 
   // --------------------------------------------------------------------
+  // TEMPERATURE-SCALED SOURCE MIXING — the α-sampling rule of multi-
+  // source corpus assembly (the practice multilingual-BERT introduced
+  // and the Pile/LLaMA-class mixtures inherit: sample source i with
+  // probability ∝ share_i^α, α < 1, flattening the natural size
+  // distribution so long-tail sources are seen more than their raw
+  // share while head sources still dominate). Realized by per-source
+  // DOWNSAMPLING only (no document is upsampled, so the result is a
+  // subset — composable with the dedup/curation filters): the rate that
+  // makes the kept mixture ∝ n_i^α while keeping the smallest source
+  // whole is rate_i = (n_min / n_i)^(1−α) — at α = ½, sqrt(n_min/n_i).
+  //
+  // Determinism under a DATA-DEPENDENT real-valued rate is the token-
+  // budget trick extended from rational to algebraic rates: thr_i =
+  // floor(sqrt(n_min/n_i)·65536) is computed in ONE IEEE double
+  // division, one sqrt, and one exact power-of-two scale — all three
+  // correctly-rounded operations that both engines reproduce bit-for-
+  // bit — rendered as 4 hex digits, and compared against the first 16
+  // md5 bits of doc_id. The smallest source takes the exact-arithmetic
+  // keep-all branch (t = n_min), sidestepping thr = 65536's fifth hex
+  // digit. Scale shape: one hash aggregation to a row per source, a
+  // broadcast back, and a map-only keep decision — identical to the
+  // token-budget plan; re-running on a grown corpus re-derives rates
+  // from the new totals while membership within unchanged sources stays
+  // put (the draw hashes only doc_id).
+  def qMixtureTemp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        (length($"text") - length(translate($"text", " ", "")) + 1)
+          .cast("long").as("n_tokens"))
+    val tot = d.groupBy($"source".as("src2"))
+      .agg(sum($"n_tokens").as("t"))
+    val mn = tot.agg(min($"t").as("mt"))
+    val thr = tot.crossJoin(broadcast(mn))
+      .select($"src2", $"t", $"mt",
+        lpad(lower(hex(least(lit(65535L),
+          floor(sqrt($"mt".cast("double") / $"t") * 65536).cast("long")))),
+          4, "0").as("th"))
+    d.join(broadcast(thr), $"source" === $"src2")
+      .select($"doc_id", $"source", $"n_tokens",
+        ($"t" === $"mt" ||
+          substring(md5($"doc_id".cast("string")), 1, 4) < $"th").as("keep"))
+  }
+
+  val qMixtureTempSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |                  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |tot AS (SELECT source, sum(n_tokens) AS t FROM d GROUP BY 1),
+      |mn AS (SELECT min(t) AS mt FROM tot),
+      |thr AS (SELECT source, t, mt,
+      |               lpad(lower(hex(least(65535, CAST(floor(sqrt(CAST(mt AS DOUBLE) / t) * 65536) AS BIGINT)))), 4, '0') AS th
+      |        FROM tot, mn)
+      |SELECT d.doc_id, d.source, d.n_tokens,
+      |       (thr.t = thr.mt
+      |        OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.th) AS keep
+      |FROM d JOIN thr ON d.source = thr.source""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mixture" -> (qMixture _),
     "q_split" -> (qSplit _),
     "q_leak_split" -> (qLeakSplit _),
     "q_shard_export" -> (qShardExport _),
-    "q_token_budget" -> (qTokenBudget _))
+    "q_token_budget" -> (qTokenBudget _),
+    "q_mixture_temp" -> (qMixtureTemp _))
 
   val oracleSql: Map[String, String] = Map(
     "q_mixture" -> qMixtureSql,
     "q_split" -> qSplitSql,
     "q_leak_split" -> qLeakSplitSql,
     "q_shard_export" -> qShardExportSql,
-    "q_token_budget" -> qTokenBudgetSql)
+    "q_token_budget" -> qTokenBudgetSql,
+    "q_mixture_temp" -> qMixtureTempSql)
 }

@@ -751,6 +751,61 @@ object TextOps {
       |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // KNESER–NEY CONTINUATION scoring — the third rung of the n-gram LM
+  // ladder (unigram frequency → bigram frequency → continuation count):
+  // Kneser & Ney '95's insight is that a word's usefulness as a backoff
+  // prediction is not how OFTEN it occurs but in how many DISTINCT
+  // contexts — "Francisco" is frequent but follows only "San", so its
+  // continuation count is ~1 and a KN model correctly refuses to predict
+  // it in fresh contexts. Per word: cont(w) = |{w′ : bigram (w′ w) in
+  // corpus}|, the numerator of the KN lower-order distribution
+  // p_cont(w) = cont(w)/|distinct bigrams|. Per document: the mean
+  // continuation count of its token instances and the number of ZERO-
+  // continuation instances (tokens that never follow anything anywhere —
+  // boilerplate markers, ids, garbage: the strongest disfluency signal
+  // this statistic yields). Everything is exact longs until the one
+  // final division (the unigram/bigram portability discipline).
+  //
+  // Scale shape: distinct-bigram reduction keyed by the pair, then a
+  // hash aggregation keyed by the SECOND word — both shuffle-bounded by
+  // vocabulary size, not corpus size; the per-token attach is an
+  // equi-join on the token (vocabulary-sized right side — AQE broadcasts
+  // it at small SF, keyed shuffle at 100 TB, both correct), and the
+  // per-document rollup is one more hash agg. No windows, no sorts.
+  def qKnContinuation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+    val cont = w.filter(size($"ws") >= 2)
+      .select(explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a AS l, b AS r))")).as("p"))
+      .select($"p.l", $"p.r").distinct()
+      .groupBy($"r".as("tok")).agg(count(lit(1)).as("c"))
+    w.select($"doc_id", explode($"ws").as("tok"))
+      .join(cont, Seq("tok"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        (sum(coalesce($"c", lit(0L))).cast("double") / count(lit(1)))
+          .as("mean_cont"),
+        sum(when(coalesce($"c", lit(0L)) === 0, 1L).otherwise(0L))
+          .as("n_zero_cont"))
+  }
+
+  val qKnContinuationSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT DISTINCT ws[i+1] AS l, ws[i+2] AS r
+      |      FROM w, unnest(range(len(ws) - 1)) AS t(i)
+      |      WHERE len(ws) >= 2),
+      |cont AS (SELECT r AS tok, count(*) AS c FROM g GROUP BY 1),
+      |t AS (SELECT doc_id, unnest(ws) AS tok FROM w)
+      |SELECT doc_id, count(*) AS n_toks,
+      |       CAST(sum(coalesce(c, 0)) AS DOUBLE) / count(*) AS mean_cont,
+      |       CAST(sum(CASE WHEN coalesce(c, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cont
+      |FROM t LEFT JOIN cont USING (tok)
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
   // Token-length distribution with cumulative share: the corpus
   // composition report behind context-window packing and length-bucketed
   // batching (how much of the token budget sits in which length band).
@@ -868,6 +923,7 @@ object TextOps {
     "q_repetition" -> (qRepetition _),
     "q_unigram_lm" -> (qUnigramLm _),
     "q_bigram_lm" -> (qBigramLm _),
+    "q_kn_continuation" -> (qKnContinuation _),
     "q_length_dist" -> (qLengthDist _),
     "q_text_stats" -> (qTextStats _),
     "q_corpus_stats" -> (qCorpusStats _),
@@ -894,6 +950,7 @@ object TextOps {
     "q_repetition" -> qRepetitionSql,
     "q_unigram_lm" -> qUnigramLmSql,
     "q_bigram_lm" -> qBigramLmSql,
+    "q_kn_continuation" -> qKnContinuationSql,
     "q_length_dist" -> qLengthDistSql,
     "q_text_stats" -> qTextStatsSql,
     "q_corpus_stats" -> qCorpusStatsSql,

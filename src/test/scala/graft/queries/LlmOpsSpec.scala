@@ -809,4 +809,52 @@ class LlmOpsSpec extends SparkTestBase {
       docs.toDF("doc_id", "source", "n_tokens"), 1000L)
       .as[(Long, String, Long, Boolean)].collect().toSet)
   }
+
+  test("temperature mixture keeps the smallest source whole and subsamples the rest") {
+    import spark.implicits._
+    val out = Mixing.qMixtureTemp(spark, sfDir)
+      .as[(Long, String, Long, Boolean)].collect()
+    val bySrc = out.groupBy(_._2)
+    val totals = bySrc.view.mapValues(_.map(_._3).sum).toMap
+    val minSrc = totals.minBy(_._2)._1
+    // rate_min = sqrt(n_min/n_min) = 1 via the exact keep-all branch
+    assert(bySrc(minSrc).forall(_._4), "smallest source must keep every doc")
+    // α = ½ flattening still subsamples somewhere on a size-varied corpus
+    assert(out.exists(!_._4), "larger sources must drop documents")
+    // every source's keep decision hashes only doc_id: kept sets from a
+    // rerun are identical (auditable mixture)
+    assert(out.toSet ==
+      Mixing.qMixtureTemp(spark, sfDir)
+        .as[(Long, String, Long, Boolean)].collect().toSet)
+  }
+
+  test("source overlap matrix partitions the near-dup pair set by unordered source pair") {
+    import spark.implicits._
+    val m = Dedup.qSourceOverlap(spark, sfDir)
+      .as[(String, String, Long)].collect()
+    // normalization happened before the aggregate: no (b,a) row can
+    // coexist with (a,b), and every key is already ordered
+    assert(m.forall { case (x, y, _) => x <= y }, m.mkString(","))
+    assert(m.map { case (x, y, _) => (x, y) }.distinct.length == m.length)
+    // the matrix is a partition of the pair table: counts re-sum to it
+    assert(m.map(_._3).sum == Dedup.nearDupPairs(spark, sfDir).count())
+  }
+
+  test("KN continuation equals a brute-force reimplementation") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => (id, t.split(" ", -1).toSeq) }
+    val cont = toks.flatMap { case (_, ws) =>
+        ws.dropRight(1).zip(ws.drop(1))
+      }.distinct.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = toks.map { case (id, ws) =>
+      val cs = ws.map(w => cont.getOrElse(w, 0L))
+      (id, ws.size.toLong, cs.sum.toDouble / ws.size,
+        cs.count(_ == 0L).toLong)
+    }.toSet
+    val got = TextOps.qKnContinuation(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == expected)
+  }
 }

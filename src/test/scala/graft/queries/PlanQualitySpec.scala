@@ -466,6 +466,34 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("temperature mixture broadcasts thresholds; the only non-broadcast join is the 1-row min attach") {
+    val p = plan(Mixing.qMixtureTemp(spark, sfDir))
+    // same contract as the token budget: totals reduce to a row per
+    // source, the min attaches as a 1-row broadcast, and the keep
+    // decision joins the corpus against a broadcast threshold table —
+    // never a shuffle of the corpus keyed by source
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("source overlap rolls the staged pair table up without a cartesian") {
+    val p = plan(Dedup.qSourceOverlap(spark, sfDir))
+    // the heavy lifting (banding + verify) lives in the staged pair
+    // frame; this query must be two equi-joins + one hash agg
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("KN continuation runs windowless — vocabulary-keyed aggs and one token equi-join") {
+    val p = plan(TextOps.qKnContinuation(spark, sfDir))
+    // the continuation count is a distinct + hash agg keyed by the
+    // vocabulary, never a per-document window or a corpus×corpus join
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("native kernels are SQL-callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
