@@ -943,10 +943,80 @@ object Dedup {
        |GROUP BY 1, 2""".stripMargin
 
   // --------------------------------------------------------------------
+  // DUPLICATION-GRAPH CENTRALITY — damped PageRank over the verified
+  // near-dup graph, the principled upgrade of qClusterKeep's min-id
+  // keeper rule: within a duplicate cluster the highest-centrality
+  // member is the best canonical copy (the one most corroborated by
+  // independent near-copies — Page et al. '99's authority argument on
+  // the copy graph), and the scores also expose hub documents that
+  // bridge many variants (template/boilerplate carriers). Three damped
+  // iterations (d = 0.85) from a uniform start over the nodes of the
+  // staged pair table.
+  //
+  // The arithmetic is EXACT FIXED-POINT: ranks live as 10^12-scaled
+  // longs, the per-edge contribution is floor division by degree, and
+  // damping is (85·sum) div 100 — every operation an integer op both
+  // engines define identically, so a float-summation-order difference
+  // can never flip a rank (the CC/decimal lesson applied to an
+  // iterative numeric fixpoint; a double-valued PageRank would differ
+  // in final ulps between engines and across partitionings). The final
+  // column widens the exact long to double once, identically.
+  //
+  // Scale shape: the Pregel-on-DataFrames pattern — per iteration one
+  // equi-join of the edge list with the node-sized rank frame (keyed by
+  // src) and one hash aggregation keyed by dst; nothing wider than the
+  // edge list ever shuffles, and the iteration count is a constant
+  // (deeper fixpoints get lineage cuts exactly like the CC operator's
+  // star rounds). Nodes and edges here are the DUPLICATE subgraph
+  // (≪ corpus at any realistic dup rate), maintained by the same
+  // staging as every other pair-table consumer.
+  private val PrScale = 1000000000000L // 10^12 fixed-point
+  private val PrIters = 3
+
+  def qDupPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = nearDupPairs(spark, sfDir).select($"doc_a", $"doc_b")
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    var r = deg.select($"src".as("node"), lit(PrScale).as("r"))
+    for (_ <- 1 to PrIters) {
+      r = edges.join(deg, Seq("src"))
+        .join(r, $"src" === $"node")
+        .select($"dst", expr("r div deg").as("c"))
+        .groupBy($"dst")
+        .agg(expr(s"${15L * PrScale / 100} + (85 * sum(c)) div 100").as("r"))
+        .select($"dst".as("node"), $"r")
+    }
+    r.select($"node".as("doc_id"),
+      ($"r".cast("double") / PrScale.toDouble).as("rank"))
+  }
+
+  val qDupPagerankSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (SELECT e.dst AS node,
+         |  ${15L * PrScale / 100} + (85 * sum($prev.r // d.deg)) // 100 AS r
+         |FROM e JOIN d USING (src) JOIN $prev ON $prev.node = e.src
+         |GROUP BY 1)""".stripMargin
+    s"""WITH p AS ($NearPairSql),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |r0 AS (SELECT src AS node, CAST($PrScale AS BIGINT) AS r FROM d),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT node AS doc_id,
+       |       CAST(r AS DOUBLE) / $PrScale.0 AS rank
+       |FROM r3""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gram_coverage" -> (qGramCoverage _),
     "q_source_novelty" -> (qSourceNovelty _),
     "q_source_overlap" -> (qSourceOverlap _),
+    "q_dup_pagerank" -> (qDupPagerank _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_filtered" -> (qDedupFiltered _),
@@ -966,6 +1036,7 @@ object Dedup {
     "q_gram_coverage" -> qGramCoverageSql,
     "q_source_novelty" -> qSourceNoveltySql,
     "q_source_overlap" -> qSourceOverlapSql,
+    "q_dup_pagerank" -> qDupPagerankSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_near" -> qDedupNearSql,
     "q_dedup_filtered" -> qDedupFilteredSql,

@@ -222,6 +222,61 @@ object TextOps {
        |FROM q JOIN fl ON q.source = fl.source""".stripMargin
 
   // --------------------------------------------------------------------
+  // CURRICULUM ORDERING — emit a global training order (clean data
+  // first, noisy tail last — the data-curriculum recipe) WITHOUT a
+  // global sort: the order is encoded in a row-locally constructed sort
+  // KEY, not produced by ordering the corpus. Decile thresholds of the
+  // shared quality score (one exact-percentile aggregate — a 1-row,
+  // 9-double frame) broadcast back; each document counts how many
+  // thresholds it clears (its decile, row-local against the broadcast
+  // array) and prepends the INVERTED decile digit to md5(doc_id):
+  // ascending key order = highest-quality decile first, deterministic
+  // pseudo-random interleave within a decile (no quality-sorted
+  // streaks — consecutive batches stay i.i.d. within the tier, the
+  // property an ORDER BY quality curriculum destroys). The writer makes
+  // the order physical with repartitionByRange(curriculum_key) — a
+  // range shuffle, never a single-partition global sort; at 100 TB the
+  // percentile swaps to approx_percentile (mergeable sketch, same
+  // 1-row broadcast) and nothing else changes.
+  //
+  // Threshold comparisons are engine-safe for the q_percentile reason:
+  // both engines compute bit-identical interpolated thresholds from
+  // bit-identical quality doubles, so every `quality >= t` lands the
+  // same way — there is no float boundary that exists in one engine
+  // and not the other.
+  def qCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = qualityScored(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"quality")
+    val thr = q.agg(expr(
+      "percentile(quality, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("ts"))
+    q.crossJoin(broadcast(thr))
+      .select($"doc_id", $"quality",
+        size(filter($"ts", t => $"quality" >= t)).as("bucket"))
+      .select($"doc_id", $"quality", $"bucket",
+        concat((lit(9) - $"bucket").cast("string"),
+          md5($"doc_id".cast("string"))).as("curriculum_key"))
+  }
+
+  val qCurriculumSql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |         (least(1.0, CAST(length(text) AS DOUBLE) / 300.0)
+      |          + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |            / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 2.0 AS quality
+      |  FROM documents),
+      |t AS (SELECT quantile_cont(quality,
+      |               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS ts FROM q),
+      |b AS (SELECT doc_id, quality,
+      |             len(list_filter(ts, x -> quality >= x)) AS bucket
+      |      FROM q, t)
+      |SELECT doc_id, quality, CAST(bucket AS INTEGER) AS bucket,
+      |       CAST(9 - bucket AS VARCHAR) || md5(CAST(doc_id AS VARCHAR))
+      |         AS curriculum_key
+      |FROM b""".stripMargin
+
+  // --------------------------------------------------------------------
   // Document fingerprinting: content hash of normalized text (lowercase,
   // trimmed). md5 is identical across engines, making the fingerprint an
   // engine-portable dedup/lineage key.
@@ -924,6 +979,7 @@ object TextOps {
     "q_unigram_lm" -> (qUnigramLm _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_kn_continuation" -> (qKnContinuation _),
+    "q_curriculum" -> (qCurriculum _),
     "q_length_dist" -> (qLengthDist _),
     "q_text_stats" -> (qTextStats _),
     "q_corpus_stats" -> (qCorpusStats _),
@@ -951,6 +1007,7 @@ object TextOps {
     "q_unigram_lm" -> qUnigramLmSql,
     "q_bigram_lm" -> qBigramLmSql,
     "q_kn_continuation" -> qKnContinuationSql,
+    "q_curriculum" -> qCurriculumSql,
     "q_length_dist" -> qLengthDistSql,
     "q_text_stats" -> qTextStatsSql,
     "q_corpus_stats" -> qCorpusStatsSql,

