@@ -969,7 +969,12 @@ object Dedup {
   // (deeper fixpoints get lineage cuts exactly like the CC operator's
   // star rounds). Nodes and edges here are the DUPLICATE subgraph
   // (≪ corpus at any realistic dup rate), maintained by the same
-  // staging as every other pair-table consumer.
+  // staging as every other pair-table consumer. The degree-annotated
+  // edge list is iteration-INVARIANT, so it is computed once behind a
+  // lazy localCheckpoint (the CC pattern): without the cut, every
+  // iteration's plan re-derives edges⋈deg from the staged pair scan —
+  // 7 scans of the pair table for 3 iterations, measured ~2× the query
+  // time at sf0.1.
   private val PrScale = 1000000000000L // 10^12 fixed-point
   private val PrIters = 3
 
@@ -979,10 +984,10 @@ object Dedup {
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    var r = deg.select($"src".as("node"), lit(PrScale).as("r"))
+    val ed = edges.join(deg, Seq("src")).localCheckpoint(eager = false)
+    var r = ed.select($"src".as("node"), lit(PrScale).as("r")).distinct()
     for (_ <- 1 to PrIters) {
-      r = edges.join(deg, Seq("src"))
-        .join(r, $"src" === $"node")
+      r = ed.join(r, $"src" === $"node")
         .select($"dst", expr("r div deg").as("c"))
         .groupBy($"dst")
         .agg(expr(s"${15L * PrScale / 100} + (85 * sum(c)) div 100").as("r"))
