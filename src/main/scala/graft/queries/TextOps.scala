@@ -277,6 +277,224 @@ object TextOps {
       |FROM b""".stripMargin
 
   // --------------------------------------------------------------------
+  // SOURCE-CAPPED SELECTION — per-domain document caps with a QUALITY
+  // priority: keep at most k documents per source, best quality first
+  // (md5 tiebreak so equal scores break deterministically). This is the
+  // per-domain-cap curation step (cap a crawl's mega-domains so no
+  // single site dominates the mixture) fused with quality ranking —
+  // "cap by keeping the best of each domain", not a random truncation.
+  //
+  // Scale shape: the bounded top-k OPERATOR (plans.TopKPerGroup), not a
+  // window — per-partition k-bounded heaps, partial top-k before the
+  // shuffle, never a full per-source sort. The same native operator the
+  // reservoir/weighted samplers compile to; at 100 TB the per-source
+  // state is k rows regardless of domain skew (the whole point — the
+  // mega-domain is exactly the source a window's full per-key sort
+  // would die on). Oracle = the equivalent ROW_NUMBER formulation.
+  private val SourceCapK = 10
+
+  def qSourceCap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scored = qualityScored(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"source", $"quality",
+        md5($"doc_id".cast("string")).as("tb"))
+    graft.plans.TopKPerGroup.topKPerGroup(scored,
+        Seq($"source"), Seq($"quality".desc, $"tb".asc), SourceCapK)
+      .select($"source", $"doc_id", $"quality")
+  }
+
+  val qSourceCapSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, source,
+       |         (least(1.0, CAST(length(text) AS DOUBLE) / 300.0)
+       |          + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |            / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 2.0 AS quality
+       |  FROM documents),
+       |r AS (SELECT source, doc_id, quality,
+       |        row_number() OVER (PARTITION BY source
+       |          ORDER BY quality DESC, md5(CAST(doc_id AS VARCHAR))) AS rn
+       |      FROM q)
+       |SELECT source, doc_id, quality FROM r WHERE rn <= $SourceCapK""".stripMargin
+
+  // --------------------------------------------------------------------
+  // VOCABULARY COVERAGE / OOV RATE — score each document by the share
+  // of its tokens OUTSIDE the corpus's top-K vocabulary: high OOV is
+  // the classic tokenizer-mismatch / junk-text signal (a doc whose
+  // words the tokenizer has never seen fragments into costly byte
+  // fallbacks and learns nothing). The vocabulary is deterministic:
+  // top-K by corpus frequency with the token string as tiebreak, so
+  // both engines derive the identical set.
+  //
+  // Scale shape: the vocabulary build is one hash aggregate followed by
+  // a BOUNDED top-K (TakeOrdered — K rows cross the wire, never the
+  // vocab table); the scoring pass is map-only against the broadcast
+  // vocab array (row-local higher-order filter, no per-token shuffle —
+  // the explode feeding the vocab agg is the only token-level frame).
+  // All counts are exact longs; the single division is last.
+  private val OovVocabK = 20
+
+  def qOovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val vocab = docs.select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cf"))
+      .orderBy($"cf".desc, $"tok".asc).limit(OovVocabK)
+      .agg(sort_array(collect_list($"tok")).as("vocab"))
+    docs.crossJoin(broadcast(vocab))
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        size(filter(split($"text", " "),
+          t => !array_contains($"vocab", t))).cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        $"n_oov".cast("double") / $"n_tokens".cast("double"))
+  }
+
+  val qOovRateSql: String =
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |v AS (SELECT tok FROM t GROUP BY tok
+       |      ORDER BY count(*) DESC, tok LIMIT $OovVocabK),
+       |vl AS (SELECT list(tok ORDER BY tok) AS vocab FROM v)
+       |SELECT doc_id, n_tokens, n_oov,
+       |       CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+       |FROM (SELECT doc_id,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |        CAST(len(list_filter(string_split(text, ' '),
+       |          tok -> NOT list_contains(vocab, tok))) AS BIGINT) AS n_oov
+       |      FROM documents, vl)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // GOPHER RULE FILTERS — the full rule bundle of Gopher §A1.1 (Rae et
+  // al. '21) as per-document columns plus the combined pass flag: word
+  // count within [50, 100000], mean word length within [3, 10], symbol-
+  // to-word ratio (# characters) ≤ 0.1, ellipsis-to-word ratio ≤ 0.3,
+  // ≥ 80% of words containing an alphabetic character, and ≥ 2 distinct
+  // stop-word hits. Emitting the per-rule columns (not just the flag)
+  // is deliberate: curation debugging is "WHICH rule killed this
+  // domain", and the flag alone can't answer it.
+  //
+  // Every ratio is exact-integer arithmetic until one final division:
+  // character counts come from length-after-replace deltas (identical
+  // in both engines, unlike regexp_count dialects), the token-length
+  // sum is length(text) − (n_words − 1) (single-space-joined tokens:
+  // total chars minus separators — no per-token aggregate needed), and
+  // the alpha-word count is a row-local higher-order filter. Map-only
+  // scan, no shuffle at any scale.
+  def qGopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val stop = langMarkers.values.flatten.toSeq
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(toks).cast("long").as("n_words"),
+        (length($"text") - (size(toks) - 1)).cast("long").as("char_sum"),
+        (length($"text") - length(replace($"text", lit("#"), lit("")))).cast("long").as("n_symbol"),
+        ((length($"text") - length(replace($"text", lit("..."), lit("")))) / 3).cast("long").as("n_ellipsis"),
+        size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long").as("n_alpha_words"),
+        hits(toks, stop).as("stop_hits"))
+      .select($"doc_id", $"n_words",
+        ($"char_sum".cast("double") / $"n_words".cast("double")).as("mean_word_len"),
+        ($"n_symbol".cast("double") / $"n_words".cast("double")).as("symbol_ratio"),
+        ($"n_ellipsis".cast("double") / $"n_words".cast("double")).as("ellipsis_ratio"),
+        ($"n_alpha_words".cast("double") / $"n_words".cast("double")).as("alpha_ratio"),
+        $"stop_hits")
+      .withColumn("pass",
+        $"n_words" >= 50 && $"n_words" <= 100000 &&
+        $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
+        $"symbol_ratio" <= 0.1 && $"ellipsis_ratio" <= 0.3 &&
+        $"alpha_ratio" >= 0.8 && $"stop_hits" >= 2)
+  }
+
+  val qGopherRulesSql: String = {
+    val stop = hitsSql(langMarkers.values.flatten.toSeq)
+    s"""SELECT doc_id, n_words,
+       |       CAST(char_sum AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+       |       CAST(n_symbol AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+       |       CAST(n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE) AS ellipsis_ratio,
+       |       CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_ratio,
+       |       stop_hits,
+       |       (n_words >= 50 AND n_words <= 100000
+       |        AND CAST(char_sum AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+       |        AND CAST(char_sum AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+       |        AND CAST(n_symbol AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1
+       |        AND CAST(n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.3
+       |        AND CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+       |        AND stop_hits >= 2) AS pass
+       |FROM (SELECT doc_id,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) AS char_sum,
+       |        CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_symbol,
+       |        CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+       |        CAST(len(list_filter(string_split(text, ' '),
+       |          t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+       |        CAST(len(list_filter(string_split(text, ' '), t -> t IN $stop)) AS BIGINT) AS stop_hits
+       |      FROM documents)""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // SOURCE DIVERGENCE MATRIX — pairwise chi-square-style distance
+  // between the sources' unigram distributions over the shared top-K
+  // vocabulary: Σ_w (p₁ − p₂)² / (p₁ + p₂), the χ² histogram kernel.
+  // Read next to q_source_overlap before setting mixture weights: the
+  // overlap matrix says which sources literally SHARE documents; this
+  // matrix says which sources are distributionally redundant even when
+  // no document is shared (two crawls of the same register) and which
+  // contribute genuinely distinct text.
+  //
+  // EXACT FIXED-POINT arithmetic end to end (the q_dup_pagerank
+  // discipline): token shares become parts-per-million integers via
+  // floor division, each pairwise term is integer-squared-difference
+  // floor-divided by the integer sum, and the per-pair sum is a sum of
+  // longs — no float summation order anywhere; one final widening
+  // divide emits the double. (A double-valued Σ over vocabulary terms
+  // would be partition-order-dependent in the last ulps.)
+  //
+  // Scale shape: everything after the one token-level hash aggregate is
+  // vocabulary-bounded — the dense source×vocab grid is |S|·K rows, the
+  // pair join is keyed on the vocab word, and the output is |S|²/2
+  // rows. At 100 TB only the per-source token counts touch the corpus.
+  def qSourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cf"))
+      .orderBy($"cf".desc, $"tok".asc).limit(OovVocabK).select($"tok")
+    val counts = toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    val totals = toks.groupBy($"source").agg(count(lit(1)).as("tot"))
+    val grid = totals.crossJoin(broadcast(vocab))
+      .join(counts, Seq("source", "tok"), "left")
+      .select($"source", $"tok",
+        expr("(coalesce(c, 0L) * 1000000L) div tot").as("ppm"))
+    val a = grid.select($"source".as("source_a"), $"tok", $"ppm".as("pa"))
+    val b = grid.select($"source".as("source_b"), $"tok", $"ppm".as("pb"))
+    a.join(b, Seq("tok")).filter($"source_a" < $"source_b")
+      .select($"source_a", $"source_b",
+        when($"pa" + $"pb" === 0, 0L)
+          .otherwise(expr("((pa - pb) * (pa - pb)) div (pa + pb)")).as("term"))
+      .groupBy($"source_a", $"source_b")
+      .agg((sum($"term").cast("double") / 1000000.0).as("divergence"))
+  }
+
+  val qSourceDivergenceSql: String =
+    s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+       |           FROM documents),
+       |v AS (SELECT tok FROM t GROUP BY tok
+       |      ORDER BY count(*) DESC, tok LIMIT $OovVocabK),
+       |c AS (SELECT source, tok, count(*) AS c FROM t JOIN v USING (tok)
+       |      GROUP BY 1, 2),
+       |tt AS (SELECT source, count(*) AS tot FROM t GROUP BY 1),
+       |g AS (SELECT tt.source, v.tok,
+       |        (COALESCE(c.c, 0) * 1000000) // tt.tot AS ppm
+       |      FROM tt CROSS JOIN v
+       |      LEFT JOIN c ON c.source = tt.source AND c.tok = v.tok)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |       CAST(sum(CASE WHEN a.ppm + b.ppm = 0 THEN 0
+       |                     ELSE ((a.ppm - b.ppm) * (a.ppm - b.ppm)) // (a.ppm + b.ppm)
+       |                END) AS DOUBLE) / 1000000.0 AS divergence
+       |FROM g a JOIN g b ON a.tok = b.tok AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
   // Document fingerprinting: content hash of normalized text (lowercase,
   // trimmed). md5 is identical across engines, making the fingerprint an
   // engine-portable dedup/lineage key.
@@ -980,6 +1198,10 @@ object TextOps {
     "q_bigram_lm" -> (qBigramLm _),
     "q_kn_continuation" -> (qKnContinuation _),
     "q_curriculum" -> (qCurriculum _),
+    "q_source_cap" -> (qSourceCap _),
+    "q_oov_rate" -> (qOovRate _),
+    "q_gopher_rules" -> (qGopherRules _),
+    "q_source_divergence" -> (qSourceDivergence _),
     "q_length_dist" -> (qLengthDist _),
     "q_text_stats" -> (qTextStats _),
     "q_corpus_stats" -> (qCorpusStats _),
@@ -1008,6 +1230,10 @@ object TextOps {
     "q_bigram_lm" -> qBigramLmSql,
     "q_kn_continuation" -> qKnContinuationSql,
     "q_curriculum" -> qCurriculumSql,
+    "q_source_cap" -> qSourceCapSql,
+    "q_oov_rate" -> qOovRateSql,
+    "q_gopher_rules" -> qGopherRulesSql,
+    "q_source_divergence" -> qSourceDivergenceSql,
     "q_length_dist" -> qLengthDistSql,
     "q_text_stats" -> qTextStatsSql,
     "q_corpus_stats" -> qCorpusStatsSql,

@@ -880,6 +880,108 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("source cap keeps the k best per source through the bounded top-k operator, no window") {
+    import spark.implicits._
+    val got = TextOps.qSourceCap(spark, sfDir)
+      .as[(String, Long, Double)].collect()
+    // every source capped at k, and the kept set is exactly the
+    // window-formulation's: top-k by (quality desc, md5 tiebreak)
+    val perSource = got.groupBy(_._1)
+    assert(perSource.values.forall(_.length <= 10))
+    val all = TextOps.qualityScored(graft.core.Tables.documents(spark, sfDir))
+      .selectExpr("source", "doc_id", "quality",
+        "md5(cast(doc_id as string)) as tb")
+      .as[(String, Long, Double, String)].collect()
+    val expected = all.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._4)).take(10).map(r => (r._1, r._2, r._3))
+    }.toSet
+    assert(got.toSet == expected)
+    // the plan is the native bounded operator, not a per-source sort
+    val p = physicalPlan(TextOps.qSourceCap(spark, sfDir))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TopKPerGroup"), p)
+  }
+
+  test("oov rate matches a brute-force vocabulary recompute and scores map-only") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "split(text, ' ') as toks")
+      .as[(Long, Seq[String])].collect()
+    val vocab = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(20).map(_._1).toSet
+    val expected = docs.map { case (id, toks) =>
+      (id, toks.length.toLong, toks.count(!vocab(_)).toLong)
+    }.toSet
+    val got = TextOps.qOovRate(spark, sfDir)
+      .select($"doc_id", $"n_tokens", $"n_oov")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // vocab build is bounded (TakeOrdered), scoring is a broadcast of
+    // one array row — no sort-merge join, no token-level shuffle on the
+    // scoring side
+    val p = physicalPlan(TextOps.qOovRate(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("gopher rule bundle matches a brute-force recompute") {
+    import spark.implicits._
+    val stop = Set("the", "a", "of", "and", "to", "is", "der", "die", "das",
+      "und", "ist", "nicht", "el", "la", "los", "y", "es", "que",
+      "le", "les", "et", "est", "une", "dans")
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val n = toks.length.toLong
+      val charSum = (text.length - (n - 1)).toDouble
+      val nSym = text.count(_ == '#').toLong
+      val nEll = ((text.length - text.replace("...", "").length) / 3).toLong
+      val nAlpha = toks.count(_.exists(c => c.isLetter && c <= 'z')).toLong
+      val stopHits = toks.count(stop).toLong
+      val mwl = charSum / n
+      val pass = n >= 50 && n <= 100000 && mwl >= 3.0 && mwl <= 10.0 &&
+        nSym.toDouble / n <= 0.1 && nEll.toDouble / n <= 0.3 &&
+        nAlpha.toDouble / n >= 0.8 && stopHits >= 2
+      (id, n, mwl, stopHits, pass)
+    }.toSet
+    val got = TextOps.qGopherRules(spark, sfDir)
+      .select($"doc_id", $"n_words", $"mean_word_len", $"stop_hits", $"pass")
+      .as[(Long, Long, Double, Long, Boolean)].collect().toSet
+    assert(got == expected)
+    // rule evaluation is a map-only scan: no Exchange anywhere
+    assert(!physicalPlan(TextOps.qGopherRules(spark, sfDir)).contains("Exchange"))
+  }
+
+  test("source divergence is a symmetric nonneg matrix matching fixed-point brute force") {
+    import spark.implicits._
+    val toks = graft.core.Tables.documents(spark, sfDir)
+      .selectExpr("source", "explode(split(text, ' ')) as tok")
+      .as[(String, String)].collect()
+    val vocab = toks.map(_._2).groupBy(identity).view
+      .mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(20).map(_._1)
+    val totals = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ppm = (for (s <- totals.keys; w <- vocab) yield
+      (s, w) -> counts.getOrElse((s, w), 0L) * 1000000L / totals(s)).toMap
+    val srcs = totals.keys.toSeq.sorted
+    val expected = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+    } yield {
+      val terms = vocab.map { w =>
+        val (pa, pb) = (ppm((srcs(i), w)), ppm((srcs(j), w)))
+        if (pa + pb == 0) 0L else (pa - pb) * (pa - pb) / (pa + pb)
+      }
+      (srcs(i), srcs(j), terms.sum.toDouble / 1000000.0)
+    }).toSet
+    val got = TextOps.qSourceDivergence(spark, sfDir)
+      .as[(String, String, Double)].collect().toSet
+    assert(got == expected)
+    assert(got.forall(_._3 >= 0.0))
+  }
+
   test("dup-graph pagerank equals a brute-force fixed-point reimplementation") {
     import spark.implicits._
     val pairs = Dedup.nearDupPairs(spark, sfDir)
