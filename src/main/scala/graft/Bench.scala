@@ -26,6 +26,9 @@ object Bench {
       ()
     }),
     "dedup_staging" -> ((s, dir) => graft.queries.Dedup.prewarmStaging(s, dir)),
+    // one-row-group testdata file → single-task token fan-outs; the wide
+    // mirror models a production multi-split layout (see TextOps.docsWide)
+    "docs_wide" -> ((s, dir) => graft.queries.TextOps.prewarmStaging(s, dir)),
     "decontam_staging" -> ((s, dir) => graft.queries.Curation.prewarmStaging(s, dir)),
     "ivf_cells" -> ((s, dir) => graft.queries.Similarity.prewarmStaging(s, dir)),
     // events-table footer reads + first-file-listing: 95% of
