@@ -355,14 +355,28 @@ object TextOps {
   // vocab array (row-local higher-order filter, no per-token shuffle —
   // the explode feeding the vocab agg is the only token-level frame).
   // All counts are exact longs; the single division is last.
-  private val OovVocabK = 20
+  private[graft] val OovVocabK = 20
+
+  /** The corpus's deterministic top-K vocabulary (frequency desc, token
+    * asc tiebreak) — ONE builder shared by the OOV scorer, the source
+    * divergence matrix, and the streaming quality gate's committed
+    * model, so the three can never disagree about what "in-vocabulary"
+    * means. */
+  private[graft] def topVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cf"))
+      .orderBy($"cf".desc, $"tok".asc).limit(OovVocabK).select($"tok")
+  }
+
+  /** Stop list shared with the streaming quality gate. */
+  private[graft] def stopWords: Seq[String] = langMarkers.values.flatten.toSeq
 
   def qOovRate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    val vocab = docs.select(explode(split($"text", " ")).as("tok"))
-      .groupBy($"tok").agg(count(lit(1)).as("cf"))
-      .orderBy($"cf".desc, $"tok".asc).limit(OovVocabK)
+    val vocab = topVocab(spark, sfDir)
       .agg(sort_array(collect_list($"tok")).as("vocab"))
     docs.crossJoin(broadcast(vocab))
       .select($"doc_id",
@@ -480,8 +494,7 @@ object TextOps {
     import spark.implicits._
     val toks = Tables.documents(spark, sfDir)
       .select($"source", explode(split($"text", " ")).as("tok"))
-    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cf"))
-      .orderBy($"cf".desc, $"tok".asc).limit(OovVocabK).select($"tok")
+    val vocab = topVocab(spark, sfDir)
     val counts = toks.join(broadcast(vocab), Seq("tok"))
       .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
     val totals = toks.groupBy($"source").agg(count(lit(1)).as("tot"))

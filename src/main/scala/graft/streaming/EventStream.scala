@@ -499,6 +499,73 @@ object EventStream {
     }.toDF("vec_id", "ts", "label", "best_other", "margin")
   }
 
+  final case class DocArrival(doc_id: Long, ts: Timestamp, text: String)
+
+  /** Committed quality-gate model: the corpus's top-K vocabulary plus
+    * the stop list (graft.queries.TextOps.topVocab / stopWords — the
+    * SAME builders the batch scorers use, so stream and batch cannot
+    * disagree about "in-vocabulary"). Kilobytes of strings — broadcast
+    * with the closure like the centroid models. */
+  final case class QualityGateModel(vocab: Set[String], stop: Set[String]) {
+    require(vocab.nonEmpty, "empty vocabulary model")
+  }
+
+  def qualityGateModel(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): QualityGateModel = {
+    import spark.implicits._
+    QualityGateModel(
+      graft.queries.TextOps.topVocab(spark, sfDir)
+        .as[String].collect().toSet,
+      graft.queries.TextOps.stopWords.toSet)
+  }
+
+  /** OOV-rate gate: above this share of out-of-vocabulary tokens an
+    * arrival is flagged (the tokenizer-mismatch / junk-text signal). */
+  val OovGateMax = 0.5
+
+  /** Streaming face of the batch curation gate (queries.TextOps
+    * qGopherRules + qOovRate): each arriving document is scored with
+    * the SAME arithmetic the batch queries use — integer counts
+    * (length-after-replace deltas, separator-subtracted char sum,
+    * ASCII-alpha word filter) and one double division per ratio — so a
+    * rule fails in-stream iff the batch bundle over the same text
+    * fails it (bit-parity asserted in EventStreamSpec, ratio values
+    * included). Emits one row PER FAILED RULE, not a single flag: the
+    * curation question is "which rule killed this document", in-stream
+    * exactly as in batch. Pure stateless map — no state, no shuffle;
+    * junk surfaces BEFORE ingestion commits it. */
+  def qualityGateFlags(docs: Dataset[DocArrival],
+      model: QualityGateModel): DataFrame = {
+    import docs.sparkSession.implicits._
+    val vocab = model.vocab
+    val stop = model.stop
+    docs.flatMap { d =>
+      val text = d.text
+      val toks = text.split(" ", -1)
+      val n = toks.length.toLong
+      val meanWordLen = (text.length - (n - 1)).toDouble / n
+      val symbolRatio =
+        text.count(_ == '#').toLong.toDouble / n
+      val ellipsisRatio =
+        ((text.length - text.replace("...", "").length) / 3).toLong.toDouble / n
+      val alphaRatio = toks.count(_.exists(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong.toDouble / n
+      val stopHits = toks.count(stop).toLong
+      val oovRate = toks.count(!vocab(_)).toLong.toDouble / n
+      // thresholds are the batch bundle's (TextOps.qGopherRules) plus
+      // the OOV gate; each failed rule emits its measured value
+      val flags = List(
+        (n < 50 || n > 100000) -> ("words", n.toDouble),
+        (meanWordLen < 3.0 || meanWordLen > 10.0) -> ("word_len", meanWordLen),
+        (symbolRatio > 0.1) -> ("symbol", symbolRatio),
+        (ellipsisRatio > 0.3) -> ("ellipsis", ellipsisRatio),
+        (alphaRatio < 0.8) -> ("alpha", alphaRatio),
+        (stopHits < 2) -> ("stop", stopHits.toDouble),
+        (oovRate > OovGateMax) -> ("oov", oovRate))
+      flags.collect { case (true, (rule, v)) => (d.doc_id, d.ts, rule, v) }
+    }.toDF("doc_id", "ts", "rule", "value")
+  }
+
   case class FunnelProgress(viewUs: Long, clickUs: Long, done: Boolean,
       lastUs: Long = 0L)
   case class FunnelOut(user_id: Long, stage: Int, convert_us: Long)

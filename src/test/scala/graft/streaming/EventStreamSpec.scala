@@ -361,4 +361,57 @@ class EventStreamSpec extends SparkTestBase {
     assert(unknownRows.size == 1 && unknownRows.head._4 > 1.0,
       s"unknown label must flag with margin > 1 (own = cosine floor): $unknownRows")
   }
+
+  test("streaming quality-gate flags are bit-equal to the batch rule bundle under one vocabulary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // expected flags derive from the BATCH bundles' outputs (ratio
+    // values included), so any drift between the two faces' arithmetic
+    // fails the bit-equal compare
+    val gopher = graft.queries.TextOps.qGopherRules(spark, sfDir)
+      .select($"doc_id", $"n_words", $"mean_word_len", $"symbol_ratio",
+        $"ellipsis_ratio", $"alpha_ratio", $"stop_hits")
+      .as[(Long, Long, Double, Double, Double, Double, Long)].collect()
+    val oov = graft.queries.TextOps.qOovRate(spark, sfDir)
+      .select($"doc_id", $"oov_rate").as[(Long, Double)].collect()
+    val expected: Set[(Long, String, Double)] = (gopher.flatMap {
+      case (id, n, mwl, sym, ell, alpha, stop) =>
+        List(
+          (n < 50 || n > 100000) -> ("words", n.toDouble),
+          (mwl < 3.0 || mwl > 10.0) -> ("word_len", mwl),
+          (sym > 0.1) -> ("symbol", sym),
+          (ell > 0.3) -> ("ellipsis", ell),
+          (alpha < 0.8) -> ("alpha", alpha),
+          (stop < 2) -> ("stop", stop.toDouble))
+          .collect { case (true, (r, v)) => (id, r, v) }
+    } ++ oov.collect {
+      case (id, r) if r > EventStream.OovGateMax => (id, "oov", r)
+    }).toSet
+    val model = EventStream.qualityGateModel(spark, sfDir)
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        EventStream.DocArrival(id, ts("2024-01-01 10:00:00"), t)
+      }
+    // plus a planted junk arrival: pure symbol soup must trip the
+    // word-count, symbol, alpha, stop and oov rules in one pass
+    val junk = EventStream.DocArrival(999999L, ts("2024-01-01 10:00:00"),
+      "### ### ### ### ### ### ### ### ### ###")
+    val in = MemoryStream[EventStream.DocArrival]
+    in.addData((docs :+ junk).toIndexedSeq)
+    val q = EventStream.qualityGateFlags(in.toDS(), model)
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("qgate").select("doc_id", "rule", "value")
+      .as[(Long, String, Double)].collect().toSet
+    val (junkRows, known) = streamed.partition(_._1 == 999999L)
+    assert(known == expected,
+      s"stream ${known.size} vs batch ${expected.size}; " +
+        s"diff ${(known diff expected) ++ (expected diff known)}")
+    assert(known.nonEmpty, "no flags at this SF — vacuous parity")
+    assert(junkRows.map(_._2) == Set("words", "symbol", "alpha", "stop", "oov"),
+      s"junk arrival rules: $junkRows")
+  }
 }
