@@ -53,9 +53,10 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // events.parquet stores TIMESTAMP(NANOS); read it as a raw long the
-    // same way Tables.events does (the rewritten copy is then plain
-    // INT64, which the same reader accepts directly)
+    // events.parquet stores TIMESTAMP(NANOS or MICROS depending on the
+    // testdata generation); read it as a raw long the same way
+    // Tables.events does (the rewritten copy is then plain INT64 in the
+    // source's unit, which Tables.events unit-normalizes by magnitude)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     Seq("region", "nation").foreach { t =>

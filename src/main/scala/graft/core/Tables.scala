@@ -62,10 +62,11 @@ object Tables {
     StructField("r_regionkey", IntegerType),
     StructField("r_name", StringType)))
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * micros-precision TimestampType cannot read directly: it is read as a
-    * raw nanosecond long (legacy.parquet.nanosAsLong) and floor-converted
-    * to micros in [[events]] — the same ns→us truncation DuckDB applies. */
+  /** events.parquet has shipped `ts` as parquet TIMESTAMP(NANOS) in some
+    * testdata generations and TIMESTAMP(MICROS) in others; Spark's
+    * micros-precision TimestampType cannot read the NANOS form directly,
+    * so `ts` is always read as a raw int64 (legacy.parquet.nanosAsLong)
+    * and unit-normalized in [[events]]. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -109,6 +110,10 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
+  /** int64 `ts` values at or above this are nanoseconds, below it micros
+    * (2^56 ≈ 1973-04 in ns, ≈ 4254 in us — see the comment in [[events]]). */
+  private val NanosMagnitude = 1L << 56
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     // Session-level by necessity: nanosAsLong is a SQL conf consulted at
@@ -117,8 +122,18 @@ object Tables {
     // to read at all, and this repo's readers always declare schemas (no
     // inference), so no other read observes a type change.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The raw int64 may hold NANOS (older testdata generations, and the
+    // ns→us floor matches DuckDB's own truncation), MICROS (current
+    // generation — DuckDB reads them verbatim), or either unit in a
+    // plain-INT64 scaled copy (ScaleUp rewrites the column annotation
+    // away). The unit is decided per ROW by magnitude: 2^56/1e9 s ≈ year
+    // 1973 in nanos vs year ~4254 in micros, so one threshold cleanly
+    // separates any post-1973 dataset in nanos from any pre-4254 dataset
+    // in micros — row-local, exact, codegen'd, no footer peeking.
     read(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(
+        when(col("ts") >= NanosMagnitude, expr("ts div 1000"))
+          .otherwise(col("ts"))))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")

@@ -47,20 +47,20 @@ class EventOpsSpec extends SparkTestBase {
   test("funnel stages require strictly ordered view -> click -> purchase") {
     import spark.implicits._
     val dir = tempDir("funnel")
-    val us = 1000L // ns per µs: ts column is raw nanos
+    // raw µs values (sub-2^56 magnitudes read as micros — Tables.events)
     writeEvents(dir, Seq(
       // user 1: full conversion, 5µs view->purchase
-      (1L, 10L * us, 1L, "view", 0.0, "{}"),
-      (2L, 12L * us, 1L, "click", 0.0, "{}"),
-      (3L, 15L * us, 1L, "purchase", 0.0, "{}"),
+      (1L, 10L, 1L, "view", 0.0, "{}"),
+      (2L, 12L, 1L, "click", 0.0, "{}"),
+      (3L, 15L, 1L, "purchase", 0.0, "{}"),
       // user 2: click BEFORE the first view — not a funnel click
-      (4L, 10L * us, 2L, "click", 0.0, "{}"),
-      (5L, 20L * us, 2L, "view", 0.0, "{}"),
+      (4L, 10L, 2L, "click", 0.0, "{}"),
+      (5L, 20L, 2L, "view", 0.0, "{}"),
       // user 3: view then click, no purchase
-      (6L, 10L * us, 3L, "view", 0.0, "{}"),
-      (7L, 11L * us, 3L, "click", 0.0, "{}"),
+      (6L, 10L, 3L, "view", 0.0, "{}"),
+      (7L, 11L, 3L, "click", 0.0, "{}"),
       // user 4: purchase only — never enters the funnel
-      (8L, 10L * us, 4L, "purchase", 0.0, "{}")))
+      (8L, 10L, 4L, "purchase", 0.0, "{}")))
     val got = Events.qFunnel(spark, dir)
       .select("user_id", "stage", "convert_us")
       .as[(Long, Int, Option[Long])].collect().sortBy(_._1).toSeq
