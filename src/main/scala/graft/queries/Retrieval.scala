@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Retrieval-grade scoring over the documents corpus: BM25 ranking, KMV
+  * set-overlap sketches, and DSIR importance weights. No reference
+  * analog (the reference has no text layer); these are the retrieval /
+  * data-selection faces of an LLM pipeline: BM25 is how eval queries are
+  * matched against a pretraining corpus for retrieval-based
+  * decontamination and how seed sets pull related documents, KMV
+  * sketches price source overlap without holding either vocabulary, and
+  * DSIR (Xie et al. '23, "Data Selection for Language Models via
+  * Importance Resampling") turns a small target domain into per-document
+  * sampling weights over the raw corpus.
+  *
+  * Oracle strategy follows the repo's exact-arithmetic playbook: every
+  * per-item float (a BM25 term score, a DSIR bucket log-ratio) is
+  * rounded to 9 dp and cast to DECIMAL(12,9) BEFORE any aggregation, so
+  * sums are exact decimal arithmetic — order-independent and
+  * engine-identical — and only the final column widens to DOUBLE. The
+  * one transcendental (ln) is rounded at 9 dp where both engines' last
+  * ulps cannot reach, the same exposure the cosine family carries.
+  */
+object Retrieval {
+
+  // --------------------------------------------------------------------
+  // BM25 — Robertson/Okapi ranking with the Lucene idf form
+  // ln(1 + (N − df + 0.5)/(df + 0.5)) (always positive, so common terms
+  // dilute rather than invert a match). k1 = 1.2, b = 0.75 — the
+  // textbook defaults.
+  //
+  // Plan at 100 TB: tf is the token fan-out FILTERED TO THE QUERY TERMS
+  // at the generate (a ≤|terms| keep-set predicate under the explode —
+  // rows that can't score never reach the aggregation); dl is a
+  // row-local token count on the same scan; the corpus constants
+  // (N, Σdl) are a 1-row aggregate broadcast back; the term df frame is
+  // |terms| rows. The only corpus-wide shuffle is the (doc, term) hash
+  // agg over matching tokens, and the final top-10 is
+  // TakeOrderedAndProject — no global sort. This is exactly an inverted
+  // index probe: at scale tf comes from the standing postings table
+  // (Dedup's staged index machinery) instead of a scan, and the scoring
+  // join is unchanged.
+  //
+  // Engine parity: tf_norm and the idf argument are IEEE-double
+  // expression trees written IDENTICALLY on both sides (multiply before
+  // divide, same association), so they are bit-equal; ln is rounded to
+  // 9 dp; the per-term products are DECIMAL(12,9)×DECIMAL(12,9) summed
+  // exactly; ranking orders by the EXACT decimal sum (not the widened
+  // double), doc_id tie-broken.
+  private val Bm25Terms = Seq("table", "scan", "window", "join", "hash")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopK = 10
+
+  private def tokenCountCol(text: Column): Column =
+    (length(text) - length(translate(text, " ", "")) + 1).cast("long")
+
+  def qBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = TextOps.docsWide(spark, sfDir)
+      .select($"doc_id", $"text", tokenCountCol($"text").as("dl"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot"))
+    // tf is referenced twice (df derivation + scoring); without the cut
+    // the token fan-out over the corpus runs once per reference
+    val tf = docs
+      .select($"doc_id", $"dl", explode(split($"text", " ")).as("term"))
+      .filter($"term".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .select($"doc_id",
+        round(($"tf" * lit(Bm25K1 + 1)) /
+          ($"tf" + lit(Bm25K1) * (lit(1 - Bm25B) +
+            lit(Bm25B) * ($"dl".cast("double") * $"n_docs" / $"tot"))), 9)
+          .cast("decimal(12,9)").as("tfn"),
+        round(log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))), 9)
+          .cast("decimal(12,9)").as("idf"))
+      .groupBy($"doc_id")
+      .agg(sum($"idf" * $"tfn").as("s"), count(lit(1)).as("n_terms"))
+    val top = scored.orderBy($"s".desc, $"doc_id").limit(Bm25TopK)
+    // rescale the exact sum to 9 dp BEFORE widening: a scale-18 decimal
+    // casts to double through an int128 in DuckDB (two roundings, last-
+    // ulp skew vs the BigDecimal path); a scale-9 decimal widens as one
+    // correctly-rounded division of two exact doubles in both engines.
+    // The rescale must be round(,9) — both engines' round is half-up on
+    // decimals, while DuckDB's decimal CAST truncates — and the cast
+    // after it only relabels the (already 9-dp-exact) scale
+    top.select($"doc_id", $"n_terms",
+        round($"s", 9).cast("decimal(22,9)").cast("double").as("score"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"s".desc, $"doc_id")).as("rank"))
+  }
+
+  val qBm25Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH d AS (SELECT doc_id, text,
+       |             CAST(length(text) - length(replace(text, ' ', '')) + 1
+       |                  AS BIGINT) AS dl
+       |           FROM documents),
+       |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS tot FROM d),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term
+       |             FROM d)
+       |       WHERE term IN $terms
+       |       GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id,
+       |         CAST(round((tf * ${Bm25K1 + 1}) /
+       |           (tf + $Bm25K1 * (${1 - Bm25B} +
+       |             $Bm25B * (CAST(dl AS DOUBLE) * n_docs / tot))), 9)
+       |           AS DECIMAL(12,9)) AS tfn,
+       |         CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 9)
+       |           AS DECIMAL(12,9)) AS idf
+       |       FROM tf JOIN dfreq USING (term) CROSS JOIN corpus),
+       |agg AS (SELECT doc_id, sum(idf * tfn) AS s, count(*) AS n_terms
+       |        FROM sc GROUP BY 1)
+       |SELECT doc_id, n_terms, CAST(CAST(round(s, 9) AS DECIMAL(22,9)) AS DOUBLE) AS score,
+       |       CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INTEGER) AS rank
+       |FROM agg ORDER BY s DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // KMV OVERLAP — k-minimum-values sketch estimate of pairwise source
+  // Jaccard over 3-word shingle sets (Beyer et al. '07's KMV / Broder's
+  // min-wise estimator in bottom-k form). q_source_overlap computes
+  // these overlaps EXACTLY by joining the full shingle sets; this query
+  // is the version that still runs when each source's set no longer
+  // fits anywhere: each source is reduced to its k smallest md5 values
+  // — a mergeable, fixed-size summary maintained at ingest — and every
+  // pairwise estimate reads 2k rows instead of two vocabularies. The
+  // estimator: merge two sketches, keep the k smallest of the union,
+  // count how many live in BOTH sketches → Ĵ = n_common/k.
+  //
+  // Everything is exact integer/string work over md5 hex (lowercase,
+  // fixed-width, lexicographic == numeric — the q_split trick), so both
+  // engines produce the identical sketch, the identical merged-k set,
+  // and the identical count: a DETERMINISTIC sketch, reproducible
+  // anywhere, which is what makes sketch-based dedup decisions
+  // auditable. Plan shape: shingle fan-out → per-source bounded top-k
+  // (the native operator — no per-source sort of the vocabulary), then
+  // all joins are over ≤ sources×k rows.
+  private val KmvK = 64
+
+  /** Per-source bottom-k sketch: (source, h) with h the k smallest
+    * md5(shingle) hex strings of the source's distinct-shingle set. */
+  private def kmvSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = TextOps.docsWide(spark, sfDir)
+      .select($"source",
+        explode(graft.functions.functions.word_shingles($"text", 3)).as("s"))
+      .select($"source", md5($"s").as("h")).distinct()
+    graft.plans.TopKPerGroup.topKPerGroup(sh,
+      Seq($"source"), Seq($"h".asc), KmvK)
+  }
+
+  def qKmvOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // the sketch is sources×k rows but its lineage is the corpus-wide
+    // shingle fan-out; THREE branches below reference it (A side, B
+    // side, source list) — the lazy cut computes the fan-out once
+    val sk = kmvSketch(spark, sfDir).localCheckpoint(eager = false)
+    val srcs = sk.select($"source").distinct()
+    // pair frame: every hash of either sketch, tagged with membership —
+    // (A's rows replicated to each partner source, then outer-merged
+    // with B's). Sketches are sources×k rows; everything here is tiny
+    // BY CONSTRUCTION, whatever the corpus size.
+    val a = sk.select($"source".as("src_a"), $"h")
+      .join(broadcast(srcs.select($"source".as("src_b"))), $"src_a" < $"src_b")
+    val b = sk.select($"source".as("src_b"), $"h")
+      .join(broadcast(srcs.select($"source".as("src_a"))), $"src_a" < $"src_b")
+    val u = a.select($"src_a", $"src_b", $"h", lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(
+        b.select($"src_a", $"src_b", $"h", lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy($"src_a", $"src_b", $"h")
+      .agg(max($"in_a").as("in_a"), max($"in_b").as("in_b"))
+    val merged = graft.plans.TopKPerGroup.topKPerGroup(u,
+      Seq($"src_a", $"src_b"), Seq($"h".asc), KmvK)
+    merged.groupBy($"src_a", $"src_b")
+      .agg(sum($"in_a" * $"in_b").cast("long").as("n_common"))
+      .select($"src_a", $"src_b", $"n_common",
+        ($"n_common" / lit(KmvK.toDouble)).as("jaccard_est"))
+  }
+
+  val qKmvOverlapSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source,
+       |         md5(unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+       |                    i -> string_split(text, ' ')[i] || ' ' ||
+       |                         string_split(text, ' ')[i+1] || ' ' ||
+       |                         string_split(text, ' ')[i+2]))) AS h
+       |  FROM documents),
+       |sk AS (SELECT source, h FROM (
+       |         SELECT source, h,
+       |                row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       |         FROM sh)
+       |       WHERE rk <= $KmvK),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |u AS (SELECT src_a, src_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+       |      FROM (
+       |        SELECT a.source AS src_a, p.source AS src_b, a.h,
+       |               1 AS in_a, 0 AS in_b
+       |        FROM sk a JOIN srcs p ON a.source < p.source
+       |        UNION ALL
+       |        SELECT p.source, b.source, b.h, 0, 1
+       |        FROM sk b JOIN srcs p ON p.source < b.source)
+       |      GROUP BY 1, 2, 3),
+       |m AS (SELECT src_a, src_b, in_a, in_b,
+       |             row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+       |      FROM u)
+       |SELECT src_a, src_b,
+       |       CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+       |       CAST(sum(in_a * in_b) AS BIGINT) / ${KmvK.toDouble} AS jaccard_est
+       |FROM m WHERE rk <= $KmvK
+       |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // DSIR IMPORTANCE WEIGHTS — hashed n-gram importance resampling
+  // (Xie et al. '23): fit unigram bucket distributions for a TARGET
+  // domain (here: the English slice — the "give me more like this" seed)
+  // and for the RAW corpus, then weight every document by its
+  // log-likelihood ratio Σ_tokens [ln p̂_target(bucket) − ln p̂_raw(bucket)]
+  // with add-one smoothing over B buckets. Documents whose token mix
+  // looks like the target get positive weights; sampling ∝ exp(weight)
+  // tilts the mixture toward the target domain without a trained
+  // classifier.
+  //
+  // The feature hash is the first 6 md5 hex digits mod B — engine-
+  // portable (conv vs '0x' cast parse the same hex), unlike either
+  // engine's native hash. The B-bucket log-ratio table is built by TWO
+  // tiny hash aggregations and broadcast; scoring is the token fan-out
+  // joined against it — map-side, no corpus shuffle — and one exact
+  // decimal sum per document. At 100 TB: the ratio table is a model
+  // artifact (rebuilt when the target set changes), and scoring is a
+  // single pass at IO speed — the reason DSIR scales where trained
+  // quality classifiers need a GPU fleet.
+  private[queries] val DsirBuckets = 1024
+
+  private def bucketOf(term: Column): Column =
+    conv(substring(md5(term), 1, 6), 16, 10).cast("long") % DsirBuckets
+
+  private val bucketSqlOf =
+    s"CAST(concat('0x', substr(md5(term), 1, 6)) AS BIGINT) % $DsirBuckets"
+
+  def qDsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextOps.docsWide(spark, sfDir)
+      .select($"doc_id", $"lang",
+        explode(split($"text", " ")).as("term"))
+      .select($"doc_id", $"lang", bucketOf($"term").as("b"))
+    // ONE model aggregation: raw and target bucket counts come from the
+    // same hash agg (count + conditional count), so the model-building
+    // pass scans the fan-out once, and the B-row result feeds both the
+    // totals and the ratio table
+    val counts = toks.groupBy($"b")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_tgt"))
+      .localCheckpoint(eager = false)
+    val totals = counts.agg(sum($"n_raw").as("tot_raw"), sum($"n_tgt").as("tot_tgt"))
+    // add-one smoothing keeps buckets the target never saw finite; the
+    // per-bucket ratio is rounded once, so each token contributes an
+    // exact DECIMAL(12,9) and the per-doc sum is order-independent
+    val ratio = counts
+      .crossJoin(broadcast(totals))
+      .select($"b",
+        round(log((($"n_tgt" + lit(1)).cast("double") / ($"tot_tgt" + lit(DsirBuckets))) /
+          (($"n_raw" + lit(1)).cast("double") / ($"tot_raw" + lit(DsirBuckets)))), 9)
+          .cast("decimal(12,9)").as("lr"))
+    toks.join(broadcast(ratio), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(sum($"lr").as("w"), count(lit(1)).as("n_tokens"))
+      .select($"doc_id", $"n_tokens", $"w".cast("double").as("dsir_weight"))
+  }
+
+  val qDsirWeightsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, $bucketSqlOf AS b
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)),
+       |raw AS (SELECT b, count(*) AS n_raw FROM toks GROUP BY 1),
+       |tgt AS (SELECT b, count(*) AS n_tgt FROM toks WHERE lang = 'en' GROUP BY 1),
+       |totals AS (SELECT (SELECT sum(n_raw) FROM raw) AS tot_raw,
+       |                  (SELECT sum(n_tgt) FROM tgt) AS tot_tgt),
+       |ratio AS (
+       |  SELECT raw.b,
+       |         CAST(round(ln(((coalesce(n_tgt, 0) + 1) * 1.0 / (tot_tgt + $DsirBuckets)) /
+       |                       ((n_raw + 1) * 1.0 / (tot_raw + $DsirBuckets))), 9)
+       |              AS DECIMAL(12,9)) AS lr
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN totals)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |       CAST(sum(lr) AS DOUBLE) AS dsir_weight
+       |FROM toks JOIN ratio USING (b)
+       |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> (qBm25 _),
+    "q_kmv_overlap" -> (qKmvOverlap _),
+    "q_dsir_weights" -> (qDsirWeights _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_bm25" -> qBm25Sql,
+    "q_kmv_overlap" -> qKmvOverlapSql,
+    "q_dsir_weights" -> qDsirWeightsSql)
+}

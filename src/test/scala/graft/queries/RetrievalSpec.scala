@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Semantics and estimator quality for the retrieval module (driver-gate
+  * coverage is the DuckDB oracle; these pin what the oracle can't see:
+  * that the KMV estimate tracks the exact Jaccard, that DSIR weights
+  * point toward the target domain, and that the plans keep their
+  * broadcast/top-k shapes). */
+class RetrievalSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("kmv jaccard estimate tracks the exact shingle-set jaccard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sets = graft.core.Tables.documents(spark, sfDir)
+      .select($"source",
+        explode(graft.functions.functions.word_shingles($"text", 3)).as("s"))
+      .distinct()
+      .as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+    } yield ((a, b),
+      (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size)).toMap
+    val est = Retrieval.qKmvOverlap(spark, sfDir)
+      .select($"src_a", $"src_b", $"jaccard_est")
+      .as[(String, String, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(est.keySet == exact.keySet)
+    val errs = exact.map { case (k, j) => math.abs(est(k) - j) }
+    // k=64 bottom-k estimator: std err ≈ sqrt(J(1−J)/k) ≤ 0.063; the
+    // deterministic md5 draw on this corpus measures max |err| ≈ 0.11
+    assert(errs.max < 0.2, s"max KMV error ${errs.max}")
+    assert(errs.sum / errs.size < 0.08, s"mean KMV error ${errs.sum / errs.size}")
+  }
+
+  test("bm25 ranks are contiguous, scores ordered, and terms bounded") {
+    import spark.implicits._
+    val got = Retrieval.qBm25(spark, sfDir)
+      .select($"rank", $"score", $"n_terms")
+      .as[(Int, Double, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1 to got.length))
+    assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq)
+    assert(got.forall(r => r._3 >= 1 && r._3 <= 5))
+    assert(got.forall(_._2 > 0))
+  }
+
+  test("dsir weights separate the target domain from the rest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val byLang = Retrieval.qDsirWeights(spark, sfDir)
+      .join(graft.core.Tables.documents(spark, sfDir).select($"doc_id", $"lang"),
+        Seq("doc_id"))
+      .groupBy($"lang" === "en").agg(avg($"dsir_weight"))
+      .as[(Boolean, Double)].collect().toMap
+    // the importance weight is the log-likelihood ratio toward the 'en'
+    // slice: its mean must be higher on target docs than off-target
+    assert(byLang(true) > byLang(false),
+      s"en mean ${byLang(true)} !> other mean ${byLang(false)}")
+  }
+
+  test("retrieval plans keep their scale shapes") {
+    val bm25 = Retrieval.qBm25(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(bm25.contains("TakeOrderedAndProject"), bm25)
+    val dsir = Retrieval.qDsirWeights(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the ratio-table join must broadcast (map-side scoring pass) — a
+    // sort-merge join here would shuffle the token fan-out by bucket
+    assert(dsir.contains("BroadcastHashJoin"), dsir)
+    assert(!dsir.contains("SortMergeJoin"), dsir)
+  }
+}
