@@ -706,6 +706,50 @@ object Analytics {
       |FROM lineitem GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // EXACT median at scale — the value-histogram two-phase. The built-in
+  // `percentile` (q_percentile) buffers and sorts every group member;
+  // at 100 TB a single hot group's values may not fit one executor.
+  // This form computes the SAME exact order statistic from the value
+  // HISTOGRAM: one hash aggregation to (group, value, count) — bounded
+  // by the value domain, not the row count — then a cumulative count
+  // over the histogram (a window over |distinct values| rows per group,
+  // not |rows|) picks the smallest value whose cumulative count reaches
+  // k = ⌈n/2⌉. Works for any order statistic; integer-exact, no
+  // interpolation (lower median for even n — stated, and pinned equal
+  // to the naive sorted pick in AnalyticsOpsSpec). The discount-value
+  // domain is 11 values; a continuous domain would bucket first (the
+  // q_histogram machinery) and recurse into one bucket.
+  def qMedianScalable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", round($"l_discount" * 100).cast("long").as("v"))
+      .groupBy($"l_returnflag", $"v").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag").orderBy($"v")
+    hist
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"l_returnflag")))
+      .filter($"cum" - $"c" < expr("(n + 1) div 2") &&
+        expr("(n + 1) div 2") <= $"cum")
+      .select($"l_returnflag", $"n",
+        ($"v".cast("double") / 100).as("median_discount"))
+  }
+
+  val qMedianScalableSql: String =
+    """WITH h AS (SELECT l_returnflag, CAST(round(l_discount * 100) AS BIGINT) AS v,
+      |                  count(*) AS c
+      |           FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT l_returnflag, v, c,
+      |             sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+      |             sum(c) OVER (PARTITION BY l_returnflag) AS n
+      |      FROM h)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |       CAST(v AS DOUBLE) / 100 AS median_discount
+      |FROM r
+      |WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_revenue_by_nation" -> (qRevenueByNation _),
     "q_semi_join" -> (qSemiJoin _),
@@ -735,7 +779,8 @@ object Analytics {
     "q_percentile" -> (qPercentile _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_date_funcs" -> (qDateFuncs _),
-    "q_percentile_approx" -> (qPercentileApprox _))
+    "q_percentile_approx" -> (qPercentileApprox _),
+    "q_median_scalable" -> (qMedianScalable _))
 
   // --------------------------------------------------------------------
   // Several COUNT(DISTINCT …) on different columns in ONE grouped pass.
@@ -838,5 +883,6 @@ object Analytics {
     "q_percentile" -> qPercentileSql,
     "q_stats_moments" -> qStatsMomentsSql,
     "q_date_funcs" -> qDateFuncsSql,
-    "q_percentile_approx" -> qPercentileApproxSql)
+    "q_percentile_approx" -> qPercentileApproxSql,
+    "q_median_scalable" -> qMedianScalableSql)
 }

@@ -239,7 +239,7 @@ object Retrieval {
   // artifact (rebuilt when the target set changes), and scoring is a
   // single pass at IO speed — the reason DSIR scales where trained
   // quality classifiers need a GPU fleet.
-  private[queries] val DsirBuckets = 1024
+  private[graft] val DsirBuckets = 1024
 
   private def bucketOf(term: Column): Column =
     conv(substring(md5(term), 1, 6), 16, 10).cast("long") % DsirBuckets
@@ -247,12 +247,21 @@ object Retrieval {
   private val bucketSqlOf =
     s"CAST(concat('0x', substr(md5(term), 1, 6)) AS BIGINT) % $DsirBuckets"
 
-  def qDsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+  private def dsirToks(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val toks = TextOps.docsWide(spark, sfDir)
+    TextOps.docsWide(spark, sfDir)
       .select($"doc_id", $"lang",
         explode(split($"text", " ")).as("term"))
       .select($"doc_id", $"lang", bucketOf($"term").as("b"))
+  }
+
+  /** The fitted DSIR MODEL: per-bucket log-likelihood ratio
+    * (b, lr: decimal(12,9)) — B rows, broadcastable. Shared by the batch
+    * scorer and the streaming face's collected model so the two cannot
+    * disagree on the arithmetic. */
+  private[graft] def dsirRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = dsirToks(spark, sfDir)
     // ONE model aggregation: raw and target bucket counts come from the
     // same hash agg (count + conditional count), so the model-building
     // pass scans the fan-out once, and the B-row result feeds both the
@@ -265,13 +274,18 @@ object Retrieval {
     // add-one smoothing keeps buckets the target never saw finite; the
     // per-bucket ratio is rounded once, so each token contributes an
     // exact DECIMAL(12,9) and the per-doc sum is order-independent
-    val ratio = counts
+    counts
       .crossJoin(broadcast(totals))
       .select($"b",
         round(log((($"n_tgt" + lit(1)).cast("double") / ($"tot_tgt" + lit(DsirBuckets))) /
           (($"n_raw" + lit(1)).cast("double") / ($"tot_raw" + lit(DsirBuckets)))), 9)
           .cast("decimal(12,9)").as("lr"))
-    toks.join(broadcast(ratio), Seq("b"))
+  }
+
+  def qDsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ratio = dsirRatio(spark, sfDir)
+    dsirToks(spark, sfDir).join(broadcast(ratio), Seq("b"))
       .groupBy($"doc_id")
       .agg(sum($"lr").as("w"), count(lit(1)).as("n_tokens"))
       .select($"doc_id", $"n_tokens", $"w".cast("double").as("dsir_weight"))

@@ -687,4 +687,53 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** Committed DSIR model: the B-bucket log-likelihood-ratio table of
+    * queries.Retrieval.dsirRatio, carried as 10⁻⁹-scaled longs so the
+    * stream-side sum is the EXACT integer arithmetic of the batch
+    * decimal sum (same values, same order-independence). Kilobytes —
+    * rides the closure like every other deployed scorer model. */
+  final case class DsirModel(lr: Map[Long, Long]) {
+    require(lr.nonEmpty, "empty DSIR ratio model")
+  }
+
+  def dsirModel(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DsirModel = {
+    import spark.implicits._
+    DsirModel(graft.queries.Retrieval.dsirRatio(spark, sfDir)
+      .as[(Long, java.math.BigDecimal)].collect()
+      .map { case (b, d) =>
+        b -> d.setScale(9).unscaledValue.longValueExact
+      }.toMap)
+  }
+
+  /** Streaming face of DSIR importance weighting: each arriving document
+    * is scored with the committed ratio model — the same md5-prefix
+    * bucket hash and the same per-bucket 9-dp ratios, summed as exact
+    * scaled integers — so an arrival's weight equals what the batch
+    * qDsirWeights job would assign it bit-for-bit (asserted in
+    * EventStreamSpec). Tokens hashing to buckets the model never saw are
+    * skipped, mirroring the batch inner join. Pure stateless map; the
+    * mixture tilt is applied at the door, before ingestion commits. */
+  def dsirScores(docs: Dataset[DocArrival], model: DsirModel): DataFrame = {
+    import docs.sparkSession.implicits._
+    val lr = model.lr
+    docs.flatMap { d =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var sum = 0L
+      var n = 0L
+      d.text.split(" ", -1).foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .take(3).map(b => f"$b%02x").mkString
+        lr.get(java.lang.Long.parseLong(hex, 16) %
+            graft.queries.Retrieval.DsirBuckets).foreach { v =>
+          sum += v; n += 1
+        }
+      }
+      if (n == 0) None
+      else Some((d.doc_id, d.ts, n,
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(sum), 9)
+          .doubleValue))
+    }.toDF("doc_id", "ts", "n_tokens", "dsir_weight")
+  }
 }

@@ -152,4 +152,19 @@ class EventOpsSpec extends SparkTestBase {
     assert(anti == customers - urgentCustomers)
     assert(anti > 0, "anti join must be non-trivial on testdata")
   }
+
+  test("histogram median equals the sorted order statistic per group") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val naive = graft.core.Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_discount")
+      .as[(String, Double)].collect()
+      .groupBy(_._1).map { case (f, rows) =>
+        val vs = rows.map(r => math.round(r._2 * 100)).sorted
+        (f, vs.length.toLong, vs((vs.length + 1) / 2 - 1) / 100.0)
+      }.toSet
+    val got = Analytics.qMedianScalable(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == naive, s"got $got\nexp $naive")
+  }
 }

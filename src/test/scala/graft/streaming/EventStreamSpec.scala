@@ -414,4 +414,32 @@ class EventStreamSpec extends SparkTestBase {
     assert(junkRows.map(_._2) == Set("words", "symbol", "alpha", "stop", "oov"),
       s"junk arrival rules: $junkRows")
   }
+
+  test("streaming dsir weights equal the batch job bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = graft.queries.Retrieval.qDsirWeights(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val model = EventStream.dsirModel(spark, sfDir)
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        EventStream.DocArrival(id, ts("2024-01-01 10:00:00"), t)
+      }
+    val in = MemoryStream[EventStream.DocArrival]
+    in.addData(docs.toIndexedSeq)
+    val q = EventStream.dsirScores(in.toDS(), model)
+      .writeStream.format("memory").queryName("dsir")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dsir").select("doc_id", "n_tokens", "dsir_weight")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(streamed == batch,
+      s"stream ${streamed.size} vs batch ${batch.size} docs; " +
+        s"first diff: ${(streamed.toSet diff batch.toSet).take(3)}")
+    assert(batch.nonEmpty, "no scored docs at this SF — vacuous parity")
+  }
 }
