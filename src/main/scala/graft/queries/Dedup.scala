@@ -943,6 +943,52 @@ object Dedup {
        |GROUP BY 1, 2""".stripMargin
 
   // --------------------------------------------------------------------
+  // DUPLICATION-GRAPH TRIANGLES — per-document triangle membership over
+  // the verified near-dup graph, the local-density complement to the
+  // component labels (CC says "same template family", triangles say
+  // "how tightly knit"): a document in many triangles sits in a clique
+  // of mutual near-copies — the boilerplate/template-carrier signature —
+  // while bridge documents (chains, stars) sit in none even when their
+  // component is large. Triangle count per node is the standard
+  // pre-clustering-coefficient statistic (Watts–Strogatz '98).
+  //
+  // Algorithm: ordered edge list (a < b, the pair table's invariant)
+  // self-joined once to wedges (a<b<c via b-key equi-join) and once
+  // more to close each wedge against the (a, c) edge — two equi-joins
+  // and a hash agg, all keyed on doc ids. Every triangle is produced
+  // EXACTLY once (a<b<c), so the per-node count needs no dedup. At
+  // 100 TB the edge list is the duplicate subgraph (≪ corpus, the
+  // same staged pair table every other graph consumer reads), and the
+  // wedge frame — the only intermediate that can exceed it — is
+  // bounded by Σ deg², the quantity the near-dup verify threshold
+  // already bounds (a 0.6-Jaccard graph cannot have unbounded-degree
+  // hubs without those hubs being dup-cluster members themselves).
+  def qDupTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = nearDupPairs(spark, sfDir).select($"doc_a", $"doc_b")
+      .localCheckpoint(eager = false) // three join references below
+    val wedges = e.select($"doc_a".as("a"), $"doc_b".as("b"))
+      .join(e.select($"doc_a".as("b"), $"doc_b".as("c")), Seq("b"))
+    val tri = wedges.join(
+      e.select($"doc_a".as("a"), $"doc_b".as("c")), Seq("a", "c"))
+    tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val qDupTrianglesSql: String =
+    s"""WITH p AS ($NearPairSql),
+       |t AS (SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+       |      FROM p p1
+       |      JOIN p p2 ON p1.doc_b = p2.doc_a
+       |      JOIN p p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+       |n AS (SELECT a AS doc_id FROM t
+       |      UNION ALL SELECT b FROM t
+       |      UNION ALL SELECT c FROM t)
+       |SELECT doc_id, count(*) AS n_triangles
+       |FROM n GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
   // DUPLICATION-GRAPH CENTRALITY — damped PageRank over the verified
   // near-dup graph, the principled upgrade of qClusterKeep's min-id
   // keeper rule: within a duplicate cluster the highest-centrality
@@ -1022,6 +1068,7 @@ object Dedup {
     "q_source_novelty" -> (qSourceNovelty _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_dup_pagerank" -> (qDupPagerank _),
+    "q_dup_triangles" -> (qDupTriangles _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_filtered" -> (qDedupFiltered _),
@@ -1042,6 +1089,7 @@ object Dedup {
     "q_source_novelty" -> qSourceNoveltySql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_dup_pagerank" -> qDupPagerankSql,
+    "q_dup_triangles" -> qDupTrianglesSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_near" -> qDedupNearSql,
     "q_dedup_filtered" -> qDedupFilteredSql,

@@ -72,4 +72,22 @@ class RetrievalSpec extends SparkTestBase {
     assert(dsir.contains("BroadcastHashJoin"), dsir)
     assert(!dsir.contains("SortMergeJoin"), dsir)
   }
+
+  test("dup-graph triangle counts equal a brute-force enumeration") {
+    import spark.implicits._
+    val sfDir01 = "/root/testdata/sf0.01"
+    val pairs = Dedup.nearDupPairs(spark, sfDir01)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val adj = pairs ++ pairs.map(_.swap)
+    val expected = (for {
+      a <- nodes; b <- nodes if a < b && adj((a, b))
+      c <- nodes if b < c && adj((b, c)) && adj((a, c))
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Dedup.qDupTriangles(spark, sfDir01)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected, s"got $got\nexp $expected")
+    assert(got.nonEmpty, "no triangles at this SF — vacuous check")
+  }
 }
