@@ -31,6 +31,7 @@ object Bench {
     "docs_wide" -> ((s, dir) => graft.queries.TextOps.prewarmStaging(s, dir)),
     "decontam_staging" -> ((s, dir) => graft.queries.Curation.prewarmStaging(s, dir)),
     "ivf_cells" -> ((s, dir) => graft.queries.Similarity.prewarmStaging(s, dir)),
+    "retrieval_staging" -> ((s, dir) => graft.queries.Retrieval.prewarmStaging(s, dir)),
     // events-table footer reads + first-file-listing: 95% of
     // q_asof_join's r7 headline (4.53 s first / 0.21 s warm) was this
     // one-time touch, not the plan (judge r7 finding 4) — itemize it

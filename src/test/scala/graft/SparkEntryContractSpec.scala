@@ -20,7 +20,8 @@ class SparkEntryContractSpec extends SparkTestBase {
     "Analytics" -> Analytics.queries,
     "TemporalJoins" -> TemporalJoins.queries,
     "Curation" -> Curation.queries,
-    "Mixing" -> Mixing.queries)
+    "Mixing" -> Mixing.queries,
+    "Retrieval" -> Retrieval.queries)
 
   test("no query is lost to a duplicate key across modules") {
     val all = parts.flatMap(_._2.keys)
