@@ -214,6 +214,62 @@ object Dedup {
   val qNgramJaccardSql: String = NearPairSql
 
   // --------------------------------------------------------------------
+  // ASYMMETRIC CONTAINMENT — |sh(a) ∩ sh(b)| / |sh(a)| ≥ 0.8: document
+  // a's shingle set mostly lives inside b. The failure mode symmetric
+  // Jaccard MISSES: a short page quoted wholesale inside a long one
+  // scores jac = |a|/|b| (tiny when b is long) but containment ≈ 1 —
+  // the quote-inclusion / page-in-crawl-dump / excerpt-farm pattern.
+  // Emitted as ORDERED pairs (containment is directional; a ⊂ b and
+  // b ⊂ a are different findings), with the exact integer evidence
+  // (c, n_a) beside the ratio. The ratio is one int/int IEEE division —
+  // identical in both engines.
+  //
+  // Plan shape: the same hashed inverted-index blocking as
+  // q_ngram_jaccard (equi-join on the 8-byte shingle hash, count per
+  // ordered pair, one tiny per-doc size join). A PPJoin-style prefix
+  // filter would apply one-sided here (only the contained side's prefix
+  // shrinks — there is no length filter because b may be arbitrarily
+  // long); at this threshold the plain postings join is the honest
+  // baseline and shares its staged frames with the jaccard family. The
+  // min-size floor keeps sub-10-shingle fragments (where one shared
+  // line is "containment") out of the report.
+  private val ContainNum = 4
+  private val ContainDen = 5
+  private val ContainMinShingles = 10
+
+  def qContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(spark, sfDir)
+    val inv = sh.select($"doc_id", explode($"sh").as("s"))
+      .select($"doc_id", xxhash64($"s").as("s"))
+    val inter = inv.as("a").join(inv.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" =!= $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val cnt = sh.select($"doc_id", size($"sh").cast("long").as("n"))
+    inter
+      .join(cnt.as("ca"), $"doc_a" === $"ca.doc_id")
+      .filter($"ca.n" >= ContainMinShingles &&
+        $"c" * ContainDen >= $"ca.n" * ContainNum)
+      .select($"doc_a", $"doc_b", $"c", $"ca.n".as("n_a"),
+        ($"c".cast("double") / $"ca.n").as("containment"))
+  }
+
+  val qContainmentSql: String =
+    s"""WITH $ShingleSqlCte,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM sh a JOIN sh b USING (s)
+       |  WHERE a.doc_id != b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, c, ca.n AS n_a,
+       |       CAST(c AS DOUBLE) / ca.n AS containment
+       |FROM inter JOIN cnt ca ON ca.doc_id = doc_a
+       |WHERE ca.n >= $ContainMinShingles
+       |  AND c * $ContainDen >= ca.n * $ContainNum""".stripMargin
+
+  // --------------------------------------------------------------------
   // PREFIX-FILTERED jaccard join — the algorithmic upgrade of
   // qNgramJaccard's inverted index (Chaudhuri et al., ICDE'06; Xiao et
   // al., WWW'08 "PPJoin"): under a global rarest-first token order, a
@@ -1073,6 +1129,7 @@ object Dedup {
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_filtered" -> (qDedupFiltered _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_containment" -> (qContainment _),
     "q_prefix_jaccard" -> (qPrefixJaccard _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -1094,6 +1151,7 @@ object Dedup {
     "q_dedup_near" -> qDedupNearSql,
     "q_dedup_filtered" -> qDedupFilteredSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_containment" -> qContainmentSql,
     "q_prefix_jaccard" -> qPrefixJaccardSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_clusters" -> qDedupClustersSql,

@@ -1227,7 +1227,76 @@ object TextOps {
       |       TRUE AS deflate_ok
       |FROM documents""".stripMargin
 
+  // --------------------------------------------------------------------
+  // ROBUST length-outlier detection — median/MAD (Hampel filter; Leys
+  // et al. '13's recommendation over mean/σ): flag documents whose
+  // token count deviates from their source's median by more than
+  // 3× the source's median absolute deviation. q_winsorize clamps by
+  // mean±2σ, which outliers themselves drag (breakdown point 0);
+  // median/MAD has breakdown point ½ — a source where a scraper
+  // concatenated 10% of pages still gets a sane fence. Truncated and
+  // concatenated documents are the length pathologies a curation pass
+  // quarantines before token-budget math trusts n_tokens.
+  //
+  // Entirely INTEGER arithmetic — token counts, two histogram medians
+  // (the q_median_scalable two-phase: hash-agg to (source, value,
+  // count), window over distinct values only), integer |v−med| and the
+  // 3×MAD compare — so engine parity is by construction, no decimals
+  // anywhere. Each median pass shuffles (sources × distinct lengths)
+  // rows, never the corpus; the per-source fences (≤ sources rows)
+  // broadcast back onto a map-only flagging scan.
+  private def histMedianBySource(df: DataFrame, valCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy(col(valCol))
+    df.groupBy($"source", col(valCol)).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+      .filter($"cum" - $"c" < expr("(n + 1) div 2") &&
+        expr("(n + 1) div 2") <= $"cum")
+      .select($"source", col(valCol).as("m"))
+  }
+
+  def qRobustOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", tokenCount($"text").as("v"))
+    val med = histMedianBySource(d, "v").withColumnRenamed("m", "med")
+    val dd = d.join(broadcast(med), Seq("source"))
+      .withColumn("dev", abs($"v" - $"med"))
+    val mad = histMedianBySource(dd.select($"source", $"dev"), "dev")
+      .withColumnRenamed("m", "mad")
+    dd.join(broadcast(mad), Seq("source"))
+      .filter($"dev" > $"mad" * 3)
+      .select($"doc_id", $"source", $"v".as("n_tokens"), $"med", $"mad")
+  }
+
+  val qRobustOutliersSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |             CAST(length(text) - length(replace(text, ' ', '')) + 1
+      |                  AS BIGINT) AS v
+      |           FROM documents),
+      |h1 AS (SELECT source, v, count(*) AS c,
+      |              sum(count(*)) OVER (PARTITION BY source ORDER BY v) AS cum,
+      |              sum(count(*)) OVER (PARTITION BY source) AS n
+      |       FROM d GROUP BY 1, 2),
+      |med AS (SELECT source, v AS med FROM h1
+      |        WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum),
+      |dd AS (SELECT d.doc_id, d.source, d.v, med.med, abs(d.v - med.med) AS dev
+      |       FROM d JOIN med USING (source)),
+      |h2 AS (SELECT source, dev, count(*) AS c,
+      |              sum(count(*)) OVER (PARTITION BY source ORDER BY dev) AS cum,
+      |              sum(count(*)) OVER (PARTITION BY source) AS n
+      |       FROM dd GROUP BY 1, 2),
+      |mad AS (SELECT source, dev AS mad FROM h2
+      |        WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum)
+      |SELECT dd.doc_id, dd.source, dd.v AS n_tokens, dd.med, mad.mad
+      |FROM dd JOIN mad USING (source)
+      |WHERE dd.dev > mad.mad * 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_robust_outliers" -> (qRobustOutliers _),
     "q_compress_ratio" -> (qCompressRatio _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_repetition" -> (qRepetition _),
@@ -1260,6 +1329,7 @@ object TextOps {
     "q_quality_floor" -> (qQualityFloor _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_robust_outliers" -> qRobustOutliersSql,
     "q_compress_ratio" -> qCompressRatioSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_repetition" -> qRepetitionSql,
