@@ -1296,6 +1296,11 @@ object TextOps {
       |WHERE dd.dev > mad.mad * 3""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // iterative merge fixpoint — not single-SQL-expressible, so no
+    // oracle entry: the driver records the weaker rows-only check and
+    // BpeTrainerSpec pins the merges against a brute-force trainer
+    "q_bpe_train" -> ((s: SparkSession, dir: String) =>
+      graft.operators.BpeTrainer.merges(s, dir)),
     "q_robust_outliers" -> (qRobustOutliers _),
     "q_compress_ratio" -> (qCompressRatio _),
     "q_sample_weighted" -> (qSampleWeighted _),
