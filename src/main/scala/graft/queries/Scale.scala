@@ -295,7 +295,58 @@ object Scale {
        |WHERE l_partkey >= $ZPartLo AND l_partkey < $ZPartHi
        |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------
+  // ORC round-trip — format breadth on the storage edge: the documents
+  // projection is published once per corpus as an ORC mirror (through
+  // the SAME stage→validate→move→marker CommitProtocol every parquet
+  // mirror uses — the protocol is format-agnostic by construction, and
+  // this proves it), and the query aggregates FROM THE ORC BYTES. The
+  // oracle recomputes the same aggregate from the parquet source, so a
+  // hash-green run certifies the ORC write+read round-trip value-exact
+  // — DuckDB never needs to read ORC. ORC is the other columnar
+  // format a lake ingests from (Hive-lineage pipelines); the read is
+  // schema-declared like every reader in the repo.
+  private def orcMirror(spark: SparkSession, sfDir: String): String = {
+    val dest = graft.core.Scratch.dir("orc_mirror", sfDir)
+    val data = dest.resolve("data")
+    val marker = dest.resolve("_committed")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(dest)
+      val staging = java.nio.file.Files.createTempDirectory(dest, "stage-")
+      val staged = staging.resolve("data")
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").orc(staged.toString)
+      graft.core.CommitProtocol.publish(staging, Seq(staged -> data)) {
+        java.nio.file.Files.write(marker,
+          java.util.Arrays.asList("committed"))
+        ()
+      }
+    }
+    data.toString
+  }
+
+  def qOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    spark.read.schema(schema).orc(orcMirror(spark, sfDir))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+  }
+
+  val qOrcRoundtripSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_zorder_scan" -> (qZorderScan _),
     "q_clustered_scan" -> (qClusteredScan _),
     "q_bucketed_join" -> (qBucketedJoin _),
@@ -306,6 +357,7 @@ object Scale {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_orc_roundtrip" -> qOrcRoundtripSql,
     "q_zorder_scan" -> qZorderScanSql,
     "q_clustered_scan" -> qClusteredScanSql,
     "q_bucketed_join" -> qBucketedJoinSql,
