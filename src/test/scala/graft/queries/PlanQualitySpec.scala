@@ -505,4 +505,29 @@ class PlanQualitySpec extends SparkTestBase {
     assert(r.getDouble(2) == 23.0)
     assert(r.getSeq[Long](3).length == 4)
   }
+
+  test("containment rides the hashed inverted index — no cartesian, no nested loop") {
+    val p = plan(Dedup.qContainment(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("robust outliers broadcast their per-source fences over a map-only flag scan") {
+    val p = plan(TextOps.qRobustOutliers(spark, sfDir))
+    // both the median and the MAD frames are <= sources rows: they must
+    // come back as broadcasts, never shuffle the corpus for the join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("histogram median windows over distinct values, not a corpus sort") {
+    val p = plan(Analytics.qMedianScalable(spark, sfDir))
+    // the window's input is the (group, value, count) hash aggregate —
+    // the aggregate must sit BELOW the window in the plan
+    val wi = p.indexOf("Window")
+    val ai = p.indexOf("HashAggregate")
+    assert(wi >= 0 && ai >= 0, p)
+    assert(p.lastIndexOf("HashAggregate") > wi, p)
+  }
 }
