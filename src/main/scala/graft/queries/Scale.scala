@@ -311,6 +311,10 @@ object Scale {
     val data = dest.resolve("data")
     val marker = dest.resolve("_committed")
     if (!java.nio.file.Files.exists(marker)) {
+      // no marker ⇒ anything under dest is residue from a crashed build
+      // (stage-* temp dirs, a moved-but-unmarked data dir) — clear it so
+      // residue can't accumulate across crashes
+      graft.core.CommitProtocol.deleteRecursively(dest)
       java.nio.file.Files.createDirectories(dest)
       val staging = java.nio.file.Files.createTempDirectory(dest, "stage-")
       val staged = staging.resolve("data")
