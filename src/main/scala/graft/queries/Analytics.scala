@@ -706,6 +706,52 @@ object Analytics {
       |FROM lineitem GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // Dimension grid — the one legitimate CROSS JOIN: a bounded dims×dims
+  // reporting grid (every region × order priority, 5×5), left-joined to
+  // the fact aggregate so ABSENT combinations appear as explicit zeros
+  // (the "no orders from this region at this priority" row a dashboard
+  // must render and an inner join silently drops). The cartesian is
+  // dims-sized BY CONSTRUCTION — the fact table never cross-joins; it
+  // aggregates first (broadcast dim chain, one hash agg) and the ≤25-row
+  // grid joins the ≤25-row aggregate. Completes the join taxonomy:
+  // inner/left/full/semi/anti/as-of/range/bucketed/bloom + cross.
+  def qDimGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val nat = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_regionkey")
+    val reg = Tables.region(spark, sfDir).select($"r_regionkey", $"r_name")
+    val counts = Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderpriority")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val grid = reg.select($"r_name")
+      .crossJoin(Tables.orders(spark, sfDir)
+        .select($"o_orderpriority").distinct())
+    grid.join(counts, Seq("r_name", "o_orderpriority"), "left")
+      .select($"r_name", $"o_orderpriority",
+        coalesce($"n", lit(0L)).as("n_orders"))
+  }
+
+  val qDimGridSql: String =
+    """WITH counts AS (
+      |  SELECT r_name, o_orderpriority, count(*) AS n
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  JOIN region   ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |grid AS (SELECT r_name, o_orderpriority
+      |         FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders))
+      |SELECT grid.r_name, grid.o_orderpriority,
+      |       coalesce(counts.n, 0) AS n_orders
+      |FROM grid LEFT JOIN counts
+      |  ON grid.r_name = counts.r_name
+      | AND grid.o_orderpriority = counts.o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------------
   // EXACT median at scale — the value-histogram two-phase. The built-in
   // `percentile` (q_percentile) buffers and sorts every group member;
   // at 100 TB a single hot group's values may not fit one executor.
@@ -780,7 +826,8 @@ object Analytics {
     "q_stats_moments" -> (qStatsMoments _),
     "q_date_funcs" -> (qDateFuncs _),
     "q_percentile_approx" -> (qPercentileApprox _),
-    "q_median_scalable" -> (qMedianScalable _))
+    "q_median_scalable" -> (qMedianScalable _),
+    "q_dim_grid" -> (qDimGrid _))
 
   // --------------------------------------------------------------------
   // Several COUNT(DISTINCT …) on different columns in ONE grouped pass.
@@ -884,5 +931,6 @@ object Analytics {
     "q_stats_moments" -> qStatsMomentsSql,
     "q_date_funcs" -> qDateFuncsSql,
     "q_percentile_approx" -> qPercentileApproxSql,
-    "q_median_scalable" -> qMedianScalableSql)
+    "q_median_scalable" -> qMedianScalableSql,
+    "q_dim_grid" -> qDimGridSql)
 }
