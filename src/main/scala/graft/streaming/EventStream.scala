@@ -402,6 +402,82 @@ object EventStream {
     })
   }
 
+  /** Bounded top-k accumulator for [[EventStream.annAttachTopK]]
+    * (top-level for encoder codegen): at most k (score, id) pairs,
+    * ordered best-first — the state is O(k) PER KEY no matter how many
+    * candidate rows stream past, the streaming face of the bounded
+    * top-k operator (plans/TopKPerGroup). */
+  final case class TopKHeapState(items: List[(Double, Long)], lastUs: Long)
+
+  /** Streaming ANN attach — the stream face of q_ann_incremental:
+    * arriving vectors probe the COMMITTED IVF index (centroid model in
+    * the closure → stateless nprobe cell assignment; committed cell
+    * table as the stream-static equi-join side) and each arrival's
+    * top-k neighbors accumulate in a k-bounded heap via
+    * flatMapGroupsWithState, emitted when the watermark passes the
+    * arrival (event-time timeout — the funnel/session pattern). No
+    * unbounded state anywhere: the heap is O(k) per in-flight arrival,
+    * and candidates never collect. Scoring arithmetic is the batch
+    * job's own: the SAME native cosine kernel scores the stream-static
+    * join, and the probe loop reproduces it bit-for-bit (the
+    * embedOutlierFlags parity argument), so the attach result equals
+    * the batch q_ann_incremental rows exactly (EventStreamSpec). */
+  def annAttachTopK(vecs: Dataset[VecRow], index: DataFrame,
+      centroids: Seq[(Long, Array[Double])], k: Int,
+      nprobe: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val cents = centroids.sortBy(_._1)
+    val probes = vecs.flatMap { r =>
+      val scored = cents.map { case (cid, cv) =>
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val a = r.v
+        while (i < cv.length) {
+          d += a(i) * cv(i); na += a(i) * a(i); nb += cv(i) * cv(i); i += 1
+        }
+        (d / (math.sqrt(na) * math.sqrt(nb)), cid)
+      }
+      scored.sortBy { case (cos, cid) => (-cos, cid) }.take(nprobe)
+        .map { case (_, cid) => (r.vec_id, r.ts, cid, r.v) }
+    }.toDF("query_id", "ts", "cell", "qv")
+    val cand = probes.join(index, Seq("cell"))
+      .withColumn("cos",
+        graft.queries.Similarity.cosineCol($"qv", $"nv"))
+      .select($"query_id", $"ts", $"nid", $"cos")
+      .as[(Long, Timestamp, Long, Double)]
+
+    def better(x: (Double, Long), y: (Double, Long)): Boolean =
+      x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)
+
+    def fn(qid: Long, rows: Iterator[(Long, Timestamp, Long, Double)],
+        state: GroupState[TopKHeapState]): Iterator[(Long, Int, Long)] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.toList.flatMap(_.items.zipWithIndex.map {
+          case ((_, nid), i) => (qid, i + 1, nid)
+        })
+        state.remove()
+        out.iterator
+      } else {
+        var s = state.getOption.getOrElse(TopKHeapState(Nil, 0L))
+        rows.foreach { case (_, ts, nid, cos) =>
+          val merged = ((cos, nid) :: s.items)
+            .sortWith(better).take(k)
+          val us = ts.getTime * 1000L
+          s = TopKHeapState(merged, math.max(s.lastUs, us))
+        }
+        state.update(s)
+        state.setTimeoutTimestamp(
+          math.max(state.getCurrentWatermarkMs() + 1, s.lastUs / 1000 + 1))
+        Iterator.empty
+      }
+    }
+
+    cand.withWatermark("ts", "1 hour")
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF("query_id", "rank", "neighbor_id")
+  }
+
   /** Streaming face of queries.Similarity's embedding OUTLIER pruning:
     * each arriving vector is assigned to its nearest model centroid and
     * flagged when its 9-dp-quantized affinity falls below the cell's

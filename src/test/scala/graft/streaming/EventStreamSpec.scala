@@ -442,4 +442,40 @@ class EventStreamSpec extends SparkTestBase {
         s"first diff: ${(streamed.toSet diff batch.toSet).take(3)}")
     assert(batch.nonEmpty, "no scored docs at this SF — vacuous parity")
   }
+
+  test("streaming ann attach equals the batch incremental index job") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q_ann_incremental")(spark, sfDir)
+      .as[(Long, Int, Long)].collect().toSet
+    val cents = graft.queries.Similarity.annAttachCentroids(spark, sfDir)
+      .as[(Long, Seq[Double])].collect()
+      .map { case (cid, cv) => (cid, cv.toArray) }.toSeq
+    val index = graft.queries.Similarity.annAttachIndex(spark, sfDir)
+    val arrivals = graft.queries.Similarity.annArrivals(spark, sfDir)
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => EventStream.VecRow(id, ts("2024-01-01 10:00:00"), v) }
+    val in = MemoryStream[EventStream.VecRow]
+    in.addData(arrivals.toIndexedSeq)
+    val q = EventStream.annAttachTopK(in.toDS(), index, cents,
+        k = graft.queries.Similarity.annK,
+        nprobe = graft.queries.Similarity.annNProbe)
+      .writeStream.format("memory").queryName("annattach")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // a far-future straggler pushes the watermark past every arrival's
+    // timeout so the heaps flush; its own heap never times out and is
+    // filtered from the comparison
+    in.addData(EventStream.VecRow(999999L, ts("2024-01-02 10:00:00"),
+      arrivals.head.v))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("annattach")
+      .filter($"query_id" =!= 999999L)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream ${streamed.size} vs batch ${batch.size}; " +
+        s"diff ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+    assert(batch.nonEmpty, "no batch attach rows — vacuous parity")
+  }
 }
