@@ -32,6 +32,9 @@ object Bench {
     "decontam_staging" -> ((s, dir) => graft.queries.Curation.prewarmStaging(s, dir)),
     "ivf_cells" -> ((s, dir) => graft.queries.Similarity.prewarmStaging(s, dir)),
     "retrieval_staging" -> ((s, dir) => graft.queries.Retrieval.prewarmStaging(s, dir)),
+    // the BPE merge list is a model artifact like the IVF centroids:
+    // trained once per corpus, consumed by both tokenizer query faces
+    "bpe_model" -> ((s, dir) => { graft.operators.BpeTrainer.trainedMerges(s, dir); () }),
     // events-table footer reads + first-file-listing: 95% of
     // q_asof_join's r7 headline (4.53 s first / 0.21 s warm) was this
     // one-time touch, not the plan (judge r7 finding 4) — itemize it

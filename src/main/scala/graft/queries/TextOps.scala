@@ -1301,6 +1301,8 @@ object TextOps {
     // BpeTrainerSpec pins the merges against a brute-force trainer
     "q_bpe_train" -> ((s: SparkSession, dir: String) =>
       graft.operators.BpeTrainer.merges(s, dir)),
+    "q_bpe_encode" -> ((s: SparkSession, dir: String) =>
+      graft.operators.BpeTrainer.encodeStats(s, dir)),
     "q_robust_outliers" -> (qRobustOutliers _),
     "q_compress_ratio" -> (qCompressRatio _),
     "q_sample_weighted" -> (qSampleWeighted _),

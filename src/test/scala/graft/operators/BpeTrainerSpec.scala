@@ -72,4 +72,28 @@ class BpeTrainerSpec extends SparkTestBase {
     assert(enc.mkString == w + BpeTrainer.EndOfWord)
     assert(enc.length <= w.length, s"no merge applied to '$w': $enc")
   }
+
+  test("corpus encode stats equal a driver-side reimplementation") {
+    import spark.implicits._
+    val ms = BpeTrainer.train(spark,
+      graft.core.Tables.documents(spark, sfDir), 16)
+    val expected = graft.core.Tables.documents(spark, sfDir)
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1).map { case (src, rows) =>
+        var words = 0L; var subs = 0L; var chars = 0L
+        rows.foreach { case (_, text) =>
+          text.split(" ").filter(_.nonEmpty).foreach { w =>
+            words += 1; chars += w.length
+            subs += BpeTrainer.encodeWord(w, ms).length
+          }
+        }
+        (src, words, subs, chars)
+      }.toSet
+    val got = BpeTrainer.encodeStats(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // merges must actually compress: fewer subwords than characters,
+    // at least one subword per word
+    assert(got.forall(r => r._3 < r._4 && r._3 >= r._2))
+  }
 }

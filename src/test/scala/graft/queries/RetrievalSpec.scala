@@ -90,4 +90,17 @@ class RetrievalSpec extends SparkTestBase {
     assert(got == expected, s"got $got\nexp $expected")
     assert(got.nonEmpty, "no triangles at this SF — vacuous check")
   }
+
+  test("kmv cardinality estimate tracks the exact distinct count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rels = Retrieval.qKmvDistinct(spark, "/root/testdata/sf0.01")
+      .select(abs($"kmv_est" - $"n_distinct") / $"n_distinct")
+      .as[Double].collect()
+    // k=64 ⇒ std err ≈ 1/sqrt(k−2) ≈ 13%; this corpus measures
+    // max ≈ 0.25, mean ≈ 0.08
+    assert(rels.max < 0.4, s"max KMV cardinality error ${rels.max}")
+    assert(rels.sum / rels.length < 0.15,
+      s"mean KMV cardinality error ${rels.sum / rels.length}")
+  }
 }
