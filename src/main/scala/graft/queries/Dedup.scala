@@ -224,35 +224,45 @@ object Dedup {
   // (c, n_a) beside the ratio. The ratio is one int/int IEEE division —
   // identical in both engines.
   //
-  // Plan shape: the same hashed inverted-index blocking as
-  // q_ngram_jaccard (equi-join on the 8-byte shingle hash, count per
-  // ordered pair, one tiny per-doc size join). A PPJoin-style prefix
-  // filter would apply one-sided here (only the contained side's prefix
-  // shrinks — there is no length filter because b may be arbitrarily
-  // long); at this threshold the plain postings join is the honest
-  // baseline and shares its staged frames with the jaccard family. The
-  // min-size floor keeps sub-10-shingle fragments (where one shared
-  // line is "containment") out of the report.
+  // Plan shape: the ONE-SIDED prefix filter (the containment variant of
+  // PPJoin's rule): a pair with c(a→b) ≥ t must share a token among a's
+  // first n_a − ⌈t·n_a⌉ + 1 RAREST tokens — but b's side carries no
+  // bound (b may be arbitrarily long), so only the contained side's
+  // postings shrink: candidate generation is prefix(a) ⋈ full(b)
+  // instead of full ⋈ full, reusing the staged rarest-first prefix
+  // frame (t = 0.8's prefix is a rank-filter of the staged t = 0.6
+  // one, ~0.2·n vs ~0.4·n postings). Survivors verify EXACTLY against
+  // the staged sorted-hash arrays (one row-local array_intersect per
+  // candidate — the near-dup family's verify trick), so the filter is
+  // a pure cost lever with perfect recall; the DuckDB oracle is the
+  // unfiltered brute join and hash-agrees. The min-size floor keeps
+  // sub-10-shingle fragments (where one shared line is "containment")
+  // out of the report.
   private val ContainNum = 4
   private val ContainDen = 5
   private val ContainMinShingles = 10
 
   def qContainment(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingled(spark, sfDir)
-    val inv = sh.select($"doc_id", explode($"sh").as("s"))
-      .select($"doc_id", xxhash64($"s").as("s"))
-    val inter = inv.as("a").join(inv.as("b"),
-        $"a.s" === $"b.s" && $"a.doc_id" =!= $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    val cnt = sh.select($"doc_id", size($"sh").cast("long").as("n"))
-    inter
-      .join(cnt.as("ca"), $"doc_a" === $"ca.doc_id")
-      .filter($"ca.n" >= ContainMinShingles &&
-        $"c" * ContainDen >= $"ca.n" * ContainNum)
-      .select($"doc_a", $"doc_b", $"c", $"ca.n".as("n_a"),
-        ($"c".cast("double") / $"ca.n").as("containment"))
+    val (inv, prefix06) = prefixIndex(spark, sfDir)
+    val pa = prefix06
+      .filter($"rk" <= $"n"
+        - expr(s"(n * $ContainNum + ${ContainDen - 1}) div $ContainDen") + 1)
+      .select($"doc_id".as("doc_a"), $"n".cast("long").as("n_a"), $"h")
+    val cand = pa
+      .join(inv.select($"doc_id".as("doc_b"), $"h"), Seq("h"))
+      .filter($"doc_a" =!= $"doc_b")
+      .select($"doc_a", $"n_a", $"doc_b").distinct()
+    val hs = shingledHashed(spark, sfDir)
+    cand
+      .join(hs.select($"doc_id".as("doc_a"), $"hs".as("ha")), Seq("doc_a"))
+      .join(hs.select($"doc_id".as("doc_b"), $"hs".as("hb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"ha", $"hb")).cast("long").as("c"), $"n_a")
+      .filter($"n_a" >= ContainMinShingles &&
+        $"c" * ContainDen >= $"n_a" * ContainNum)
+      .select($"doc_a", $"doc_b", $"c", $"n_a",
+        ($"c".cast("double") / $"n_a").as("containment"))
   }
 
   val qContainmentSql: String =
