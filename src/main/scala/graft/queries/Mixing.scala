@@ -225,6 +225,29 @@ object Mixing {
           substring(md5($"doc_id".cast("string")), 1, 4) < $"th").as("keep"))
   }
 
+  /** Committed per-source budget thresholds as a collected model —
+    * (source → (total, 4-hex threshold)) — the streaming gate's
+    * broadcast state (EventStream.tokenBudgetFlags). Derived from the
+    * SAME threshold frame the batch decision joins, so the two faces
+    * cannot disagree on a cutoff. */
+  private[graft] def tokenBudgetModel(spark: SparkSession,
+      sfDir: String): Map[String, (Long, String)] = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        (length($"text") - length(translate($"text", " ", "")) + 1)
+          .cast("long").as("n_tokens"))
+    d.groupBy($"source")
+      .agg(sum($"n_tokens").as("t"))
+      .select($"source", $"t",
+        lpad(lower(hex(least(lit(65535L),
+          expr(s"($BudgetTokens * 65536) div t")))), 4, "0").as("th"))
+      .as[(String, Long, String)].collect()
+      .map { case (src, t, th) => src -> (t, th) }.toMap
+  }
+
+  private[graft] def budgetTokens: Long = BudgetTokens
+
   def qTokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = Tables.documents(spark, sfDir)

@@ -478,6 +478,40 @@ object EventStream {
       .toDF("query_id", "rank", "neighbor_id")
   }
 
+  /** A document arrival that carries its source — the mixture-policy
+    * gates key on it (top-level for encoder codegen). */
+  final case class SourcedDocArrival(doc_id: Long, ts: Timestamp,
+      source: String, text: String)
+
+  /** Streaming face of the TOKEN-BUDGET cap (queries.Mixing
+    * qTokenBudget): each arriving document is admitted or dropped by
+    * the committed per-source thresholds — the same exact-integer hex
+    * cutoffs the batch decision joins, compared against the same first
+    * 16 md5 bits of doc_id — so an arrival is kept in-stream iff the
+    * batch job would keep it (bit-parity asserted in EventStreamSpec).
+    * A source absent from the committed model has zero committed
+    * tokens, trivially under budget — keep, exactly the batch
+    * semantics for a new source appearing in the next totals pass.
+    * Pure stateless map; the cap is enforced at the door. */
+  def tokenBudgetFlags(docs: Dataset[SourcedDocArrival],
+      model: Map[String, (Long, String)], budget: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.map { d =>
+      val n = 1L + d.text.count(_ == ' ')
+      val keep = model.get(d.source) match {
+        case None => true
+        case Some((t, th)) =>
+          t <= budget || {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val hex = md.digest(d.doc_id.toString.getBytes("UTF-8"))
+              .take(2).map(b => f"$b%02x").mkString
+            hex < th
+          }
+      }
+      (d.doc_id, d.ts, d.source, n, keep)
+    }.toDF("doc_id", "ts", "source", "n_tokens", "keep")
+  }
+
   /** Streaming face of queries.Similarity's embedding OUTLIER pruning:
     * each arriving vector is assigned to its nearest model centroid and
     * flagged when its 9-dp-quantized affinity falls below the cell's

@@ -478,4 +478,39 @@ class EventStreamSpec extends SparkTestBase {
         s"diff ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
     assert(batch.nonEmpty, "no batch attach rows — vacuous parity")
   }
+
+  test("streaming token-budget gate equals the batch cap decisions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q_token_budget")(spark, sfDir)
+      .select($"doc_id", $"n_tokens", $"keep")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val model = graft.queries.Mixing.tokenBudgetModel(spark, sfDir)
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect().map { case (id, src, t) =>
+        EventStream.SourcedDocArrival(id, ts("2024-01-01 10:00:00"), src, t)
+      }
+    // plus an arrival from a source the committed model never saw —
+    // zero committed tokens is under budget, so it must be kept
+    val novel = EventStream.SourcedDocArrival(888888L,
+      ts("2024-01-01 10:00:00"), "brand-new-source", "a b c")
+    val in = MemoryStream[EventStream.SourcedDocArrival]
+    in.addData((docs :+ novel).toIndexedSeq)
+    val q = EventStream.tokenBudgetFlags(in.toDS(), model,
+        graft.queries.Mixing.budgetTokens)
+      .writeStream.format("memory").queryName("tbgate")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tbgate")
+      .select($"doc_id", $"n_tokens", $"keep")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(streamed(888888L) == ((3L, true)), streamed(888888L))
+    assert(streamed - 888888L == batch,
+      s"stream ${streamed.size - 1} vs batch ${batch.size}")
+    assert(batch.values.exists(!_._2), "no dropped docs — vacuous gate")
+  }
 }
