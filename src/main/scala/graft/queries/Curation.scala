@@ -197,14 +197,59 @@ object Curation {
       |WHERE source IN ('src3', 'src7')
       |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------------
+  // STRICT curation — the round-8 signals composed into one admission
+  // decision, the way a production pass chains them: survive qCurate's
+  // dedup+quality gauntlet AND (a) not a robust length outlier
+  // (q_robust_outliers' 3×MAD Hampel fence), AND (b) not mostly
+  // contained in another document (q_containment's ≥0.8 one-sided
+  // overlap — the contained side is the drop side), AND (c) DSIR
+  // importance weight strictly ABOVE the corpus mean (add-one smoothing
+  // over a subset target drifts every absolute weight negative, so the
+  // admission floor is relative; the compare is cross-multiplied exact
+  // decimal arithmetic w·N > Σw — no float boundary, the repo's
+  // signature trick). Each signal is the SAME shipped query —
+  // one definition per signal, so the composite cannot drift from its
+  // parts — and the composition is three anti/semi joins over a
+  // map-only scan: the signals' own costs live in their staged frames.
+  def qCurateStrict(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val outliers = TextOps.qRobustOutliers(spark, sfDir).select($"doc_id")
+    val contained = Dedup.qContainment(spark, sfDir)
+      .select($"doc_a".as("doc_id")).distinct()
+    val w = Retrieval.dsirWeightsExact(spark, sfDir)
+    val tot = w.agg(sum($"w").as("s"), count(lit(1)).as("n"))
+    val onTarget = w.crossJoin(broadcast(tot))
+      .filter($"w" * $"n" > $"s").select($"doc_id")
+    qCurate(spark, sfDir)
+      .join(outliers, Seq("doc_id"), "left_anti")
+      .join(contained, Seq("doc_id"), "left_anti")
+      .join(onTarget, Seq("doc_id"), "left_semi")
+  }
+
+  val qCurateStrictSql: String =
+    s"""WITH base AS ($qCurateSql),
+       |outl AS (SELECT doc_id FROM (${TextOps.qRobustOutliersSql})),
+       |cont AS (SELECT DISTINCT doc_a AS doc_id FROM (${Dedup.qContainmentSql})),
+       |wts AS (SELECT doc_id, sum(lr) AS w
+       |        FROM (${Retrieval.dsirScoredSql}) GROUP BY 1),
+       |tot AS (SELECT sum(w) AS s, count(*) AS n FROM wts),
+       |tgt AS (SELECT doc_id FROM wts CROSS JOIN tot WHERE w * n > s)
+       |SELECT base.* FROM base
+       |WHERE doc_id NOT IN (SELECT doc_id FROM outl)
+       |  AND doc_id NOT IN (SELECT doc_id FROM cont)
+       |  AND doc_id IN (SELECT doc_id FROM tgt)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curate" -> (qCurate _),
+    "q_curate_strict" -> (qCurateStrict _),
     "q_decontam" -> (qDecontam _),
     "q_dup_rate" -> (qDupRate _),
     "q_source_pruned" -> (qSourcePruned _))
 
   val oracleSql: Map[String, String] = Map(
     "q_curate" -> qCurateSql,
+    "q_curate_strict" -> qCurateStrictSql,
     "q_decontam" -> qDecontamSql,
     "q_dup_rate" -> qDupRateSql,
     "q_source_pruned" -> qSourcePrunedSql)

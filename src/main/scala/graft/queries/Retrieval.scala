@@ -335,16 +335,27 @@ object Retrieval {
           .cast("decimal(12,9)").as("lr"))
     }
 
-  def qDsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-document weights with the EXACT decimal sum still exposed —
+    * the curation composite's admission rule compares against the
+    * corpus mean in cross-multiplied decimal arithmetic (w·N > Σw), so
+    * it needs the pre-double value. */
+  private[queries] def dsirWeightsExact(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ratio = dsirRatio(spark, sfDir)
     dsirToks(spark, sfDir).join(broadcast(ratio), Seq("b"))
       .groupBy($"doc_id")
       .agg(sum($"lr").as("w"), count(lit(1)).as("n_tokens"))
+  }
+
+  def qDsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    dsirWeightsExact(spark, sfDir)
       .select($"doc_id", $"n_tokens", $"w".cast("double").as("dsir_weight"))
   }
 
-  val qDsirWeightsSql: String =
+  /** (doc_id, lr) scored-token rows — the shared SQL core of the weight
+    * query and the curation composite's exact-mean admission rule. */
+  private[queries] val dsirScoredSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang, $bucketSqlOf AS b
        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
@@ -359,9 +370,12 @@ object Retrieval {
        |                       ((n_raw + 1) * 1.0 / (tot_raw + $DsirBuckets))), 9)
        |              AS DECIMAL(12,9)) AS lr
        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN totals)
-       |SELECT doc_id, count(*) AS n_tokens,
+       |SELECT doc_id, lr FROM toks JOIN ratio USING (b)""".stripMargin
+
+  val qDsirWeightsSql: String =
+    s"""SELECT doc_id, count(*) AS n_tokens,
        |       CAST(sum(lr) AS DOUBLE) AS dsir_weight
-       |FROM toks JOIN ratio USING (b)
+       |FROM ($dsirScoredSql)
        |GROUP BY 1""".stripMargin
 
   /** Materialize the standing retrieval artifacts (per-source KMV
