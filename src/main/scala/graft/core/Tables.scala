@@ -114,6 +114,17 @@ object Tables {
     * (2^56 ≈ 1973-04 in ns, ≈ 4254 in us — see the comment in [[events]]). */
   private val NanosMagnitude = 1L << 56
 
+  /** Per-(session, corpus) memo of the events ts unit: true = nanos.
+    * review r9 (advisor): the unit used to be decided per ROW by
+    * magnitude, which silently misreads nano-encoded timestamps before
+    * ~April 1973 (below 2^56 in ns) as micros. The unit is a property of
+    * the FILE's encoding, not of a row — decide it once from the
+    * column's max (a column-pruned one-number agg, memoized for the
+    * session like the Staging frames), and assert the file is not
+    * mixed-magnitude when nanos is chosen. */
+  private val tsUnitNanos =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Boolean]()
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     // Session-level by necessity: nanosAsLong is a SQL conf consulted at
@@ -126,14 +137,26 @@ object Tables {
     // ns→us floor matches DuckDB's own truncation), MICROS (current
     // generation — DuckDB reads them verbatim), or either unit in a
     // plain-INT64 scaled copy (ScaleUp rewrites the column annotation
-    // away). The unit is decided per ROW by magnitude: 2^56/1e9 s ≈ year
-    // 1973 in nanos vs year ~4254 in micros, so one threshold cleanly
-    // separates any post-1973 dataset in nanos from any pre-4254 dataset
-    // in micros — row-local, exact, codegen'd, no footer peeking.
-    read(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(
-        when(col("ts") >= NanosMagnitude, expr("ts div 1000"))
-          .otherwise(col("ts"))))
+    // away). 2^56/1e9 s ≈ year 1973 in nanos vs year ~4254 in micros,
+    // so the file-level max cleanly names the unit for any post-1973
+    // dataset; the min-side assert catches the one ambiguous shape
+    // (nanos data straddling 1973) instead of silently splitting it.
+    val raw = read(spark, sfDir, "events")
+    val isNanos = tsUnitNanos.computeIfAbsent(
+      (System.identityHashCode(spark), sfDir), { _ =>
+        val Array(mn, mx) = raw.agg(min(col("ts")), max(col("ts")))
+          .collect()(0).toSeq.map {
+            case null => 0L
+            case v => v.asInstanceOf[Long]
+          }.toArray
+        val nanos = mx >= NanosMagnitude
+        require(!nanos || mn >= NanosMagnitude,
+          s"events.ts mixes magnitudes (min=$mn, max=$mx): nano-encoded " +
+            "rows before 1973 cannot be told from micros — fix the data")
+        nanos
+      })
+    raw.withColumn("ts", timestamp_micros(
+        if (isNanos) expr("ts div 1000") else col("ts")))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")

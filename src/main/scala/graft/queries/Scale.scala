@@ -306,7 +306,14 @@ object Scale {
   // — DuckDB never needs to read ORC. ORC is the other columnar
   // format a lake ingests from (Hive-lineage pipelines); the read is
   // schema-declared like every reader in the repo.
-  private def orcMirror(spark: SparkSession, sfDir: String): String = {
+  private def orcMirror(spark: SparkSession, sfDir: String): String = this.synchronized {
+    // review r9 (advisor): the no-marker wipe below deletes EVERYTHING
+    // under dest, including another builder's in-flight stage-* dir —
+    // serialize builders through the same per-process lock every other
+    // mirror build (BucketedTables/ClusteredTables/PartitionedCorpus)
+    // holds. Cross-JVM scope is unchanged from those builds' documented
+    // contract: one JVM owns the scratch dir (a shared deployment
+    // publishes mirrors at ingest, not on first query).
     val dest = graft.core.Scratch.dir("orc_mirror", sfDir)
     val data = dest.resolve("data")
     val marker = dest.resolve("_committed")
