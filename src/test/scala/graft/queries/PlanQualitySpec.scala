@@ -96,6 +96,30 @@ class PlanQualitySpec extends SparkTestBase {
     assert(frames.contains("ReadSchema: struct<doc_id:bigint,text:string>"), frames)
   }
 
+  test("bm25 probe reads the standing postings, not the corpus text") {
+    // review r9 (judge item 4): the probe must be an inverted-index
+    // lookup — no per-query tokenization (no Generate/explode in the
+    // plan) and no file scan touching the text column; tf/df both come
+    // from the staged postings frame, the final top-k is bounded
+    // node collects, not string matching: the executedPlan's toString
+    // prints the staged frame's cached BUILD plan (which legitimately
+    // tokenizes once, at staging time) inside InMemoryRelation, but the
+    // probe's own operator tree stops at the InMemoryTableScan leaf —
+    // collect() sees exactly the per-query work
+    val df = Retrieval.qBm25(spark, sfDir)
+    val exec = df.queryExecution.executedPlan
+    val generates = exec.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(generates.isEmpty, exec.toString)
+    val scansText = exec.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.requiredSchema.fieldNames.contains("text") => s
+    }
+    assert(scansText.isEmpty, exec.toString)
+    assert(plan(df).contains("TakeOrderedAndProject"), plan(df))
+  }
+
   test("curation pipeline plan has no all-pairs join and prunes the doc scan") {
     val df = Curation.qCurate(spark, sfDir)
     val p = plan(df)
