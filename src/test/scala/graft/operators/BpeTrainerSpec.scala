@@ -4,33 +4,40 @@ import graft.SparkTestBase
 
 /** BPE vocabulary induction semantics: the distributed trainer must
   * produce the EXACT merge list a single-machine reference trainer
-  * derives from the same word-frequency dict (determinism is the
-  * auditability contract), and applying the merges must re-tokenize
-  * words consistently. */
+  * derives from the same word-frequency dict under the same batching
+  * rule (determinism is the auditability contract), and applying the
+  * merges must re-tokenize words consistently. The reference here
+  * implements the batched rule independently (its own candidate sort,
+  * greedy disjoint selection, and merge application) so a bug in the
+  * distributed trainer cannot be mirrored by construction. */
 class BpeTrainerSpec extends SparkTestBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** Reference trainer: plain Scala BPE over a word-count map. */
-  private def refTrain(freq: Map[String, Long], n: Int): Seq[(String, String)] = {
+  /** Reference trainer: plain Scala batched BPE over a word-count map.
+    * batch = 1 is classic sequential BPE (the greedy selection always
+    * accepts exactly the argmax pair). */
+  private def refTrain(freq: Map[String, Long], n: Int,
+      batch: Int): Seq[(String, String)] = {
     def init(w: String): Seq[String] = {
       val cs = w.map(_.toString)
       if (cs.isEmpty) Seq.empty else cs.init :+ (cs.last + BpeTrainer.EndOfWord)
     }
-    def merge(ts: Seq[String], l: String, r: String): Seq[String] = {
+    def merge(ts: Seq[String], pairs: Map[(String, String), String]): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = 0
       while (i < ts.length) {
-        if (i + 1 < ts.length && ts(i) == l && ts(i + 1) == r) {
-          out += (l + r); i += 2
-        } else { out += ts(i); i += 1 }
+        val m = if (i + 1 < ts.length) pairs.get((ts(i), ts(i + 1))) else None
+        m match {
+          case Some(s) => out += s; i += 2
+          case None => out += ts(i); i += 1
+        }
       }
       out.toSeq
     }
     var words = freq.toSeq.map { case (w, c) => (init(w), c) }
     val ms = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var k = 0
-    while (k < n) {
+    while (ms.size < n) {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       words.foreach { case (ts, c) =>
         ts.sliding(2).foreach {
@@ -39,28 +46,86 @@ class BpeTrainerSpec extends SparkTestBase {
         }
       }
       if (counts.isEmpty) return ms.toSeq
-      val best = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
-      ms += best
-      words = words.map { case (ts, c) => (merge(ts, best._1, best._2), c) }
-      k += 1
+      // the same bounded-candidate greedy rule as the distributed side:
+      // sort by (count desc, left, right), examine at most
+      // ExamineFactor*batch, accept symbol-disjoint pairs
+      val sorted = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }
+        .take(BpeTrainer.ExamineFactor * batch)
+        .map(_._1)
+      val used = scala.collection.mutable.HashSet.empty[String]
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val limit = math.min(batch, n - ms.size)
+      val it = sorted.iterator
+      while (accepted.size < limit && it.hasNext) {
+        val (l, r) = it.next()
+        if (!used(l) && !used(r) && !used(l + r)) {
+          accepted += ((l, r)); used += l; used += r; used += (l + r)
+        }
+      }
+      if (accepted.isEmpty) return ms.toSeq
+      ms ++= accepted
+      val pairMap = accepted.map { case (l, r) => (l, r) -> (l + r) }.toMap
+      words = words.map { case (ts, c) => (merge(ts, pairMap), c) }
     }
     ms.toSeq
   }
 
-  test("distributed merges equal the reference trainer bit-for-bit") {
+  private def corpusFreq(): Map[String, Long] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val freq = graft.core.Tables.documents(spark, sfDir)
+    graft.core.Tables.documents(spark, sfDir)
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0)
       .groupBy($"w").count()
       .as[(String, Long)].collect().toMap
-    val expected = refTrain(freq, 16)
+  }
+
+  test("distributed merges equal the batched reference trainer bit-for-bit") {
+    val expected = refTrain(corpusFreq(), 16, batch = 8)
     val got = BpeTrainer.train(spark,
       graft.core.Tables.documents(spark, sfDir), 16)
       .map(m => (m.left, m.right))
     assert(got == expected, s"got $got\nexp $expected")
     assert(got.length == 16, "merge budget not exhausted on this corpus")
+  }
+
+  test("batch = 1 degenerates to classic sequential BPE") {
+    val freq = corpusFreq()
+    val sequential = refTrain(freq, 12, batch = 1)
+    val got = BpeTrainer.train(spark,
+      graft.core.Tables.documents(spark, sfDir), 12, batch = 1)
+      .map(m => (m.left, m.right))
+    assert(got == sequential, s"got $got\nexp $sequential")
+  }
+
+  test("64 merges train in far fewer driver rounds (judge r9 item 3)") {
+    val (ms, rounds) = BpeTrainer.trainWithRounds(spark,
+      graft.core.Tables.documents(spark, sfDir), 64, batch = 8)
+    assert(ms.length == 64, s"budget not filled: ${ms.length}")
+    assert(rounds * 4 <= ms.length,
+      s"rounds not << merges: $rounds rounds for ${ms.length} merges")
+    val expected = refTrain(corpusFreq(), 64, batch = 8)
+    assert(ms.map(m => (m.left, m.right)) == expected)
+    // ranks are 1..n in acceptance order
+    assert(ms.map(_.rank) == (1 to 64))
+  }
+
+  test("merge-list face carries the reference-computed chain hash") {
+    import spark.implicits._
+    val got = BpeTrainer.merges(spark, sfDir)
+      .as[(Int, String, String, String)].collect().toSeq
+    // recompute the chain independently from the reference trainer's list
+    val expected = refTrain(corpusFreq(), 16, batch = 8)
+    assert(got.map(r => (r._2, r._3)) == expected)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var h = ""
+    got.foreach { case (rank, l, r, chain) =>
+      h = md.digest(s"$h|$rank|$l|$r".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      md.reset()
+      assert(chain == h, s"chain hash mismatch at rank $rank")
+    }
   }
 
   test("encode applies merges in rank order and shrinks symbol counts") {
