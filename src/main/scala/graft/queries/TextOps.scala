@@ -674,6 +674,75 @@ object TextOps {
       |SELECT tok, n, TRUE AS sketch_ok FROM e""".stripMargin
 
   // --------------------------------------------------------------------
+  // ZIPF RANK-FREQUENCY SLOPE — per-source corpus-health fit: natural
+  // language follows Zipf's law (log cf ≈ a + s·log rank with s ≈ −1);
+  // machine-generated, templated, or spam-heavy sources flatten or
+  // steepen the curve, so the fitted slope is a cheap distribution-level
+  // quality signal next to the per-document Gopher rules (Wenzek et
+  // al.'s CCNet monitors exactly this kind of corpus statistic). Emits
+  // per source the vocabulary size, token total, and the OLS slope of
+  // ln cf on ln rank.
+  //
+  // Engine parity: the regression inputs x = ln rank, y = ln cf are
+  // rounded at 9 dp into DECIMAL(12,9) (the transcendental-rounding
+  // discipline of the DSIR/BM25 family), so the five sufficient
+  // statistics (n, Σx, Σy, Σxy, Σx²) are EXACT decimal sums —
+  // order-independent and engine-identical — and the final slope
+  // (n·Σxy − Σx·Σy)/(n·Σx² − Σx²̄) is one fixed IEEE expression over
+  // identically-rounded doubles. Plan shape: one (source, term) hash
+  // agg over the token fan-out, a per-source window for the rank
+  // (partitioned — never global), and one agg to a row per source.
+  def qZipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tf = docsWide(spark, sfDir)
+      .select($"source", explode(split($"text", " ")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("cf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"cf".desc, $"term")
+    val xy = tf.withColumn("rk", row_number().over(w))
+      .select($"source", $"cf",
+        expr("cast(round(ln(rk), 9) as decimal(12,9))").as("x"),
+        expr("cast(round(ln(cf), 9) as decimal(12,9))").as("y"))
+    // each exact decimal sum rescales to 9 dp BEFORE widening (the BM25
+    // rule: a scale-18 decimal widens through int128 in DuckDB — two
+    // roundings — while a scale-9 one widens correctly-rounded in both
+    // engines), then the slope is one fixed-association double
+    // expression over identically-rounded inputs
+    def w9(c: Column): Column =
+      expr(s"cast(cast(round(${c.toString}, 9) as decimal(22,9)) as double)")
+    xy.groupBy($"source")
+      .agg(count(lit(1)).as("n_vocab"), sum($"cf").as("n_tokens"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"source", $"n_vocab", $"n_tokens",
+        (($"n_vocab".cast("double") * w9($"sxy") - w9($"sx") * w9($"sy")) /
+          ($"n_vocab".cast("double") * w9($"sxx") - w9($"sx") * w9($"sx")))
+          .as("zipf_slope"))
+  }
+
+  val qZipfSlopeSql: String =
+    """WITH tf AS (SELECT source, term, count(*) AS cf
+      |            FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+      |                  FROM documents)
+      |            GROUP BY 1, 2),
+      |xy AS (SELECT source, cf,
+      |              CAST(round(ln(row_number() OVER (PARTITION BY source
+      |                                               ORDER BY cf DESC, term)), 9)
+      |                   AS DECIMAL(12,9)) AS x,
+      |              CAST(round(ln(cf), 9) AS DECIMAL(12,9)) AS y
+      |       FROM tf),
+      |s AS (SELECT source, count(*) AS n_vocab, sum(cf) AS n_tokens,
+      |             CAST(CAST(round(sum(x), 9) AS DECIMAL(22,9)) AS DOUBLE) AS sx,
+      |             CAST(CAST(round(sum(y), 9) AS DECIMAL(22,9)) AS DOUBLE) AS sy,
+      |             CAST(CAST(round(sum(x * y), 9) AS DECIMAL(22,9)) AS DOUBLE) AS sxy,
+      |             CAST(CAST(round(sum(x * x), 9) AS DECIMAL(22,9)) AS DOUBLE) AS sxx
+      |      FROM xy GROUP BY 1)
+      |SELECT source, n_vocab, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       (CAST(n_vocab AS DOUBLE) * sxy - sx * sy) /
+      |         (CAST(n_vocab AS DOUBLE) * sxx - sx * sx) AS zipf_slope
+      |FROM s""".stripMargin
+
+  // --------------------------------------------------------------------
   // Text normalization: the canonical pre-dedup cleanup pass (casefold,
   // collapse whitespace runs, trim) — exact dedup is only as good as its
   // canonical form, so this runs BEFORE fingerprinting in a real
@@ -1344,6 +1413,7 @@ object TextOps {
     "q_tfidf" -> (qTfidf _),
     "q_normalize_text" -> (qNormalizeText _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_zipf_slope" -> (qZipfSlope _),
     "q_quality_floor" -> (qQualityFloor _))
 
   val oracleSql: Map[String, String] = Map(
@@ -1377,5 +1447,6 @@ object TextOps {
     "q_tfidf" -> qTfidfSql,
     "q_normalize_text" -> qNormalizeTextSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
+    "q_zipf_slope" -> qZipfSlopeSql,
     "q_quality_floor" -> qQualityFloorSql)
 }

@@ -347,6 +347,35 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.9, f"recall below target: $recall%.2f")
   }
 
+  test("product-quantized ANN with float re-rank: recall@5 vs brute force is >= 0.9") {
+    import spark.implicits._
+    val brute = Similarity.qAnnBrute(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val pq = Similarity.qAnnPq(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    info(f"PQ ANN recall@5 = $recall%.2f (${(brute & pq).size}/${brute.size})")
+    // 32x memory (16 codes vs 64 doubles): ADC only nominates top-k·16,
+    // the float re-rank orders the shortlist — the same two-stage
+    // contract as the int8 face, with a wider expansion because PQ's
+    // reconstruction error exceeds int8's on this tight-margin corpus
+    assert(recall >= 0.9, f"recall below target: $recall%.2f")
+  }
+
+  test("IVF-PQ (codes inside probed cells) holds the >= 0.9 recall bar") {
+    import spark.implicits._
+    val brute = Similarity.qAnnBrute(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val composed = Similarity.qAnnIvfPq(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val recall = (brute & composed).size.toDouble / brute.size
+    info(f"IVF-PQ recall@5 = $recall%.2f (${(brute & composed).size}/${brute.size})")
+    // the production index family (inverted lists bound compute, 16-byte
+    // codes bound memory, float re-rank restores exact order): residual
+    // loss is IVF coverage ∪ ADC shortlist misses
+    assert(recall >= 0.9, f"recall below target: $recall%.2f")
+  }
+
   test("quantized scoring inside IVF cells with float re-rank holds the >= 0.9 bar") {
     import spark.implicits._
     val brute = Similarity.qAnnBrute(spark, sfDir)
