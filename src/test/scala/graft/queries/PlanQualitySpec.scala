@@ -120,6 +120,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan(df).contains("TakeOrderedAndProject"), plan(df))
   }
 
+  test("IVF-PQ probe joins stay equi-keyed — no unbounded cross join") {
+    // the composed production index must never cross the corpus with
+    // itself: cells gate candidates, codes join the LUT on
+    // (query, subspace, code) — every corpus-sized join is equi-keyed.
+    // (The bounded Q-row LUT and probe broadcasts are fine; the
+    // EXHAUSTIVE q_ann_pq face crosses queries with the corpus by
+    // declared intent, like q_ann_brute, so it is not pinned here.)
+    val p = plan(Similarity.qAnnIvfPq(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    val df = Similarity.qAnnIvfPq(spark, sfDir)
+    val loops = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    // only the tiny centroid/probe broadcasts may nest-loop; the codes
+    // table itself must never be a nested-loop side
+    assert(loops.forall(_.toString.contains("BuildRight")), p)
+  }
+
   test("curation pipeline plan has no all-pairs join and prunes the doc scan") {
     val df = Curation.qCurate(spark, sfDir)
     val p = plan(df)
