@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** Corpus-governance operators — the reporting/selection faces a
+  * large-scale training-data pipeline runs BETWEEN the heavy passes:
+  * dictionary tagging (blocklists/taxonomies), snapshot diffing
+  * (crawl-over-crawl change accounting), margin-based neighbor mining
+  * (the bitext/retrieval pair-selection rule), and per-cluster topic
+  * keywords (what IS in each embedding cell). No reference analog
+  * (ref/etl has no text or embedding layer); all four follow the
+  * repo's exact-arithmetic oracle playbook: integer/decimal work end
+  * to end, at most ONE final correctly-rounded double division, ranks
+  * ordered by exact values with id tie-breaks.
+  */
+object Corpus {
+
+  // --------------------------------------------------------------------
+  // KEYWORD TAGGING — broadcast-dictionary phrase matching (the
+  // FlashText/Aho–Corasick shape): every corpus pipeline carries
+  // curated term lists (blocklists, safety taxonomies, domain lexica)
+  // and needs per-document hit counts for them. Phrases are 1–2 word
+  // token n-grams here; the dictionary is a broadcast table, matching
+  // is an equi-join on the exploded n-gram stream, and the only
+  // shuffle is the doc-keyed aggregation of the (sparse) match rows —
+  // the corpus text itself never shuffles. At 100 TB the dictionary
+  // join stays broadcast at any realistic lexicon size (even 1M
+  // phrases is megabytes); for very long phrases a compiled
+  // Aho–Corasick automaton in a mapPartitions pass replaces the
+  // n-gram fan-out, same output contract. Occurrence counting is
+  // overlapping (every token position starts a candidate n-gram) —
+  // the convention dictionary taggers use.
+  private[queries] val TagDict: Seq[(String, String)] = Seq(
+    // (phrase, category) — phrases drawn from the corpus vocabulary;
+    // one phrase maps to one category (blocklist semantics)
+    "slow" -> "perf", "fast" -> "perf", "slow scan" -> "perf",
+    "hash join" -> "exec", "merge join" -> "exec", "sort" -> "exec",
+    "row group" -> "storage", "column" -> "storage", "vector" -> "storage")
+
+  def qKeywordTag(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dict = TagDict.toDF("phrase", "category")
+    val docs = TextOps.docsWide(spark, sfDir)
+    // bigram stream built row-locally with zip_with (NOT word_shingles,
+    // which dedupes — occurrence counts need every position); the
+    // trailing zip slot pairs the last token with null and concat
+    // nulls it out, so it can never match a dictionary phrase
+    val toks = split($"text", " ")
+    val grams = docs.select($"doc_id", explode(toks).as("phrase"))
+      .unionByName(docs.select($"doc_id",
+        explode(zip_with(toks, slice(toks, lit(2), size(toks)),
+          (x, y) => concat(x, lit(" "), y))).as("phrase")))
+    grams.join(broadcast(dict), Seq("phrase"))
+      .groupBy($"doc_id", $"category")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct($"phrase").as("n_phrases"))
+  }
+
+  val qKeywordTagSql: String = {
+    val dictRows = TagDict.map { case (p, c) => s"('$p', '$c')" }.mkString(", ")
+    s"""WITH dict(phrase, category) AS (VALUES $dictRows),
+       |uni AS (SELECT doc_id, unnest(string_split(text, ' ')) AS phrase
+       |        FROM documents),
+       |big AS (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(string_split(text, ' '))),
+       |                 i -> string_split(text, ' ')[i] || ' ' ||
+       |                      string_split(text, ' ')[i+1])) AS phrase
+       |        FROM documents),
+       |grams AS (SELECT * FROM uni UNION ALL SELECT * FROM big)
+       |SELECT doc_id, category, count(*) AS n_hits,
+       |       count(DISTINCT phrase) AS n_phrases
+       |FROM grams JOIN dict USING (phrase)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // SNAPSHOT DIFF — crawl-over-crawl change accounting: given two
+  // corpus snapshots, classify every document as added / removed /
+  // changed / unchanged and roll the counts up per source. This is the
+  // report that prices an incremental ingest (how much of the new
+  // crawl is actually new?) and audits a versioned corpus between
+  // training runs. The comparison NEVER ships text: both sides reduce
+  // to (doc_id, source, md5-fingerprint) before the one doc_id-keyed
+  // full-outer join — full outer because both "only in A" and "only
+  // in B" rows must survive (broadcast is precluded by definition;
+  // the join is equi-keyed on the id, so it shuffles fingerprints,
+  // not documents). The second snapshot here is DERIVED from the
+  // first by deterministic rules (drop id%13, revise id%7, add a
+  // +1e6-keyed copy of id%11) so the oracle can rebuild it
+  // relationally; production reads two warehouse as-of snapshots
+  // through the same diff.
+  private val SnapAddBase = 1000000L
+
+  def qSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = TextOps.docsWide(spark, sfDir)
+    val a = docs.select($"doc_id", $"source".as("src_a"), md5($"text").as("fp_a"))
+    val survivors = docs.filter($"doc_id" % 13 =!= 0)
+      .select($"doc_id", $"source",
+        when($"doc_id" % 7 === 0, md5(concat($"text", lit(" rev2"))))
+          .otherwise(md5($"text")).as("fp"))
+    val added = docs.filter($"doc_id" % 11 === 0)
+      .select(($"doc_id" + SnapAddBase).as("doc_id"), $"source", md5($"text").as("fp"))
+    val b = survivors.unionByName(added)
+      .select($"doc_id", $"source".as("src_b"), $"fp".as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce($"src_a", $"src_b").as("source"),
+        when($"fp_b".isNull, "removed")
+          .when($"fp_a".isNull, "added")
+          .when($"fp_a" =!= $"fp_b", "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy($"source", $"status")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val qSnapshotDiffSql: String =
+    s"""WITH a AS (SELECT doc_id, source AS src_a, md5(text) AS fp_a
+       |           FROM documents),
+       |b AS (SELECT doc_id, source AS src_b,
+       |             CASE WHEN doc_id % 7 = 0 THEN md5(text || ' rev2')
+       |                  ELSE md5(text) END AS fp_b
+       |      FROM documents WHERE doc_id % 13 != 0
+       |      UNION ALL
+       |      SELECT doc_id + $SnapAddBase, source, md5(text)
+       |      FROM documents WHERE doc_id % 11 = 0)
+       |SELECT coalesce(src_a, src_b) AS source,
+       |       CASE WHEN fp_b IS NULL THEN 'removed'
+       |            WHEN fp_a IS NULL THEN 'added'
+       |            WHEN fp_a != fp_b THEN 'changed'
+       |            ELSE 'unchanged' END AS status,
+       |       count(*) AS n_docs
+       |FROM a FULL OUTER JOIN b USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // MARGIN-BASED NEIGHBOR MINING — the Artetxe & Schwenk '19 margin
+  // rule (CCMatrix/LASER bitext mining, also the contrastive-pair
+  // selection rule): a candidate pair (x, y) is scored not by raw
+  // cosine but by cosine RELATIVE to each side's local neighborhood
+  // density, margin(x,y) = cos(x,y) / ((Σ_{z∈NNk(x)} cos(x,z) +
+  // Σ_{z∈NNk(y)} cos(y,z)) / 2k) — hubs with uniformly high cosine to
+  // everything stop winning every pairing. Sides here are the even /
+  // odd vec_id halves (the two-language shape); probes are a bounded
+  // even-id set. Plan: candidate generation is the broadcast-probe
+  // scan (swap in the IVF/LSH generators at scale — the margin rule
+  // composes with any of them, like q_hard_negatives' label
+  // predicate); y-side neighborhood sums are computed ONLY for the
+  // ≤ probes×S shortlisted partners (each against side A — the
+  // per-vector NN-density is a maintainable standing statistic at
+  // 100 TB); all top-k selection runs through the bounded native
+  // operator. Arithmetic: cosines are 9-dp DECIMAL(12,9), the
+  // neighborhood sums exact decimal, and the margin is ONE
+  // correctly-rounded double division of exactly-representable
+  // operands — engine-identical, so ranking by it is hash-stable.
+  private val MarginProbeMax = 40L // even ids below this probe (≤ 20 probes)
+  private val MarginK = 4 // NN-mean depth
+  private val MarginShort = 8 // shortlist re-scored with the margin
+
+  private def dvec(c: Column): Column = c.cast("array<double>")
+
+  private def cos9(a: Column, b: Column): Column =
+    round(graft.functions.functions.cosine_sim(a, b), 9).cast("decimal(12,9)")
+
+  def qMarginMining(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", dvec($"embedding").as("v"))
+    val sideA = e.filter($"vec_id" % 2 === 0)
+    val sideB = e.filter($"vec_id" % 2 === 1)
+    val probes = sideA.filter($"vec_id" < MarginProbeMax)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    // candidate scan: probe set broadcast against side B (a broadcast
+    // nested-loop by intent, like q_ann_brute — swap in the banded /
+    // inverted-list generators at scale)
+    val cab = sideB.crossJoin(broadcast(probes))
+      .select($"query_id", $"vec_id".as("nid"), cos9($"qv", $"v").as("c"))
+    val short = graft.plans.TopKPerGroup.topKPerGroup(cab,
+      Seq($"query_id"), Seq($"c".desc, $"nid".asc), MarginShort)
+      .localCheckpoint(eager = false) // referenced three times below
+    val sx = graft.plans.TopKPerGroup.topKPerGroup(short,
+        Seq($"query_id"), Seq($"c".desc, $"nid".asc), MarginK)
+      .groupBy($"query_id").agg(sum($"c").as("sx"))
+    // y-side density: only shortlisted partners, each vs ALL of side A
+    val ys = sideB.join(short.select($"nid").distinct().hint("broadcast"),
+      $"vec_id" === $"nid").select($"nid", $"v".as("yv"))
+    val cba = sideA.crossJoin(broadcast(ys))
+      .select($"nid", $"vec_id".as("aid"), cos9($"yv", $"v").as("cb"))
+    val sy = graft.plans.TopKPerGroup.topKPerGroup(cba,
+        Seq($"nid"), Seq($"cb".desc, $"aid".asc), MarginK)
+      .groupBy($"nid").agg(sum($"cb").as("sy"))
+    val margins = short
+      .join(sx, Seq("query_id")).join(sy, Seq("nid"))
+      .select($"query_id", $"nid",
+        (($"c".cast("double") * lit(2.0 * MarginK)) /
+          ($"sx" + $"sy").cast("double")).as("margin"))
+    val w = Window.partitionBy($"query_id").orderBy($"margin".desc, $"nid")
+    graft.plans.TopKPerGroup.topKPerGroup(margins,
+        Seq($"query_id"), Seq($"margin".desc, $"nid".asc), 3)
+      .withColumn("rank", row_number().over(w))
+      .select($"query_id", $"rank", $"nid".as("partner_id"), $"margin")
+  }
+
+  val qMarginMiningSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pr AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |       WHERE vec_id % 2 = 0 AND vec_id < $MarginProbeMax),
+       |cab AS (SELECT query_id, b.vec_id AS nid,
+       |          CAST(round(list_cosine_similarity(qv, b.v), 9)
+       |               AS DECIMAL(12,9)) AS c
+       |        FROM pr CROSS JOIN (SELECT * FROM e WHERE vec_id % 2 = 1) b),
+       |rk AS (SELECT query_id, nid, c,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY c DESC, nid) AS rk
+       |       FROM cab),
+       |short AS (SELECT query_id, nid, c FROM rk WHERE rk <= $MarginShort),
+       |sx AS (SELECT query_id, sum(c) AS sx FROM rk WHERE rk <= $MarginK
+       |       GROUP BY 1),
+       |ys AS (SELECT DISTINCT nid FROM short),
+       |cba AS (SELECT y.nid, a.vec_id AS aid,
+       |          CAST(round(list_cosine_similarity(y.v, a.v), 9)
+       |               AS DECIMAL(12,9)) AS cb
+       |        FROM (SELECT e.vec_id AS nid, e.v FROM e JOIN ys
+       |              ON e.vec_id = ys.nid) y
+       |        CROSS JOIN (SELECT * FROM e WHERE vec_id % 2 = 0) a),
+       |rkb AS (SELECT nid, cb,
+       |          row_number() OVER (PARTITION BY nid
+       |                             ORDER BY cb DESC, aid) AS rk
+       |        FROM cba),
+       |sy AS (SELECT nid, sum(cb) AS sy FROM rkb WHERE rk <= $MarginK
+       |       GROUP BY 1),
+       |m AS (SELECT query_id, nid,
+       |        (CAST(c AS DOUBLE) * ${2.0 * MarginK}) /
+       |          CAST(sx + sy AS DOUBLE) AS margin
+       |      FROM short JOIN sx USING (query_id) JOIN sy USING (nid))
+       |SELECT query_id, CAST(rk AS INTEGER) AS rank, nid AS partner_id, margin
+       |FROM (SELECT query_id, nid, margin,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY margin DESC, nid) AS rk
+       |      FROM m)
+       |WHERE rk <= 3""".stripMargin
+
+  // --------------------------------------------------------------------
+  // CLUSTER TOPIC KEYWORDS — the BERTopic-style c-TF-IDF readout: for
+  // every embedding cell (the SAME staged deterministic-subset IVF
+  // assignment SemDeDup and the quantized-ANN family share), the
+  // terms most over-represented in that cell's documents relative to
+  // the whole corpus. This is how a pipeline answers "what IS in
+  // cluster 7" before deciding to up/down-weight it. Score = lift =
+  // (tf_cell / tot_cell) / (cf / tot) — computed as the exact integer
+  // products tf_cell·tot and cf·tot_cell with ONE final double
+  // division (ln-free: ln is monotone in the ratio, so ranking is
+  // unchanged — the q_tfidf rule). cf/tot come from the STANDING
+  // term-stats sidecar (the BM25/unigram-LM vocabulary table — the
+  // fourth consumer of that one standing index); the cell-term
+  // aggregation is vocabulary×cells-keyed, the corpus never shuffles
+  // on raw text. Top-5 terms per cell through the bounded top-k
+  // operator — no per-cell sort. At corpus scale the integer products
+  // outgrow a long: swap both sides to DECIMAL products, same plan.
+  private val TopicsPerCell = 5
+
+  def qClusterTopics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Similarity.corpusCells(spark, sfDir)
+      .select($"vec_id".as("doc_id"), $"cell")
+    val toks = TextOps.docsWide(spark, sfDir)
+      .join(cells, Seq("doc_id"))
+      .select($"cell", explode(split($"text", " ")).as("term"))
+    val tfCell = toks.groupBy($"cell", $"term").agg(count(lit(1)).as("tf"))
+    val cellTot = tfCell.groupBy($"cell").agg(sum($"tf").as("tot_cell"))
+    val stats = Retrieval.termStats(spark, sfDir).select($"term", $"cf")
+    val tot = stats.agg(sum($"cf").as("tot"))
+    val scored = tfCell
+      .join(cellTot, Seq("cell"))
+      .join(broadcast(stats), Seq("term"))
+      .crossJoin(broadcast(tot))
+      .select($"cell", $"term", $"tf",
+        (($"tf" * $"tot").cast("double") /
+          ($"cf" * $"tot_cell").cast("double")).as("lift"))
+    val w = Window.partitionBy($"cell").orderBy($"lift".desc, $"term")
+    graft.plans.TopKPerGroup.topKPerGroup(scored,
+        Seq($"cell"), Seq($"lift".desc, $"term".asc), TopicsPerCell)
+      .withColumn("rank", row_number().over(w))
+      .select($"cell", $"rank", $"term", $"tf", $"lift")
+  }
+
+  val qClusterTopicsSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+       |         WHERE vec_id % ${Similarity.CentroidMod} = 0),
+       |r AS (SELECT e.vec_id, c.cid,
+       |             row_number() OVER (
+       |               PARTITION BY e.vec_id
+       |               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+       |      FROM e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id AS doc_id, cid AS cell FROM r WHERE rk = 1),
+       |toks AS (SELECT cell, unnest(string_split(text, ' ')) AS term
+       |         FROM documents JOIN cells USING (doc_id)),
+       |tfc AS (SELECT cell, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |ct AS (SELECT cell, sum(tf) AS tot_cell FROM tfc GROUP BY 1),
+       |alltoks AS (SELECT unnest(string_split(text, ' ')) AS term
+       |            FROM documents),
+       |cf AS (SELECT term, count(*) AS cf FROM alltoks GROUP BY 1),
+       |tot AS (SELECT count(*) AS tot FROM alltoks),
+       |sc AS (SELECT cell, term, tf,
+       |         CAST(tf * tot AS DOUBLE) /
+       |           CAST(cf * tot_cell AS DOUBLE) AS lift
+       |       FROM tfc JOIN ct USING (cell) JOIN cf USING (term)
+       |       CROSS JOIN tot)
+       |SELECT cell, CAST(rk AS INTEGER) AS rank, term, tf, lift
+       |FROM (SELECT cell, term, tf, lift,
+       |             row_number() OVER (PARTITION BY cell
+       |                                ORDER BY lift DESC, term) AS rk
+       |      FROM sc)
+       |WHERE rk <= $TopicsPerCell""".stripMargin
+
+  // --------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_keyword_tag" -> (qKeywordTag _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_margin_mining" -> (qMarginMining _),
+    "q_cluster_topics" -> (qClusterTopics _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_keyword_tag" -> qKeywordTagSql,
+    "q_snapshot_diff" -> qSnapshotDiffSql,
+    "q_margin_mining" -> qMarginMiningSql,
+    "q_cluster_topics" -> qClusterTopicsSql)
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Semantics for the corpus-governance module (Corpus.scala). The
+  * driver gate hash-checks each query against DuckDB; these pin what
+  * that compare can't see — equality with independent driver-side
+  * reimplementations (the margin rule, the tag counts, the diff
+  * classification, the lift ranking) and the plan shapes that carry
+  * to 100 TB (broadcast dictionary, broadcast probe NL, bounded
+  * top-k). */
+class CorpusOpsSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docRows: Array[(Long, String, String)] = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+  }
+
+  test("keyword tag counts equal a driver-side phrase scan") {
+    import spark.implicits._
+    val dict = Corpus.TagDict.toMap // phrase -> category
+    val expected = scala.collection.mutable.Map
+      .empty[(Long, String), (Long, Set[String])]
+    for ((id, _, text) <- docRows) {
+      val toks = text.split(' ')
+      val grams = toks.iterator ++
+        toks.iterator.zip(toks.iterator.drop(1)).map { case (a, b) => s"$a $b" }
+      for (g <- grams; cat <- dict.get(g)) {
+        val (n, ps) = expected.getOrElse((id, cat), (0L, Set.empty[String]))
+        expected((id, cat)) = (n + 1, ps + g)
+      }
+    }
+    val got = Corpus.qKeywordTag(spark, sfDir)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.keySet == expected.keySet.toSet)
+    for ((k, (n, ps)) <- expected)
+      assert(got(k) == ((n, ps.size.toLong)), s"mismatch at $k")
+    // the dictionary side must broadcast: matching is map-side, the only
+    // shuffle is the doc-keyed aggregation of sparse match rows
+    val plan = Corpus.qKeywordTag(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("snapshot diff classifies by the derivation rules") {
+    import spark.implicits._
+    val rows = docRows
+    val expected = scala.collection.mutable.Map.empty[(String, String), Long]
+    def bump(src: String, st: String): Unit =
+      expected((src, st)) = expected.getOrElse((src, st), 0L) + 1
+    for ((id, src, _) <- rows) {
+      if (id % 13 == 0) bump(src, "removed")
+      else if (id % 7 == 0) bump(src, "changed")
+      else bump(src, "unchanged")
+      if (id % 11 == 0) bump(src, "added") // +1e6-keyed copy, new in B
+    }
+    val got = Corpus.qSnapshotDiff(spark, sfDir)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == expected.toMap)
+  }
+
+  test("margin mining equals a driver-side reimplementation of the rule") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def c9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val aIds = emb.keys.filter(_ % 2 == 0).toSeq.sorted
+    val bIds = emb.keys.filter(_ % 2 == 1).toSeq.sorted
+    val probes = aIds.filter(_ < 40)
+    def topBy(scored: Seq[(Long, BigDecimal)], k: Int) =
+      scored.sortBy { case (id, c) => (-c, id) }.take(k)
+    val expected = probes.flatMap { q =>
+      val scored = bIds.map(y => y -> c9(cos(emb(q), emb(y))))
+      val short = topBy(scored, 8)
+      val sx = topBy(scored, 4).map(_._2).sum
+      val withMargin = short.map { case (y, c) =>
+        val syScored = aIds.map(a => a -> c9(cos(emb(y), emb(a))))
+        val sy = topBy(syScored, 4).map(_._2).sum
+        y -> (c.toDouble * 8.0) / (sx + sy).toDouble
+      }
+      withMargin.sortBy { case (y, m) => (-m, y) }.take(3).zipWithIndex
+        .map { case ((y, m), i) => (q, i + 1, y, m) }
+    }.toSet
+    val got = Corpus.qMarginMining(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == expected)
+    // every top-k selection runs through the bounded operator (the
+    // candidate scan's broadcast NL sits behind the shortlist's lazy
+    // checkpoint, so it prints as ExistingRDD here — the crossJoin(
+    // broadcast(probes)) construction pins its shape structurally)
+    val plan = Corpus.qMarginMining(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupFinal"), plan)
+  }
+
+  test("cluster topic lift equals a recompute from the staged cells") {
+    import spark.implicits._
+    val cells = Similarity.corpusCells(spark, sfDir)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    val docs = docRows
+    val tf = scala.collection.mutable.Map.empty[(Long, String), Long]
+    val cellTot = scala.collection.mutable.Map.empty[Long, Long]
+    val cf = scala.collection.mutable.Map.empty[String, Long]
+    var tot = 0L
+    for ((id, _, text) <- docs; t <- text.split(' ')) {
+      cf(t) = cf.getOrElse(t, 0L) + 1; tot += 1
+      cells.get(id).foreach { c =>
+        tf((c, t)) = tf.getOrElse((c, t), 0L) + 1
+        cellTot(c) = cellTot.getOrElse(c, 0L) + 1
+      }
+    }
+    val expected = tf.keys.groupBy(_._1).flatMap { case (c, keys) =>
+      val scored = keys.toSeq.map { case (_, t) =>
+        (t, tf((c, t)),
+          (tf((c, t)) * tot).toDouble / (cf(t) * cellTot(c)).toDouble)
+      }
+      scored.sortBy { case (t, _, l) => (-l, t) }.take(5).zipWithIndex
+        .map { case ((t, n, l), i) => (c, i + 1, t, n, l) }
+    }.toSet
+    val got = Corpus.qClusterTopics(spark, sfDir)
+      .as[(Long, Int, String, Long, Double)].collect().toSet
+    assert(got == expected)
+  }
+}
