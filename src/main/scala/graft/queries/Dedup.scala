@@ -1181,7 +1181,93 @@ object Dedup {
   }
 
   // --------------------------------------------------------------------
+  // SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo, SIGMOD '95) — the
+  // third candidate-generation family next to the inverted index
+  // (qNgramJaccard/PPJoin) and the sketch bands (LSH/SimHash): sort the
+  // corpus by a discriminating key and compare only rows within a
+  // sliding window of w positions. Where token-postings blocking pays
+  // Σ df² on hot tokens, SN pays exactly n·w comparisons whatever the
+  // token distribution — the blocker of choice for key-skewed corpora
+  // (and the classic record-linkage merge/purge pass). Recall is
+  // key-dependent BY DESIGN (near-dups must sort near each other; here
+  // the key is the raw text, so shared prefixes cluster); survivors
+  // verify with the same exact hashed-set jaccard as the rest of the
+  // family, so reported pairs are never false.
+  //
+  // 100 TB shape: the global position comes from the two-pass bucketed
+  // index (per-bucket offsets + keyed in-bucket window — q_global_index's
+  // pattern; NO corpus-wide single-task sort), the window join is an
+  // equi-join on ⌊idx/w⌋ blocks (each row probes its own and the next
+  // block — bounded fan-out 2), and the verify joins read the staged
+  // sorted-hash arrays. Everything shuffles on integers.
+  private val SnWindow = 8L
+  private val SnNum = 3 // jaccard threshold 3/5, cross-multiplied exact
+  private val SnDen = 5
+
+  def qSortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = TextOps.docsWide(spark, sfDir).select($"doc_id", $"text")
+    // two-pass global index over the (text, doc_id) order: bucket by a
+    // fixed-length key prefix (prefix ordering == text ordering), tiny
+    // post-aggregate offsets frame, keyed in-bucket window
+    val bucketed = docs.select($"doc_id", $"text",
+      substring($"text", 1, 4).as("bkt"))
+    val Window = org.apache.spark.sql.expressions.Window
+    val bw = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy($"bkt").agg(count(lit(1)).as("n"))
+      .select($"bkt", coalesce(sum($"n").over(bw), lit(0L)).as("off"))
+    val inBkt = Window.partitionBy($"bkt").orderBy($"text", $"doc_id")
+    val idx = bucketed.join(broadcast(offs), Seq("bkt"))
+      .select($"doc_id", ($"off" + row_number().over(inBkt)).as("idx"))
+    // sliding window as a block equi-join: row i probes blocks
+    // ⌊(i−1)/w⌋ and ⌊(i−1)/w⌋+1; the gap filter keeps |j−i| ≤ w
+    val a = idx.select($"doc_id".as("doc_a"), $"idx".as("ia"),
+        explode(array((($"idx" - 1) / SnWindow).cast("long"),
+          (($"idx" - 1) / SnWindow).cast("long") + 1)).as("blk"))
+    val b = idx.select($"doc_id".as("doc_b"), $"idx".as("ib"),
+      (($"idx" - 1) / SnWindow).cast("long").as("blk"))
+    val cand = a.join(b, Seq("blk"))
+      .filter($"ib" > $"ia" && $"ib" - $"ia" <= SnWindow)
+      .select($"doc_a", $"doc_b", ($"ib" - $"ia").as("gap"))
+    val hs = shingledHashed(spark, sfDir)
+    cand
+      .join(hs.select($"doc_id".as("doc_a"), $"hs".as("ha"), size($"hs").as("na")),
+        Seq("doc_a"))
+      .join(hs.select($"doc_id".as("doc_b"), $"hs".as("hb"), size($"hs").as("nb")),
+        Seq("doc_b"))
+      .select($"doc_a", $"doc_b", $"gap",
+        size(array_intersect($"ha", $"hb")).cast("long").as("c"),
+        $"na", $"nb")
+      .filter($"c" * SnDen >= ($"na" + $"nb" - $"c") * SnNum)
+      .select($"doc_a", $"doc_b", $"gap", $"c",
+        ($"c".cast("double") / ($"na" + $"nb" - $"c")).as("jac"))
+  }
+
+  val qSortedNeighborhoodSql: String =
+    s"""WITH $ShingleSqlCte,
+       |idx AS (SELECT doc_id,
+       |          row_number() OVER (ORDER BY text, doc_id) AS idx
+       |        FROM documents),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                b.idx - a.idx AS gap
+       |         FROM idx a JOIN idx b
+       |           ON b.idx > a.idx AND b.idx - a.idx <= $SnWindow),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, c.gap, count(*) AS c
+       |          FROM cand c
+       |          JOIN sh a ON a.doc_id = c.doc_a
+       |          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |          GROUP BY 1, 2, 3)
+       |SELECT doc_a, doc_b, gap, i.c,
+       |       CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c) AS jac
+       |FROM inter i
+       |JOIN cnt ca ON ca.doc_id = i.doc_a
+       |JOIN cnt cb ON cb.doc_id = i.doc_b
+       |WHERE i.c * $SnDen >= (ca.n + cb.n - i.c) * $SnNum""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sorted_neighborhood" -> (qSortedNeighborhood _),
     "q_gram_coverage" -> (qGramCoverage _),
     "q_source_novelty" -> (qSourceNovelty _),
     "q_source_overlap" -> (qSourceOverlap _),
@@ -1204,6 +1290,7 @@ object Dedup {
     "q_simhash_pairs" -> (qSimhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_sorted_neighborhood" -> qSortedNeighborhoodSql,
     "q_gram_coverage" -> qGramCoverageSql,
     "q_source_novelty" -> qSourceNoveltySql,
     "q_source_overlap" -> qSourceOverlapSql,

@@ -356,7 +356,58 @@ object Scale {
       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------
+  // DYNAMIC partition pruning — the runtime complement of
+  // q_source_pruned's plan-time pruning: when the set of partitions to
+  // read is only known after ANOTHER query runs (here: "sources whose
+  // total volume is above corpus average", an aggregate nobody can
+  // fold at plan time), Spark injects the dim side's join keys into
+  // the partitioned fact scan as a runtime filter
+  // (DynamicPruningExpression reusing the broadcast), so the fact
+  // still reads only qualifying source=<s>/ directories. At 100 TB
+  // this is THE mechanism that makes dim-driven fact queries feasible
+  // on partitioned corpora — without it every runtime-selected sweep
+  // degrades to a full scan. The scan's dynamicpruning filter is
+  // pinned in CorpusOpsSpec; the oracle runs the same semantics
+  // against the FLAT file, so hash-green also proves the pruned read
+  // is value-exact. The above-average rule is a cross-multiplied
+  // integer compare (s·n_sources > tot), engine-exact.
+  def qDppScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val flat = Tables.documents(spark, sfDir)
+    // the corpus total comes from a window over the POST-aggregate
+    // source frame (≤ sources rows), not a cross join with a 1-row
+    // total: a condition-less Join anywhere in the dim subtree stops
+    // PartitionPruning from planting the runtime filter (measured —
+    // the crossJoin form reads every partition), while the window form
+    // keeps the dim side a Filter-over-Window-over-Aggregate chain the
+    // rule accepts
+    val w = Window.partitionBy()
+    val dim = flat.groupBy($"source").agg(sum($"n_chars").as("s"))
+      .select($"source", $"s", sum($"s").over(w).as("tot"),
+        count(lit(1)).over(w).as("n_src"))
+      .filter($"s" * $"n_src" > $"tot")
+      .select($"source")
+    val fact = graft.sources.PartitionedCorpus.documentsPartitioned(spark, sfDir)
+    fact.join(broadcast(dim), Seq("source"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+  }
+
+  val qDppScanSql: String =
+    """WITH tot AS (SELECT sum(n_chars) AS tot,
+      |                    count(DISTINCT source) AS n_src
+      |             FROM documents),
+      |dim AS (SELECT source FROM (
+      |          SELECT source, sum(n_chars) AS s FROM documents GROUP BY 1)
+      |        CROSS JOIN tot WHERE s * n_src > tot)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents JOIN dim USING (source)
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dpp_scan" -> (qDppScan _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_zorder_scan" -> (qZorderScan _),
     "q_clustered_scan" -> (qClusteredScan _),
@@ -368,6 +419,7 @@ object Scale {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_dpp_scan" -> qDppScanSql,
     "q_orc_roundtrip" -> qOrcRoundtripSql,
     "q_zorder_scan" -> qZorderScanSql,
     "q_clustered_scan" -> qClusteredScanSql,

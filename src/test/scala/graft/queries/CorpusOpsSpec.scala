@@ -106,6 +106,34 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(plan.contains("TopKPerGroupFinal"), plan)
   }
 
+  test("sorted neighborhood equals a driver-side window scan and reports only true pairs") {
+    import spark.implicits._
+    val rows = docRows.map { case (id, _, text) => (id, text) }
+    val byIdx = rows.sortBy { case (id, t) => (t, id) }.zipWithIndex
+    def shingles(t: String): Set[String] =
+      t.split(' ').sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sh = rows.map { case (id, t) => id -> shingles(t) }.toMap
+    val expected = (for {
+      ((ida, _), ia) <- byIdx.iterator
+      ((idb, _), ib) <- byIdx.iterator
+      if ib > ia && ib - ia <= 8
+      sa = sh(ida); sb = sh(idb)
+      if sa.nonEmpty && sb.nonEmpty
+      c = (sa & sb).size.toLong
+      if c * 5 >= (sa.size + sb.size - c) * 3
+    } yield (ida, idb, (ib - ia).toLong, c)).toSet
+    val got = Dedup.qSortedNeighborhood(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"gap", $"c")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // every reported pair is a true >= 0.6 jaccard pair (the verify is
+    // exact — SN's approximation is recall, never precision)
+    assert(got.forall { case (a, b, _, c) =>
+      val (sa, sb) = (sh(a), sh(b))
+      c == (sa & sb).size && c * 5 >= (sa.size + sb.size - c) * 3
+    })
+  }
+
   test("cluster topic lift equals a recompute from the staged cells") {
     import spark.implicits._
     val cells = Similarity.corpusCells(spark, sfDir)

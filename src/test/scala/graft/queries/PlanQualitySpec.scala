@@ -572,4 +572,38 @@ class PlanQualitySpec extends SparkTestBase {
     assert(wi >= 0 && ai >= 0, p)
     assert(p.lastIndexOf("HashAggregate") > wi, p)
   }
+
+  test("dpp scan prunes partitions at RUNTIME from the dim-side aggregate") {
+    val p = plan(Scale.qDppScan(spark, sfDir))
+    // the above-average source set is only known after the dim aggregate
+    // runs, so the partitioned fact scan must carry a dynamic pruning
+    // filter on the partition column (reusing the broadcast), not read
+    // all directories and discard rows post-join
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sorted-neighborhood index is two-pass bucketed — no global single-task sort") {
+    val df = Dedup.qSortedNeighborhood(spark, sfDir)
+    val p = plan(df)
+    // the in-bucket window must be keyed (hashpartitioning on the bucket
+    // prefix); the only single-partition window input allowed is the
+    // tiny post-aggregate bucket-offsets frame
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    val keyed = windows.count(_.partitionSpec.nonEmpty)
+    assert(keyed >= 1, p)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val hasAggBelow = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined
+      assert(hasAggBelow, df.queryExecution.optimizedPlan.toString)
+    }
+    // candidate generation is the block equi-join, never a cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
