@@ -34,7 +34,7 @@ object Corpus {
   // n-gram fan-out, same output contract. Occurrence counting is
   // overlapping (every token position starts a candidate n-gram) —
   // the convention dictionary taggers use.
-  private[queries] val TagDict: Seq[(String, String)] = Seq(
+  private[graft] val TagDict: Seq[(String, String)] = Seq(
     // (phrase, category) — phrases drawn from the corpus vocabulary;
     // one phrase maps to one category (blocklist semantics)
     "slow" -> "perf", "fast" -> "perf", "slow scan" -> "perf",
@@ -318,15 +318,67 @@ object Corpus {
        |WHERE rk <= $TopicsPerCell""".stripMargin
 
   // --------------------------------------------------------------------
+  // TOKEN-DISTRIBUTION ENTROPY — the second corpus-health statistic
+  // next to q_zipf_slope: Shannon entropy of each source's unigram
+  // distribution, H = −Σ p·ln p. Templated/boilerplate/spammy sources
+  // and model-generated loops collapse toward low entropy long before
+  // a human reads them; healthy natural-language sources sit near the
+  // corpus norm — the cheap tripwire read before mixture weights are
+  // set. Plan: one (source, term) hash aggregation over the token
+  // fan-out (vocabulary×sources-keyed, the same shuffle class as the
+  // standing postings build), a per-source total joined back, and an
+  // exact decimal sum of per-term contributions. Arithmetic follows
+  // the BM25 rule: p = cf/tot is one correctly-rounded double
+  // division of exact longs, each −p·ln p term is rounded to 9 dp
+  // into DECIMAL(12,9) (identical in both engines: identical p, both
+  // engines' ln within an ulp then rounded where ulps can't reach),
+  // the sum is exact decimal — order-independent — and only the final
+  // column widens to DOUBLE.
+  def qTokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextOps.docsWide(spark, sfDir)
+      .select($"source", explode(split($"text", " ")).as("term"))
+    val cf = toks.groupBy($"source", $"term").agg(count(lit(1)).as("cf"))
+    val tot = cf.groupBy($"source")
+      .agg(sum($"cf").as("tot"), count(lit(1)).as("n_types"))
+    cf.join(broadcast(tot), Seq("source"))
+      .select($"source", $"tot", $"n_types",
+        round(-($"cf".cast("double") / $"tot") *
+            log($"cf".cast("double") / $"tot"), 9)
+          .cast("decimal(12,9)").as("h"))
+      .groupBy($"source")
+      .agg(max($"tot").as("n_tokens"), max($"n_types").as("n_types"),
+        sum($"h").cast("double").as("entropy"))
+  }
+
+  val qTokenEntropySql: String =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+      |              FROM documents),
+      |cf AS (SELECT source, term, count(*) AS cf FROM toks GROUP BY 1, 2),
+      |tot AS (SELECT source, sum(cf) AS tot, count(*) AS n_types
+      |        FROM cf GROUP BY 1),
+      |h AS (SELECT cf.source,
+      |        CAST(round(-(CAST(cf AS DOUBLE) / tot) *
+      |                   ln(CAST(cf AS DOUBLE) / tot), 9)
+      |             AS DECIMAL(12,9)) AS h
+      |      FROM cf JOIN tot USING (source))
+      |SELECT tot.source, CAST(tot.tot AS BIGINT) AS n_tokens,
+      |       tot.n_types, CAST(sum(h.h) AS DOUBLE) AS entropy
+      |FROM h JOIN tot ON h.source = tot.source
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_keyword_tag" -> (qKeywordTag _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_margin_mining" -> (qMarginMining _),
-    "q_cluster_topics" -> (qClusterTopics _))
+    "q_cluster_topics" -> (qClusterTopics _),
+    "q_token_entropy" -> (qTokenEntropy _))
 
   val oracleSql: Map[String, String] = Map(
     "q_keyword_tag" -> qKeywordTagSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_margin_mining" -> qMarginMiningSql,
-    "q_cluster_topics" -> qClusterTopicsSql)
+    "q_cluster_topics" -> qClusterTopicsSql,
+    "q_token_entropy" -> qTokenEntropySql)
 }

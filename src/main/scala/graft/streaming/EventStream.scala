@@ -676,6 +676,35 @@ object EventStream {
     }.toDF("doc_id", "ts", "rule", "value")
   }
 
+  /** Streaming face of the broadcast-dictionary tagger
+    * (queries.Corpus qKeywordTag): each arriving document is scanned
+    * against the SAME phrase dictionary with the SAME overlapping
+    * 1–2-gram occurrence counting, emitting one row per hit category —
+    * so an arrival's tag rows equal the batch query's rows for that
+    * document bit-for-bit (asserted in EventStreamSpec). This is the
+    * blocklist-at-the-door deployment of dictionary tagging: content
+    * matching a blocked taxonomy is visible BEFORE ingestion commits
+    * it. Pure stateless flatMap; the dictionary (kilobytes, even at
+    * lexicon scale megabytes) rides the closure like every committed
+    * model. */
+  def keywordTagHits(docs: Dataset[DocArrival],
+      dict: Map[String, String]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      val toks = d.text.split(' ')
+      val grams = toks.iterator ++
+        toks.iterator.zip(toks.iterator.drop(1)).map { case (a, b) => s"$a $b" }
+      val agg = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Long, Set[String])]
+      for (g <- grams; cat <- dict.get(g)) {
+        val (n, ps) = agg.getOrElse(cat, (0L, Set.empty[String]))
+        agg(cat) = (n + 1, ps + g)
+      }
+      agg.iterator.map { case (cat, (n, ps)) =>
+        (d.doc_id, d.ts, cat, n, ps.size.toLong) }.toSeq
+    }.toDF("doc_id", "ts", "category", "n_hits", "n_phrases")
+  }
+
   case class FunnelProgress(viewUs: Long, clickUs: Long, done: Boolean,
       lastUs: Long = 0L)
   case class FunnelOut(user_id: Long, stage: Int, convert_us: Long)

@@ -134,6 +134,29 @@ class CorpusOpsSpec extends SparkTestBase {
     })
   }
 
+  test("token entropy equals a driver recompute and respects the ln(V) bound") {
+    import spark.implicits._
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((_, src, text) <- docRows; t <- text.split(' '))
+      counts((src, t)) = counts.getOrElse((src, t), 0L) + 1
+    val expected = counts.keys.groupBy(_._1).map { case (src, keys) =>
+      val cfs = keys.toSeq.map(counts)
+      val tot = cfs.sum
+      val h = cfs.map { cf =>
+        val p = cf.toDouble / tot
+        BigDecimal(-p * math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      src -> ((tot, keys.size.toLong, h.toDouble))
+    }
+    val got = Corpus.qTokenEntropy(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+    // 0 < H <= ln(n_types) + rounding slack (uniform is the maximum)
+    assert(got.values.forall { case (_, v, h) =>
+      h > 0 && h <= math.log(v.toDouble) + 1e-6 })
+  }
+
   test("cluster topic lift equals a recompute from the staged cells") {
     import spark.implicits._
     val cells = Similarity.corpusCells(spark, sfDir)

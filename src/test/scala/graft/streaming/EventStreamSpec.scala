@@ -513,4 +513,41 @@ class EventStreamSpec extends SparkTestBase {
       s"stream ${streamed.size - 1} vs batch ${batch.size}")
     assert(batch.values.exists(!_._2), "no dropped docs — vacuous gate")
   }
+
+  test("streaming keyword-tag gate equals the batch dictionary tagger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q_keyword_tag")(spark, sfDir)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().map { case (id, t) =>
+        EventStream.DocArrival(id, ts("2024-01-01 10:00:00"), t)
+      }
+    // an arrival hitting a blocked bigram across a token boundary —
+    // the overlapping 2-gram counting must see it exactly once per
+    // occurrence, including back-to-back repeats
+    val planted = EventStream.DocArrival(777777L,
+      ts("2024-01-01 10:00:00"), "x slow scan slow scan y column")
+    val in = MemoryStream[EventStream.DocArrival]
+    in.addData((docs :+ planted).toIndexedSeq)
+    val q = EventStream.keywordTagHits(in.toDS(),
+        graft.queries.Corpus.TagDict.toMap)
+      .writeStream.format("memory").queryName("kwgate")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("kwgate")
+      .select($"doc_id", $"category", $"n_hits", $"n_phrases")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // planted: "slow"×2 + "slow scan"×2 = 4 perf hits over 2 distinct
+    // phrases; "column"×1 storage
+    assert(streamed((777777L, "perf")) == ((4L, 2L)))
+    assert(streamed((777777L, "storage")) == ((1L, 1L)))
+    val streamedCorpus = streamed.view.filterKeys(_._1 != 777777L).toMap
+    assert(streamedCorpus == batch,
+      s"stream ${streamedCorpus.size} vs batch ${batch.size}")
+  }
 }
