@@ -21,7 +21,8 @@ class SparkEntryContractSpec extends SparkTestBase {
     "TemporalJoins" -> TemporalJoins.queries,
     "Curation" -> Curation.queries,
     "Mixing" -> Mixing.queries,
-    "Retrieval" -> Retrieval.queries)
+    "Retrieval" -> Retrieval.queries,
+    "Corpus" -> Corpus.queries)
 
   test("no query is lost to a duplicate key across modules") {
     val all = parts.flatMap(_._2.keys)
