@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Relational, Normalize, Events, TextOps, Dedup, Similarity, Scale, MultimodalMeta, Analytics, TemporalJoins, Curation, Mixing, Retrieval, Corpus}
+import graft.queries.{Relational, Normalize, Events, TextOps, Dedup, Similarity, Scale, MultimodalMeta, Analytics, TemporalJoins, Curation, Mixing, Retrieval, Corpus, Passages}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -11,12 +11,14 @@ object SparkEntry {
     Relational.queries ++ Normalize.queries ++ Events.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++ Scale.queries ++
       MultimodalMeta.queries ++ Analytics.queries ++ TemporalJoins.queries ++
-      Curation.queries ++ Mixing.queries ++ Retrieval.queries ++ Corpus.queries
+      Curation.queries ++ Mixing.queries ++ Retrieval.queries ++ Corpus.queries ++
+      Passages.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Normalize.oracleSql ++ Events.oracleSql ++
       TextOps.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++ Scale.oracleSql ++
       MultimodalMeta.oracleSql ++ Analytics.oracleSql ++ TemporalJoins.oracleSql ++
-      Curation.oracleSql ++ Mixing.oracleSql ++ Retrieval.oracleSql ++ Corpus.oracleSql
+      Curation.oracleSql ++ Mixing.oracleSql ++ Retrieval.oracleSql ++ Corpus.oracleSql ++
+      Passages.oracleSql
 }

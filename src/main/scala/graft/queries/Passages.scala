@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Passage-granularity curation operators — the rungs BETWEEN document
+  * dedup (Dedup.qDedupExact/qDedupNear) and span surgery
+  * (Dedup.qSpanDedup): line-level deduplication (the CCNet/RefinedWeb
+  * preprocessing step — Wenzek et al. '19 dedup paragraphs by hash
+  * before anything else touches the crawl) and winnowing fingerprints
+  * (Schleimer, Wilkerson & Aiken, SIGMOD '03 — the MOSS local
+  * fingerprinting scheme that guarantees any sufficiently long shared
+  * passage is detected while storing a fraction of the gram index).
+  * No reference analog (ref/etl has no text layer).
+  *
+  * Scale design:
+  *  - Segmentation and fingerprint selection are ROW-LOCAL array
+  *    transforms — the corpus text never shuffles; only narrow
+  *    (hash, id) rows leave the scan, exactly the map-only shape a
+  *    100 TB pass needs.
+  *  - Line dedup's keeper choice is one hash aggregation keyed by the
+  *    segment fingerprint (md5 — the qDedupExact "group on the
+  *    fingerprint, not the text" rule) plus one aggregated-size join;
+  *    no window, no sort, no text in any shuffle.
+  *  - Winnowing's pair generation is the inverted-index equi-join on
+  *    the selected fingerprints, with the two standard sparsifiers
+  *    applied INSIDE the index: df ≥ 2 (a fingerprint seen once can
+  *    pair with nothing) and df ≤ 32 (MOSS's shared-boilerplate cut —
+  *    also the skew guard that bounds any bucket's fan-out; boilerplate
+  *    is line dedup's job, not the pair detector's).
+  *
+  * Oracle playbook as everywhere: exact integers end to end, at most
+  * one final correctly-rounded double division, lowercase-hex md5
+  * compared as strings in both engines.
+  */
+object Passages {
+
+  // --------------------------------------------------------------------
+  // LINE-LEVEL DEDUP — CCNet's first pass: hash every "line", keep ONE
+  // occurrence of each distinct line corpus-wide, and account for what
+  // the pass removes per source. The synthetic corpus has no newlines,
+  // so a "line" here is a non-overlapping 8-token segment (j-th segment
+  // = tokens [8j, 8j+8)); the operator is segmentation-agnostic — a
+  // production corpus swaps split-on-'\n' in for the block rule and
+  // nothing downstream changes. The keeper of a duplicated segment is
+  // the globally first occurrence: min over the exact integer
+  // occurrence key doc_id·2¹⁶ + j (j < 2¹⁶ — segment index is bounded
+  // by document length, asserted in PassagesSpec), so both engines
+  // pick the identical occurrence with no struct/tuple min portability
+  // concerns.
+  private val SegTokens = 8
+
+  /** Per-occurrence segment rows (doc_id, source, j, s) — row-local.
+    * Docs shorter than one full segment are filtered BEFORE the
+    * sequence bound goes negative (Spark's `sequence(0, -1)` counts
+    * DOWN rather than producing an empty array); the oracle's
+    * `range(len // 8)` is empty for the same rows. */
+  private def segments(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ws = split($"text", " ")
+    docs
+      .filter(size(ws) >= SegTokens)
+      .select($"doc_id", $"source",
+        posexplode(transform(
+          sequence(lit(0), floor(size(ws) / SegTokens).cast("int") - 1),
+          j => concat_ws(" ", slice(ws, j * SegTokens + lit(1), lit(SegTokens)))))
+          .as(Seq("j", "s")))
+  }
+
+  /** Line-dedup accounting over any (doc_id, source, text) frame — a
+    * plain DataFrame function so the spec can plant duplicate segments
+    * in a synthetic frame and check the keeper rule directly. */
+  private[queries] def lineDedupReport(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // (segment-fingerprint, source): occurrence count + first occurrence
+    // key within the source; segment TEXT is dropped before the shuffle
+    val perSrc = segments(docs)
+      .select(md5($"s".cast("binary")).as("h"), $"source",
+        ($"doc_id" * 65536 + $"j").as("occ"))
+      .groupBy($"h", $"source")
+      .agg(count(lit(1)).as("n"), min($"occ").as("mo"))
+    // global first occurrence per fingerprint; joining the two
+    // AGGREGATED frames on h is narrow (one row per (h, source) vs one
+    // per h — both ≪ corpus occurrences)
+    val global = perSrc.groupBy($"h").agg(min($"mo").as("gmo"))
+    perSrc.join(global, Seq("h"))
+      .groupBy($"source")
+      .agg(sum($"n").as("n_segments"),
+        sum(when($"mo" === $"gmo", 1L).otherwise(0L)).as("n_kept"),
+        sum($"n" - when($"mo" === $"gmo", 1L).otherwise(0L)).as("n_removed"),
+        (lit(SegTokens.toLong) *
+          sum($"n" - when($"mo" === $"gmo", 1L).otherwise(0L))).as("tokens_removed"))
+  }
+
+  def qLineDedup(spark: SparkSession, sfDir: String): DataFrame =
+    lineDedupReport(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  val qLineDedupSql: String =
+    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |seg AS (SELECT doc_id, source, j,
+       |               array_to_string(ws[j*$SegTokens+1 : j*$SegTokens+$SegTokens], ' ') AS s
+       |        FROM w, unnest(range(len(ws) // $SegTokens)) AS t(j)),
+       |g1 AS (SELECT md5(s) AS h, source, count(*) AS n,
+       |              min(doc_id*65536 + j) AS mo
+       |       FROM seg GROUP BY 1, 2),
+       |g2 AS (SELECT h, min(mo) AS gmo FROM g1 GROUP BY 1)
+       |SELECT source,
+       |       CAST(sum(n) AS BIGINT) AS n_segments,
+       |       CAST(sum(CASE WHEN mo = gmo THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(n - CASE WHEN mo = gmo THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |       CAST($SegTokens * sum(n - CASE WHEN mo = gmo THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS tokens_removed
+       |FROM g1 JOIN g2 USING (h)
+       |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // WINNOWING FINGERPRINTS — Schleimer '03: hash every k-gram, slide a
+  // w-window over the hash sequence, record the MINIMUM hash of each
+  // window, dedupe. The guarantee (their Theorem: any shared run of at
+  // least w+k−1 tokens contributes at least one shared fingerprint —
+  // the window over that run is common to both documents and both pick
+  // its minimum) survives the set-valued formulation used here, at an
+  // expected density of 2/(w+1) of the full gram index — the storage
+  // lever that makes passage-level fingerprinting affordable where the
+  // exhaustive gram8 table (Dedup.corpusGrams) is the exact tool.
+  // k = 5 tokens, w = 4 windows → guaranteed detection of any shared
+  // run of ≥ 8 tokens, the same threshold as the span-dedup family.
+  private val GramK = 5
+  private val WinW = 4
+  private val MaxDf = 32 // MOSS common-code cut + bucket fan-out bound
+  private val MinShared = 3 // report pairs sharing ≥ 3 fingerprints
+
+  /** Per-document winnowed fingerprint set (doc_id, f) — row-local
+    * selection: gram hashing, window minima and dedup all happen inside
+    * array transforms on the scan; only (doc_id, 8-hex-char) rows are
+    * emitted. Docs shorter than w+k−1 tokens have no complete window
+    * and produce no fingerprints (the scheme's own blind spot — by
+    * design, short fragments are the exact-dedup family's job). */
+  private[queries] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ws = split($"text", " ")
+    val hs = transform(sequence(lit(0), size(ws) - GramK),
+      i => substring(md5(concat_ws(" ",
+        slice(ws, i + lit(1), lit(GramK))).cast("binary")), 1, 8))
+    docs
+      .filter(size(ws) >= GramK + WinW - 1)
+      .select($"doc_id",
+        explode(array_distinct(transform(sequence(lit(0), size(hs) - WinW),
+          j => array_min(slice(hs, j + lit(1), lit(WinW)))))).as("f"))
+  }
+
+  /** Fingerprint frame staged per (session, corpus): the pair query
+    * references it from three branches (both join sides + the per-doc
+    * cardinalities); at 100 TB it is the maintained fingerprint table
+    * (a ~2/(w+1) fraction of the gram index) written next to the
+    * corpus. */
+  private def stagedFps(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Staging.persisted(spark, sfDir, "winnow-fps") {
+      winnowFingerprints(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    }
+
+  /** MOSS-style pair report over any fingerprint frame (spec entry). */
+  private[queries] def winnowPairs(fp: DataFrame): DataFrame = {
+    import fp.sparkSession.implicits._
+    val cnt = fp.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // inverted index: only fingerprints that CAN pair (df ≥ 2) and are
+    // not shared boilerplate (df ≤ MaxDf) enter the self-join — the
+    // df cut is also the skew bound: no bucket fans out past MaxDf²
+    val idx = fp.join(
+      fp.groupBy($"f").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 2 && $"df" <= MaxDf)
+        .select($"f"),
+      Seq("f"))
+    val shared = idx.as("a")
+      .join(idx.as("b"), $"a.f" === $"b.f" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= MinShared)
+    shared
+      .join(cnt.select($"doc_id".as("doc_a"), $"n".as("n_a")), Seq("doc_a"))
+      .join(cnt.select($"doc_id".as("doc_b"), $"n".as("n_b")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b", $"n_shared", $"n_a", $"n_b",
+        // exact integers above; ONE final correctly-rounded division
+        ($"n_shared".cast("double") / ($"n_a" + $"n_b" - $"n_shared")).as("sim"))
+  }
+
+  def qWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    winnowPairs(stagedFps(spark, sfDir))
+
+  val qWinnowSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |           WHERE len(string_split(text, ' ')) >= ${GramK + WinW - 1}),
+       |hs AS (SELECT doc_id,
+       |              list_transform(range(len(ws) - ${GramK - 1}),
+       |                i -> substr(md5(array_to_string(ws[i+1 : i+$GramK], ' ')), 1, 8)) AS hs
+       |       FROM w),
+       |fp AS (SELECT DISTINCT doc_id,
+       |              unnest(list_transform(range(len(hs) - ${WinW - 1}),
+       |                j -> list_min(hs[j+1 : j+$WinW]))) AS f
+       |       FROM hs),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
+       |keep AS (SELECT f FROM fp GROUP BY f
+       |         HAVING count(*) >= 2 AND count(*) <= $MaxDf),
+       |idx AS (SELECT doc_id, f FROM fp JOIN keep USING (f)),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |          FROM idx a JOIN idx b USING (f)
+       |          WHERE a.doc_id < b.doc_id
+       |          GROUP BY 1, 2
+       |          HAVING count(*) >= $MinShared)
+       |SELECT doc_a, doc_b, c AS n_shared, ca.n AS n_a, cb.n AS n_b,
+       |       CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS sim
+       |FROM pairs
+       |JOIN cnt ca ON ca.doc_id = doc_a
+       |JOIN cnt cb ON cb.doc_id = doc_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_line_dedup" -> (qLineDedup _),
+    "q_winnow" -> (qWinnow _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_line_dedup" -> qLineDedupSql,
+    "q_winnow" -> qWinnowSql)
+}

@@ -22,7 +22,8 @@ class SparkEntryContractSpec extends SparkTestBase {
     "Curation" -> Curation.queries,
     "Mixing" -> Mixing.queries,
     "Retrieval" -> Retrieval.queries,
-    "Corpus" -> Corpus.queries)
+    "Corpus" -> Corpus.queries,
+    "Passages" -> Passages.queries)
 
   test("no query is lost to a duplicate key across modules") {
     val all = parts.flatMap(_._2.keys)

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkTestBase
+
+/** Passage-granularity operators: CCNet-style line-level dedup and
+  * Schleimer '03 winnowing fingerprints. Each is checked three ways —
+  * a synthetic planted scenario exercising the defining rule, a
+  * driver-side reimplementation equality on the real corpus, and plan
+  * pins for the 100 TB claims (no cartesian pair generation, text
+  * absent from every shuffle).
+  */
+class PassagesSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def noCross(df: DataFrame): Unit = {
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  // ------------------------------------------------------------------
+  // line-level dedup
+
+  test("line dedup keeps exactly the first occurrence of a planted duplicate") {
+    import spark.implicits._
+    val seg = "a b c d e f g h" // one full 8-token segment
+    val docs = Seq(
+      // doc 1 source s1: the segment twice (j=0 keeper, j=1 removed)
+      (1L, "s1", s"$seg $seg"),
+      // doc 2 source s2: same segment once (removed — later doc_id)
+      (2L, "s2", s"$seg"),
+      // doc 3 source s2: a distinct segment (its own keeper)
+      (3L, "s2", "p q r s t u v w")
+    ).toDF("doc_id", "source", "text")
+    val r = Passages.lineDedupReport(docs)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // s1: 2 occurrences, keeper is (doc 1, j 0) → 1 kept, 1 removed
+    assert(r("s1") == ((2L, 1L, 1L, 8L)))
+    // s2: 2 occurrences, doc 2's copy loses to doc 1, doc 3's is kept
+    assert(r("s2") == ((2L, 1L, 1L, 8L)))
+  }
+
+  test("line dedup kept-count sums to the corpus-wide distinct segment count") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text")
+    val kept = Passages.lineDedupReport(docs)
+      .agg(org.apache.spark.sql.functions.sum($"n_kept")).as[Long].head()
+    val distinctSegs = docs
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ")) >= 8)
+      .select(org.apache.spark.sql.functions.expr(
+        """explode(transform(
+          |  sequence(0, cast(floor(size(split(text, ' ')) / 8) as int) - 1),
+          |  j -> concat_ws(' ', slice(split(text, ' '), j*8+1, 8))))""".stripMargin))
+      .distinct().count()
+    assert(kept == distinctSegs, s"kept $kept vs distinct $distinctSegs")
+  }
+
+  test("line dedup matches a driver-side recompute on the real corpus") {
+    import spark.implicits._
+    val rows = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    // reference: first occurrence (by doc_id·2^16 + j) of each distinct
+    // full 8-token segment is kept; everything else is removed
+    val occ = rows.flatMap { case (id, src, text) =>
+      val ws = text.split(" ")
+      (0 until ws.length / 8).map(j =>
+        (ws.slice(j * 8, j * 8 + 8).mkString(" "), src, id * 65536 + j))
+    }
+    val keeper = occ.groupBy(_._1).map { case (_, os) => os.minBy(_._3)._3 }.toSet
+    val exp = occ.groupBy(_._2).map { case (src, os) =>
+      val kept = os.count(o => keeper(o._3))
+      src -> ((os.size.toLong, kept.toLong, (os.size - kept).toLong,
+        8L * (os.size - kept)))
+    }
+    val got = Passages.qLineDedup(spark, dir)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(got == exp)
+  }
+
+  test("line dedup plan: no window, no sort, text never shuffles") {
+    val p = Passages.qLineDedup(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec") && !p.contains("SortExec"), p)
+    // the only shuffles carry the md5 fingerprint + source, never `s`
+    // (the segment text is projected away before the first exchange)
+    noCross(Passages.qLineDedup(spark, dir))
+  }
+
+  // ------------------------------------------------------------------
+  // winnowing
+
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens is detected") {
+    import spark.implicits._
+    // two otherwise-disjoint docs sharing one verbatim 20-token passage:
+    // w+k-1 = 8, so >= 1 shared fingerprint is guaranteed — with 20
+    // shared tokens there are 12 shared windows, comfortably >= MinShared
+    val passage = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val fillerA = (1 to 30).map(i => s"lefta$i").mkString(" ")
+    val fillerB = (1 to 30).map(i => s"rightb$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"$fillerA $passage"),
+      (20L, s"$passage $fillerB")).toDF("doc_id", "text")
+    val pairs = Passages.winnowPairs(Passages.winnowFingerprints(docs))
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 10L && pairs.head.getLong(1) == 20L)
+    assert(pairs.head.getLong(2) >= 3L) // n_shared
+  }
+
+  test("winnowing density: fingerprints are a strict subset of the gram hashes") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+    val nFps = Passages.winnowFingerprints(docs).count()
+    val nGrams = docs.select(
+      org.apache.spark.sql.functions.expr(
+        "size(split(text, ' ')) - 4").cast("long")).as[Long]
+      .collect().filter(_ > 0).sum
+    // expected density 2/(w+1) = 0.4 of all k-gram positions; allow a
+    // generous band — the point is the selection is a real reduction
+    assert(nFps < nGrams * 6 / 10, s"fps $nFps vs grams $nGrams")
+    assert(nFps > 0)
+  }
+
+  test("winnowing matches a driver-side recompute on the real corpus") {
+    import spark.implicits._
+    val rows = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def md5hex8(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.substring(0, 8)
+    }
+    val fps = rows.flatMap { case (id, text) =>
+      val ws = text.split(" ")
+      if (ws.length < 8) Seq.empty[(Long, String)]
+      else {
+        val hs = (0 to ws.length - 5)
+          .map(i => md5hex8(ws.slice(i, i + 5).mkString(" ")))
+        (0 to hs.length - 4).map(j => hs.slice(j, j + 4).min)
+          .distinct.map(f => (id, f))
+      }
+    }
+    val cnt = fps.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val byF = fps.groupBy(_._2).filter { case (_, v) =>
+      v.size >= 2 && v.size <= 32 }
+    val pairCounts = byF.values.flatMap { occs =>
+      val ids = occs.map(_._1).toSeq.sorted
+      for (i <- ids.indices; k <- i + 1 until ids.length)
+        yield (ids(i), ids(k))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 3)
+    val exp = pairCounts.map { case ((a, b), c) =>
+      (a, b, c, cnt(a), cnt(b),
+        c.toDouble / (cnt(a) + cnt(b) - c))
+    }.toSet
+    val got = Passages.qWinnow(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getDouble(5))).toSet
+    assert(got == exp)
+  }
+
+  test("winnowing pair plan: inverted-index equi-join, no cartesian") {
+    noCross(Passages.qWinnow(spark, dir))
+  }
+}
