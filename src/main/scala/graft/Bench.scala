@@ -32,6 +32,7 @@ object Bench {
     "decontam_staging" -> ((s, dir) => graft.queries.Curation.prewarmStaging(s, dir)),
     "ivf_cells" -> ((s, dir) => graft.queries.Similarity.prewarmStaging(s, dir)),
     "retrieval_staging" -> ((s, dir) => graft.queries.Retrieval.prewarmStaging(s, dir)),
+    "winnow_staging" -> ((s, dir) => graft.queries.Passages.prewarmStaging(s, dir)),
     // strict-curation admission signals (outlier/contained/on-target
     // doc-id sets): maintained curation tables in production, staged
     // once here — ordered after the dedup/retrieval staging they read

@@ -376,8 +376,15 @@ object Dedup {
         .withColumn("rk", row_number().over(w))
         .select($"doc_id", $"n", $"h", $"rk")
     }
-    val prefix = ranked.filter($"rk" <= $"n"
-      - expr(s"(n * $JacNum + ${JacDen - 1}) div $JacDen") + 1)
+    // the ⌈0.6n⌉-prefix slice is ~40% of the postings but BOTH sides of
+    // the jaccard candidate self-join scan it — materializing the view
+    // (not just its parent) keeps the per-query cost at prefix size
+    // rather than 2× the full ranked table (the r9 full-ranked staging
+    // moved q_prefix_jaccard 0.88 → 1.26 s warm at sf0.1 until this)
+    val prefix = graft.operators.Staging.persisted(spark, sfDir, "prefix3") {
+      ranked.filter($"rk" <= $"n"
+        - expr(s"(n * $JacNum + ${JacDen - 1}) div $JacDen") + 1)
+    }
     (ranked, prefix)
   }
 

@@ -146,11 +146,20 @@ object Passages {
     val hs = transform(sequence(lit(0), size(ws) - GramK),
       i => substring(md5(concat_ws(" ",
         slice(ws, i + lit(1), lit(GramK))).cast("binary")), 1, 8))
+    // the hash array is materialized in its OWN projection: inlined into
+    // the window-min transform below, Catalyst would re-evaluate the
+    // whole gram-hashing pass inside every one of the ~n window lambdas
+    // (O(n·w) md5 calls per document — measured 104 s instead of ~4 s
+    // for the sf0.1 fingerprint build). `hs` is a non-cheap expression
+    // referenced twice downstream, which is exactly the case
+    // CollapseProject refuses to merge, so the two selects stay two
+    // codegen'd projections and hashing runs once per gram.
     docs
       .filter(size(ws) >= GramK + WinW - 1)
+      .select($"doc_id", hs.as("hs"))
       .select($"doc_id",
-        explode(array_distinct(transform(sequence(lit(0), size(hs) - WinW),
-          j => array_min(slice(hs, j + lit(1), lit(WinW)))))).as("f"))
+        explode(array_distinct(transform(sequence(lit(0), size($"hs") - WinW),
+          j => array_min(slice($"hs", j + lit(1), lit(WinW)))))).as("f"))
   }
 
   /** Fingerprint frame staged per (session, corpus): the pair query
@@ -163,6 +172,14 @@ object Passages {
       winnowFingerprints(
         Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
     }
+
+  /** Materialize the staged fingerprint table — the bench's measured
+    * SETUP phase; at 100 TB this is the ingest-time fingerprint build
+    * maintained next to the corpus. On-demand if nobody prewarmed. */
+  def prewarmStaging(spark: SparkSession, sfDir: String): Unit = {
+    stagedFps(spark, sfDir).count()
+    ()
+  }
 
   /** MOSS-style pair report over any fingerprint frame (spec entry). */
   private[queries] def winnowPairs(fp: DataFrame): DataFrame = {
