@@ -139,13 +139,23 @@ object Passages {
     * array transforms on the scan; only (doc_id, 8-hex-char) rows are
     * emitted. Docs shorter than w+k−1 tokens have no complete window
     * and produce no fingerprints (the scheme's own blind spot — by
-    * design, short fragments are the exact-dedup family's job). */
-  private[queries] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    * design, short fragments are the exact-dedup family's job).
+    * Emits every input column EXCEPT `text` plus the 12-hex-char `f` —
+    * the pass-through is what lets the streaming face
+    * (EventStream.corpusWinnowSuspects) run this SAME operator with its
+    * event-time column intact, so batch and stream cannot drift. */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    val keep = docs.columns.filter(_ != "text").map(col)
     val ws = split($"text", " ")
+    // 12 lowercase-hex chars = 48 bits: collision-free in expectation
+    // through ~10^7 grams (the sf1 smoke's 6×10^7 is ~6 expected
+    // collisions, each shifting a window minimum IDENTICALLY in both
+    // engines — parity is never at risk, only a vanishing false-share);
+    // a 100 TB deployment widens to the full digest, same plan
     val hs = transform(sequence(lit(0), size(ws) - GramK),
       i => substring(md5(concat_ws(" ",
-        slice(ws, i + lit(1), lit(GramK))).cast("binary")), 1, 8))
+        slice(ws, i + lit(1), lit(GramK))).cast("binary")), 1, 12))
     // the hash array is materialized in its OWN projection: inlined into
     // the window-min transform below, Catalyst would re-evaluate the
     // whole gram-hashing pass inside every one of the ~n window lambdas
@@ -154,13 +164,31 @@ object Passages {
     // referenced twice downstream, which is exactly the case
     // CollapseProject refuses to merge, so the two selects stay two
     // codegen'd projections and hashing runs once per gram.
+    //
+    // The short-document guard is a CASE inside the expression, NOT a
+    // Filter node: a text predicate would be pushed below the streaming
+    // face's EventTimeWatermark (PushPredicateThroughNonJoin treats any
+    // non-event-time filter as movable), after which a run of
+    // sub-threshold arrivals never reaches the watermark accumulator —
+    // the event-time clock stalls and every open window (and its state)
+    // hangs with it. The generator route matches the span face
+    // (corpusSpanSuspects): short docs emit zero rows but still drive
+    // the clock. The guard must wrap BOTH levels — unguarded,
+    // `sequence(0, n)` with n < 0 counts DOWN and manufactures garbage
+    // fingerprints from out-of-range slices.
+    val empty = array().cast("array<string>")
     docs
-      .filter(size(ws) >= GramK + WinW - 1)
-      .select($"doc_id", hs.as("hs"))
-      .select($"doc_id",
-        explode(array_distinct(transform(sequence(lit(0), size($"hs") - WinW),
-          j => array_min(slice($"hs", j + lit(1), lit(WinW)))))).as("f"))
+      .select(keep :+
+        when(size(ws) >= GramK + WinW - 1, hs).otherwise(empty).as("hs"): _*)
+      .select(keep :+
+        explode(when(size($"hs") >= WinW,
+          array_distinct(transform(sequence(lit(0), size($"hs") - WinW),
+            j => array_min(slice($"hs", j + lit(1), lit(WinW))))))
+          .otherwise(empty)).as("f"): _*)
   }
+
+  private[graft] def winnowMaxDf: Int = MaxDf
+  private[graft] def winnowMinShared: Int = MinShared
 
   /** Fingerprint frame staged per (session, corpus): the pair query
     * references it from three branches (both join sides + the per-doc
@@ -214,7 +242,7 @@ object Passages {
        |           WHERE len(string_split(text, ' ')) >= ${GramK + WinW - 1}),
        |hs AS (SELECT doc_id,
        |              list_transform(range(len(ws) - ${GramK - 1}),
-       |                i -> substr(md5(array_to_string(ws[i+1 : i+$GramK], ' ')), 1, 8)) AS hs
+       |                i -> substr(md5(array_to_string(ws[i+1 : i+$GramK], ' ')), 1, 12)) AS hs
        |       FROM w),
        |fp AS (SELECT DISTINCT doc_id,
        |              unnest(list_transform(range(len(hs) - ${WinW - 1}),

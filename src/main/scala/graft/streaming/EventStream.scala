@@ -364,6 +364,59 @@ object EventStream {
         ($"max_run" + index.gramWords - 1).as("span_words"))
   }
 
+  /** Static winnowed-fingerprint index of a corpus (`doc_id`, `text`) —
+    * the MOSS-granularity sibling of [[CorpusGramIndex]], built by the
+    * SAME batch operator the shipped q_winnow query uses
+    * (queries.Passages.winnowFingerprints), so the two faces share one
+    * selection scheme by construction rather than by assertion. The
+    * boilerplate cut (df ≤ maxDf) is applied AT BUILD — a fingerprint
+    * carried by more than maxDf corpus documents is shared template
+    * text, line dedup's job, and would otherwise fan every arrival out
+    * to its whole bucket. df = 1 fingerprints STAY (unlike the batch
+    * pair query's df ≥ 2 floor: there a lone fingerprint can pair with
+    * nothing, here it can pair with the arrival). At 100 TB this is the
+    * maintained fingerprint table (~2/(w+1) of the gram index) the
+    * batch query already stages, bucketed on `f` so the stream join
+    * co-locates. */
+  final case class CorpusWinnowIndex(df: DataFrame)
+
+  def corpusWinnowIndex(corpus: DataFrame,
+      maxDf: Int = graft.queries.Passages.winnowMaxDf): CorpusWinnowIndex = {
+    import corpus.sparkSession.implicits._
+    val fp = graft.queries.Passages.winnowFingerprints(corpus)
+      .select($"doc_id".as("corpus_doc_id"), $"f")
+    CorpusWinnowIndex(fp.join(
+      fp.groupBy($"f").agg(count(lit(1)).as("dfreq"))
+        .filter($"dfreq" <= maxDf).select($"f"),
+      Seq("f")))
+  }
+
+  /** Streaming face of winnowing overlap detection: each arriving
+    * document is fingerprinted ROW-LOCALLY by the batch operator (the
+    * pass-through column contract keeps `ts` on every fingerprint row,
+    * so the watermark survives the transform), the fingerprints
+    * equi-join the static corpus index, and a pair sharing ≥
+    * `minShared` fingerprints inside the event-time window surfaces as
+    * an overlap suspect BEFORE ingestion commits the arrival. The
+    * winnowing guarantee transfers: any arrival sharing a ≥ w+k−1-token
+    * run with a corpus document shares ≥ 1 fingerprint, and a run long
+    * enough to matter clears `minShared`. State is the windowed
+    * (arrival, corpus doc) counts — bounded by the arrival's OWN
+    * fingerprint count (≈ 2n/(w+1)) times its true overlap partners;
+    * the corpus side contributes matches, not state. */
+  def corpusWinnowSuspects(docs: Dataset[DocRow], index: CorpusWinnowIndex,
+      minShared: Int = graft.queries.Passages.winnowMinShared): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.queries.Passages.winnowFingerprints(
+        docs.withWatermark("ts", "2 hours").toDF)
+      .join(index.df, Seq("f"))
+      .filter($"doc_id" =!= $"corpus_doc_id")
+      .groupBy(window($"ts", "1 hour"), $"doc_id", $"corpus_doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+      .select($"doc_id", $"corpus_doc_id", $"n_shared")
+  }
+
   final case class VecRow(vec_id: Long, ts: Timestamp, v: Seq[Double])
 
   final case class CellStat(cid: Long, cv: Array[Double],

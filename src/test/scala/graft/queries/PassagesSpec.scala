@@ -83,6 +83,18 @@ class PassagesSpec extends SparkTestBase {
     assert(got == exp)
   }
 
+  test("line dedup occurrence key: segment index stays far below 2^16") {
+    import spark.implicits._
+    val maxSegs = graft.core.Tables.documents(spark, dir)
+      .select((org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ")) / 8)
+        .cast("long")).as[Long].collect().max
+    // the keeper key is doc_id·2^16 + j — j must never reach the doc_id
+    // bits; documents are ~10^2 tokens, so this holds by orders of
+    // magnitude (a >500k-token document would need a wider key)
+    assert(maxSegs < 65536L, s"max segment count $maxSegs")
+  }
+
   test("line dedup plan: no window, no sort, text never shuffles") {
     val p = Passages.qLineDedup(spark, dir).queryExecution.executedPlan.toString
     assert(!p.contains("WindowExec") && !p.contains("SortExec"), p)
@@ -134,7 +146,7 @@ class PassagesSpec extends SparkTestBase {
     def md5hex8(s: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8"))
-      d.map("%02x".format(_)).mkString.substring(0, 8)
+      d.map("%02x".format(_)).mkString.substring(0, 12)
     }
     val fps = rows.flatMap { case (id, text) =>
       val ws = text.split(" ")

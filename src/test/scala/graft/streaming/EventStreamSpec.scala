@@ -227,6 +227,40 @@ class EventStreamSpec extends SparkTestBase {
     assert(rows.map(_._3).toSet == Set(12L), s"span_words ${rows.mkString(",")}")
   }
 
+  test("streaming winnow gate flags an arrival sharing a passage with the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus doc 100 carries a distinctive 24-token passage — long
+    // enough that the winnowed fingerprint overlap clears minShared
+    val passage = (1 to 24).map(i => s"wpass$i").mkString(" ")
+    val corpus = Seq(
+      (100L, s"${(1 to 15).map(i => s"wlead$i").mkString(" ")} $passage"),
+      (101L, (1 to 40).map(i => s"wother$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val index = EventStream.corpusWinnowIndex(corpus)
+    val in = MemoryStream[EventStream.DocRow]
+    val q = EventStream.corpusWinnowSuspects(in.toDS(), index)
+      .writeStream.format("memory").queryName("winnowsusp")
+      .outputMode("append").start()
+    // doc 2 copies the passage at a different position; doc 3 is novel
+    in.addData(
+      EventStream.DocRow(2, ts("2024-01-01 10:00:00"),
+        s"${(1 to 9).map(i => s"wnew$i").mkString(" ")} $passage"),
+      EventStream.DocRow(3, ts("2024-01-01 10:00:01"),
+        (1 to 40).map(i => s"wfresh$i").mkString(" ")))
+    q.processAllAvailable()
+    // advance the watermark past the 10:00 window to flush the agg
+    in.addData(EventStream.DocRow(9, ts("2024-01-02 12:00:00"), "flush"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("winnowsusp")
+      .select("doc_id", "corpus_doc_id", "n_shared")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSet == Set((2L, 100L)), s"got ${rows.mkString(",")}")
+    // the 24-token shared run guarantees >= 17 shared windows; after
+    // dedup the shared fingerprint count must still clear the gate
+    assert(rows.head._3 >= 3L, s"n_shared ${rows.head._3}")
+  }
+
   test("streaming funnel emits one conversion per user across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
