@@ -67,7 +67,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => ZOrder64(args.head, args(1))),
     ("word_gram_hashes",
       new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
-      (args: Seq[Expression]) => WordGramHashes(args.head, intArg(args(1), "n"))))
+      (args: Seq[Expression]) => WordGramHashes(args.head, intArg(args(1), "n"))),
+    ("winnow_fps",
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (args: Seq[Expression]) => WinnowFps(args.head,
+        intArg(args(1), "k"), intArg(args(2), "w"))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

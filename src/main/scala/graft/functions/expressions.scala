@@ -479,6 +479,109 @@ object WordGramHashes {
   }
 }
 
+/** Winnowed fingerprint set (Schleimer, Wilkerson & Aiken, SIGMOD '03)
+  * of a space-separated token string: hash every k-word gram, slide a
+  * w-window over the hash sequence, keep each window's MINIMUM, dedupe.
+  * Fused replacement for the HOF formulation in queries.Passages
+  * (transform/slice/array_min lambdas are interpreted, and the gram
+  * bytes would be re-concatenated per window) — here each gram is
+  * hashed ONCE directly from its contiguous byte span in the input
+  * (k words joined by single spaces IS the span between the first
+  * word's start and the last word's end, including any empty tokens a
+  * repeated space produces — byte-identical to
+  * `concat_ws(' ', slice(split(text, ' '), i, k))`).
+  *
+  * The hash is the first 48 bits of md5 — NOT xxhash64 like the
+  * sibling kernels — because winnowing's OUTPUT depends on the hash
+  * ORDER (each window emits its minimum), so the oracle must replicate
+  * the selection exactly: DuckDB has md5 and compares the same
+  * fixed-width lowercase-hex strings this kernel emits. Minima are
+  * compared as unsigned 48-bit longs internally (identical ordering to
+  * the hex strings) and rendered only on selection. Documents shorter
+  * than k+w−1 words produce an EMPTY array, never a null — the
+  * streaming face relies on short docs flowing through (zero rows
+  * after explode) without a Filter that predicate-pushdown could move
+  * below the watermark. */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if k < 1 || w < 1 => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName k and w must be >= 1, got k=$k w=$w")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+  override def foldable: Boolean = child.foldable
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowFps.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowFps.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+object WinnowFps {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val total = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < total) { if (bytes(i) == 0x20) spaces += 1; i += 1 }
+    val numWords = spaces + 1
+    if (numWords < k + w - 1)
+      return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](numWords)
+    var word = 1
+    i = 0
+    while (i < total) {
+      if (bytes(i) == 0x20) { starts(word) = i + 1; word += 1 }
+      i += 1
+    }
+    def end(p: Int): Int = if (p == numWords - 1) total else starts(p + 1) - 1
+    val digest = md.get()
+    val numGrams = numWords - k + 1
+    val hs = new Array[Long](numGrams)
+    var p = 0
+    while (p < numGrams) {
+      val off = starts(p)
+      digest.reset()
+      digest.update(bytes, off, end(p + k - 1) - off)
+      val d = digest.digest()
+      // first 6 digest bytes = first 12 hex chars; unsigned 48-bit value
+      hs(p) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      p += 1
+    }
+    // window minima + first-seen dedup; w is small (4 in the shipped
+    // operator) so the per-window scan beats a deque's bookkeeping
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var j = 0
+    while (j <= numGrams - w) {
+      var m = hs(j)
+      var x = j + 1
+      while (x < j + w) { if (hs(x) < m) m = hs(x); x += 1 }
+      if (seen.add(m))
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(
+          f"$m%012x")
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** Morton (Z-order) interleave of two 32-bit-normalized keys: bit i of
   * `left` lands at output bit 2i, bit i of `right` at 2i+1. The multi-
   * dimensional clustering key for sort-clustered layouts
@@ -594,4 +697,5 @@ object functions {
   def deflate_len(c: Column): Column = col(DeflateLen(ex(c)))
   def zorder64(a: Column, b: Column): Column = col(ZOrder64(ex(a), ex(b)))
   def word_gram_hashes(c: Column, n: Int): Column = col(WordGramHashes(ex(c), n))
+  def winnow_fps(c: Column, k: Int, w: Int): Column = col(WinnowFps(ex(c), k, w))
 }

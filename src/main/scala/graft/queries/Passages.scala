@@ -147,44 +147,21 @@ object Passages {
   private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val keep = docs.columns.filter(_ != "text").map(col)
-    val ws = split($"text", " ")
-    // 12 lowercase-hex chars = 48 bits: collision-free in expectation
-    // through ~10^7 grams (the sf1 smoke's 6×10^7 is ~6 expected
-    // collisions, each shifting a window minimum IDENTICALLY in both
-    // engines — parity is never at risk, only a vanishing false-share);
-    // a 100 TB deployment widens to the full digest, same plan
-    val hs = transform(sequence(lit(0), size(ws) - GramK),
-      i => substring(md5(concat_ws(" ",
-        slice(ws, i + lit(1), lit(GramK))).cast("binary")), 1, 12))
-    // the hash array is materialized in its OWN projection: inlined into
-    // the window-min transform below, Catalyst would re-evaluate the
-    // whole gram-hashing pass inside every one of the ~n window lambdas
-    // (O(n·w) md5 calls per document — measured 104 s instead of ~4 s
-    // for the sf0.1 fingerprint build). `hs` is a non-cheap expression
-    // referenced twice downstream, which is exactly the case
-    // CollapseProject refuses to merge, so the two selects stay two
-    // codegen'd projections and hashing runs once per gram.
-    //
-    // The short-document guard is a CASE inside the expression, NOT a
-    // Filter node: a text predicate would be pushed below the streaming
-    // face's EventTimeWatermark (PushPredicateThroughNonJoin treats any
-    // non-event-time filter as movable), after which a run of
-    // sub-threshold arrivals never reaches the watermark accumulator —
-    // the event-time clock stalls and every open window (and its state)
-    // hangs with it. The generator route matches the span face
-    // (corpusSpanSuspects): short docs emit zero rows but still drive
-    // the clock. The guard must wrap BOTH levels — unguarded,
-    // `sequence(0, n)` with n < 0 counts DOWN and manufactures garbage
-    // fingerprints from out-of-range slices.
-    val empty = array().cast("array<string>")
-    docs
-      .select(keep :+
-        when(size(ws) >= GramK + WinW - 1, hs).otherwise(empty).as("hs"): _*)
-      .select(keep :+
-        explode(when(size($"hs") >= WinW,
-          array_distinct(transform(sequence(lit(0), size($"hs") - WinW),
-            j => array_min(slice($"hs", j + lit(1), lit(WinW))))))
-          .otherwise(empty)).as("f"): _*)
+    // fused native kernel (functions.WinnowFps): one md5 per gram
+    // hashed straight from its contiguous byte span, window minima
+    // compared as 48-bit longs, hex rendered only on selection. The
+    // HOF formulation this replaces is kept in PassagesSpec as the
+    // property-test reference — it both re-ran the whole gram-hashing
+    // pass inside every window lambda (interpreted + O(n·w) md5 calls)
+    // and needed a two-level CASE guard against sequence(0, n<0)
+    // counting down. Short docs yield an empty array (zero rows after
+    // explode), never a Filter — a text predicate would be pushed below
+    // the streaming face's EventTimeWatermark and a run of short
+    // arrivals would stall the event-time clock and every open window's
+    // state with it (measured: the gate's flush row never fired).
+    docs.select(keep :+
+      explode(graft.functions.functions.winnow_fps($"text", GramK, WinW))
+        .as("f"): _*)
   }
 
   private[graft] def winnowMaxDf: Int = MaxDf

@@ -180,6 +180,43 @@ class ExpressionPropertiesSpec extends SparkTestBase {
       .head().getSeq[Long](0).length == 2)
   }
 
+  test("winnow_fps: equals the md5-substring reference, incl. empty tokens") {
+    import spark.implicits._
+    def md5hex12(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.substring(0, 12)
+    }
+    def ref(t: String, k: Int, w: Int): Seq[String] = {
+      val ws = t.split(" ", -1) // Spark split keeps trailing empties
+      if (ws.length < k + w - 1) Seq.empty
+      else {
+        val hs = (0 to ws.length - k)
+          .map(i => md5hex12(ws.slice(i, i + k).mkString(" ")))
+        (0 to hs.length - w).map(j => hs.slice(j, j + w).min).distinct
+      }
+    }
+    // words, plus occasional doubled/trailing spaces and unicode — the
+    // empty-token and multi-byte paths of the byte-span hashing
+    val piece: Gen[String] = Gen.oneOf(word, Gen.const(""), Gen.const("é中"))
+    val t2: Gen[String] = Gen.choose(0, 24)
+      .flatMap(n => Gen.listOfN(n, piece).map(_.mkString(" ")))
+    samples(t2).foreach { t =>
+      val got = Seq(t).toDF("text")
+        .select(functions.winnow_fps($"text", 5, 4).as("f"))
+        .head().getSeq[String](0)
+      assert(got == ref(t, 5, 4), s"text=<$t>")
+    }
+  }
+
+  test("winnow_fps: registered SQL face and empty-for-short contract") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT winnow_fps('a b c d e f g h', 5, 4) AS f")
+      .head().getSeq[String](0).length == 1)
+    assert(spark.sql("SELECT winnow_fps('a b c', 5, 4) AS f")
+      .head().getSeq[String](0).isEmpty)
+  }
+
   // helpers run the actual Catalyst expressions through a real plan
   private def sparkShingles(t: String): Seq[String] = {
     import spark.implicits._
