@@ -414,6 +414,69 @@ object Retrieval {
        |FROM ($dsirScoredSql)
        |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------
+  // HYBRID RETRIEVAL FUSION — reciprocal rank fusion (Cormack, Clarke &
+  // Buettcher, SIGIR '09: RRF(d) = Σ_r 1/(c + rank_r(d)), c = 60) of
+  // the two shipped rankers: the sparse leg is the standing-postings
+  // BM25 probe (q_bm25, consumed AS the shipped query — fusion cannot
+  // drift from what q_bm25 ranks), the dense leg is the exact cosine
+  // ranking of one probe vector (Similarity.denseRanks — the brute leg
+  // swaps for IVF/LSH/PQ candidate generation at scale without touching
+  // the fusion). This is the standard first-stage of hybrid search in
+  // retrieval-augmented curation: rank-space fusion needs no score
+  // calibration between BM25's unbounded sums and cosine's [-1, 1].
+  //
+  // The dense and sparse legs rank the SAME corpus: document embeddings
+  // are keyed by the document id (the testdata's embeddings table is
+  // the documents table's vector sidecar, vec_id = doc_id — the same
+  // identification the decontamination pair q_decontam/q_semantic_
+  // decontam relies on for its mirrored splits).
+  //
+  // Arithmetic: ranks are exact integers; each RRF term is ONE
+  // correctly-rounded IEEE division of exact integers, the fused score
+  // one fixed-association two-term sum — identical in both engines (the
+  // zipf-slope rule). A leg that did not rank a document contributes
+  // exactly 0 and its rank stays NULL in the output (the fusion's
+  // provenance face: which leg surfaced the document).
+  private val RrfC = 60
+  private val RrfDenseQuery = 0L
+
+  def qRrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bm = qBm25(spark, sfDir).select($"doc_id", $"rank".as("bm_rank"))
+    val dn = graft.queries.Similarity
+      .denseRanks(spark, sfDir, RrfDenseQuery, Bm25TopK)
+      .select($"neighbor_id".as("doc_id"), $"rank".as("ann_rank"))
+    // two ≤ top-k frames: the full outer join (both only-in-one sides
+    // must survive) is over bounded inputs by construction
+    bm.join(dn, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"bm_rank", $"ann_rank",
+        (coalesce(lit(1.0) / (lit(RrfC) + $"bm_rank"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + $"ann_rank"), lit(0.0))).as("rrf"))
+      .withColumn("fused_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"rrf".desc, $"doc_id")))
+  }
+
+  val qRrfFusionSql: String =
+    s"""WITH bm AS (SELECT doc_id, bm.rank AS bm_rank FROM ($qBm25Sql) bm),
+       |qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       |       WHERE vec_id = $RrfDenseQuery),
+       |dn0 AS (SELECT vec_id AS doc_id,
+       |          CAST(row_number() OVER (
+       |            ORDER BY list_cosine_similarity(qv, embedding::DOUBLE[]) DESC,
+       |                     vec_id) AS INTEGER) AS ann_rank
+       |        FROM embeddings CROSS JOIN qv
+       |        WHERE vec_id != $RrfDenseQuery),
+       |dn AS (SELECT doc_id, ann_rank FROM dn0 WHERE ann_rank <= $Bm25TopK),
+       |f AS (SELECT coalesce(bm.doc_id, dn.doc_id) AS doc_id, bm_rank, ann_rank,
+       |        coalesce(CAST(1.0 AS DOUBLE) / ($RrfC + bm_rank), 0.0) +
+       |        coalesce(CAST(1.0 AS DOUBLE) / ($RrfC + ann_rank), 0.0) AS rrf
+       |      FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id)
+       |SELECT doc_id, bm_rank, ann_rank, rrf,
+       |       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
+       |         AS fused_rank
+       |FROM f""".stripMargin
+
   /** Materialize the standing retrieval artifacts (per-source KMV
     * sketches, the DSIR ratio model) — a Bench setup step like the
     * dedup staging; at 100 TB both are ingest-time/model-build jobs
@@ -431,12 +494,14 @@ object Retrieval {
   // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (qBm25 _),
+    "q_rrf_fusion" -> (qRrfFusion _),
     "q_kmv_overlap" -> (qKmvOverlap _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_dsir_weights" -> (qDsirWeights _))
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25" -> qBm25Sql,
+    "q_rrf_fusion" -> qRrfFusionSql,
     "q_kmv_overlap" -> qKmvOverlapSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_dsir_weights" -> qDsirWeightsSql)

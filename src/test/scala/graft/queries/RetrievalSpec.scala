@@ -103,4 +103,29 @@ class RetrievalSpec extends SparkTestBase {
     assert(rels.sum / rels.length < 0.15,
       s"mean KMV cardinality error ${rels.sum / rels.length}")
   }
+
+  test("rrf fusion equals a driver recompute from its two leg rankings") {
+    import spark.implicits._
+    val bm = Retrieval.qBm25(spark, sfDir)
+      .select($"doc_id", $"rank").as[(Long, Int)].collect().toMap
+    val dn = Similarity.denseRanks(spark, sfDir, 0L, 10)
+      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().toMap
+    val exp = (bm.keySet ++ dn.keySet).map { id =>
+      val rrf = bm.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        dn.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      id -> ((bm.get(id), dn.get(id), rrf))
+    }.toMap
+    val got = Retrieval.qRrfFusion(spark, sfDir)
+      .select($"doc_id", $"bm_rank", $"ann_rank", $"rrf", $"fused_rank")
+      .collect().map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          r.getDouble(3)), r.getInt(4)))
+    assert(got.map(x => x._1 -> x._2).toMap == exp)
+    // fused_rank is the rrf-desc, id-asc order with no gaps
+    val byRank = got.sortBy(_._3)
+    assert(byRank.map(_._3).toSeq == (1 to got.length))
+    assert(byRank.map(x => (-x._2._3, x._1)).toSeq ==
+      byRank.map(x => (-x._2._3, x._1)).sortBy(identity).toSeq)
+  }
 }
