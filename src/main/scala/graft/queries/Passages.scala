@@ -52,21 +52,27 @@ object Passages {
   // concerns.
   private val SegTokens = 8
 
-  /** Per-occurrence segment rows (doc_id, source, j, s) — row-local.
-    * Docs shorter than one full segment are filtered BEFORE the
-    * sequence bound goes negative (Spark's `sequence(0, -1)` counts
-    * DOWN rather than producing an empty array); the oracle's
-    * `range(len // 8)` is empty for the same rows. */
-  private def segments(docs: DataFrame): DataFrame = {
+  /** Per-occurrence segment rows: every input column except `text`,
+    * plus (j, s) — row-local. The short-document guard is a CASE around
+    * the generator rather than a Filter, for two reasons: Spark's
+    * `sequence(0, -1)` counts DOWN rather than producing an empty
+    * array (the guard must precede the bound going negative), and a
+    * text Filter would be pushed below the streaming face's
+    * EventTimeWatermark, letting short arrivals stall the event-time
+    * clock (the winnowFingerprints lesson). The oracle's
+    * `range(len // 8)` is empty for the same rows. The column
+    * pass-through is what lets EventStream.lineBoilerplateStats run
+    * this SAME extraction with event time intact. */
+  private[graft] def segmentRows(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    val keep = docs.columns.filter(_ != "text").map(col)
     val ws = split($"text", " ")
-    docs
-      .filter(size(ws) >= SegTokens)
-      .select($"doc_id", $"source",
-        posexplode(transform(
+    docs.select(keep :+
+      posexplode(when(size(ws) >= SegTokens, transform(
           sequence(lit(0), floor(size(ws) / SegTokens).cast("int") - 1),
           j => concat_ws(" ", slice(ws, j * SegTokens + lit(1), lit(SegTokens)))))
-          .as(Seq("j", "s")))
+        .otherwise(array().cast("array<string>")))
+        .as(Seq("j", "s")): _*)
   }
 
   /** Line-dedup accounting over any (doc_id, source, text) frame — a
@@ -76,7 +82,7 @@ object Passages {
     import docs.sparkSession.implicits._
     // (segment-fingerprint, source): occurrence count + first occurrence
     // key within the source; segment TEXT is dropped before the shuffle
-    val perSrc = segments(docs)
+    val perSrc = segmentRows(docs)
       .select(md5($"s".cast("binary")).as("h"), $"source",
         ($"doc_id" * 65536 + $"j").as("occ"))
       .groupBy($"h", $"source")

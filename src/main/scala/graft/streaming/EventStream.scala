@@ -417,6 +417,45 @@ object EventStream {
       .select($"doc_id", $"corpus_doc_id", $"n_shared")
   }
 
+  /** Static segment-fingerprint index of a corpus — the line-dedup
+    * sibling of [[CorpusWinnowIndex]]: one md5 per DISTINCT 8-token
+    * segment, built by the same extraction the batch q_line_dedup
+    * report uses (Passages.segmentRows). At 100 TB this is the
+    * line-hash table CCNet-style preprocessing maintains anyway; only
+    * fingerprints live in it, never segment text. */
+  final case class CorpusSegmentIndex(df: DataFrame)
+
+  def corpusSegmentIndex(corpus: DataFrame): CorpusSegmentIndex = {
+    import corpus.sparkSession.implicits._
+    CorpusSegmentIndex(
+      graft.queries.Passages.segmentRows(corpus)
+        .select(md5($"s".cast("binary")).as("h")).distinct())
+  }
+
+  /** Streaming face of line-level dedup: per arriving document, how
+    * many of its 8-token segments already exist in the corpus — the
+    * boilerplate fraction scored AT THE DOOR, before ingestion commits
+    * the arrival (batch analog: the q_line_dedup accounting; an
+    * arrival whose segments are mostly `known` is template/syndicated
+    * text and a candidate for segment surgery or quarantine). Segment
+    * extraction is the SAME batch operator (event time rides the
+    * pass-through columns); fingerprints LEFT-join the static index so
+    * novel segments count as unknown rather than dropping rows; the
+    * windowed per-document rollup is the only state, bounded by the
+    * arrival's own segment count. */
+  def lineBoilerplateStats(docs: Dataset[DocRow],
+      index: CorpusSegmentIndex): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.queries.Passages.segmentRows(
+        docs.withWatermark("ts", "2 hours").toDF)
+      .select($"doc_id", $"ts", md5($"s".cast("binary")).as("h"))
+      .join(index.df.withColumn("known", lit(1L)), Seq("h"), "left")
+      .groupBy(window($"ts", "1 hour"), $"doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(coalesce($"known", lit(0L))).as("n_known"))
+      .select($"doc_id", $"n_segments", $"n_known")
+  }
+
   final case class VecRow(vec_id: Long, ts: Timestamp, v: Seq[Double])
 
   final case class CellStat(cid: Long, cv: Array[Double],

@@ -261,6 +261,35 @@ class EventStreamSpec extends SparkTestBase {
     assert(rows.head._3 >= 3L, s"n_shared ${rows.head._3}")
   }
 
+  test("streaming line gate scores an arrival's known-segment fraction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one corpus segment the arrival will repeat verbatim
+    val seg = (1 to 8).map(i => s"lseg$i").mkString(" ")
+    val corpus = Seq(
+      (100L, s"$seg ${(1 to 8).map(i => s"lc$i").mkString(" ")}"))
+      .toDF("doc_id", "text")
+    val index = EventStream.corpusSegmentIndex(corpus)
+    val in = MemoryStream[EventStream.DocRow]
+    val q = EventStream.lineBoilerplateStats(in.toDS(), index)
+      .writeStream.format("memory").queryName("linegate")
+      .outputMode("append").start()
+    // arrival 2: segment 0 copies the corpus segment, segment 1 is
+    // novel -> 2 segments, 1 known; arrival 3 (3 tokens) has none and
+    // must not emit — but must still advance the watermark when it
+    // arrives late (the pushdown-proof contract)
+    in.addData(
+      EventStream.DocRow(2, ts("2024-01-01 10:00:00"),
+        s"$seg ${(1 to 8).map(i => s"ln$i").mkString(" ")}"))
+    q.processAllAvailable()
+    in.addData(EventStream.DocRow(3, ts("2024-01-02 12:00:00"), "a b c"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("linegate")
+      .select("doc_id", "n_segments", "n_known")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.toSet == Set((2L, 2L, 1L)), s"got ${rows.mkString(",")}")
+  }
+
   test("streaming funnel emits one conversion per user across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
