@@ -124,6 +124,72 @@ object Passages {
        |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // LINE SURGERY — the transform face of the accounting above: emit
+  // each document's cleaned text with every non-keeper segment removed
+  // (CCNet's actual output — the report prices the pass, this performs
+  // it; the span-granularity sibling is Dedup.qSpanDedup). The keeper
+  // rule is THE SAME globally-first-occurrence key as qLineDedup, so
+  // the two faces cannot disagree about what survives. The trailing
+  // partial segment (tokens beyond the last full 8-block) is not a
+  // segment and is always kept; a document whose every segment loses
+  // still emits a row (its tail, possibly empty) — surgery never drops
+  // documents, only lines.
+  //
+  // Scale shape: the keeper decision joins the occurrence frame to the
+  // per-fingerprint min (both narrow — md5 + integers; the segment
+  // TEXT rides only the kept rows into the per-doc rebuild, which is
+  // one doc-keyed aggregation); the tail is row-local. The rebuild
+  // orders each doc's kept segments by their position — inside one
+  // hash-agg group (sort_array of ≤ n/8 structs), not a plan-level
+  // Sort.
+  def qLineSurgery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val occ = segmentRows(docs)
+      .select($"doc_id", $"j", $"s", md5($"s".cast("binary")).as("h"),
+        ($"doc_id" * 65536 + $"j").as("occ"))
+    val keeper = occ.groupBy($"h").agg(min($"occ").as("gmo"))
+    val kept = occ.join(keeper, Seq("h")).filter($"occ" === $"gmo")
+    val segPart = kept.groupBy($"doc_id")
+      .agg(array_join(transform(sort_array(collect_list(struct($"j", $"s"))),
+        x => x.getField("s")), " ").as("seg"))
+    val ws = split($"text", " ")
+    val nseg = floor(size(ws) / SegTokens).cast("int")
+    val tails = docs.select($"doc_id",
+      concat_ws(" ", slice(ws, nseg * SegTokens + lit(1),
+        size(ws) - nseg * SegTokens)).as("tail"))
+    tails.join(segPart, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"seg".isNull || $"seg" === "", $"tail")
+          .when($"tail" === "", $"seg")
+          .otherwise(concat($"seg", lit(" "), $"tail")).as("text_clean"))
+  }
+
+  val qLineSurgerySql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |seg AS (SELECT doc_id, j,
+       |               array_to_string(ws[j*$SegTokens+1 : j*$SegTokens+$SegTokens], ' ') AS s
+       |        FROM w, unnest(range(len(ws) // $SegTokens)) AS t(j)),
+       |occ AS (SELECT doc_id, j, s, md5(s) AS h, doc_id*65536 + j AS occ
+       |        FROM seg),
+       |k AS (SELECT h, min(occ) AS gmo FROM occ GROUP BY 1),
+       |kept AS (SELECT doc_id, j, s FROM occ JOIN k USING (h) WHERE occ = gmo),
+       |segpart AS (SELECT doc_id, string_agg(s, ' ' ORDER BY j) AS seg
+       |            FROM kept GROUP BY 1),
+       |tails AS (SELECT doc_id,
+       |            -- coalesce: an out-of-range slice (no tail) is NULL in
+       |            -- DuckDB, and '' || NULL would null the whole rebuild
+       |            coalesce(array_to_string(
+       |              ws[(len(ws) // $SegTokens) * $SegTokens + 1 : len(ws)], ' '), '')
+       |              AS tail
+       |          FROM w)
+       |SELECT t.doc_id AS doc_id,
+       |       CASE WHEN seg IS NULL OR seg = '' THEN tail
+       |            WHEN tail = '' THEN seg
+       |            ELSE seg || ' ' || tail END AS text_clean
+       |FROM tails t LEFT JOIN segpart USING (doc_id)""".stripMargin
+
+  // --------------------------------------------------------------------
   // WINNOWING FINGERPRINTS — Schleimer '03: hash every k-gram, slide a
   // w-window over the hash sequence, record the MINIMUM hash of each
   // window, dedupe. The guarantee (their Theorem: any shared run of at
@@ -248,9 +314,11 @@ object Passages {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_line_dedup" -> (qLineDedup _),
+    "q_line_surgery" -> (qLineSurgery _),
     "q_winnow" -> (qWinnow _))
 
   val oracleSql: Map[String, String] = Map(
     "q_line_dedup" -> qLineDedupSql,
+    "q_line_surgery" -> qLineSurgerySql,
     "q_winnow" -> qWinnowSql)
 }

@@ -104,6 +104,72 @@ class PassagesSpec extends SparkTestBase {
   }
 
   // ------------------------------------------------------------------
+  // line surgery
+
+  test("line surgery removes exactly the non-keeper segments, keeps tails") {
+    import spark.implicits._
+    // doc 1: segment A twice + a 3-token tail; doc 2: A again + novel B.
+    // keepers: A@(1,0), B@(2,1). expected: doc 1 = A + tail (the j=1
+    // copy removed), doc 2 = B only (its A loses to doc 1's)
+    val segA = "a b c d e f g h"
+    val segB = "p q r s t u v w"
+    val docs = Seq(
+      (1L, s"$segA $segA x y z"),
+      (2L, s"$segA $segB")).toDF("doc_id", "text")
+    val occ = Passages.segmentRows(docs)
+      .select($"doc_id", $"j", $"s",
+        org.apache.spark.sql.functions.md5($"s".cast("binary")).as("h"),
+        ($"doc_id" * 65536 + $"j").as("occ"))
+    val keeperOcc = occ.groupBy($"h")
+      .agg(org.apache.spark.sql.functions.min($"occ").as("gmo"))
+    val kept = occ.join(keeperOcc, Seq("h")).filter($"occ" === $"gmo")
+      .select($"doc_id", $"j").as[(Long, Int)].collect().toSet
+    assert(kept == Set((1L, 0), (2L, 1)))
+  }
+
+  test("line surgery matches a driver recompute and reconciles with the report") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    val occ = docs.flatMap { case (id, _, text) =>
+      val ws = text.split(" ", -1)
+      (0 until ws.length / 8).map(j =>
+        (ws.slice(j * 8, j * 8 + 8).mkString(" "), id, j))
+    }
+    val keeper = occ.groupBy(_._1)
+      .map { case (_, os) => os.minBy(o => o._2 * 65536 + o._3) }.toSet
+    val exp = docs.map { case (id, _, text) =>
+      val ws = text.split(" ", -1)
+      val nseg = ws.length / 8
+      val keptSegs = (0 until nseg)
+        .map(j => (ws.slice(j * 8, j * 8 + 8).mkString(" "), id, j))
+        .filter(keeper).map(_._1)
+      val tail = ws.drop(nseg * 8).mkString(" ")
+      val clean =
+        if (keptSegs.isEmpty) tail
+        else if (tail.isEmpty) keptSegs.mkString(" ")
+        else keptSegs.mkString(" ") + " " + tail
+      id -> clean
+    }.toMap
+    val got = Passages.qLineSurgery(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == exp)
+    // reconciliation with the accounting face: total tokens removed in
+    // the surgery equal the report's tokens_removed sum (every doc here
+    // is space-tokenized, so token deltas are word-count deltas)
+    val removedTokens = docs.map { case (id, _, text) =>
+      text.split(" ", -1).length -
+        (if (got(id).isEmpty) 0 else got(id).split(" ", -1).length)
+    }.sum.toLong
+    val reported = Passages.qLineDedup(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum($"tokens_removed"))
+      .as[Long].head()
+    assert(removedTokens == reported,
+      s"surgery removed $removedTokens vs report $reported")
+  }
+
+  // ------------------------------------------------------------------
   // winnowing
 
   test("winnowing guarantee: a shared run of >= w+k-1 tokens is detected") {
