@@ -120,6 +120,50 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan(df).contains("TakeOrderedAndProject"), plan(df))
   }
 
+  test("line-dedup shuffles carry fingerprints and integers, never segment text") {
+    // the claim in Passages.lineDedupReport: the segment string is
+    // projected away before the first exchange — every shuffle row is
+    // md5 + source + integers. Checked structurally: no exchange's
+    // input schema contains the segment column `s` (or raw `text`).
+    // AQE's wrapper hides ShuffleExchangeExec from collect() until
+    // execution, so the inspection runs on the non-adaptive plan —
+    // same operators, statically visible.
+    withoutAqe {
+      for (df <- Seq(Passages.qLineDedup(spark, sfDir),
+          Passages.qLineSurgery(spark, sfDir))) {
+        val exchanges = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(exchanges.nonEmpty, df.queryExecution.executedPlan.toString)
+        val bad = exchanges.filter(_.child.output.exists(a =>
+          a.name == "text" ||
+            // surgery's rebuild legitimately shuffles the KEPT segments
+            // (they are its output); the accounting face must not
+            // shuffle any segment string at all
+            (a.name == "s" && df.columns.contains("n_segments"))))
+        assert(bad.isEmpty, bad.map(_.child.output.mkString(",")).mkString(";"))
+      }
+    }
+  }
+
+  test("winnow fingerprinting is map-only to the pair join — no text shuffle") {
+    withoutAqe {
+      val df = Passages.qWinnow(spark, sfDir)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, df.queryExecution.executedPlan.toString)
+      val bad = exchanges.filter(_.child.output.exists(_.name == "text"))
+      assert(bad.isEmpty, df.queryExecution.executedPlan.toString)
+    }
+  }
+
+  private def withoutAqe[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("IVF-PQ probe joins stay equi-keyed — no unbounded cross join") {
     // the composed production index must never cross the corpus with
     // itself: cells gate candidates, codes join the LUT on
