@@ -124,6 +124,61 @@ object Passages {
        |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // INCREMENTAL LINE DEDUP — the maintained-report face under
+  // append-only ingest: when a new document batch lands, the per-source
+  // accounting updates from (a) the STANDING report and (b) the batch
+  // joined against the standing distinct-fingerprint index — the old
+  // corpus is never rescanned. The decomposition is exact because
+  // ingest is append-only: every batch occurrence key doc_id·2¹⁶+j
+  // exceeds every standing key (ids grow), so a standing keeper can
+  // never be displaced — a batch occurrence is kept iff its fingerprint
+  // is ABSENT from the standing index and it is the batch's own first
+  // occurrence. The demonstration split carves the corpus at the 90%
+  // id mark (exact integer (max·9) div 10, computed plan-side and
+  // broadcast); production replaces the filter with the actual arrival.
+  //
+  // The ORACLE is the flat full-corpus report (the same SQL as
+  // q_line_dedup): hash-green certifies that incremental maintenance
+  // and full recomputation are value-identical — the equivalence IS the
+  // operator's contract, checked by the driver itself.
+  def qLineDedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+    val thr = docs.agg(expr("(max(doc_id) * 9) div 10").as("thr"))
+    val parts = docs.crossJoin(broadcast(thr))
+    val standing = parts.filter($"doc_id" < $"thr").drop("thr")
+    val batch = parts.filter($"doc_id" >= $"thr").drop("thr")
+    val standingReport = lineDedupReport(standing)
+    // standing distinct-fingerprint index: the table the streaming gate
+    // already maintains (EventStream.corpusSegmentIndex)
+    val standingIdx = segmentRows(standing)
+      .select(md5($"s".cast("binary")).as("h")).distinct()
+    val perSrc = segmentRows(batch)
+      .select(md5($"s".cast("binary")).as("h"), $"source",
+        ($"doc_id" * 65536 + $"j").as("occ"))
+      .groupBy($"h", $"source")
+      .agg(count(lit(1)).as("n"), min($"occ").as("mo"))
+    val batchFirst = perSrc.groupBy($"h").agg(min($"mo").as("gmo"))
+      // novelty gate: a fingerprint already standing keeps its standing
+      // keeper — only absent ones earn a batch keeper
+      .join(standingIdx, Seq("h"), "left_anti")
+    val batchReport = perSrc
+      .join(batchFirst, Seq("h"), "left")
+      .groupBy($"source")
+      .agg(sum($"n").as("n_segments"),
+        sum(when($"mo" === $"gmo", 1L).otherwise(0L)).as("n_kept"),
+        sum($"n" - when($"mo" === $"gmo", 1L).otherwise(0L)).as("n_removed"),
+        (lit(SegTokens.toLong) *
+          sum($"n" - when($"mo" === $"gmo", 1L).otherwise(0L))).as("tokens_removed"))
+    standingReport.unionByName(batchReport)
+      .groupBy($"source")
+      .agg(sum($"n_segments").as("n_segments"), sum($"n_kept").as("n_kept"),
+        sum($"n_removed").as("n_removed"),
+        sum($"tokens_removed").as("tokens_removed"))
+  }
+
+  // --------------------------------------------------------------------
   // LINE SURGERY — the transform face of the accounting above: emit
   // each document's cleaned text with every non-keeper segment removed
   // (CCNet's actual output — the report prices the pass, this performs
@@ -314,11 +369,15 @@ object Passages {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_line_dedup" -> (qLineDedup _),
+    "q_line_dedup_incremental" -> (qLineDedupIncremental _),
     "q_line_surgery" -> (qLineSurgery _),
     "q_winnow" -> (qWinnow _))
 
   val oracleSql: Map[String, String] = Map(
     "q_line_dedup" -> qLineDedupSql,
+    // the incremental face's oracle IS the flat full-corpus report:
+    // hash equality certifies the append-only decomposition exact
+    "q_line_dedup_incremental" -> qLineDedupSql,
     "q_line_surgery" -> qLineSurgerySql,
     "q_winnow" -> qWinnowSql)
 }

@@ -103,6 +103,31 @@ class PassagesSpec extends SparkTestBase {
     noCross(Passages.qLineDedup(spark, dir))
   }
 
+  test("incremental line dedup equals the flat report, and really is incremental") {
+    import spark.implicits._
+    val inc = Passages.qLineDedupIncremental(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val flat = Passages.qLineDedup(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(inc == flat)
+    // the split must actually exercise both paths at this SF: a batch
+    // with zero docs (or the whole corpus) would prove nothing
+    val maxId = graft.core.Tables.documents(spark, dir)
+      .agg(org.apache.spark.sql.functions.max($"doc_id")).as[Long].head()
+    val thr = maxId * 9 / 10
+    val nBatch = graft.core.Tables.documents(spark, dir)
+      .filter($"doc_id" >= thr).count()
+    val nAll = graft.core.Tables.documents(spark, dir).count()
+    assert(nBatch > 0 && nBatch < nAll, s"batch $nBatch of $nAll")
+    // structural: the novelty gate is a left-anti join against the
+    // standing fingerprint index
+    val p = Passages.qLineDedupIncremental(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p)
+  }
+
   // ------------------------------------------------------------------
   // line surgery
 
