@@ -124,6 +124,53 @@ object Passages {
        |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // BOILERPLATE TOP-K — the governance readout of the pass above: WHAT
+  // are each source's most-repeated segments (navigation chrome,
+  // licence blocks, templates)? The counting phase shuffles only
+  // (md5, source, int) rows — never segment text — and the top-5
+  // selection per source runs through the native bounded top-k
+  // operator (plans/TopKPerGroup: O(n·k) compares, k-row state, no
+  // per-source sort). Only then is the TEXT of the ≤ 5·sources winners
+  // fetched, by a broadcast semi-probe of the winner fingerprints
+  // against a distinct exemplar frame — the text a human reads rides a
+  // bounded frame, not a corpus shuffle.
+  def qBoilerplateTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val segs = segmentRows(Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text"))
+    val counts = segs
+      .select(md5($"s".cast("binary")).as("h"), $"source")
+      .groupBy($"source", $"h").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2) // a segment seen once is content, not boilerplate
+    val top = graft.plans.TopKPerGroup.topKPerGroup(counts,
+      Seq($"source"), Seq($"n".desc, $"h".asc), 5)
+    // exemplar text for the winners only: md5 is injective on this
+    // corpus (and any collision would merge counts identically in both
+    // engines); min(s) pins a deterministic representative regardless
+    val exemplar = segs.select(md5($"s".cast("binary")).as("h"), $"s")
+      .groupBy($"h").agg(min($"s").as("segment"))
+    top.join(exemplar, Seq("h"))
+      .select($"source", $"segment", $"n",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"n".desc, $"h".asc)).as("rnk"))
+  }
+
+  val qBoilerplateTopkSql: String =
+    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |seg AS (SELECT doc_id, source, j,
+       |               array_to_string(ws[j*$SegTokens+1 : j*$SegTokens+$SegTokens], ' ') AS s
+       |        FROM w, unnest(range(len(ws) // $SegTokens)) AS t(j)),
+       |cnt AS (SELECT source, md5(s) AS h, min(s) AS segment, count(*) AS n
+       |        FROM seg GROUP BY 1, 2
+       |        HAVING count(*) >= 2),
+       |rk AS (SELECT source, segment, n,
+       |              CAST(row_number() OVER (
+       |                PARTITION BY source ORDER BY n DESC, h) AS INTEGER) AS rnk
+       |       FROM cnt)
+       |SELECT source, segment, n, rnk FROM rk WHERE rnk <= 5""".stripMargin
+
+  // --------------------------------------------------------------------
   // INCREMENTAL LINE DEDUP — the maintained-report face under
   // append-only ingest: when a new document batch lands, the per-source
   // accounting updates from (a) the STANDING report and (b) the batch
@@ -371,6 +418,7 @@ object Passages {
     "q_line_dedup" -> (qLineDedup _),
     "q_line_dedup_incremental" -> (qLineDedupIncremental _),
     "q_line_surgery" -> (qLineSurgery _),
+    "q_boilerplate_topk" -> (qBoilerplateTopk _),
     "q_winnow" -> (qWinnow _))
 
   val oracleSql: Map[String, String] = Map(
@@ -379,5 +427,6 @@ object Passages {
     // hash equality certifies the append-only decomposition exact
     "q_line_dedup_incremental" -> qLineDedupSql,
     "q_line_surgery" -> qLineSurgerySql,
+    "q_boilerplate_topk" -> qBoilerplateTopkSql,
     "q_winnow" -> qWinnowSql)
 }

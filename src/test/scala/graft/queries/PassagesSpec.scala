@@ -128,6 +128,34 @@ class PassagesSpec extends SparkTestBase {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("boilerplate top-k: native bounded selection, counts verified, text off the shuffle") {
+    import spark.implicits._
+    val df = Passages.qBoilerplateTopk(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), p)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // driver recompute of the full per-(source, segment) counts
+    val occ = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+      .flatMap { case (_, src, text) =>
+        val ws = text.split(" ", -1)
+        (0 until ws.length / 8).map(j =>
+          (src, ws.slice(j * 8, j * 8 + 8).mkString(" ")))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for ((src, seg, n, rnk) <- got) {
+      assert(occ((src, seg)) == n, s"$src/$seg")
+      assert(rnk >= 1 && rnk <= 5 && n >= 2)
+    }
+    // per source: ranks contiguous and counts non-increasing
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rows.length))
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq)
+    }
+  }
+
   // ------------------------------------------------------------------
   // line surgery
 
