@@ -7,12 +7,18 @@ import graft.core.Tables
 
 /** Passage-granularity curation operators — the rungs BETWEEN document
   * dedup (Dedup.qDedupExact/qDedupNear) and span surgery
-  * (Dedup.qSpanDedup): line-level deduplication (the CCNet/RefinedWeb
-  * preprocessing step — Wenzek et al. '19 dedup paragraphs by hash
-  * before anything else touches the crawl) and winnowing fingerprints
-  * (Schleimer, Wilkerson & Aiken, SIGMOD '03 — the MOSS local
-  * fingerprinting scheme that guarantees any sufficiently long shared
-  * passage is detected while storing a fraction of the gram index).
+  * (Dedup.qSpanDedup): the line-level dedup family (the CCNet/
+  * RefinedWeb preprocessing step — Wenzek et al. '19 dedup paragraphs
+  * by hash before anything else touches the crawl) in four faces —
+  * accounting (q_line_dedup), surgery (q_line_surgery), append-only
+  * incremental maintenance (q_line_dedup_incremental), and the
+  * boilerplate top-k readout (q_boilerplate_topk) — plus winnowing
+  * fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD '03 — the MOSS
+  * local fingerprinting scheme that guarantees any sufficiently long
+  * shared passage is detected while storing a fraction of the gram
+  * index). Both families also serve streaming gates
+  * (EventStream.corpusWinnowSuspects / lineBoilerplateStats) that run
+  * the SAME extraction operators against standing indexes.
   * No reference analog (ref/etl has no text layer).
   *
   * Scale design:
