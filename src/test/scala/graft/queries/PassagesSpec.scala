@@ -223,7 +223,25 @@ class PassagesSpec extends SparkTestBase {
   }
 
   // ------------------------------------------------------------------
-  // winnowing
+  // degenerate inputs — the shapes empty partitions and short-document
+  // sources produce at scale; every face must return empty (or
+  // identity) results, never throw
+
+  test("passage operators are total on empty and all-short corpora") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    assert(Passages.lineDedupReport(empty).count() == 0)
+    assert(Passages.winnowFingerprints(empty.drop("source")).count() == 0)
+    assert(Passages.winnowPairs(
+      Passages.winnowFingerprints(empty.drop("source"))).count() == 0)
+    // all documents below every threshold: no segments, no fingerprints
+    val short = Seq((1L, "s1", "a b c"), (2L, "s2", ""))
+      .toDF("doc_id", "source", "text")
+    assert(Passages.lineDedupReport(short).count() == 0)
+    assert(Passages.winnowFingerprints(short.drop("source")).count() == 0)
+    assert(Passages.segmentRows(short).count() == 0)
+  }
 
   test("winnowing guarantee: a shared run of >= w+k-1 tokens is detected") {
     import spark.implicits._
