@@ -477,6 +477,27 @@ object Retrieval {
        |         AS fused_rank
        |FROM f""".stripMargin
 
+  /** Committed standing-query scoring model: per-term document
+    * frequency for the standing query's terms plus the corpus
+    * constants — kilobytes, collected from the SAME staged term-stats
+    * sidecar and corpus-constants frames the batch ranker joins, so the
+    * streaming percolation face (EventStream.bm25ScoreArrivals) and
+    * q_bm25 cannot disagree on a statistic. k1/b ride along so the
+    * arithmetic parameters are part of the committed artifact. */
+  final case class Bm25QueryModel(df: Map[String, Long], nDocs: Long,
+      tot: Long, k1: Double, b: Double)
+
+  private[graft] def bm25Model(spark: SparkSession,
+      sfDir: String): Bm25QueryModel = {
+    import spark.implicits._
+    val dfs = termStats(spark, sfDir)
+      .filter($"term".isin(Bm25Terms: _*))
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    val (n, tot) = corpusStats(spark, sfDir)
+      .as[(Long, Long)].head()
+    Bm25QueryModel(dfs, n, tot, Bm25K1, Bm25B)
+  }
+
   /** Materialize the standing retrieval artifacts (per-source KMV
     * sketches, the DSIR ratio model) — a Bench setup step like the
     * dedup staging; at 100 TB both are ingest-time/model-build jobs

@@ -456,6 +456,61 @@ object EventStream {
       .select($"doc_id", $"n_segments", $"n_known")
   }
 
+  /** Streaming PERCOLATION — prospective search, the inverse of the
+    * batch ranker's direction: the query STANDS (a routing rule, an
+    * alert, a seed-set expansion probe) and every ARRIVING document is
+    * scored against it at the door, with the same Okapi BM25 arithmetic
+    * and the same committed corpus statistics the batch q_bm25 probe
+    * joins (Retrieval.Bm25QueryModel — kilobytes on the closure, the
+    * deployed-scorer shape of every gate in this module). A document
+    * containing none of the standing query's terms emits nothing;
+    * matches emit (doc, matched-term count, score) BEFORE ingestion
+    * commits the arrival.
+    *
+    * Arithmetic parity is the hard part and is asserted, not assumed:
+    * the flatMap mirrors the batch expression tree operation-for-
+    * operation — the same IEEE association for tfn and idf, the same
+    * half-up 9-dp rounding (`BigDecimal.valueOf` = Spark's Round on
+    * doubles), exact scale-18 products summed exactly, one final
+    * half-up rescale to 9 dp before widening — so a scored arrival
+    * equals the batch ranker's row for the same document BIT-FOR-BIT
+    * (EventStreamSpec drives the whole corpus through both faces).
+    * Stateless flatMap: percolation needs no state at all. */
+  def bm25ScoreArrivals(docs: Dataset[DocArrival],
+      model: graft.queries.Retrieval.Bm25QueryModel): DataFrame = {
+    import docs.sparkSession.implicits._
+    val hu = java.math.RoundingMode.HALF_UP
+    def r9(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(9, hu)
+    docs.flatMap { d =>
+      val toks = d.text.split(" ", -1)
+      // dl = spaces + 1, the batch tokenCountCol formula (empty tokens
+      // from doubled spaces count, exactly as in the postings build)
+      val dl = toks.length.toDouble
+      val tf = scala.collection.mutable.HashMap.empty[String, Long]
+      for (t <- toks; if model.df.contains(t))
+        tf(t) = tf.getOrElse(t, 0L) + 1L
+      if (tf.isEmpty) None
+      else {
+        var s = java.math.BigDecimal.ZERO
+        for ((term, f) <- tf) {
+          val df = model.df(term)
+          // batch: (tf * (k1+1)) / (tf + k1 * ((1-b) + b * ((dl * n) / tot)))
+          val tfn = (f * (model.k1 + 1)) /
+            (f + model.k1 * ((1 - model.b) +
+              model.b * ((dl * model.nDocs) / model.tot)))
+          // batch: ln(1.0 + ((n - df) + 0.5) / (df + 0.5))
+          val idf = math.log(1.0 + ((model.nDocs - df) + 0.5) / (df + 0.5))
+          // decimal(12,9) × decimal(12,9) exact product, exact sum —
+          // addition of exact decimals commutes, so map order is safe
+          s = s.add(r9(tfn).multiply(r9(idf)))
+        }
+        Some((d.doc_id, d.ts, tf.size.toLong,
+          s.setScale(9, hu).doubleValue()))
+      }
+    }.toDF("doc_id", "ts", "n_terms", "score")
+  }
+
   final case class VecRow(vec_id: Long, ts: Timestamp, v: Seq[Double])
 
   final case class CellStat(cid: Long, cv: Array[Double],

@@ -261,6 +261,42 @@ class EventStreamSpec extends SparkTestBase {
     assert(rows.head._3 >= 3L, s"n_shared ${rows.head._3}")
   }
 
+  test("streaming percolation scores arrivals bit-equal to the batch BM25 ranker") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val model = graft.queries.Retrieval.bm25Model(spark, dir)
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val in = MemoryStream[EventStream.DocArrival]
+    val q = EventStream.bm25ScoreArrivals(in.toDS(), model)
+      .writeStream.format("memory").queryName("percolate")
+      .outputMode("append").start()
+    in.addData(docs.map { case (id, text) =>
+      EventStream.DocArrival(id, ts("2024-01-01 10:00:00"), text) }.toSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("percolate")
+      .select("doc_id", "n_terms", "score")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // every batch-ranked document must carry the IDENTICAL matched-term
+    // count and score through the streaming face — same arithmetic tree,
+    // same committed statistics, zero drift
+    val batch = graft.queries.Retrieval.qBm25(spark, dir)
+      .select($"doc_id", $"n_terms", $"score")
+      .as[(Long, Long, Double)].collect()
+    assert(batch.nonEmpty)
+    for ((id, n, score) <- batch) {
+      assert(streamed.contains(id), s"doc $id missing from stream")
+      assert(streamed(id) == ((n, score)),
+        s"doc $id: stream ${streamed(id)} vs batch ($n, $score)")
+    }
+    // and a document with no standing-query term emits nothing
+    val queryTerms = model.df.keySet
+    val silent = docs.filter { case (_, t) =>
+      !t.split(" ", -1).exists(queryTerms) }
+    assert(silent.forall { case (id, _) => !streamed.contains(id) })
+  }
+
   test("streaming line gate scores an arrival's known-segment fraction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
