@@ -71,7 +71,10 @@ object GraftFunctions {
     ("winnow_fps",
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
       (args: Seq[Expression]) => WinnowFps(args.head,
-        intArg(args(1), "k"), intArg(args(2), "w"))))
+        intArg(args(1), "k"), intArg(args(2), "w"))),
+    ("word_blocks",
+      new ExpressionInfo(classOf[WordBlocks].getName, "word_blocks"),
+      (args: Seq[Expression]) => WordBlocks(args.head, intArg(args(1), "n"))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -582,6 +582,73 @@ object WinnowFps {
   }
 }
 
+/** Non-overlapping n-word blocks of a space-separated token string —
+  * the segment extraction under the line-dedup family
+  * (queries.Passages): block p = tokens [p·n, p·n+n), full blocks only,
+  * EMPTY array (never null, never an error) below one block so the
+  * streaming gate's no-Filter watermark contract holds. Replaces the
+  * interpreted transform/slice/concat_ws HOF chain: each block is one
+  * contiguous byte span of the input (n words joined by single spaces
+  * IS the span between the first word's start and the last word's end,
+  * empty tokens from repeated spaces included — byte-identical to
+  * `concat_ws(' ', slice(split(text, ' '), p*n+1, n))`), emitted
+  * zero-copy from the backing array. */
+case class WordBlocks(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if n < 1 => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName n must be >= 1, got $n")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_blocks"
+  override def foldable: Boolean = child.foldable
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordBlocks.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordBlocks.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordBlocks =
+    copy(child = newChild)
+}
+
+object WordBlocks {
+  def compute(s: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val total = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < total) { if (bytes(i) == 0x20) spaces += 1; i += 1 }
+    val numWords = spaces + 1
+    val numBlocks = numWords / n
+    if (numBlocks == 0) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](numWords)
+    var w = 1
+    i = 0
+    while (i < total) {
+      if (bytes(i) == 0x20) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    def end(p: Int): Int = if (p == numWords - 1) total else starts(p + 1) - 1
+    val out = new Array[Any](numBlocks)
+    var b = 0
+    while (b < numBlocks) {
+      val off = starts(b * n)
+      out(b) = org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(bytes, off, end(b * n + n - 1) - off)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Morton (Z-order) interleave of two 32-bit-normalized keys: bit i of
   * `left` lands at output bit 2i, bit i of `right` at 2i+1. The multi-
   * dimensional clustering key for sort-clustered layouts
@@ -698,4 +765,5 @@ object functions {
   def zorder64(a: Column, b: Column): Column = col(ZOrder64(ex(a), ex(b)))
   def word_gram_hashes(c: Column, n: Int): Column = col(WordGramHashes(ex(c), n))
   def winnow_fps(c: Column, k: Int, w: Int): Column = col(WinnowFps(ex(c), k, w))
+  def word_blocks(c: Column, n: Int): Column = col(WordBlocks(ex(c), n))
 }

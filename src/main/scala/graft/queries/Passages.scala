@@ -72,12 +72,15 @@ object Passages {
   private[graft] def segmentRows(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val keep = docs.columns.filter(_ != "text").map(col)
-    val ws = split($"text", " ")
+    // fused native kernel (functions.WordBlocks): each block is emitted
+    // zero-copy from its contiguous byte span — replaces the interpreted
+    // transform/slice/concat_ws HOF chain (and its two-level
+    // sequence(0, n<0) guard; the kernel returns an empty array for
+    // short docs, preserving the no-Filter watermark contract). The HOF
+    // formulation remains in ExpressionPropertiesSpec as the
+    // property-test reference.
     docs.select(keep :+
-      posexplode(when(size(ws) >= SegTokens, transform(
-          sequence(lit(0), floor(size(ws) / SegTokens).cast("int") - 1),
-          j => concat_ws(" ", slice(ws, j * SegTokens + lit(1), lit(SegTokens)))))
-        .otherwise(array().cast("array<string>")))
+      posexplode(graft.functions.functions.word_blocks($"text", SegTokens))
         .as(Seq("j", "s")): _*)
   }
 

@@ -209,6 +209,37 @@ class ExpressionPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("word_blocks: equals the HOF slice reference, incl. empty tokens") {
+    import spark.implicits._
+    def ref(t: String, n: Int): Seq[String] = {
+      val ws = t.split(" ", -1)
+      (0 until ws.length / n).map(p => ws.slice(p * n, p * n + n).mkString(" "))
+    }
+    val piece: Gen[String] = Gen.oneOf(word, Gen.const(""), Gen.const("é中"))
+    val t2: Gen[String] = Gen.choose(0, 30)
+      .flatMap(k => Gen.listOfN(k, piece).map(_.mkString(" ")))
+    samples(t2).foreach { t =>
+      val got = Seq(t).toDF("text")
+        .select(functions.word_blocks($"text", 8).as("b"))
+        .head().getSeq[String](0)
+      assert(got == ref(t, 8), s"text=<$t>")
+    }
+    // and the Spark-expression twin the kernel replaced
+    samples(t2, 20).foreach { t =>
+      val hof = Seq(t).toDF("text")
+        .select(org.apache.spark.sql.functions.expr(
+          """CASE WHEN size(split(text, ' ')) >= 8 THEN
+            |  transform(sequence(0, cast(floor(size(split(text, ' ')) / 8) as int) - 1),
+            |            j -> concat_ws(' ', slice(split(text, ' '), j*8+1, 8)))
+            |ELSE array() END""".stripMargin).as("b"))
+        .head().getSeq[String](0)
+      val got = Seq(t).toDF("text")
+        .select(functions.word_blocks($"text", 8).as("b"))
+        .head().getSeq[String](0)
+      assert(got == hof, s"text=<$t>")
+    }
+  }
+
   test("winnow_fps: registered SQL face and empty-for-short contract") {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT winnow_fps('a b c d e f g h', 5, 4) AS f")
