@@ -104,6 +104,31 @@ class RetrievalSpec extends SparkTestBase {
       s"mean KMV cardinality error ${rels.sum / rels.length}")
   }
 
+  test("kmv containment estimate tracks the exact directed containment") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sets = graft.core.Tables.documents(spark, sfDir)
+      .select($"source",
+        explode(graft.functions.functions.word_shingles($"text", 3)).as("s"))
+      .distinct()
+      .as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+    } yield ((a, b), (sets(a) & sets(b)).size.toDouble / sets(a).size)).toMap
+    val est = Retrieval.qKmvContainment(spark, sfDir)
+      .select($"src_from", $"src_to", $"containment_est")
+      .as[(String, String, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(est.keySet == exact.keySet)
+    val errs = exact.map { case (k, c) => math.abs(est(k) - c) }
+    // same k=64 sampling error regime as the jaccard estimator; the
+    // deterministic md5 draw on this corpus measures max |err| ≈ 0.12
+    assert(errs.max < 0.25, s"max containment error ${errs.max}")
+    assert(errs.sum / errs.size < 0.08,
+      s"mean containment error ${errs.sum / errs.size}")
+  }
+
   test("rrf fusion equals a driver recompute from its two leg rankings") {
     import spark.implicits._
     val bm = Retrieval.qBm25(spark, sfDir)
