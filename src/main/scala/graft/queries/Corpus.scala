@@ -368,7 +368,54 @@ object Corpus {
       |GROUP BY 1, 2, 3""".stripMargin
 
   // --------------------------------------------------------------------
+  // SOURCE PROFILE COSINE — the frequency-profile angle of the source-
+  // similarity triad (set-level: KMV jaccard/containment sketches;
+  // distribution-level: the χ² divergence; profile-level: THIS — the
+  // cosine between raw term-frequency vectors, the standard
+  // which-sources-look-alike readout before setting mixture weights).
+  // Everything up to the last expression is exact long arithmetic: the
+  // (source, term) counts, the pairwise dot products, and the squared
+  // norms are integer sums over the VOCABULARY-sized profile frame (the
+  // corpus is touched once, by the counting aggregate); the cosine is
+  // one fixed-association expression of three exact longs —
+  // (dot / √na²) / √nb² — with IEEE sqrt/divide correctly rounded in
+  // both engines, and the exact dot emitted beside it as evidence.
+  def qSourceCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = TextOps.docsWide(spark, sfDir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    val norms = counts.groupBy($"source").agg(sum($"c" * $"c").as("n2"))
+    val a = counts.select($"source".as("src_a"), $"tok", $"c".as("ca"))
+    val b = counts.select($"source".as("src_b"), $"tok", $"c".as("cb"))
+    a.join(b, Seq("tok")).filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(sum($"ca" * $"cb").as("dot"))
+      .join(norms.select($"source".as("src_a"), $"n2".as("na2")), Seq("src_a"))
+      .join(norms.select($"source".as("src_b"), $"n2".as("nb2")), Seq("src_b"))
+      .select($"src_a", $"src_b", $"dot",
+        (($"dot".cast("double") / sqrt($"na2".cast("double"))) /
+          sqrt($"nb2".cast("double"))).as("cosine"))
+  }
+
+  val qSourceCosineSql: String =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+      |n AS (SELECT source, CAST(sum(c * c) AS BIGINT) AS n2 FROM c GROUP BY 1),
+      |d AS (SELECT a.source AS src_a, b.source AS src_b,
+      |             CAST(sum(a.c * b.c) AS BIGINT) AS dot
+      |      FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+      |      GROUP BY 1, 2)
+      |SELECT d.src_a, d.src_b, d.dot,
+      |       (CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))) /
+      |         sqrt(CAST(nb.n2 AS DOUBLE)) AS cosine
+      |FROM d
+      |JOIN n na ON na.source = d.src_a
+      |JOIN n nb ON nb.source = d.src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_cosine" -> (qSourceCosine _),
     "q_keyword_tag" -> (qKeywordTag _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_margin_mining" -> (qMarginMining _),
@@ -376,6 +423,7 @@ object Corpus {
     "q_token_entropy" -> (qTokenEntropy _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_source_cosine" -> qSourceCosineSql,
     "q_keyword_tag" -> qKeywordTagSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_margin_mining" -> qMarginMiningSql,

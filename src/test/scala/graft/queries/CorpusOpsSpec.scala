@@ -185,4 +185,29 @@ class CorpusOpsSpec extends SparkTestBase {
       .as[(Long, Int, String, Long, Double)].collect().toSet
     assert(got == expected)
   }
+
+  test("source profile cosine equals a driver recompute, bounded in (0, 1]") {
+    import spark.implicits._
+    val counts = graft.core.Tables.documents(spark, sfDir)
+      .select($"source", $"text").as[(String, String)].collect()
+      .flatMap { case (src, t) => t.split(" ", -1).map(src -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bySrc = counts.groupBy(_._1._1).view
+      .mapValues(_.map { case ((_, tok), c) => tok -> c }.toMap).toMap
+    val exp = (for {
+      a <- bySrc.keys; b <- bySrc.keys if a < b
+    } yield {
+      val dot = bySrc(a).iterator
+        .map { case (tok, ca) => ca * bySrc(b).getOrElse(tok, 0L) }.sum
+      val cos = (dot.toDouble / math.sqrt(
+        bySrc(a).values.map(c => c * c).sum.toDouble)) /
+        math.sqrt(bySrc(b).values.map(c => c * c).sum.toDouble)
+      (a, b) -> ((dot, cos))
+    }).toMap
+    val got = Corpus.qSourceCosine(spark, sfDir)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == exp)
+    assert(got.values.forall { case (_, c) => c > 0.0 && c <= 1.0 })
+  }
 }
