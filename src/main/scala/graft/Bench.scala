@@ -33,6 +33,7 @@ object Bench {
     "ivf_cells" -> ((s, dir) => graft.queries.Similarity.prewarmStaging(s, dir)),
     "retrieval_staging" -> ((s, dir) => graft.queries.Retrieval.prewarmStaging(s, dir)),
     "winnow_staging" -> ((s, dir) => graft.queries.Passages.prewarmStaging(s, dir)),
+    "profile_staging" -> ((s, dir) => graft.queries.Corpus.prewarmStaging(s, dir)),
     // strict-curation admission signals (outlier/contained/on-target
     // doc-id sets): maintained curation tables in production, staged
     // once here — ordered after the dedup/retrieval staging they read

@@ -492,12 +492,15 @@ object TextOps {
   // rows. At 100 TB only the per-source token counts touch the corpus.
   def qSourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, sfDir)
-      .select($"source", explode(split($"text", " ")).as("tok"))
+    // the (source, term) counts and per-source totals both read the
+    // staged profile sidecar (Corpus.sourceTermCounts) shared with the
+    // entropy and cosine health queries — one corpus token fan-out
+    // serves all three
+    val profile = Corpus.sourceTermCounts(spark, sfDir)
     val vocab = topVocab(spark, sfDir)
-    val counts = toks.join(broadcast(vocab), Seq("tok"))
-      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
-    val totals = toks.groupBy($"source").agg(count(lit(1)).as("tot"))
+    val counts = profile.select($"source", $"term".as("tok"), $"c")
+      .join(broadcast(vocab), Seq("tok"))
+    val totals = profile.groupBy($"source").agg(sum($"c").as("tot"))
     val grid = totals.crossJoin(broadcast(vocab))
       .join(counts, Seq("source", "tok"), "left")
       .select($"source", $"tok",
