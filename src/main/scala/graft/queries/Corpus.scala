@@ -388,6 +388,31 @@ object Corpus {
     ()
   }
 
+  /** Committed per-source profile MODEL for the streaming drift gate
+    * (EventStream.profileDriftScores): term → parts-per-million share
+    * under the SAME floor-division rule as the χ² divergence query
+    * (exact integers — both faces and both engines agree on every
+    * share), plus each profile's total ppm mass (the constant that
+    * closes the χ² sum over profile terms the arrival doesn't carry).
+    * Vocabulary-sized — kilobytes here, megabytes at web scale — the
+    * broadcast-with-the-closure shape of every committed model. */
+  final case class SourceProfileModel(
+      ppm: Map[String, Map[String, Long]], mass: Map[String, Long])
+
+  private[graft] def sourceProfileModel(spark: SparkSession,
+      sfDir: String): SourceProfileModel = {
+    import spark.implicits._
+    val rows = sourceTermCounts(spark, sfDir)
+      .withColumn("tot", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+      .select($"source", $"term", expr("(c * 1000000L) div tot").as("ppm"))
+      .as[(String, String, Long)].collect()
+    val bySrc = rows.groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    SourceProfileModel(bySrc,
+      bySrc.view.mapValues(_.values.sum).toMap)
+  }
+
   // --------------------------------------------------------------------
   // SOURCE PROFILE COSINE — the frequency-profile angle of the source-
   // similarity triad (set-level: KMV jaccard/containment sketches;

@@ -511,6 +511,53 @@ object EventStream {
     }.toDF("doc_id", "ts", "n_terms", "score")
   }
 
+  /** Streaming PROFILE-DRIFT gate: each arriving document's token
+    * distribution is scored against its source's COMMITTED
+    * term-frequency profile (queries.Corpus.SourceProfileModel — the
+    * staged sidecar collected as ppm shares, kilobytes on the closure)
+    * with the χ² form of the batch source-divergence query. This is
+    * the crawl-drift / template-switch / poisoning tripwire: a source
+    * whose new content stops looking like its committed profile lights
+    * up HERE, before ingestion commits it, not at the next full-corpus
+    * health pass.
+    *
+    * Arithmetic is the batch query's exact-integer discipline: both
+    * sides become parts-per-million via the identical floor division,
+    * each term contributes ((pd−pb)²) div (pd+pb) as an exact long,
+    * and profile terms the arrival doesn't carry contribute their own
+    * ppm (the (0−pb)²/(0+pb) limit) through one precomputed constant
+    * per source — so the per-document sum is order-independent and
+    * reproducible anywhere. One final widening divide emits the
+    * double. A source absent from the committed model scores −1
+    * (unknown provenance — flag for quarantine, not a silent 0).
+    * Stateless flatMap. */
+  def profileDriftScores(docs: Dataset[SourcedDocArrival],
+      model: graft.queries.Corpus.SourceProfileModel): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.map { d =>
+      model.ppm.get(d.source) match {
+        case None => (d.doc_id, d.source, d.ts, -1.0)
+        case Some(profile) =>
+          val toks = d.text.split(" ", -1)
+          val tot = toks.length.toLong
+          val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+          for (t <- toks) cnt(t) = cnt.getOrElse(t, 0L) + 1L
+          var s = 0L
+          var coveredMass = 0L
+          for ((t, c) <- cnt) {
+            val pd = c * 1000000L / tot
+            val pb = profile.getOrElse(t, 0L)
+            coveredMass += pb
+            if (pd + pb != 0L) s += ((pd - pb) * (pd - pb)) / (pd + pb)
+          }
+          // profile terms absent from the arrival: Σ pb over them, via
+          // the committed total mass minus the covered part
+          s += model.mass(d.source) - coveredMass
+          (d.doc_id, d.source, d.ts, s.toDouble / 1000000.0)
+      }
+    }.toDF("doc_id", "source", "ts", "drift")
+  }
+
   final case class VecRow(vec_id: Long, ts: Timestamp, v: Seq[Double])
 
   final case class CellStat(cid: Long, cv: Array[Double],

@@ -297,6 +297,48 @@ class EventStreamSpec extends SparkTestBase {
     assert(silent.forall { case (id, _) => !streamed.contains(id) })
   }
 
+  test("streaming profile-drift gate separates on-profile from off-profile arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val model = graft.queries.Corpus.sourceProfileModel(spark, dir)
+    val (src, profile) = model.ppm.head
+    // an on-profile arrival: real text drawn from that source's corpus
+    val onText = graft.core.Tables.documents(spark, dir)
+      .filter($"source" === src).select($"text").as[String].head()
+    // an off-profile arrival: tokens the profile has never seen
+    val offText = (1 to 60).map(i => s"driftqq$i").mkString(" ")
+    val in = MemoryStream[EventStream.SourcedDocArrival]
+    val q = EventStream.profileDriftScores(in.toDS(), model)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode("append").start()
+    in.addData(
+      EventStream.SourcedDocArrival(1, ts("2024-01-01 10:00:00"), src, onText),
+      EventStream.SourcedDocArrival(2, ts("2024-01-01 10:00:01"), src, offText),
+      EventStream.SourcedDocArrival(3, ts("2024-01-01 10:00:02"), "nosuch", onText))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("drift").select("doc_id", "drift")
+      .as[(Long, Double)].collect().toMap
+    // off-profile: every doc term contributes ~its own share AND the
+    // whole committed mass survives uncovered -> drift near 2; the
+    // on-profile doc must sit clearly below it
+    assert(rows(2L) > 1.5, s"off-profile drift ${rows(2L)}")
+    assert(rows(1L) < rows(2L) - 0.5, s"on ${rows(1L)} vs off ${rows(2L)}")
+    assert(rows(3L) == -1.0, "unknown source must flag, not score 0")
+    // exact-arithmetic recompute of the on-profile score
+    val toks = onText.split(" ", -1)
+    val cnt = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var s = 0L; var covered = 0L
+    for ((t, c) <- cnt) {
+      val pd = c * 1000000L / toks.length
+      val pb = profile.getOrElse(t, 0L)
+      covered += pb
+      if (pd + pb != 0L) s += ((pd - pb) * (pd - pb)) / (pd + pb)
+    }
+    s += model.mass(src) - covered
+    assert(rows(1L) == s.toDouble / 1000000.0)
+  }
+
   test("streaming line gate scores an arrival's known-segment fraction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
