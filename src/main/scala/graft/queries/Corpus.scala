@@ -458,8 +458,76 @@ object Corpus {
       |JOIN n na ON na.source = d.src_a
       |JOIN n nb ON nb.source = d.src_b""".stripMargin
 
+  // --------------------------------------------------------------------
+  // PER-DOCUMENT PROFILE DRIFT — the batch twin of the streaming drift
+  // gate (EventStream.profileDriftScores): every document χ²-scored
+  // against its OWN source's committed term-frequency profile. Batch
+  // use: rank a source's existing members by atypicality (the
+  // outlier-document readout the health queries summarize away);
+  // contract use: this face is oracle-checked, and EventStreamSpec
+  // asserts the streaming gate equals it bit-for-bit — so the driver's
+  // hash gate transitively certifies the gate's arithmetic.
+  //
+  // Same exact-integer discipline as q_source_divergence: ppm by floor
+  // division on BOTH sides, per-term ((pd−pb)²) div (pd+pb) longs,
+  // profile terms the document doesn't carry closed by (source mass −
+  // covered mass), one final widening divide. The document side
+  // aggregates per (doc, term) and joins the vocabulary-sized profile
+  // on (source, term); the corpus text never shuffles (counts do).
+  def qProfileDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prof = sourceTermCounts(spark, sfDir)
+      .withColumn("stot", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+      .select($"source", $"term", expr("(c * 1000000L) div stot").as("pb"))
+    val mass = prof.groupBy($"source").agg(sum($"pb").as("mass"))
+    val docTok = TextOps.docsWide(spark, sfDir)
+      .select($"doc_id", $"source", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"source", $"term").agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+      .select($"doc_id", $"source", $"term",
+        expr("(c * 1000000L) div tot").as("pd"))
+    docTok.join(prof, Seq("source", "term"), "left")
+      .select($"doc_id", $"source", $"pd", coalesce($"pb", lit(0L)).as("pb"))
+      .groupBy($"doc_id", $"source")
+      .agg(sum(when($"pd" + $"pb" === 0, 0L)
+          .otherwise(expr("((pd - pb) * (pd - pb)) div (pd + pb)"))).as("s"),
+        sum($"pb").as("covered"))
+      .join(broadcast(mass), Seq("source"))
+      .select($"doc_id", $"source",
+        (($"s" + $"mass" - $"covered").cast("double") / 1000000.0).as("drift"))
+  }
+
+  val qProfileDriftSql: String =
+    """WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |sc AS (SELECT source, term, count(*) AS c FROM t GROUP BY 1, 2),
+      |prof AS (SELECT source, term,
+      |                (c * 1000000) // sum(c) OVER (PARTITION BY source) AS pb
+      |         FROM sc),
+      |mass AS (SELECT source, CAST(sum(pb) AS BIGINT) AS mass
+      |         FROM prof GROUP BY 1),
+      |dt AS (SELECT doc_id, source, term, count(*) AS c FROM t GROUP BY 1, 2, 3),
+      |dp AS (SELECT doc_id, source, term,
+      |              (c * 1000000) // sum(c) OVER (PARTITION BY doc_id) AS pd
+      |       FROM dt),
+      |j AS (SELECT dp.doc_id, dp.source, dp.pd, COALESCE(prof.pb, 0) AS pb
+      |      FROM dp LEFT JOIN prof
+      |        ON prof.source = dp.source AND prof.term = dp.term),
+      |agg AS (SELECT doc_id, source,
+      |               CAST(sum(CASE WHEN pd + pb = 0 THEN 0
+      |                             ELSE ((pd - pb) * (pd - pb)) // (pd + pb)
+      |                        END) AS BIGINT) AS s,
+      |               CAST(sum(pb) AS BIGINT) AS covered
+      |        FROM j GROUP BY 1, 2)
+      |SELECT agg.doc_id, agg.source,
+      |       CAST(agg.s + mass.mass - agg.covered AS DOUBLE) / 1000000.0 AS drift
+      |FROM agg JOIN mass ON mass.source = agg.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_cosine" -> (qSourceCosine _),
+    "q_profile_drift" -> (qProfileDrift _),
     "q_keyword_tag" -> (qKeywordTag _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_margin_mining" -> (qMarginMining _),
@@ -468,6 +536,7 @@ object Corpus {
 
   val oracleSql: Map[String, String] = Map(
     "q_source_cosine" -> qSourceCosineSql,
+    "q_profile_drift" -> qProfileDriftSql,
     "q_keyword_tag" -> qKeywordTagSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_margin_mining" -> qMarginMiningSql,

@@ -339,6 +339,31 @@ class EventStreamSpec extends SparkTestBase {
     assert(rows(1L) == s.toDouble / 1000000.0)
   }
 
+  test("streaming drift gate equals the batch q_profile_drift face bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val model = graft.queries.Corpus.sourceProfileModel(spark, dir)
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    val in = MemoryStream[EventStream.SourcedDocArrival]
+    val q = EventStream.profileDriftScores(in.toDS(), model)
+      .writeStream.format("memory").queryName("driftall")
+      .outputMode("append").start()
+    in.addData(docs.map { case (id, src, text) =>
+      EventStream.SourcedDocArrival(id, ts("2024-01-01 10:00:00"), src, text)
+    }.toSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("driftall").select("doc_id", "drift")
+      .as[(Long, Double)].collect().toMap
+    val batch = graft.queries.Corpus.qProfileDrift(spark, dir)
+      .select($"doc_id", $"drift").as[(Long, Double)].collect()
+    assert(batch.length == docs.length)
+    for ((id, d) <- batch)
+      assert(streamed(id) == d, s"doc $id: stream ${streamed(id)} vs batch $d")
+  }
+
   test("streaming line gate scores an arrival's known-segment fraction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
