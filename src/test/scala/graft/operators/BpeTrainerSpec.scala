@@ -128,6 +128,31 @@ class BpeTrainerSpec extends SparkTestBase {
     }
   }
 
+  test("committed sidecar equals the in-memory face, is marked, and round-trips") {
+    import spark.implicits._
+    val committed = BpeTrainer.committedMerges(spark, sfDir)
+      .as[(Int, String, String, String)].collect().toSeq.sortBy(_._1)
+    val mem = BpeTrainer.merges(spark, sfDir)
+      .as[(Int, String, String, String)].collect().toSeq.sortBy(_._1)
+    assert(committed == mem, "sidecar diverged from the trained list")
+    assert(java.nio.file.Files.exists(
+      BpeTrainer.mergesPath(sfDir).resolve("_GRAFT_COMMITTED")),
+      "sidecar not committed through the protocol marker")
+    val list = BpeTrainer.committedMergeList(spark, sfDir)
+    assert(list.map(m => (m.rank, m.left, m.right)) ==
+      committed.map(r => (r._1, r._2, r._3)))
+  }
+
+  test("corpus and symbols are free of the oracle's chr(31) delimiter") {
+    // the DuckDB encode oracle represents symbol sequences as a
+    // chr(31)-delimited string; a corpus containing the delimiter would
+    // silently corrupt that representation — fail loudly here instead
+    import org.apache.spark.sql.functions._
+    val hits = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("text").contains("\u001f")).count()
+    assert(hits == 0L, s"$hits documents contain the reserved delimiter")
+  }
+
   test("encode applies merges in rank order and shrinks symbol counts") {
     val ms = BpeTrainer.train(spark,
       graft.core.Tables.documents(spark, sfDir), 8)
