@@ -419,26 +419,36 @@ object Corpus {
   // distribution-level: the χ² divergence; profile-level: THIS — the
   // cosine between raw term-frequency vectors, the standard
   // which-sources-look-alike readout before setting mixture weights).
-  // Everything up to the last expression is exact long arithmetic: the
-  // (source, term) counts, the pairwise dot products, and the squared
-  // norms are integer sums over the VOCABULARY-sized profile frame (the
-  // corpus is touched once, by the counting aggregate); the cosine is
-  // one fixed-association expression of three exact longs —
+  // Everything up to the last expression is exact integer arithmetic:
+  // the (source, term) counts, the pairwise dot products, and the
+  // squared norms are integer sums over the VOCABULARY-sized profile
+  // frame (the corpus is touched once, by the counting aggregate); the
+  // cosine is one fixed-association expression of three exact values —
   // (dot / √na²) / √nb² — with IEEE sqrt/divide correctly rounded in
   // both engines, and the exact dot emitted beside it as evidence.
+  // review r9 (advisor): c·c in LONG wraps silently past 2⁶³ (per-term
+  // counts ~10¹⁰ at the 100 TB design point suffice) — the products and
+  // their sums are therefore DECIMAL(38,0), exact to 10³⁸, matching
+  // DuckDB's HUGEINT accumulator; only the evidence column narrows back
+  // to BIGINT, through a guard that raises instead of wrapping.
   def qSourceCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val counts = sourceTermCounts(spark, sfDir)
-    val norms = counts.groupBy($"source").agg(sum($"c" * $"c").as("n2"))
+    val norms = counts.groupBy($"source")
+      .agg(sum($"c".cast("decimal(38,0)") * $"c").as("n2"))
     val a = counts.select($"source".as("src_a"), $"term", $"c".as("ca"))
     val b = counts.select($"source".as("src_b"), $"term", $"c".as("cb"))
     a.join(b, Seq("term")).filter($"src_a" < $"src_b")
       .groupBy($"src_a", $"src_b")
-      .agg(sum($"ca" * $"cb").as("dot"))
+      .agg(sum($"ca".cast("decimal(38,0)") * $"cb").as("dotd"))
       .join(norms.select($"source".as("src_a"), $"n2".as("na2")), Seq("src_a"))
       .join(norms.select($"source".as("src_b"), $"n2".as("nb2")), Seq("src_b"))
-      .select($"src_a", $"src_b", $"dot",
-        (($"dot".cast("double") / sqrt($"na2".cast("double"))) /
+      .select($"src_a", $"src_b",
+        expr("CASE WHEN dotd BETWEEN -9223372036854775808 AND 9223372036854775807" +
+          " THEN CAST(dotd AS BIGINT)" +
+          " ELSE raise_error('q_source_cosine: dot overflows the BIGINT evidence column')" +
+          " END").as("dot"),
+        (($"dotd".cast("double") / sqrt($"na2".cast("double"))) /
           sqrt($"nb2".cast("double"))).as("cosine"))
   }
 

@@ -52,7 +52,7 @@ object Passages {
   // production corpus swaps split-on-'\n' in for the block rule and
   // nothing downstream changes. The keeper of a duplicated segment is
   // the globally first occurrence: min over the exact integer
-  // occurrence key doc_id·2¹⁶ + j (j < 2¹⁶ — segment index is bounded
+  // occurrence key doc_id·2³² + j (j < 2³² — segment index is bounded
   // by document length, asserted in PassagesSpec), so both engines
   // pick the identical occurrence with no struct/tuple min portability
   // concerns.
@@ -93,7 +93,7 @@ object Passages {
     // key within the source; segment TEXT is dropped before the shuffle
     val perSrc = segmentRows(docs)
       .select(md5($"s".cast("binary")).as("h"), $"source",
-        ($"doc_id" * 65536 + $"j").as("occ"))
+        (shiftLeft($"doc_id", 32) + $"j").as("occ"))
       .groupBy($"h", $"source")
       .agg(count(lit(1)).as("n"), min($"occ").as("mo"))
     // global first occurrence per fingerprint; joining the two
@@ -120,7 +120,7 @@ object Passages {
        |               array_to_string(ws[j*$SegTokens+1 : j*$SegTokens+$SegTokens], ' ') AS s
        |        FROM w, unnest(range(len(ws) // $SegTokens)) AS t(j)),
        |g1 AS (SELECT md5(s) AS h, source, count(*) AS n,
-       |              min(doc_id*65536 + j) AS mo
+       |              min(doc_id*4294967296 + j) AS mo
        |       FROM seg GROUP BY 1, 2),
        |g2 AS (SELECT h, min(mo) AS gmo FROM g1 GROUP BY 1)
        |SELECT source,
@@ -155,8 +155,14 @@ object Passages {
       Seq($"source"), Seq($"n".desc, $"h".asc), 5)
     // exemplar text for the winners only: md5 is injective on this
     // corpus (and any collision would merge counts identically in both
-    // engines); min(s) pins a deterministic representative regardless
+    // engines); min(s) pins a deterministic representative regardless.
+    // review r9 (advisor): the semi-probe must come BEFORE the exemplar
+    // aggregation — aggregating min(s) corpus-wide first would ride
+    // segment text over a vocabulary-scale shuffle; filtering against
+    // the broadcast ≤ 5·sources winner fingerprints keeps the text agg
+    // bounded by the winners' occurrences (PassagesSpec pins the plan)
     val exemplar = segs.select(md5($"s".cast("binary")).as("h"), $"s")
+      .join(broadcast(top.select($"h").distinct()), Seq("h"), "left_semi")
       .groupBy($"h").agg(min($"s").as("segment"))
     top.join(exemplar, Seq("h"))
       .select($"source", $"segment", $"n",
@@ -185,7 +191,7 @@ object Passages {
   // accounting updates from (a) the STANDING report and (b) the batch
   // joined against the standing distinct-fingerprint index — the old
   // corpus is never rescanned. The decomposition is exact because
-  // ingest is append-only: every batch occurrence key doc_id·2¹⁶+j
+  // ingest is append-only: every batch occurrence key doc_id·2³²+j
   // exceeds every standing key (ids grow), so a standing keeper can
   // never be displaced — a batch occurrence is kept iff its fingerprint
   // is ABSENT from the standing index and it is the batch's own first
@@ -212,7 +218,7 @@ object Passages {
       .select(md5($"s".cast("binary")).as("h")).distinct()
     val perSrc = segmentRows(batch)
       .select(md5($"s".cast("binary")).as("h"), $"source",
-        ($"doc_id" * 65536 + $"j").as("occ"))
+        (shiftLeft($"doc_id", 32) + $"j").as("occ"))
       .groupBy($"h", $"source")
       .agg(count(lit(1)).as("n"), min($"occ").as("mo"))
     val batchFirst = perSrc.groupBy($"h").agg(min($"mo").as("gmo"))
@@ -258,7 +264,7 @@ object Passages {
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
     val occ = segmentRows(docs)
       .select($"doc_id", $"j", $"s", md5($"s".cast("binary")).as("h"),
-        ($"doc_id" * 65536 + $"j").as("occ"))
+        (shiftLeft($"doc_id", 32) + $"j").as("occ"))
     val keeper = occ.groupBy($"h").agg(min($"occ").as("gmo"))
     val kept = occ.join(keeper, Seq("h")).filter($"occ" === $"gmo")
     val segPart = kept.groupBy($"doc_id")
@@ -281,7 +287,7 @@ object Passages {
        |seg AS (SELECT doc_id, j,
        |               array_to_string(ws[j*$SegTokens+1 : j*$SegTokens+$SegTokens], ' ') AS s
        |        FROM w, unnest(range(len(ws) // $SegTokens)) AS t(j)),
-       |occ AS (SELECT doc_id, j, s, md5(s) AS h, doc_id*65536 + j AS occ
+       |occ AS (SELECT doc_id, j, s, md5(s) AS h, doc_id*4294967296 + j AS occ
        |        FROM seg),
        |k AS (SELECT h, min(occ) AS gmo FROM occ GROUP BY 1),
        |kept AS (SELECT doc_id, j, s FROM occ JOIN k USING (h) WHERE occ = gmo),

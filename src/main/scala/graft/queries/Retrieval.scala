@@ -309,7 +309,12 @@ object Retrieval {
           $"nc".as("n_common"), $"nb".as("n_from")))).as("r"))
       .select($"r.src_from".as("src_from"), $"r.src_to".as("src_to"),
         $"r.n_common".as("n_common"), $"r.n_from".as("n_from"),
-        ($"r.n_common".cast("double") / $"r.n_from").as("containment_est"))
+        // review r9 (advisor): a source so small it contributes ZERO
+        // hashes to the merged bottom-k makes n_from = 0 — the sample
+        // says nothing about that direction, so the estimate is NULL
+        // (not NaN/Inf, whose spelling differs per engine)
+        when($"r.n_from" > 0,
+          $"r.n_common".cast("double") / $"r.n_from").as("containment_est"))
   }
 
   val qKmvContainmentSql: String = {
@@ -344,12 +349,12 @@ object Retrieval {
          |                CAST(sum(in_b) AS BIGINT) AS nb
          |         FROM m GROUP BY 1, 2)""".stripMargin
     s"""WITH $mergedCte
-       |SELECT src_a AS src_from, src_b AS src_to, nc AS n_common,
-       |       na AS n_from, CAST(nc AS DOUBLE) / na AS containment_est
+       |SELECT src_a AS src_from, src_b AS src_to, nc AS n_common, na AS n_from,
+       |       CASE WHEN na > 0 THEN CAST(nc AS DOUBLE) / na END AS containment_est
        |FROM base
        |UNION ALL
-       |SELECT src_b AS src_from, src_a AS src_to, nc AS n_common,
-       |       nb AS n_from, CAST(nc AS DOUBLE) / nb AS containment_est
+       |SELECT src_b AS src_from, src_a AS src_to, nc AS n_common, nb AS n_from,
+       |       CASE WHEN nb > 0 THEN CAST(nc AS DOUBLE) / nb END AS containment_est
        |FROM base""".stripMargin
   }
 

@@ -64,12 +64,12 @@ class PassagesSpec extends SparkTestBase {
     val rows = graft.core.Tables.documents(spark, dir)
       .select($"doc_id", $"source", $"text")
       .as[(Long, String, String)].collect()
-    // reference: first occurrence (by doc_id·2^16 + j) of each distinct
+    // reference: first occurrence (by doc_id·2^32 + j) of each distinct
     // full 8-token segment is kept; everything else is removed
     val occ = rows.flatMap { case (id, src, text) =>
       val ws = text.split(" ")
       (0 until ws.length / 8).map(j =>
-        (ws.slice(j * 8, j * 8 + 8).mkString(" "), src, id * 65536 + j))
+        (ws.slice(j * 8, j * 8 + 8).mkString(" "), src, (id << 32) + j))
     }
     val keeper = occ.groupBy(_._1).map { case (_, os) => os.minBy(_._3)._3 }.toSet
     val exp = occ.groupBy(_._2).map { case (src, os) =>
@@ -83,16 +83,21 @@ class PassagesSpec extends SparkTestBase {
     assert(got == exp)
   }
 
-  test("line dedup occurrence key: segment index stays far below 2^16") {
+  test("line dedup occurrence key: both halves fit the packed 64-bit key") {
     import spark.implicits._
+    // review r9 (advisor): the key is now doc_id·2^32 + j. The j half is
+    // structurally safe — 2^32 segments would need a ~34 GB single-row
+    // string, beyond Spark's 2 GB string limit — so the only real bound
+    // is doc_id < 2^31 (the shift must not reach the sign bit). Assert
+    // it on the corpus so a future id scheme fails loudly here.
+    val maxId = graft.core.Tables.documents(spark, dir)
+      .agg(org.apache.spark.sql.functions.max($"doc_id")).as[Long].head()
+    assert(maxId < (1L << 31), s"doc_id $maxId overflows the packed key")
     val maxSegs = graft.core.Tables.documents(spark, dir)
       .select((org.apache.spark.sql.functions.size(
         org.apache.spark.sql.functions.split($"text", " ")) / 8)
         .cast("long")).as[Long].collect().max
-    // the keeper key is doc_id·2^16 + j — j must never reach the doc_id
-    // bits; documents are ~10^2 tokens, so this holds by orders of
-    // magnitude (a >500k-token document would need a wider key)
-    assert(maxSegs < 65536L, s"max segment count $maxSegs")
+    assert(maxSegs < (1L << 32), s"max segment count $maxSegs")
   }
 
   test("line dedup plan: no window, no sort, text never shuffles") {
@@ -172,7 +177,7 @@ class PassagesSpec extends SparkTestBase {
     val occ = Passages.segmentRows(docs)
       .select($"doc_id", $"j", $"s",
         org.apache.spark.sql.functions.md5($"s".cast("binary")).as("h"),
-        ($"doc_id" * 65536 + $"j").as("occ"))
+        (org.apache.spark.sql.functions.shiftLeft($"doc_id", 32) + $"j").as("occ"))
     val keeperOcc = occ.groupBy($"h")
       .agg(org.apache.spark.sql.functions.min($"occ").as("gmo"))
     val kept = occ.join(keeperOcc, Seq("h")).filter($"occ" === $"gmo")
@@ -191,7 +196,7 @@ class PassagesSpec extends SparkTestBase {
         (ws.slice(j * 8, j * 8 + 8).mkString(" "), id, j))
     }
     val keeper = occ.groupBy(_._1)
-      .map { case (_, os) => os.minBy(o => o._2 * 65536 + o._3) }.toSet
+      .map { case (_, os) => os.minBy(o => (o._2 << 32) + o._3) }.toSet
     val exp = docs.map { case (id, _, text) =>
       val ws = text.split(" ", -1)
       val nseg = ws.length / 8

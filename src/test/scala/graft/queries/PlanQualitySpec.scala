@@ -146,6 +146,35 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("boilerplate top-k: segment text shuffles only behind the winner semi-probe") {
+    // review r9 (advisor): the exemplar min(s) aggregation used to run
+    // corpus-wide, riding segment text on a vocabulary-scale shuffle.
+    // Now every exchange that carries `s` must sit ABOVE the broadcast
+    // left-semi probe of the ≤ 5·sources winner fingerprints — i.e. the
+    // only text that shuffles is the winners' own occurrences. Raw
+    // `text` must not shuffle at all.
+    withoutAqe {
+      val df = Passages.qBoilerplateTopk(spark, sfDir)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, df.queryExecution.executedPlan.toString)
+      assert(exchanges.forall(!_.child.output.exists(_.name == "text")),
+        df.queryExecution.executedPlan.toString)
+      // with map-side partial aggregation the exemplar min(s) usually
+      // shuffles only its aggregation buffer — zero s-bearing exchanges
+      // is the ideal outcome; any that DO appear must sit above the
+      // winner semi-probe
+      val textBearing = exchanges.filter(_.child.output.exists(_.name == "s"))
+      val unguarded = textBearing.filterNot(_.child.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if b.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => b
+      }.nonEmpty)
+      assert(unguarded.isEmpty,
+        unguarded.map(_.child.output.mkString(",")).mkString(";"))
+    }
+  }
+
   test("winnow fingerprinting is map-only to the pair join — no text shuffle") {
     withoutAqe {
       val df = Passages.qWinnow(spark, sfDir)
