@@ -1217,19 +1217,26 @@ object Dedup {
   private val SnNum = 3 // jaccard threshold 3/5, cross-multiplied exact
   private val SnDen = 5
 
-  def qSortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val docs = TextOps.docsWide(spark, sfDir).select($"doc_id", $"text")
-    // two-pass global index over the (text, doc_id) order: bucket by a
-    // fixed-length key prefix (prefix ordering == text ordering), tiny
+  /** Window-candidate generation for ONE sort key, over any
+    * (doc_id, text) frame: the two-pass bucketed global index + block
+    * equi-join, factored so single- and multi-pass faces (and the spec,
+    * over planted frames) share the exact blocking rule. The key must
+    * order like its 4-char prefix buckets (any string expression does).
+    * Returns directed (doc_a, doc_b, gap) with doc_a earlier in key
+    * order. */
+  private[queries] def snCandidatePairs(docs: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    import docs.sparkSession.implicits._
+    // two-pass global index over the (key, doc_id) order: bucket by a
+    // fixed-length key prefix (prefix ordering == key ordering), tiny
     // post-aggregate offsets frame, keyed in-bucket window
-    val bucketed = docs.select($"doc_id", $"text",
-      substring($"text", 1, 4).as("bkt"))
+    val bucketed = docs.select($"doc_id", key.as("k"),
+      substring(key, 1, 4).as("bkt"))
     val Window = org.apache.spark.sql.expressions.Window
     val bw = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
     val offs = bucketed.groupBy($"bkt").agg(count(lit(1)).as("n"))
       .select($"bkt", coalesce(sum($"n").over(bw), lit(0L)).as("off"))
-    val inBkt = Window.partitionBy($"bkt").orderBy($"text", $"doc_id")
+    val inBkt = Window.partitionBy($"bkt").orderBy($"k", $"doc_id")
     val idx = bucketed.join(broadcast(offs), Seq("bkt"))
       .select($"doc_id", ($"off" + row_number().over(inBkt)).as("idx"))
     // sliding window as a block equi-join: row i probes blocks
@@ -1239,9 +1246,15 @@ object Dedup {
           (($"idx" - 1) / SnWindow).cast("long") + 1)).as("blk"))
     val b = idx.select($"doc_id".as("doc_b"), $"idx".as("ib"),
       (($"idx" - 1) / SnWindow).cast("long").as("blk"))
-    val cand = a.join(b, Seq("blk"))
+    a.join(b, Seq("blk"))
       .filter($"ib" > $"ia" && $"ib" - $"ia" <= SnWindow)
       .select($"doc_a", $"doc_b", ($"ib" - $"ia").as("gap"))
+  }
+
+  def qSortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = TextOps.docsWide(spark, sfDir).select($"doc_id", $"text")
+    val cand = snCandidatePairs(docs, $"text")
     val hs = shingledHashed(spark, sfDir)
     cand
       .join(hs.select($"doc_id".as("doc_a"), $"hs".as("ha"), size($"hs").as("na")),
@@ -1291,8 +1304,89 @@ object Dedup {
        |WHERE i.c * $SnDen >= (ca.n + cb.n - i.c) * $SnNum""".stripMargin
 
   // --------------------------------------------------------------------
+  // MULTI-PASS sorted-neighborhood — the classic merge/purge refinement
+  // (Hernández & Stolfo '95 run SN several times with INDEPENDENT keys
+  // and union the candidates, because any single key has blind spots by
+  // construction): pass 1 sorts by the text (shared prefixes cluster),
+  // pass 2 by the REVERSED text (shared suffixes cluster), so a
+  // prefix-divergent near-dup — invisible to pass 1, which scatters the
+  // pair across the sort — is caught by pass 2. Candidates are
+  // normalized to undirected pairs, counted per pass (n_passes is the
+  // agreement readout), and verified with the SAME exact hashed-set
+  // jaccard — multi-pass buys recall, never costs precision. Cost is
+  // exactly 2·n·w window comparisons: two block joins over integer
+  // frames, no new corpus scans (both passes read the same docs frame,
+  // the verify reads the staged hash arrays). CorpusOpsSpec plants a
+  // prefix-divergent near-dup that pass 1 provably misses.
+  def qSortedNeighborhoodMp(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = TextOps.docsWide(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    snMultiPassPairs(docs, shingledHashed(spark, sfDir))
+  }
+
+  /** Multi-pass SN over any (doc_id, text) frame with a caller-supplied
+    * (doc_id, hs) sorted-hash frame — the spec injects planted corpora
+    * here. */
+  private[queries] def snMultiPassPairs(docs: DataFrame,
+      hs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    def norm(df: DataFrame, p: Int): DataFrame =
+      df.select(least($"doc_a", $"doc_b").as("doc_a"),
+        greatest($"doc_a", $"doc_b").as("doc_b"), lit(p).as("p"))
+    val cand = norm(snCandidatePairs(docs, $"text"), 1)
+      .unionByName(norm(snCandidatePairs(docs, reverse($"text")), 2))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_passes"))
+    cand
+      .join(hs.select($"doc_id".as("doc_a"), $"hs".as("ha"), size($"hs").as("na")),
+        Seq("doc_a"))
+      .join(hs.select($"doc_id".as("doc_b"), $"hs".as("hb"), size($"hs").as("nb")),
+        Seq("doc_b"))
+      .filter($"na" * SnNum <= $"nb" * SnDen &&
+        $"nb" * SnNum <= $"na" * SnDen)
+      .select($"doc_a", $"doc_b", $"n_passes",
+        size(array_intersect($"ha", $"hb")).cast("long").as("c"),
+        $"na", $"nb")
+      .filter($"c" * SnDen >= ($"na" + $"nb" - $"c") * SnNum)
+      .select($"doc_a", $"doc_b", $"n_passes", $"c",
+        ($"c".cast("double") / ($"na" + $"nb" - $"c")).as("jac"))
+  }
+
+  val qSortedNeighborhoodMpSql: String =
+    s"""WITH $ShingleSqlCte,
+       |i1 AS (SELECT doc_id, row_number() OVER (ORDER BY text, doc_id) AS idx
+       |       FROM documents),
+       |i2 AS (SELECT doc_id, row_number() OVER (ORDER BY reverse(text), doc_id) AS idx
+       |       FROM documents),
+       |c1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |       FROM i1 a JOIN i1 b
+       |         ON b.idx > a.idx AND b.idx - a.idx <= $SnWindow),
+       |c2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |       FROM i2 a JOIN i2 b
+       |         ON b.idx > a.idx AND b.idx - a.idx <= $SnWindow),
+       |cand AS (SELECT doc_a, doc_b, count(*) AS n_passes FROM (
+       |           SELECT least(doc_a, doc_b) AS doc_a,
+       |                  greatest(doc_a, doc_b) AS doc_b FROM c1
+       |           UNION ALL
+       |           SELECT least(doc_a, doc_b), greatest(doc_a, doc_b) FROM c2)
+       |         GROUP BY 1, 2),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, c.n_passes, count(*) AS c
+       |          FROM cand c
+       |          JOIN sh a ON a.doc_id = c.doc_a
+       |          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |          GROUP BY 1, 2, 3)
+       |SELECT doc_a, doc_b, n_passes, i.c,
+       |       CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c) AS jac
+       |FROM inter i
+       |JOIN cnt ca ON ca.doc_id = i.doc_a
+       |JOIN cnt cb ON cb.doc_id = i.doc_b
+       |WHERE i.c * $SnDen >= (ca.n + cb.n - i.c) * $SnNum""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
+    "q_sorted_neighborhood_mp" -> (qSortedNeighborhoodMp _),
     "q_gram_coverage" -> (qGramCoverage _),
     "q_source_novelty" -> (qSourceNovelty _),
     "q_source_overlap" -> (qSourceOverlap _),
@@ -1316,6 +1410,7 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "q_sorted_neighborhood" -> qSortedNeighborhoodSql,
+    "q_sorted_neighborhood_mp" -> qSortedNeighborhoodMpSql,
     "q_gram_coverage" -> qGramCoverageSql,
     "q_source_novelty" -> qSourceNoveltySql,
     "q_source_overlap" -> qSourceOverlapSql,

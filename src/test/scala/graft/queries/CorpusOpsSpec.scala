@@ -134,6 +134,47 @@ class CorpusOpsSpec extends SparkTestBase {
     })
   }
 
+  test("multi-pass SN catches a planted prefix-divergent near-dup the single pass misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // docs 1 and 2 share their last 30 tokens but open with opposite-end
+    // first tokens; 12 fillers sort BETWEEN them on the text key (gap 13
+    // > window 8, so pass 1 never pairs them), while the reversed-text
+    // key makes them adjacent (shared suffix = shared reversed prefix)
+    val suffix = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val fillers = (1 to 12).map { i =>
+      val mid = ('b' + (i % 20)).toChar
+      (100L + i, s"${mid}filler$i " + (1 to 30).map(j => s"f${i}x$j").mkString(" "))
+    }
+    val docs = (Seq((1L, s"aaa $suffix"), (2L, s"zzz $suffix")) ++ fillers)
+      .toDF("doc_id", "text")
+    val hs = docs.select($"doc_id",
+      array_sort(transform(graft.functions.functions.word_shingles($"text", 3),
+        s => xxhash64(s))).as("hs"))
+    // pass 1 alone: the planted pair is not even a CANDIDATE
+    val p1 = Dedup.snCandidatePairs(docs, $"text")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(!p1.contains((1L, 2L)) && !p1.contains((2L, 1L)),
+      s"planted pair reachable by the single key: $p1")
+    // multi-pass: found (by pass 2 only) and verified at jaccard ~0.93
+    val mp = Dedup.snMultiPassPairs(docs, hs)
+      .select($"doc_a", $"doc_b", $"n_passes", $"jac")
+      .as[(Long, Long, Long, Double)].collect()
+    val planted = mp.filter(r => r._1 == 1L && r._2 == 2L)
+    assert(planted.length == 1, mp.mkString(";"))
+    assert(planted.head._3 == 1L, s"expected pass-2-only: ${planted.head}")
+    assert(planted.head._4 > 0.9)
+    // recall is monotone: every pass-1 candidate is an mp candidate, so
+    // on the real corpus the mp face reports at least the single-pass set
+    val single = Dedup.qSortedNeighborhood(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val multi = Dedup.qSortedNeighborhoodMp(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi),
+      s"missing from mp: ${single -- multi}")
+  }
+
   test("token entropy equals a driver recompute and respects the ln(V) bound") {
     import spark.implicits._
     val counts = scala.collection.mutable.Map.empty[(String, String), Long]
