@@ -18,10 +18,19 @@ class OrcMirrorSpec extends SparkTestBase {
 
   private def destDir = graft.core.Scratch.dir("orc_mirror", sfDir)
 
+  /** Deleting the on-disk mirror makes every staged frame over this
+    * corpus stale — per the Staging invalidation contract, drop them so
+    * a memoized read from an earlier suite can't reference the deleted
+    * files (the shared test session spans suites). */
+  private def wipeMirror(): Unit = {
+    graft.operators.Staging.invalidate(Some(sfDir))
+    graft.core.CommitProtocol.deleteRecursively(destDir)
+  }
+
   test("a foreign fresh stage-* dir survives a no-marker rebuild") {
     // simulate a crashed build (no marker, unmarked data residue) with a
     // concurrent builder's FRESH staging dir also present
-    graft.core.CommitProtocol.deleteRecursively(destDir)
+    wipeMirror()
     Files.createDirectories(destDir)
     val residue = destDir.resolve("data")
     Files.createDirectories(residue)
@@ -41,7 +50,7 @@ class OrcMirrorSpec extends SparkTestBase {
   }
 
   test("a stale stage-* dir (past the TTL) is cleared as crash residue") {
-    graft.core.CommitProtocol.deleteRecursively(destDir)
+    wipeMirror()
     Files.createDirectories(destDir)
     val stale = Files.createTempDirectory(destDir, "stage-")
     Files.writeString(stale.resolve("leftover"), "crashed writer")
