@@ -1378,6 +1378,162 @@ object TextOps {
       |FROM dd JOIN mad USING (source)
       |WHERE dd.dev > mad.mad * 3""".stripMargin
 
+  // --------------------------------------------------------------------
+  // PMI COLLOCATIONS — the classic collocation-extraction readout
+  // (Church & Hanks '90): adjacent bigrams ranked by pointwise mutual
+  // information ln(p(ab) / (p(a)·p(b))), with a count floor so rare
+  // flukes don't dominate. One corpus pass for unigram counts, one for
+  // bigram counts; everything after is vocabulary-sized. Engine parity:
+  // the PMI argument is a ratio of two EXACT integer products (widened
+  // through decimal(38,0)/HUGEINT so 100 TB token counts can't wrap),
+  // each cast to a correctly-rounded double — bit-identical in both
+  // engines — so the top-k cut on (s desc, a, b) can never straddle
+  // engines; ln is applied once, rounded at 9 dp (the zipf-slope rule).
+  private val PmiMinCount = 5
+  private val PmiTopK = 50
+
+  /** Corpus-wide adjacent-bigram counts (occurrences, NOT distinct —
+    * word_shingles is per-doc set semantics, wrong here) — shared by
+    * the PMI and TextRank faces; the qBigramLm zip-with extraction. */
+  private def bigramCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsWide(spark, sfDir)
+      .select(split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select(explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a, b))")).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+  }
+
+  def qPmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val uni = docsWide(spark, sfDir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val bi = bigramCounts(spark, sfDir)
+    val totals = uni.agg(sum($"c").as("n"))
+      .crossJoin(bi.agg(sum($"c_ab").as("bt")))
+    val scored = bi.filter($"c_ab" >= PmiMinCount)
+      .join(uni.select($"w".as("a"), $"c".as("ca")), Seq("a"))
+      .join(uni.select($"w".as("b"), $"c".as("cb")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select($"a", $"b", $"c_ab",
+        (expr("cast(cast(c_ab as decimal(38,0)) * n * n as double)") /
+          expr("cast(cast(ca as decimal(38,0)) * cb * bt as double)")).as("s"))
+    // global top-k: TakeOrderedAndProject over the vocabulary-sized
+    // scored frame — bounded, no full sort; the rank window then runs
+    // over k rows only
+    scored.orderBy($"s".desc, $"a", $"b").limit(PmiTopK)
+      .select($"a", $"b", $"c_ab",
+        expr("cast(cast(round(ln(s), 9) as decimal(12,9)) as double)").as("pmi"),
+        row_number().over(Window.orderBy($"s".desc, $"a", $"b"))
+          .cast("int").as("rk"))
+  }
+
+  /** Bigram CTE shared by the PMI and TextRank oracles — occurrence
+    * counts of adjacent pairs, the 2-wide non-distinct analog of
+    * Dedup's shingle CTE. */
+  private val BigramSqlCte =
+    """bi0 AS (SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |                     i -> string_split(text, ' ')[i] || ' ' ||
+      |                          string_split(text, ' ')[i+1])) AS s
+      |        FROM documents),
+      |bi AS (SELECT string_split(s, ' ')[1] AS a, string_split(s, ' ')[2] AS b,
+      |              count(*) AS c_ab
+      |       FROM bi0 GROUP BY 1, 2)""".stripMargin
+
+  val qPmiCollocationsSql: String =
+    s"""WITH $BigramSqlCte,
+       |uni AS (SELECT w, count(*) AS c FROM (
+       |          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |        WHERE w <> '' GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(c) FROM uni) AS n,
+       |               (SELECT sum(c_ab) FROM bi) AS bt),
+       |sc AS (SELECT a, b, c_ab,
+       |              CAST(CAST(c_ab AS HUGEINT) * n * n AS DOUBLE) /
+       |                CAST(CAST(ua.c AS HUGEINT) * ub.c * bt AS DOUBLE) AS s
+       |       FROM bi
+       |       JOIN uni ua ON ua.w = bi.a
+       |       JOIN uni ub ON ub.w = bi.b
+       |       CROSS JOIN tot
+       |       WHERE c_ab >= $PmiMinCount),
+       |top AS (SELECT a, b, c_ab, s,
+       |               row_number() OVER (ORDER BY s DESC, a, b) AS rk
+       |        FROM sc)
+       |SELECT a, b, c_ab,
+       |       CAST(CAST(round(ln(s), 9) AS DECIMAL(12,9)) AS DOUBLE) AS pmi,
+       |       CAST(rk AS INTEGER) AS rk
+       |FROM top WHERE rk <= $PmiTopK""".stripMargin
+
+  // --------------------------------------------------------------------
+  // TEXTRANK KEYWORDS (Mihalcea & Tarau '04) — graph-based keyword
+  // extraction: terms are nodes, adjacent co-occurrence is a weighted
+  // undirected edge, and importance is the damped stationary weight
+  // r(v) = 0.15 + 0.85·Σ_u w(u,v)·r(u)/W(u) — PageRank over the word
+  // graph instead of the duplicate graph, so the iteration reuses the
+  // qDupPagerank discipline verbatim: integer-scaled exact arithmetic
+  // (contributions (r·w) div W through decimal/HUGEINT so both engines
+  // agree bit-for-bit and nothing wraps), a FIXED 3 rounds (declared
+  // semantics, not a convergence heuristic — the oracle unrolls the
+  // same 3), and a bounded top-k readout. The graph is vocabulary-sized
+  // (V nodes, ≤ V² edges, in practice ~bigram-vocab): the corpus is
+  // touched twice, everything else is model-scale.
+  private val TrScale = 1000000L
+  private val TrIters = 3
+  private val TrTopK = 20
+
+  def qTextrank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bi = bigramCounts(spark, sfDir).filter($"a" =!= $"b")
+    val edges = bi.select($"a".as("src"), $"b".as("dst"), $"c_ab".as("w"))
+      .unionByName(bi.select($"b".as("src"), $"a".as("dst"), $"c_ab".as("w")))
+      .groupBy($"src", $"dst").agg(sum($"w").as("w"))
+    val deg = edges.groupBy($"src").agg(sum($"w").as("wt"))
+    val ed = edges.join(deg, Seq("src")).localCheckpoint(eager = false)
+    var r = deg.select($"src".as("node"), lit(TrScale).as("r"))
+    for (_ <- 1 to TrIters) {
+      r = ed.join(r, $"src" === $"node")
+        .select($"dst",
+          expr("CAST((CAST(r AS DECIMAL(38,0)) * w) div wt AS BIGINT)").as("c"))
+        .groupBy($"dst")
+        .agg(expr(s"${15L * TrScale / 100} + " +
+          "CAST((85 * sum(CAST(c AS DECIMAL(38,0)))) div 100 AS BIGINT)").as("r"))
+        .select($"dst".as("node"), $"r")
+    }
+    r.orderBy($"r".desc, $"node").limit(TrTopK)
+      .select($"node".as("term"),
+        row_number().over(Window.orderBy($"r".desc, $"node"))
+          .cast("int").as("rk"),
+        ($"r".cast("double") / TrScale.toDouble).as("score"))
+  }
+
+  val qTextrankSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (SELECT e.dst AS node,
+         |  CAST(${15L * TrScale / 100} +
+         |       (85 * sum((CAST($prev.r AS HUGEINT) * e.w) // d.wt)) // 100
+         |       AS BIGINT) AS r
+         |FROM e JOIN d USING (src) JOIN $prev ON $prev.node = e.src
+         |GROUP BY 1)""".stripMargin
+    s"""WITH $BigramSqlCte,
+       |e0 AS (SELECT a AS src, b AS dst, c_ab AS w FROM bi WHERE a <> b
+       |       UNION ALL SELECT b, a, c_ab FROM bi WHERE a <> b),
+       |e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM e0 GROUP BY 1, 2),
+       |d AS (SELECT src, CAST(sum(w) AS BIGINT) AS wt FROM e GROUP BY 1),
+       |r0 AS (SELECT src AS node, CAST($TrScale AS BIGINT) AS r FROM d),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")},
+       |top AS (SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS rk
+       |        FROM r3)
+       |SELECT node AS term, CAST(rk AS INTEGER) AS rk,
+       |       CAST(r AS DOUBLE) / $TrScale.0 AS score
+       |FROM top WHERE rk <= $TrTopK""".stripMargin
+  }
+
   // ---- BPE oracles (judge r9 item 1) -------------------------------
   // The iterative merge FIXPOINT stays spec-pinned (BpeTrainerSpec's
   // bit-equal reference trainer); what the oracle checks is everything
@@ -1452,6 +1608,8 @@ object TextOps {
       graft.operators.BpeTrainer.committedMerges(s, dir)),
     "q_bpe_encode" -> ((s: SparkSession, dir: String) =>
       graft.operators.BpeTrainer.encodeStats(s, dir)),
+    "q_pmi_collocations" -> (qPmiCollocations _),
+    "q_textrank" -> (qTextrank _),
     "q_robust_outliers" -> (qRobustOutliers _),
     "q_compress_ratio" -> (qCompressRatio _),
     "q_sample_weighted" -> (qSampleWeighted _),
@@ -1488,6 +1646,8 @@ object TextOps {
   val oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> qBpeTrainSql,
     "q_bpe_encode" -> qBpeEncodeSql,
+    "q_pmi_collocations" -> qPmiCollocationsSql,
+    "q_textrank" -> qTextrankSql,
     "q_robust_outliers" -> qRobustOutliersSql,
     "q_compress_ratio" -> qCompressRatioSql,
     "q_sample_weighted" -> qSampleWeightedSql,
