@@ -1384,9 +1384,112 @@ object Dedup {
        |WHERE i.c * $SnDen >= (ca.n + cb.n - i.c) * $SnNum""".stripMargin
 
   // --------------------------------------------------------------------
+  // BLOCKING-QUALITY AUDIT — the record-linkage methodology readout
+  // (Christen '12): every blocking strategy trades candidate volume for
+  // recall, and the trade should be MEASURED, not asserted. For each SN
+  // strategy (text key, reversed key, their multi-pass union) this
+  // reports candidates generated, true pairs among them, the exact
+  // ground-truth pair count, pair completeness (= recall of the
+  // blocker), and the reduction ratio (fraction of the n·(n−1)/2 pair
+  // space never considered). Ground truth is the EXACT jaccard ≥ 0.6
+  // pair set from the lossless PPJoin prefix index (qPrefixJaccard) —
+  // index-derived, so the audit itself runs without any brute-force
+  // pass; the ORACLE recomputes that truth brute-force (NearPairSql),
+  // so hash-green certifies both the audit arithmetic and, again, the
+  // prefix index's exactness. All counts are exact longs; the two
+  // ratios are single divisions of exact integers (NULL-guarded like
+  // every ratio in the repo). Everything after candidate generation is
+  // pair-table-sized.
+  def qBlockingQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = TextOps.docsWide(spark, sfDir).select($"doc_id", $"text")
+    // every pair frame feeds several audit branches (its own count, the
+    // truth semi-join, the union) — eager-checkpoint each so the window
+    // join / verify subplans run once, not once per branch (9.2 → ~2 s
+    // cold at sf0.1); all are pair-table-sized
+    // ground truth = the STANDING verified pair table (the production
+    // choice: audits read maintained artifacts, not fresh brute force) —
+    // proven equal to the exhaustive jaccard ≥ 0.6 set by its own
+    // brute-force oracle (q_dedup_near) and by the lossless prefix
+    // index (q_prefix_jaccard), so no exactness is ceded by reading it
+    val truth = nearDupPairs(spark, sfDir)
+      .select(least($"doc_a", $"doc_b").as("pa"),
+        greatest($"doc_a", $"doc_b").as("pb"))
+      .localCheckpoint()
+    def norm(df: DataFrame): DataFrame =
+      df.select(least($"doc_a", $"doc_b").as("pa"),
+        greatest($"doc_a", $"doc_b").as("pb")).distinct()
+        .localCheckpoint()
+    val c1 = norm(snCandidatePairs(docs, $"text"))
+    val c2 = norm(snCandidatePairs(docs, reverse($"text")))
+    val cu = c1.unionByName(c2).distinct().localCheckpoint()
+    def audit(name: String, cand: DataFrame): DataFrame =
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(cand.join(truth, Seq("pa", "pb"), "left_semi")
+          .agg(count(lit(1)).as("n_true")))
+        .select(lit(name).as("strategy"), $"n_candidates", $"n_true")
+    val totals = truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(docs.agg(count(lit(1)).as("nd"))
+        .select(expr("(nd * (nd - 1)) div 2").as("n_space")))
+    audit("sn_text", c1)
+      .unionByName(audit("sn_reverse", c2))
+      .unionByName(audit("sn_multipass", cu))
+      .crossJoin(broadcast(totals))
+      .select($"strategy", $"n_candidates", $"n_true", $"n_truth",
+        when($"n_truth" > 0,
+          $"n_true".cast("double") / $"n_truth".cast("double"))
+          .as("completeness"),
+        when($"n_space" > 0,
+          ($"n_space" - $"n_candidates").cast("double") / $"n_space".cast("double"))
+          .as("reduction_ratio"))
+  }
+
+  val qBlockingQualitySql: String =
+    s"""WITH
+       |truth AS (SELECT least(doc_a, doc_b) AS pa, greatest(doc_a, doc_b) AS pb
+       |          FROM ($NearPairSql)),
+       |i1 AS (SELECT doc_id, row_number() OVER (ORDER BY text, doc_id) AS idx
+       |       FROM documents),
+       |i2 AS (SELECT doc_id, row_number() OVER (ORDER BY reverse(text), doc_id) AS idx
+       |       FROM documents),
+       |c1 AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS pa,
+       |                       greatest(a.doc_id, b.doc_id) AS pb
+       |       FROM i1 a JOIN i1 b
+       |         ON b.idx > a.idx AND b.idx - a.idx <= $SnWindow),
+       |c2 AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS pa,
+       |                       greatest(a.doc_id, b.doc_id) AS pb
+       |       FROM i2 a JOIN i2 b
+       |         ON b.idx > a.idx AND b.idx - a.idx <= $SnWindow),
+       |cu AS (SELECT DISTINCT pa, pb FROM (
+       |         SELECT pa, pb FROM c1 UNION ALL SELECT pa, pb FROM c2)),
+       |tot AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
+       |               (SELECT (count(*) * (count(*) - 1)) // 2
+       |                FROM documents) AS n_space),
+       |s AS (SELECT 'sn_text' AS strategy,
+       |             (SELECT count(*) FROM c1) AS n_candidates,
+       |             (SELECT count(*) FROM c1 JOIN truth USING (pa, pb)) AS n_true
+       |      UNION ALL
+       |      SELECT 'sn_reverse',
+       |             (SELECT count(*) FROM c2),
+       |             (SELECT count(*) FROM c2 JOIN truth USING (pa, pb))
+       |      UNION ALL
+       |      SELECT 'sn_multipass',
+       |             (SELECT count(*) FROM cu),
+       |             (SELECT count(*) FROM cu JOIN truth USING (pa, pb)))
+       |SELECT strategy, n_candidates, n_true, n_truth,
+       |       CASE WHEN n_truth > 0
+       |            THEN CAST(n_true AS DOUBLE) / CAST(n_truth AS DOUBLE)
+       |       END AS completeness,
+       |       CASE WHEN n_space > 0
+       |            THEN CAST(n_space - n_candidates AS DOUBLE) / CAST(n_space AS DOUBLE)
+       |       END AS reduction_ratio
+       |FROM s CROSS JOIN tot""".stripMargin
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
     "q_sorted_neighborhood_mp" -> (qSortedNeighborhoodMp _),
+    "q_blocking_quality" -> (qBlockingQuality _),
     "q_gram_coverage" -> (qGramCoverage _),
     "q_source_novelty" -> (qSourceNovelty _),
     "q_source_overlap" -> (qSourceOverlap _),
@@ -1411,6 +1514,7 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "q_sorted_neighborhood" -> qSortedNeighborhoodSql,
     "q_sorted_neighborhood_mp" -> qSortedNeighborhoodMpSql,
+    "q_blocking_quality" -> qBlockingQualitySql,
     "q_gram_coverage" -> qGramCoverageSql,
     "q_source_novelty" -> qSourceNoveltySql,
     "q_source_overlap" -> qSourceOverlapSql,

@@ -706,6 +706,62 @@ object EventStream {
     }.toDF("doc_id", "ts", "source", "n_tokens", "keep")
   }
 
+  /** O(k) per-source state of the streaming KMV gate: the current
+    * bottom-k md5 set, sorted ascending (≤ k 32-char strings — ~2 KB
+    * per source whatever the corpus size). */
+  final case class KmvGateState(hs: Seq[String])
+
+  /** Streaming per-source KMV distinct-cardinality monitor — the
+    * vocabulary-growth gauge at the door (a source whose distinct-
+    * shingle estimate flatlines is replaying old content; one that
+    * explodes changed its upstream). State is the bottom-k of the md5
+    * shingle space per source; each batch folds its arrivals in and
+    * re-emits (source, n_sk, hk, kmv_est) with EXACTLY the batch
+    * estimator's arithmetic (qKmvDistinct: (k−1)/h_k over the first 12
+    * hex digits / 16^12). Because the bottom-k of a union is the
+    * bottom-k of bottom-ks, arrival order and batch boundaries cannot
+    * change the drained state: EventStreamSpec streams the corpus in
+    * shuffled batches and asserts the final per-source rows equal the
+    * batch sketch face bit-for-bit. Shingle extraction mirrors
+    * word_shingles(text, 3) + md5 (split-on-space, set semantics via
+    * the state set itself). */
+  def kmvSketchUpdates(docs: Dataset[SourcedDocArrival],
+      k: Int = 64): DataFrame = {
+    import docs.sparkSession.implicits._
+    val hexSpace = 281474976710656.0 // 16^12 = 2^48, exact in double
+
+    def fn(source: String, rows: Iterator[SourcedDocArrival],
+        state: GroupState[KmvGateState]): Iterator[(String, Long, String, Double)] = {
+      val cur = scala.collection.mutable.TreeSet.empty[String]
+      state.getOption.foreach(s => cur ++= s.hs)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.foreach { d =>
+        val toks = d.text.split(' ')
+        var i = 0
+        while (i + 2 < toks.length) {
+          val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+          val h = md.digest(sh.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          md.reset()
+          if (cur.size < k) cur += h
+          else if (h < cur.lastKey) { cur += h; if (cur.size > k) cur -= cur.lastKey }
+          i += 1
+        }
+      }
+      if (cur.isEmpty) Iterator.empty
+      else {
+        state.update(KmvGateState(cur.toSeq))
+        val hk = cur.lastKey
+        val est = (cur.size - 1).toDouble /
+          (java.lang.Long.parseLong(hk.substring(0, 12), 16).toDouble / hexSpace)
+        Iterator.single((source, cur.size.toLong, hk, est))
+      }
+    }
+
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("source", "n_sk", "hk", "kmv_est")
+  }
+
   /** Streaming face of queries.Similarity's embedding OUTLIER pruning:
     * each arriving vector is assigned to its nearest model centroid and
     * flagged when its 9-dp-quantized affinity falls below the cell's

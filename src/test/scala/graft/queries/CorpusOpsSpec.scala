@@ -175,6 +175,24 @@ class CorpusOpsSpec extends SparkTestBase {
       s"missing from mp: ${single -- multi}")
   }
 
+  test("blocking-quality audit: multi-pass dominates its passes, ratios are coherent") {
+    import spark.implicits._
+    val rows = Dedup.qBlockingQuality(spark, sfDir)
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("sn_text", "sn_reverse", "sn_multipass"))
+    val (t, r2, mp) = (rows("sn_text"), rows("sn_reverse"), rows("sn_multipass"))
+    // the union can only add candidates and can only find more truth
+    assert(mp._2 >= math.max(t._2, r2._2) && mp._2 <= t._2 + r2._2)
+    assert(mp._3 >= math.max(t._3, r2._3))
+    // every strategy: found-truth bounded by truth; ratios in [0, 1]
+    rows.values.foreach { r =>
+      assert(r._3 <= r._4)
+      assert(r._5.forall(c => c >= 0 && c <= 1) && r._6.forall(x => x >= 0 && x <= 1))
+      assert(r._5.contains(r._3.toDouble / r._4))
+    }
+  }
+
   test("token entropy equals a driver recompute and respects the ln(V) bound") {
     import spark.implicits._
     val counts = scala.collection.mutable.Map.empty[(String, String), Long]

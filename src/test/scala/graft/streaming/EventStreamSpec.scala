@@ -680,6 +680,57 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch.values.exists(!_._2), "no dropped docs — vacuous gate")
   }
 
+  test("streaming kmv sketch drains to the batch estimator bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // first-principles reference: per-source distinct 3-shingle md5
+    // bottom-64 (the batch sketch), independent of both implementations
+    val rows = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = rows.groupBy(_._2).flatMap { case (src, ds) =>
+      val hs = ds.flatMap { case (_, _, t) =>
+        val w = t.split(' ')
+        (0 to w.length - 3).map(i => md5hex(s"${w(i)} ${w(i + 1)} ${w(i + 2)}"))
+      }.distinct.sorted.take(64)
+      if (hs.isEmpty) None else {
+        val hk = hs.last
+        val est = (hs.length - 1).toDouble /
+          (java.lang.Long.parseLong(hk.substring(0, 12), 16).toDouble / 281474976710656.0)
+        Some(src -> ((hs.length.toLong, hk, est)))
+      }
+    }
+    // stream the corpus in 3 shuffled micro-batches (md5-of-id order —
+    // deterministic, uncorrelated with source or text order) so batch
+    // boundaries and arrival order are exercised
+    val arrivals = rows.sortBy(r => md5hex(r._1.toString)).map { case (id, src, t) =>
+      EventStream.SourcedDocArrival(id, ts("2024-01-01 10:00:00"), src, t)
+    }
+    val chunks = arrivals.grouped((arrivals.length + 2) / 3).toSeq
+    val in = MemoryStream[EventStream.SourcedDocArrival]
+    val got = scala.collection.mutable.Map.empty[String, (Long, String, Double)]
+    val q = EventStream.kmvSketchUpdates(in.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r =>
+          got(r.getString(0)) = (r.getLong(1), r.getString(2), r.getDouble(3)))
+        ()
+      }.start()
+    chunks.foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    assert(got.toMap == expected.toMap,
+      s"diff: ${(expected.toSet -- got.toSet) ++ (got.toSet -- expected.toSet)}")
+    // oracle anchor: the drained estimates equal the oracle-checked
+    // batch face's kmv_est column bit-for-bit
+    val batchEst = graft.SparkEntry.queries("q_kmv_distinct")(spark, sfDir)
+      .select($"source", $"kmv_est").as[(String, Double)].collect().toMap
+    assert(got.view.mapValues(_._3).toMap == batchEst)
+  }
+
   test("streaming keyword-tag gate equals the batch dictionary tagger") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
