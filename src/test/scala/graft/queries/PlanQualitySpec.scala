@@ -657,6 +657,22 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("new audit/collocation faces: no cartesian pair generation anywhere") {
+    for (df <- Seq(Dedup.qSortedNeighborhoodMp(spark, sfDir),
+        Dedup.qBlockingQuality(spark, sfDir),
+        TextOps.qPmiCollocations(spark, sfDir),
+        TextOps.qTextrank(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      // the only nested loops allowed are 1-row totals broadcasts
+      // (crossJoin(broadcast(totals)) — bounded by construction)
+      val loops = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(loops.forall(_.toString.contains("BuildRight")), p)
+    }
+  }
+
   test("sorted-neighborhood index is two-pass bucketed — no global single-task sort") {
     val df = Dedup.qSortedNeighborhood(spark, sfDir)
     val p = plan(df)
