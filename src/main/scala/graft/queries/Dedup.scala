@@ -1108,6 +1108,67 @@ object Dedup {
        |FROM n GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // K-CORE PRUNING of the duplicate graph (Seidman '83 degeneracy) —
+  // the fourth graph face next to clusters/PageRank/triangles: the
+  // 2-core is the subgraph where every member still has ≥ 2 verified
+  // near-dup partners after peripheral members are peeled away — the
+  // DENSE copy mass (template farms, syndication rings), as opposed to
+  // incidental pairwise matches. Semantics are a FIXED 4 peeling
+  // rounds (each round drops nodes whose degree within the survivors
+  // is < k, recomputing degrees against the shrunken node set) — the
+  // declared bounded-iteration contract (the PageRank rule: the oracle
+  // unrolls the same 4 rounds; a production run iterates to fixpoint
+  // under the CC round-cap discipline; on real dup graphs 4 rounds
+  // converge — the spec asserts the 4th round is already a fixpoint on
+  // this corpus). Per round: one semi-join + one count agg over the
+  // pair table — pair-scale work, no corpus touch.
+  private val KCoreK = 2
+  private val KCoreRounds = 4
+
+  def qDupKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = nearDupPairs(spark, sfDir).select($"doc_a", $"doc_b")
+    val sym = e.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionByName(e.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .localCheckpoint(eager = false) // re-joined every round
+    var nodes = sym.select($"src".as("node")).distinct()
+    var deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .select($"src".as("node"), $"deg")
+    for (_ <- 1 to KCoreRounds) {
+      nodes = deg.filter($"deg" >= KCoreK).select($"node")
+        .localCheckpoint(eager = false) // both sides of the round's joins
+      deg = sym
+        .join(nodes.select($"node".as("src")), Seq("src"))
+        .join(nodes.select($"node".as("dst")), Seq("dst"))
+        .groupBy($"src").agg(count(lit(1)).as("deg"))
+        .select($"src".as("node"), $"deg")
+    }
+    deg.filter($"deg" >= KCoreK)
+      .select($"node".as("doc_id"), $"deg".as("core_degree"))
+  }
+
+  val qDupKcoreSql: String = {
+    def round(prevNodes: String, cur: Int): String =
+      s"""d$cur AS (SELECT src AS node, count(*) AS deg
+         |      FROM e
+         |      JOIN $prevNodes a ON a.node = e.src
+         |      JOIN $prevNodes b ON b.node = e.dst
+         |      GROUP BY 1),
+         |n$cur AS (SELECT node FROM d$cur WHERE deg >= $KCoreK)""".stripMargin
+    s"""WITH p AS ($NearPairSql),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |d0 AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+       |n1 AS (SELECT node FROM d0 WHERE deg >= $KCoreK),
+       |${round("n1", 2)},
+       |${round("n2", 3)},
+       |${round("n3", 4)},
+       |${round("n4", 5)}
+       |SELECT node AS doc_id, deg AS core_degree
+       |FROM d5 WHERE deg >= $KCoreK""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // DUPLICATION-GRAPH CENTRALITY — damped PageRank over the verified
   // near-dup graph, the principled upgrade of qClusterKeep's min-id
   // keeper rule: within a duplicate cluster the highest-centrality
@@ -1490,6 +1551,7 @@ object Dedup {
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
     "q_sorted_neighborhood_mp" -> (qSortedNeighborhoodMp _),
     "q_blocking_quality" -> (qBlockingQuality _),
+    "q_dup_kcore" -> (qDupKcore _),
     "q_gram_coverage" -> (qGramCoverage _),
     "q_source_novelty" -> (qSourceNovelty _),
     "q_source_overlap" -> (qSourceOverlap _),
@@ -1515,6 +1577,7 @@ object Dedup {
     "q_sorted_neighborhood" -> qSortedNeighborhoodSql,
     "q_sorted_neighborhood_mp" -> qSortedNeighborhoodMpSql,
     "q_blocking_quality" -> qBlockingQualitySql,
+    "q_dup_kcore" -> qDupKcoreSql,
     "q_gram_coverage" -> qGramCoverageSql,
     "q_source_novelty" -> qSourceNoveltySql,
     "q_source_overlap" -> qSourceOverlapSql,

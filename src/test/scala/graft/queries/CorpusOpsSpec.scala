@@ -193,6 +193,36 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("k-core pruning equals a driver-side peel and is a fixpoint at round 4") {
+    import spark.implicits._
+    val pairs = Dedup.qDedupNear(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    def peel(k: Int, rounds: Int): Map[Long, Int] = {
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      pairs.foreach { case (a, b) =>
+        adj(a) = adj.getOrElse(a, Set.empty) + b
+        adj(b) = adj.getOrElse(b, Set.empty) + a
+      }
+      var nodes = adj.keySet.toSet
+      var deg = adj.view.mapValues(_.size).toMap
+      for (_ <- 1 to rounds) {
+        nodes = deg.collect { case (n, d) if d >= k => n }.toSet
+        deg = nodes.map(n => n -> (adj(n) & nodes).size).toMap
+      }
+      deg.filter(_._2 >= k)
+    }
+    val expected = peel(2, 4).map { case (n, d) => (n, d.toLong) }.toSet
+    val got = Dedup.qDupKcore(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected, s"got $got\nexp $expected")
+    // declared-rounds honesty: 4 peels already reach the fixpoint here
+    assert(peel(2, 4) == peel(2, 8), "4 rounds not a fixpoint on this corpus")
+    // the core is a strict subset of the graph's nodes at this sf (the
+    // peel must actually remove something or the face is vacuous)
+    val allNodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(got.map(_._1).subsetOf(allNodes) && got.size < allNodes.size)
+  }
+
   test("token entropy equals a driver recompute and respects the ln(V) bound") {
     import spark.implicits._
     val counts = scala.collection.mutable.Map.empty[(String, String), Long]
