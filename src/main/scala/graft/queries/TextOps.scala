@@ -1405,6 +1405,10 @@ object TextOps {
           " (a, b) -> struct(a, b))")).as("p"))
       .select($"p.a".as("a"), $"p.b".as("b"))
       .groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+      // several downstream branches re-reference the counts (joins +
+      // totals in PMI; edges + degrees + r0 in TextRank) — without the
+      // lineage cut the corpus fan-out re-runs once per branch
+      .localCheckpoint(eager = false)
   }
 
   def qPmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1413,6 +1417,7 @@ object TextOps {
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0)
       .groupBy($"w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // two join sides + the totals row
     val bi = bigramCounts(spark, sfDir)
     val totals = uni.agg(sum($"c").as("n"))
       .crossJoin(bi.agg(sum($"c_ab").as("bt")))
@@ -1491,6 +1496,7 @@ object TextOps {
     val edges = bi.select($"a".as("src"), $"b".as("dst"), $"c_ab".as("w"))
       .unionByName(bi.select($"b".as("src"), $"a".as("dst"), $"c_ab".as("w")))
       .groupBy($"src", $"dst").agg(sum($"w").as("w"))
+      .localCheckpoint(eager = false) // deg, ed, and r0 all read it
     val deg = edges.groupBy($"src").agg(sum($"w").as("wt"))
     val ed = edges.join(deg, Seq("src")).localCheckpoint(eager = false)
     var r = deg.select($"src".as("node"), lit(TrScale).as("r"))
@@ -1533,6 +1539,107 @@ object TextOps {
        |       CAST(r AS DOUBLE) / $TrScale.0 AS score
        |FROM top WHERE rk <= $TrTopK""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // HEAPS' LAW vocabulary growth — the third corpus-health statistic
+  // next to the Zipf slope and token entropy: V(n) ≈ K·n^β, so β =
+  // slope of ln V on ln n. A healthy natural-language source grows
+  // vocabulary sublinearly (β ≈ 0.4–0.8); β near 0 is a closed
+  // template vocabulary (generator loops, boilerplate farms), β near 1
+  // is id/hash spam. SCALE SHAPE: the naive per-document running
+  // distinct count is a per-source data-scale window (single task per
+  // source at 100 TB); instead the curve is sampled at 16 doc-id
+  // prefix CHECKPOINTS — per-bucket token totals and first-occurrence
+  // counts are plain hash aggregations, the cumulative sums then run
+  // over the ≤16-row-per-source bucket frame (the islands-offsets
+  // pattern), and the regression is the exact-decimal zipf-slope rule.
+  // A term's contribution to V at checkpoint t is [min(doc_id) ≤ t] —
+  // first occurrences, an aggregation, never a running distinct.
+  private val HeapsBuckets = 16
+
+  def qHeapsLaw(spark: SparkSession, sfDir: String): DataFrame =
+    heapsBeta(docsWide(spark, sfDir))
+
+  /** The statistic over any (source, doc_id, text) frame — the spec
+    * plants closed- and open-vocabulary sources here. */
+  private[queries] def heapsBeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select($"source", $"doc_id", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .localCheckpoint(eager = false) // token totals + first-occurrence branches
+    val mx = toks.agg(max($"doc_id").as("mx"))
+    def bkt(c: Column): Column =
+      greatest(lit(1L), expr(s"(${c.toString} * $HeapsBuckets + mx - 1) div mx"))
+    val tokB = toks.groupBy($"source", $"doc_id").agg(count(lit(1)).as("nt"))
+      .crossJoin(broadcast(mx))
+      .groupBy($"source", bkt($"doc_id").as("b")).agg(sum($"nt").as("toks_b"))
+    val newB = toks.groupBy($"source", $"w").agg(min($"doc_id").as("fd"))
+      .crossJoin(broadcast(mx))
+      .groupBy($"source", bkt($"fd").as("b")).agg(count(lit(1)).as("new_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"b")
+    val pts = tokB.join(newB, Seq("source", "b"), "full_outer")
+      .select($"source", $"b", coalesce($"toks_b", lit(0L)).as("tb"),
+        coalesce($"new_b", lit(0L)).as("nb"))
+      .select($"source", sum($"tb").over(w).as("ct"), sum($"nb").over(w).as("cv"))
+      .filter($"ct" > 0 && $"cv" > 0)
+      .select($"source",
+        expr("cast(round(ln(ct), 9) as decimal(12,9))").as("x"),
+        expr("cast(round(ln(cv), 9) as decimal(12,9))").as("y"))
+    def w9(c: Column): Column =
+      expr(s"cast(cast(round(${c.toString}, 9) as decimal(22,9)) as double)")
+    pts.groupBy($"source")
+      .agg(count(lit(1)).as("n_points"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"source", $"n_points",
+        // a degenerate curve (one checkpoint, or all checkpoints at the
+        // same ln n) has no slope — NULL, identically in both engines
+        // (the doubles are bit-identical, so the zero compare agrees)
+        when($"n_points" > 1 &&
+            ($"n_points".cast("double") * w9($"sxx") - w9($"sx") * w9($"sx")) =!= 0.0,
+          ($"n_points".cast("double") * w9($"sxy") - w9($"sx") * w9($"sy")) /
+            ($"n_points".cast("double") * w9($"sxx") - w9($"sx") * w9($"sx")))
+          .as("heaps_beta"))
+  }
+
+  val qHeapsLawSql: String =
+    s"""WITH t AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
+       |           FROM documents),
+       |tk AS (SELECT source, doc_id, w FROM t WHERE w <> ''),
+       |mx AS (SELECT max(doc_id) AS mx FROM tk),
+       |tb AS (SELECT source,
+       |              greatest(1, (doc_id * $HeapsBuckets + mx - 1) // mx) AS b,
+       |              count(*) AS tb
+       |       FROM tk CROSS JOIN mx GROUP BY 1, 2),
+       |nb AS (SELECT source,
+       |              greatest(1, (fd * $HeapsBuckets + mx - 1) // mx) AS b,
+       |              count(*) AS nb
+       |       FROM (SELECT source, w, min(doc_id) AS fd FROM tk GROUP BY 1, 2)
+       |       CROSS JOIN mx GROUP BY 1, 2),
+       |cum AS (SELECT source,
+       |               sum(COALESCE(tb, 0)) OVER (PARTITION BY source ORDER BY b) AS ct,
+       |               sum(COALESCE(nb, 0)) OVER (PARTITION BY source ORDER BY b) AS cv
+       |        FROM tb FULL OUTER JOIN nb USING (source, b)),
+       |pts AS (SELECT source,
+       |               CAST(round(ln(ct), 9) AS DECIMAL(12,9)) AS x,
+       |               CAST(round(ln(cv), 9) AS DECIMAL(12,9)) AS y
+       |        FROM cum WHERE ct > 0 AND cv > 0),
+       |s AS (SELECT source, count(*) AS n_points,
+       |             CAST(CAST(round(sum(x), 9) AS DECIMAL(22,9)) AS DOUBLE) AS sx,
+       |             CAST(CAST(round(sum(y), 9) AS DECIMAL(22,9)) AS DOUBLE) AS sy,
+       |             CAST(CAST(round(sum(x * y), 9) AS DECIMAL(22,9)) AS DOUBLE) AS sxy,
+       |             CAST(CAST(round(sum(x * x), 9) AS DECIMAL(22,9)) AS DOUBLE) AS sxx
+       |      FROM pts GROUP BY 1)
+       |SELECT source, n_points,
+       |       CASE WHEN n_points > 1
+       |                 AND CAST(n_points AS DOUBLE) * sxx - sx * sx != 0.0
+       |            THEN (CAST(n_points AS DOUBLE) * sxy - sx * sy) /
+       |                 (CAST(n_points AS DOUBLE) * sxx - sx * sx)
+       |       END AS heaps_beta
+       |FROM s""".stripMargin
 
   // ---- BPE oracles (judge r9 item 1) -------------------------------
   // The iterative merge FIXPOINT stays spec-pinned (BpeTrainerSpec's
@@ -1609,6 +1716,7 @@ object TextOps {
     "q_bpe_encode" -> ((s: SparkSession, dir: String) =>
       graft.operators.BpeTrainer.encodeStats(s, dir)),
     "q_pmi_collocations" -> (qPmiCollocations _),
+    "q_heaps_law" -> (qHeapsLaw _),
     "q_textrank" -> (qTextrank _),
     "q_robust_outliers" -> (qRobustOutliers _),
     "q_compress_ratio" -> (qCompressRatio _),
@@ -1647,6 +1755,7 @@ object TextOps {
     "q_bpe_train" -> qBpeTrainSql,
     "q_bpe_encode" -> qBpeEncodeSql,
     "q_pmi_collocations" -> qPmiCollocationsSql,
+    "q_heaps_law" -> qHeapsLawSql,
     "q_textrank" -> qTextrankSql,
     "q_robust_outliers" -> qRobustOutliersSql,
     "q_compress_ratio" -> qCompressRatioSql,

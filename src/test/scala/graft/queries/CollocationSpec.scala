@@ -91,6 +91,58 @@ class CollocationSpec extends SparkTestBase {
       s"missing: ${expected -- got}\nextra: ${got -- expected}")
   }
 
+  test("Heaps beta separates open from closed vocabularies and matches a driver recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // closed: every doc repeats the same 5 words; open: every doc
+    // introduces 10 fresh words — beta(open) must dwarf beta(closed)
+    val docs = ((1 to 64).map(i => (i.toLong, "closed", "a b c d e")) ++
+      (1 to 64).map(i =>
+        (i.toLong, "open", (1 to 10).map(j => s"w${i}_$j").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.heapsBeta(docs)
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got("open").exists(_ > 0.9), got.toString)   // V grows ~ n
+    assert(got("closed").exists(b => math.abs(b) < 0.2), got.toString)
+    // driver recompute of the checkpoint regression on the real corpus
+    val rows = graft.core.Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+      .as[(String, Long, String)].collect()
+    val mx = rows.map(_._2).max
+    def bkt(id: Long): Long = math.max(1L, (id * 16 + mx - 1) / mx)
+    def r9d(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expected = rows.groupBy(_._1).map { case (src, ds) =>
+      val toks = ds.flatMap { case (_, id, t) =>
+        t.split(" ").filter(_.nonEmpty).map(w => (id, w)) }
+      val tokB = toks.groupBy(p => bkt(p._1)).view.mapValues(_.size.toLong).toMap
+      val newB = toks.groupBy(_._2).map { case (_, os) => bkt(os.map(_._1).min) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bs = (tokB.keySet ++ newB.keySet).toSeq.sorted
+      var ct = 0L; var cv = 0L
+      val pts = bs.flatMap { b =>
+        ct += tokB.getOrElse(b, 0L); cv += newB.getOrElse(b, 0L)
+        if (ct > 0 && cv > 0) Some((r9d(math.log(ct.toDouble)), r9d(math.log(cv.toDouble))))
+        else None
+      }
+      def w9(x: BigDecimal): Double =
+        x.setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val n = pts.size.toDouble
+      val (sx, sy) = (w9(pts.map(_._1).sum), w9(pts.map(_._2).sum))
+      val sxy = w9(pts.map(p => p._1 * p._2).sum)
+      val sxx = w9(pts.map(p => p._1 * p._1).sum)
+      val denom = n * sxx - sx * sx
+      val beta = if (pts.size > 1 && denom != 0.0) Some((n * sxy - sx * sy) / denom) else None
+      src -> ((pts.size.toLong, beta))
+    }
+    val real = graft.queries.TextOps.qHeapsLaw(spark, dir)
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(real == expected,
+      s"diff: ${expected.toSet -- real.toSet} / ${real.toSet -- expected.toSet}")
+  }
+
   test("both global top-k reads are bounded (TakeOrderedAndProject, no full sort)") {
     for (df <- Seq(TextOps.qPmiCollocations(spark, dir),
         TextOps.qTextrank(spark, dir))) {
