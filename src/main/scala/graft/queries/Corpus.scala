@@ -535,7 +535,94 @@ object Corpus {
       |       CAST(agg.s + mass.mass - agg.covered AS DOUBLE) / 1000000.0 AS drift
       |FROM agg JOIN mass ON mass.source = agg.source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // BURROWS' DELTA (Burrows '02) — the stylometric face of the source-
+  // similarity family (set: KMV jaccard/containment; distribution: χ²;
+  // profile: cosine; STYLE: this): per-source z-scores of the top-F
+  // corpus-wide FUNCTION-WORD frequencies, Delta(a,b) = mean |z_a − z_b|
+  // — the classic authorship/register distance, here the
+  // which-sources-write-alike readout (a source whose Delta to its
+  // siblings jumps changed voice: new template, new generator, new
+  // upstream). Arithmetic discipline: relative frequencies are exact
+  // parts-per-billion integers (decimal/HUGEINT-widened division —
+  // counts at 100 TB don't wrap), mean and variance are exact integer
+  // floor divisions, z is one double division of exact ints, each
+  // |z_a − z_b| is 9-dp-rounded to decimal so the pair sum is
+  // order-independent, and the final mean is one double division (the
+  // BM25 rule). Terms with zero variance across sources carry no
+  // signal and are excluded — identically in both engines, since the
+  // variance is an exact integer. Everything after the staged profile
+  // read is (sources × F)-scale.
+  private val DeltaTopF = 20
+
+  def qBurrowsDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = sourceTermCounts(spark, sfDir)
+    val totals = counts.groupBy($"source").agg(sum($"c").as("n_s"))
+    val fw = counts.groupBy($"term").agg(sum($"c").as("cf"))
+      .orderBy($"cf".desc, $"term").limit(DeltaTopF).select($"term")
+    // the (source × function-word) grid — a source missing the term
+    // has relative frequency 0 (the cross join fills the grid)
+    val grid = totals.crossJoin(broadcast(fw))
+      .join(counts, Seq("source", "term"), "left")
+      .select($"source", $"term",
+        expr("CAST((CAST(coalesce(c, 0L) AS DECIMAL(38,0)) * 1000000000L)" +
+          " div n_s AS BIGINT)").as("p"))
+      .localCheckpoint(eager = false) // mu and dev branches
+    val mu = grid.groupBy($"term")
+      .agg(expr("sum(p) div count(1)").as("mu"))
+    val dev = grid.join(mu, Seq("term"))
+      .select($"source", $"term", ($"p" - $"mu").as("d"))
+      .localCheckpoint(eager = false) // variance and z branches
+    val varT = dev.groupBy($"term")
+      .agg(expr("CAST(sum(CAST(d AS DECIMAL(38,0)) * d) div count(1) AS BIGINT)")
+        .as("v2"))
+    val z = dev.join(varT.filter($"v2" > 0), Seq("term"))
+      .select($"source", $"term",
+        ($"d".cast("double") / sqrt($"v2".cast("double"))).as("z"))
+    z.as("a").join(z.as("b"),
+        $"a.term" === $"b.term" && $"a.source" < $"b.source")
+      .select($"a.source".as("src_a"), $"b.source".as("src_b"),
+        round(abs($"a.z" - $"b.z"), 9).cast("decimal(12,9)").as("az"))
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_terms"), sum($"az").as("sd"))
+      .select($"src_a", $"src_b", $"n_terms",
+        ($"sd".cast("double") / $"n_terms".cast("double")).as("delta"))
+  }
+
+  val qBurrowsDeltaSql: String =
+    s"""WITH c AS (SELECT source, tok AS term, count(*) AS c
+       |           FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+       |                 FROM documents)
+       |           GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM c GROUP BY 1),
+       |fw AS (SELECT term FROM (
+       |         SELECT term, sum(c) AS cf FROM c GROUP BY 1
+       |         ORDER BY cf DESC, term LIMIT $DeltaTopF)),
+       |grid AS (SELECT t.source, f.term,
+       |                CAST((CAST(COALESCE(c.c, 0) AS HUGEINT) * 1000000000)
+       |                     // t.n_s AS BIGINT) AS p
+       |         FROM tot t CROSS JOIN fw f
+       |         LEFT JOIN c ON c.source = t.source AND c.term = f.term),
+       |mu AS (SELECT term, CAST(sum(p) // count(*) AS BIGINT) AS mu
+       |       FROM grid GROUP BY 1),
+       |dev AS (SELECT g.source, g.term, g.p - m.mu AS d
+       |        FROM grid g JOIN mu m USING (term)),
+       |vt AS (SELECT term,
+       |              CAST(sum(CAST(d AS HUGEINT) * d) // count(*) AS BIGINT) AS v2
+       |       FROM dev GROUP BY 1),
+       |z AS (SELECT d.source, d.term,
+       |             CAST(d.d AS DOUBLE) / sqrt(CAST(v.v2 AS DOUBLE)) AS z
+       |      FROM dev d JOIN vt v ON v.term = d.term AND v.v2 > 0),
+       |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+       |              CAST(round(abs(a.z - b.z), 9) AS DECIMAL(12,9)) AS az
+       |       FROM z a JOIN z b ON a.term = b.term AND a.source < b.source)
+       |SELECT src_a, src_b, count(*) AS n_terms,
+       |       CAST(sum(az) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS delta
+       |FROM pr GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_burrows_delta" -> (qBurrowsDelta _),
     "q_source_cosine" -> (qSourceCosine _),
     "q_profile_drift" -> (qProfileDrift _),
     "q_keyword_tag" -> (qKeywordTag _),
@@ -545,6 +632,7 @@ object Corpus {
     "q_token_entropy" -> (qTokenEntropy _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_burrows_delta" -> qBurrowsDeltaSql,
     "q_source_cosine" -> qSourceCosineSql,
     "q_profile_drift" -> qProfileDriftSql,
     "q_keyword_tag" -> qKeywordTagSql,

@@ -223,6 +223,45 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got.map(_._1).subsetOf(allNodes) && got.size < allNodes.size)
   }
 
+  test("Burrows' delta equals an exact-integer driver recompute") {
+    import spark.implicits._
+    val rows = graft.core.Tables.documents(spark, sfDir)
+      .select($"source", $"text").as[(String, String)].collect()
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    rows.foreach { case (src, t) =>
+      t.split(" ").foreach(w => counts((src, w)) = counts.getOrElse((src, w), 0L) + 1)
+    }
+    val totals = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val fw = counts.groupBy(_._1._2).view.mapValues(_.values.sum).toSeq
+      .sortBy { case (t, cf) => (-cf, t) }.take(20).map(_._1)
+    val sources = totals.keys.toSeq.sorted
+    val p = (for (s <- sources; t <- fw) yield
+      (s, t) -> (BigInt(counts.getOrElse((s, t), 0L)) * 1000000000L / totals(s)).toLong).toMap
+    val zs = fw.flatMap { t =>
+      val mu = sources.map(s => p((s, t))).sum / sources.size
+      val v2 = sources.map(s => BigInt(p((s, t)) - mu) * (p((s, t)) - mu)).sum /
+        sources.size
+      if (v2 > 0)
+        Some(t -> sources.map(s =>
+          s -> ((p((s, t)) - mu).toDouble / math.sqrt(v2.toDouble))).toMap)
+      else None
+    }.toMap
+    def r9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expected = (for {
+      a <- sources; b <- sources if a < b
+    } yield {
+      val terms = zs.keys.toSeq
+      val sd = terms.map(t => r9(math.abs(zs(t)(a) - zs(t)(b)))).sum
+      (a, b) -> ((terms.size.toLong, sd.toDouble / terms.size))
+    }).toMap
+    val got = Corpus.qBurrowsDelta(spark, sfDir)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == expected,
+      s"diff: ${expected.toSet -- got.toSet} / ${got.toSet -- expected.toSet}")
+  }
+
   test("token entropy equals a driver recompute and respects the ln(V) bound") {
     import spark.implicits._
     val counts = scala.collection.mutable.Map.empty[(String, String), Long]
