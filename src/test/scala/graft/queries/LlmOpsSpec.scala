@@ -300,6 +300,29 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ANN recall report matches the independently-computed recalls, all >= 0.9") {
+    import spark.implicits._
+    val got = Similarity.qAnnRecallReport(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("lsh", "ivf", "quant", "pq"))
+    val brute = Similarity.qAnnBrute(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val m = df.as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+      ((brute & m).size.toLong, brute.size.toLong)
+    }
+    val indep = Map(
+      "lsh" -> recallOf(Similarity.qAnnLsh(spark, sfDir)),
+      "ivf" -> recallOf(Similarity.qAnnIvf(spark, sfDir)),
+      "quant" -> recallOf(Similarity.qAnnQuant(spark, sfDir)),
+      "pq" -> recallOf(Similarity.qAnnPq(spark, sfDir)))
+    indep.foreach { case (m, (hit, truth)) =>
+      assert(got(m)._2 == hit && got(m)._3 == truth, s"$m: ${got(m)} vs ($hit, $truth)")
+      assert(got(m)._4 >= 0.9, s"$m recall ${got(m)._4}")
+    }
+  }
+
   test("LSH ANN recall@5 vs brute force is >= 0.9") {
     import spark.implicits._
     val brute = Similarity.qAnnBrute(spark, sfDir)
