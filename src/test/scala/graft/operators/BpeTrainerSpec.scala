@@ -143,6 +143,51 @@ class BpeTrainerSpec extends SparkTestBase {
       committed.map(r => (r._1, r._2, r._3)))
   }
 
+  test("the oracle's string-replace merge formulation equals the real encoder (property)") {
+    // The DuckDB encode oracle applies merge (l, r) as
+    // replace('␟l␟␟r␟' → '␟lr␟') over a chr(31)-double-delimited symbol
+    // string; SQL replace is leftmost non-overlapping with no rescan of
+    // replacements — the same semantics as java.lang.String.replace, so
+    // this property drives the EXACT representation trick (delimiter
+    // bookkeeping, half-boundary consumption, adjacency after a match)
+    // against BpeTrainer.encodeWord on random small-alphabet words,
+    // where repeated and chained symbols force the adversarial cases
+    // (aaaa under a+a, merges of merges, l = r).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val D = "\u001f"
+    def stringEncode(w: String, ms: Seq[BpeTrainer.Merge]): Seq[String] = {
+      val init = w.map(_.toString) match {
+        case cs if cs.isEmpty => return Seq.empty
+        case cs => cs.init :+ (cs.last + BpeTrainer.EndOfWord)
+      }
+      var s = (D + D) + init.mkString(D + D) + (D + D)
+      ms.sortBy(_.rank).foreach { m =>
+        s = s.replace(D + m.left + D + D + m.right + D,
+          D + m.left + m.right + D)
+      }
+      s.split((D + D).charAt(0)).filter(_.nonEmpty).toSeq
+    }
+    val params = Gen.Parameters.default
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g(params, Seed(i.toLong)))
+    val word: Gen[String] = Gen.choose(1, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpus = samples(word, 400)
+    // train real merge lists (merges of merges arise naturally) at
+    // several budgets from the generated corpus's frequency table
+    import spark.implicits._
+    for (budget <- Seq(4, 10, 24)) {
+      val ms = BpeTrainer.train(spark, corpus.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text"), budget)
+      corpus.distinct.foreach { w =>
+        val exp = BpeTrainer.encodeWord(w, ms)
+        val got = stringEncode(w, ms)
+        assert(got == exp, s"'$w' under $ms: $got vs $exp")
+      }
+    }
+  }
+
   test("corpus and symbols are free of the oracle's chr(31) delimiter") {
     // the DuckDB encode oracle represents symbol sequences as a
     // chr(31)-delimited string; a corpus containing the delimiter would
