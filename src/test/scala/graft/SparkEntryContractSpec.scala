@@ -37,9 +37,22 @@ class SparkEntryContractSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracle sql without query: $missing")
   }
 
-  test("every registered query executes at sf0.001") {
+  test("every registered query executes at sf0.001 and plans no CartesianProduct") {
+    // suite-wide scale invariant: an unkeyed non-broadcast cross join
+    // anywhere is the one plan shape that can never survive 100 TB.
+    // (crossJoin(broadcast(1-row totals)) plans as a bounded
+    // BroadcastNestedLoopJoin, not CartesianProductExec, so the
+    // legitimate totals/probe broadcasts pass; the declared-exhaustive
+    // ANN faces use that broadcast form too.)
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try { fn(spark, "/root/testdata/sf0.001").count(); None }
+      try {
+        val df = fn(spark, "/root/testdata/sf0.001")
+        val cart = df.queryExecution.executedPlan.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }
+        if (cart.nonEmpty) Some(s"$name: CartesianProductExec in plan")
+        else { df.count(); None }
+      }
       catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
