@@ -378,9 +378,11 @@ object Dedup {
       val dfc = inv.groupBy($"h").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"doc_id").orderBy($"df", $"h")
+      // df kept in the standing index: the novelty readout is then one
+      // scan of this table (r10 — it used to rebuild inv+dfc per call)
       inv.join(dfc, Seq("h"))
         .withColumn("rk", row_number().over(w))
-        .select($"doc_id", $"n", $"h", $"rk")
+        .select($"doc_id", $"n", $"h", $"rk", $"df")
     }
     // the ⌈0.6n⌉-prefix slice is ~40% of the postings but BOTH sides of
     // the jaccard candidate self-join scan it — materializing the view
@@ -570,11 +572,9 @@ object Dedup {
   // divides two exact integers, so the double matches across engines.
   def qNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingled(spark, sfDir)
-    val inv = sh.select($"doc_id", explode($"sh").as("s"))
-      .select($"doc_id", xxhash64($"s").as("h"))
-    val dfc = inv.groupBy($"h").agg(count(lit(1)).as("df"))
-    inv.join(dfc, Seq("h"))
+    // one scan of the standing ranked-postings index — df is already a
+    // column of the staged table (shared with the PPJoin prefix faces)
+    prefixIndex(spark, sfDir)._1
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_shingles"),
