@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expressions for the LLM-pipeline hot paths.
   *
@@ -749,6 +749,220 @@ object DeflateLen {
   }
 }
 
+/** PQ asymmetric-distance readout: `codes(i)` names subspace i's
+  * codebook entry (0-based index) and `lut` is one query's flat
+  * subspace-major table of scale-9 fixed-point partial inner products
+  * (lut(i*K + c) = ⟨query_sub_i, centroid_c_sub_i⟩ rounded to 9 dp,
+  * K = lut.length / codes.length). Returns the exact fixed-point sum
+  * of the M looked-up entries — the same value the relational
+  * formulation (explode codes, equi-join the LUT rows, sum the
+  * decimals) produces, because every entry was rounded BEFORE packing
+  * and the kernel adds exact integers; ranking by this long is
+  * bit-identical to ranking by the decimal sum, so the DuckDB oracle
+  * needs no change. The kernel replaces a 16-rows-per-candidate join +
+  * hash aggregate with one array probe per candidate: the scored frame
+  * carries 16× fewer rows and no aggregation state, which is the
+  * actual ADC contract (Jégou et al. '11 §IV: a code scan is M table
+  * lookups, not a join). */
+case class AdcScore(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, array<long>), got ${l.simpleString}, ${r.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "adc_score"
+  override def foldable: Boolean = left.foldable && right.foldable
+
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    AdcScore.compute(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.functions.AdcScore.compute($c, $l)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): AdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
+object AdcScore {
+  def compute(codes: ArrayData, lut: ArrayData): Long = {
+    val m = codes.numElements()
+    if (m == 0) return 0L
+    val k = lut.numElements() / m
+    var s = 0L
+    var i = 0
+    while (i < m) {
+      // an out-of-range code is index corruption — fail loudly, never
+      // score garbage (same stance as the Passages keeper-key guard)
+      val c = codes.getInt(i)
+      if (c < 0 || c >= k)
+        throw new IllegalArgumentException(
+          s"adc_score: code $c out of range [0,$k) at subspace $i")
+      s += lut.getLong(i * k + c)
+      i += 1
+    }
+    s
+  }
+}
+
+/** PQ encoder: maps one float vector to its M packed subspace codes
+  * (0-based codebook ordinals) against a plan-time codebook constant
+  * (K flat row-major centroids, kilobytes — the IVF-centroid collect
+  * precedent). Semantically IDENTICAL to the relational encode it
+  * replaces — per (subspace, centroid) the squared distance is the
+  * same left-fold sum of per-dimension squares, pushed through the
+  * same `cast(round(t, 9) as decimal)` rounding (replicated exactly in
+  * [[PqEncode.scale9]]), argmin with ties to the lower ordinal — so
+  * the staged codes table is bit-identical and the DuckDB oracle needs
+  * no change (PqParitySpec pins kernel == relational on the real
+  * corpus). A native kernel because the relational form fans every
+  * vector out 512× (K×M rows of decimal expressions) through a top-1
+  * selection — the dominant fresh-session cost of the PQ index build
+  * (~4 s of an 8.6 s cold probe at sf0.1); the kernel is one fused
+  * O(K·dim) pass per vector inside WholeStageCodegen. */
+case class PqEncode(child: Expression, codebook: Seq[Double], m: Int)
+  extends UnaryExpression {
+
+  @transient private lazy val cbArr: Array[Double] = codebook.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if m >= 1 && codebook.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> (m >= 1, non-empty codebook), got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqEncode.compute(input.asInstanceOf[ArrayData], cbArr, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqEncode.compute($c, $cbRef, $m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  def compute(v: ArrayData, cb: Array[Double], m: Int): ArrayData = {
+    val dim = v.numElements()
+    val sub = dim / m
+    val k = cb.length / dim
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val vb = mi * sub
+      var best = 0
+      var bestS = Long.MaxValue
+      var c = 0
+      while (c < k) {
+        val cbase = c * dim + vb
+        // left-fold double sum — same association as the 4-term
+        // relational expression ((t0 + t1) + t2) + t3 (0.0 + t0 == t0)
+        var t = 0.0
+        var j = 0
+        while (j < sub) {
+          val d = v.getDouble(vb + j) - cb(cbase + j)
+          t += d * d
+          j += 1
+        }
+        val s = scale9(t)
+        if (s < bestS) { bestS = s; best = c } // strict <: ties keep lower c
+        c += 1
+      }
+      out(mi) = best
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact replica of Spark's `cast(round(t, 9) as decimal(_,9))` on a
+    * double, as a scale-9 fixed-point long: Round(double, 9) is
+    * BigDecimal.valueOf(t).setScale(9, HALF_UP) converted BACK to
+    * double, and the decimal cast re-rounds that double at scale 9 —
+    * both steps reproduced so the kernel's compare keys are
+    * bit-identical to the decimal column values the relational
+    * formulation (and the DuckDB oracle) sorts on. */
+  def scale9(t: Double): Long = {
+    val rd = java.math.BigDecimal.valueOf(t)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    java.math.BigDecimal.valueOf(rd)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+  }
+}
+
+/** PQ query-side LUT builder: one float query vector in, the packed
+  * subspace-major ADC lookup table out — lut(m*K + c) = ⟨query sub m,
+  * centroid c sub m⟩ as a scale-9 fixed-point long, the same left-fold
+  * double sum and `cast(round(t, 9) as decimal)` rounding
+  * ([[PqEncode.scale9]]) as the relational LUT it replaces, so ADC
+  * totals stay bit-identical to the DuckDB oracle's decimal sums
+  * (PqParitySpec pins kernel == relational). A kernel for the same
+  * reason as [[PqEncode]]: the relational form is a crossJoin ×
+  * explode × decimal-expression × pack-aggregate plan whose codegen
+  * compile dominated the PQ probe's first-touch cost; this is one
+  * fused O(K·dim) pass per query row. */
+case class PqLut(child: Expression, codebook: Seq[Double], m: Int)
+  extends UnaryExpression {
+
+  @transient private lazy val cbArr: Array[Double] = codebook.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if m >= 1 && codebook.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> (m >= 1, non-empty codebook), got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqLut.compute(input.asInstanceOf[ArrayData], cbArr, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqLut.compute($c, $cbRef, $m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+object PqLut {
+  def compute(v: ArrayData, cb: Array[Double], m: Int): ArrayData = {
+    val dim = v.numElements()
+    val sub = dim / m
+    val k = cb.length / dim
+    val out = new Array[Long](m * k)
+    var mi = 0
+    while (mi < m) {
+      val vb = mi * sub
+      var c = 0
+      while (c < k) {
+        val cbase = c * dim + vb
+        var t = 0.0
+        var j = 0
+        while (j < sub) {
+          t += v.getDouble(vb + j) * cb(cbase + j)
+          j += 1
+        }
+        out(mi * k + c) = PqEncode.scale9(t)
+        c += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-API entry points for the native expressions. */
 object functions {
   private def col(e: Expression): Column = GraftColumnBridge.column(e)
@@ -766,4 +980,7 @@ object functions {
   def word_gram_hashes(c: Column, n: Int): Column = col(WordGramHashes(ex(c), n))
   def winnow_fps(c: Column, k: Int, w: Int): Column = col(WinnowFps(ex(c), k, w))
   def word_blocks(c: Column, n: Int): Column = col(WordBlocks(ex(c), n))
+  def adc_score(codes: Column, lut: Column): Column = col(AdcScore(ex(codes), ex(lut)))
+  def pq_encode(v: Column, codebook: Seq[Double], m: Int): Column = col(PqEncode(ex(v), codebook, m))
+  def pq_lut(v: Column, codebook: Seq[Double], m: Int): Column = col(PqLut(ex(v), codebook, m))
 }
