@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expressions for the LLM-pipeline hot paths.
   *
@@ -963,6 +963,78 @@ object PqLut {
   }
 }
 
+/** Average-hash perceptual fingerprint over an opaque binary payload —
+  * the aHash step of the standard image near-dup pipeline (split the
+  * decoded image into blocks, set bit i when block i's mean intensity
+  * beats the global mean). Here the "decode" is the container's
+  * deterministic stand-in (raw payload bytes as the intensity plane —
+  * the multimodal-family convention, MultimodalMeta), but the
+  * fingerprint math and everything downstream (banded Hamming join,
+  * bit_count verify) is the real pipeline. 60 blocks, not 64, so the
+  * packed hash stays positive in a signed BIGINT in both engines (the
+  * SimHash60 precedent); block boundaries are the exact integer splits
+  * s_i = ⌊i·n/60⌋ and bit i compares cross-multiplied integer sums
+  * (block_sum·n > total·block_len) — no division, no floats, so the
+  * DuckDB oracle reproduces the hash exactly. Payloads shorter than 60
+  * bytes have zero-length blocks and must be filtered upstream (the
+  * kernel fails loudly — a fingerprint of nothing is corruption, not
+  * data). */
+case class AHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ahash60"
+  override def foldable: Boolean = child.foldable
+
+  override protected def nullSafeEval(input: Any): Any =
+    AHash60.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AHash60.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AHash60 =
+    copy(child = newChild)
+}
+
+object AHash60 {
+  val Blocks = 60
+
+  def compute(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n < Blocks)
+      throw new IllegalArgumentException(
+        s"ahash60: payload of $n bytes has empty blocks — filter length >= $Blocks upstream")
+    // the cross-multiplied compare is exact only while 255·n² fits a
+    // long (n ≤ ~1.9e8); beyond that it would wrap SILENTLY — fail
+    // loudly instead (the qSourceCosine overflow stance): a payload
+    // that large should be block-sampled before fingerprinting anyway
+    if (n > 150000000)
+      throw new IllegalArgumentException(
+        s"ahash60: $n-byte payload exceeds the exact-arithmetic bound (1.5e8)")
+    var total = 0L
+    var i = 0
+    while (i < n) { total += bytes(i) & 0xff; i += 1 }
+    var hash = 0L
+    var b = 0
+    while (b < Blocks) {
+      val s = (b.toLong * n / Blocks).toInt
+      val e = ((b + 1).toLong * n / Blocks).toInt
+      var blockSum = 0L
+      var j = s
+      while (j < e) { blockSum += bytes(j) & 0xff; j += 1 }
+      // cross-multiplied compare: bit = (blockSum / len > total / n)
+      // with exact integers (len = e - s >= 1 because n >= Blocks)
+      if (blockSum * n > total * (e - s)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+}
+
 /** Column-API entry points for the native expressions. */
 object functions {
   private def col(e: Expression): Column = GraftColumnBridge.column(e)
@@ -980,6 +1052,7 @@ object functions {
   def word_gram_hashes(c: Column, n: Int): Column = col(WordGramHashes(ex(c), n))
   def winnow_fps(c: Column, k: Int, w: Int): Column = col(WinnowFps(ex(c), k, w))
   def word_blocks(c: Column, n: Int): Column = col(WordBlocks(ex(c), n))
+  def ahash60(c: Column): Column = col(AHash60(ex(c)))
   def adc_score(codes: Column, lut: Column): Column = col(AdcScore(ex(codes), ex(lut)))
   def pq_encode(v: Column, codebook: Seq[Double], m: Int): Column = col(PqEncode(ex(v), codebook, m))
   def pq_lut(v: Column, codebook: Seq[Double], m: Int): Column = col(PqLut(ex(v), codebook, m))

@@ -123,13 +123,73 @@ object MultimodalMeta {
        |LIMIT 5""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // Perceptual-hash near-duplicate assets — the aHash image-dedup
+  // pipeline over opaque binary payloads: fingerprint every asset with
+  // the native ahash60 kernel (60 block-average bits; the "decode" is
+  // the multimodal family's deterministic byte-plane stand-in, the
+  // pipeline is real), block candidates by 4 disjoint 15-bit bands of
+  // the hash, verify candidates by exact Hamming distance. The
+  // threshold (≤ 13 of 60 bits) sits ~4σ below the random-pair mean
+  // (30, σ≈3.9) — banded recall at that radius is NOT exhaustive (the
+  // pigeonhole guarantee only covers hamming ≤ 3 with 4 bands), so the
+  // oracle REPLICATES the banded candidate generation rather than an
+  // all-pairs scan (the qEmbedDedup same-blocked-algorithm precedent);
+  // everything is integer arithmetic, so the match is exact. Scale
+  // shape: fingerprints are 8 bytes per asset built map-only at
+  // ingest; the probe is a band equi-join on 15-bit keys — the
+  // candidate set is bounded by band-bucket occupancy, never n².
+  def qAssetPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h = Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 60)
+      .select($"doc_id".as("asset_id"),
+        graft.functions.functions.ahash60($"text".cast("binary")).as("h"))
+    val banded = h.select($"asset_id", $"h",
+      explode(expr(
+        "transform(sequence(0, 3), k -> named_struct('band', k, 'bv', (shiftright(h, k * 15) & 32767)))")).as("kb"))
+      .select($"asset_id", $"h", $"kb.band".as("band"), $"kb.bv".as("bv"))
+    banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.bv" === $"y.bv" &&
+          $"x.asset_id" < $"y.asset_id")
+      .select($"x.asset_id".as("asset_a"), $"y.asset_id".as("asset_b"),
+        expr("cast(bit_count(x.h ^ y.h) as int)").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 13)
+  }
+
+  val qAssetPhashSql: String =
+    """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents
+      |           WHERE strlen(text) >= 60),
+      |byt AS (SELECT doc_id, n,
+      |          list_transform(range(n), i -> ord(substr(text, CAST(i+1 AS INTEGER), 1))) AS bs
+      |        FROM d),
+      |tot AS (SELECT doc_id, n, bs, list_sum(bs) AS total FROM byt),
+      |bits AS (SELECT doc_id, t.i,
+      |           CASE WHEN list_sum(bs[CAST((t.i*n)//60 + 1 AS BIGINT):CAST(((t.i+1)*n)//60 AS BIGINT)]) * n
+      |                     > total * (((t.i+1)*n)//60 - (t.i*n)//60)
+      |                THEN (1::BIGINT << t.i) ELSE 0 END AS bit
+      |         FROM tot CROSS JOIN unnest(range(60)) AS t(i)),
+      |h AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS hash FROM bits GROUP BY 1),
+      |bands AS (SELECT doc_id, hash, t.j, (hash >> (15*t.j)) & 32767 AS bv
+      |          FROM h CROSS JOIN unnest(range(4)) AS t(j)),
+      |cand AS (SELECT DISTINCT a.doc_id AS asset_a, b.doc_id AS asset_b,
+      |                a.hash AS ha, b.hash AS hb
+      |         FROM bands a JOIN bands b
+      |           ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      |SELECT asset_a, asset_b,
+      |       CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 13""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asset_meta" -> (qAssetMeta _),
     "q_frame_sample" -> (qFrameSample _),
-    "q_asset_sim" -> (qAssetSim _))
+    "q_asset_sim" -> (qAssetSim _),
+    "q_asset_phash" -> (qAssetPhash _))
 
   val oracleSql: Map[String, String] = Map(
     "q_asset_meta" -> qAssetMetaSql,
     "q_frame_sample" -> qFrameSampleSql,
-    "q_asset_sim" -> qAssetSimSql)
+    "q_asset_sim" -> qAssetSimSql,
+    "q_asset_phash" -> qAssetPhashSql)
 }

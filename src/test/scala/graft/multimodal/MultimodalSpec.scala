@@ -42,6 +42,32 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("ahash60 kernel: block-average bits, exact integer compare") {
+    import graft.functions.AHash60
+    // constant payload: every block mean equals the global mean, the
+    // strict > comparison sets no bits
+    assert(AHash60.compute(Array.fill[Byte](120)(65)) === 0L)
+    // first half bright, second half dark: bits 0..29 set (block mean
+    // 200 > global 100), bits 30..59 clear
+    val half = Array.fill[Byte](60)(200.toByte) ++ Array.fill[Byte](60)(0)
+    assert(AHash60.compute(half) === (1L << 30) - 1)
+    // hash is invariant to brightness ORDER within a block boundary,
+    // sensitive across it
+    val shifted = Array.fill[Byte](60)(0) ++ Array.fill[Byte](60)(200.toByte)
+    assert(AHash60.compute(shifted) === ((1L << 30) - 1) << 30)
+    // short payloads fail loudly, never fingerprint garbage
+    intercept[IllegalArgumentException] {
+      AHash60.compute(Array.fill[Byte](59)(1))
+    }
+  }
+
+  test("asset phash near-dup plan is banded — no all-pairs join") {
+    val plan = graft.queries.MultimodalMeta.qAssetPhash(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("decode batches are bounded by BatchSize") {
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     (1 to 150).grouped(Multimodal.DecodeStub.BatchSize).foreach(g => sizes += g.size)
