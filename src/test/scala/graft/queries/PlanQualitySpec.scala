@@ -674,7 +674,17 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("sorted-neighborhood index is two-pass bucketed — no global single-task sort") {
-    val df = Dedup.qSortedNeighborhood(spark, sfDir)
+    // pin the BUILDER's plan: the query faces read the staged candidate
+    // frame (an InMemoryRelation with no Window nodes — and building
+    // over the corpus here would hit Spark's cache lookup and
+    // substitute that same relation), so the structural claim about
+    // the index build is pinned over a spec-local planted frame, like
+    // the other builder-shape pins
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val docs = spark.range(0, 64).toDF("doc_id")
+      .select(col("doc_id"),
+        concat_ws(" ", lit("doc"), col("doc_id").cast("string")).as("text"))
+    val df = Dedup.snCandidatePairs(docs, col("text"))
     val p = plan(df)
     // the in-bucket window must be keyed (hashpartitioning on the bucket
     // prefix); the only single-partition window input allowed is the
@@ -682,7 +692,7 @@ class PlanQualitySpec extends SparkTestBase {
     val windows = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(windows.nonEmpty)
+    assert(windows.nonEmpty, df.queryExecution.optimizedPlan.toString)
     val keyed = windows.count(_.partitionSpec.nonEmpty)
     assert(keyed >= 1, p)
     windows.filter(_.partitionSpec.isEmpty).foreach { w =>
