@@ -517,6 +517,49 @@ object Events {
       |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // Cohort retention (the product-analytics counterpart of the funnel):
+  // users cohort by their FIRST activity week; each later week of
+  // activity increments that cohort's (cohort_week, week_offset) cell;
+  // retention is the cell count over the cohort size. Scale shape: the
+  // weekly-activity and first-touch frames aggregate on the SAME
+  // user_id key (one partitioning, no re-exchange between them — the
+  // qFunnel discipline), the per-cell rollup shuffles only
+  // (cohort, offset) pairs, and cohort sizes are a broadcast
+  // weeks-sized frame. Week arithmetic stays integral end to end
+  // (both engines truncate to Monday-start weeks; the offset is an
+  // exact day-diff div 7 of two week-truncated dates), and retention
+  // is the single exact-integer division the house rules allow.
+  def qRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val act = Tables.events(spark, sfDir)
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("w"))
+      .distinct()
+    val first = act.groupBy($"user_id").agg(min($"w").as("cohort_week"))
+    val sizes = first.groupBy($"cohort_week").agg(count(lit(1)).as("n_cohort"))
+    act.join(first, Seq("user_id"))
+      .groupBy($"cohort_week",
+        expr("datediff(w, cohort_week) div 7").cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select($"cohort_week", $"week_offset", $"n_active", $"n_cohort",
+        ($"n_active".cast("double") / $"n_cohort".cast("double")).as("retention"))
+  }
+
+  val qRetentionSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      |  FROM events),
+      |f AS (SELECT user_id, min(w) AS cohort_week FROM a GROUP BY 1),
+      |s AS (SELECT cohort_week, count(*) AS n_cohort FROM f GROUP BY 1),
+      |j AS (SELECT f.cohort_week,
+      |             CAST(date_diff('day', f.cohort_week, a.w) // 7 AS INTEGER) AS week_offset,
+      |             count(*) AS n_active
+      |      FROM a JOIN f ON f.user_id = a.user_id GROUP BY 1, 2)
+      |SELECT j.cohort_week, j.week_offset, j.n_active, s.n_cohort,
+      |       CAST(j.n_active AS DOUBLE) / s.n_cohort AS retention
+      |FROM j JOIN s ON s.cohort_week = j.cohort_week""".stripMargin
+
+  // --------------------------------------------------------------------
   // PII / log scrubbing: mask every digit run in the event payload and
   // count the masks — the redaction pass a training pipeline runs before
   // text lands in the corpus. Pure row-local regexp projection (no
@@ -756,6 +799,7 @@ object Events {
     "q_interpolate" -> (qInterpolate _),
     "q_mode" -> (qMode _),
     "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _),
     "q_redact" -> (qRedact _),
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
@@ -780,6 +824,7 @@ object Events {
     "q_interpolate" -> qInterpolateSql,
     "q_mode" -> qModeSql,
     "q_funnel" -> qFunnelSql,
+    "q_retention" -> qRetentionSql,
     "q_redact" -> qRedactSql,
     "q_sessionize" -> qSessionizeSql,
     "q_session_window" -> qSessionWindowSql,
