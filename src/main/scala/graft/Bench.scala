@@ -31,6 +31,7 @@ object Bench {
     "docs_wide" -> ((s, dir) => graft.queries.TextOps.prewarmStaging(s, dir)),
     "decontam_staging" -> ((s, dir) => graft.queries.Curation.prewarmStaging(s, dir)),
     "ivf_cells" -> ((s, dir) => graft.queries.Similarity.prewarmStaging(s, dir)),
+    "phash_staging" -> ((s, dir) => graft.queries.MultimodalMeta.prewarmStaging(s, dir)),
     "retrieval_staging" -> ((s, dir) => graft.queries.Retrieval.prewarmStaging(s, dir)),
     "winnow_staging" -> ((s, dir) => graft.queries.Passages.prewarmStaging(s, dir)),
     "profile_staging" -> ((s, dir) => graft.queries.Corpus.prewarmStaging(s, dir)),

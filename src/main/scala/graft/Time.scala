@@ -17,7 +17,9 @@ object Time {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
+      // NOTE: driver memory cannot be set here — the session runs in
+      // sbt's already-launched JVM, so heap comes from .jvmopts/-J
+      // flags; a small heap inflates first-touch numbers with GC time
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>

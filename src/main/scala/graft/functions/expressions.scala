@@ -791,7 +791,12 @@ case class AdcScore(left: Expression, right: Expression)
 object AdcScore {
   def compute(codes: ArrayData, lut: ArrayData): Long = {
     val m = codes.numElements()
-    if (m == 0) return 0L
+    // empty codes or a LUT whose length is not an exact M×K grid is
+    // index corruption — fail loudly, never score garbage (an ADC of 0
+    // is a plausible mid-range value and would silently mis-rank)
+    if (m == 0 || lut.numElements() % m != 0)
+      throw new IllegalArgumentException(
+        s"adc_score: ${lut.numElements()}-entry LUT is not a grid over $m codes")
     val k = lut.numElements() / m
     var s = 0L
     var i = 0

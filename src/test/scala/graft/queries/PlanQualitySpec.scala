@@ -680,10 +680,15 @@ class PlanQualitySpec extends SparkTestBase {
     // substitute that same relation), so the structural claim about
     // the index build is pinned over a spec-local planted frame, like
     // the other builder-shape pins
-    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    // planted keys must SPREAD across the 4-char prefix buckets —
+    // lpad puts the varying digits in the prefix, so the shape pinned
+    // here (keyed in-bucket window, broadcast offsets) is exercised
+    // over many buckets, not a degenerate single-bucket sort
+    import org.apache.spark.sql.functions.{col, concat, lpad}
     val docs = spark.range(0, 64).toDF("doc_id")
       .select(col("doc_id"),
-        concat_ws(" ", lit("doc"), col("doc_id").cast("string")).as("text"))
+        concat(lpad(col("doc_id").cast("string"), 4, "0"),
+          org.apache.spark.sql.functions.lit(" doc")).as("text"))
     val df = Dedup.snCandidatePairs(docs, col("text"))
     val p = plan(df)
     // the in-bucket window must be keyed (hashpartitioning on the bucket

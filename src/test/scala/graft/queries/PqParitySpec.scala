@@ -80,4 +80,17 @@ class PqParitySpec extends SparkTestBase {
     }
     assert(ex.getMessage != null)
   }
+
+  test("adc_score fails loudly on empty codes and non-grid LUTs") {
+    import graft.functions.AdcScore
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    intercept[IllegalArgumentException] {
+      AdcScore.compute(new GenericArrayData(Array.empty[Int]),
+        new GenericArrayData(Array(1L, 2L)))
+    }
+    intercept[IllegalArgumentException] {
+      AdcScore.compute(new GenericArrayData(Array(0, 1, 0)),
+        new GenericArrayData(Array.tabulate(8)(_.toLong))) // 8 % 3 != 0
+    }
+  }
 }
