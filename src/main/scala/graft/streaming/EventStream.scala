@@ -417,6 +417,67 @@ object EventStream {
       .select($"doc_id", $"corpus_doc_id", $"n_shared")
   }
 
+  /** Static aHash band index of an asset corpus — the MULTIMODAL
+    * sibling of [[CorpusIndex]]: the same ahash60 fingerprint and
+    * 4×15-bit banding as the batch q_asset_phash face
+    * (queries.MultimodalMeta), one (band, band value) row per band per
+    * asset plus the full 60-bit hash for the exact Hamming verify. At
+    * 100 TB this is a written table bucketed on (band, bv) so the
+    * stream probe co-locates; 8 bytes of hash per asset — payloads
+    * never enter the index. */
+  final case class CorpusPhashIndex(df: DataFrame)
+
+  def corpusPhashIndex(corpus: DataFrame): CorpusPhashIndex = {
+    import corpus.sparkSession.implicits._
+    val payload = $"text".cast("binary")
+    CorpusPhashIndex(corpus
+      .filter(length(payload) >= 60)
+      .select($"doc_id".as("corpus_asset_id"),
+        graft.functions.functions.ahash60(payload).as("corpus_h"))
+      .select($"corpus_asset_id", $"corpus_h",
+        explode(expr("transform(sequence(0, 3), k -> named_struct(" +
+          "'band', k, 'bv', (shiftright(corpus_h, k * 15) & 32767)))")).as("kb"))
+      .select($"corpus_asset_id", $"corpus_h",
+        $"kb.band".as("band"), $"kb.bv".as("bv")))
+  }
+
+  /** Streaming face of q_asset_phash: each arriving asset is
+    * fingerprinted with the same kernel, banded the same way, probed
+    * against the standing index, and verified by exact Hamming
+    * distance — perceptual near-dup suspects at the door, before the
+    * asset commits to the corpus. Stateless on the stream side except
+    * the within-watermark pair dedup (band collisions emit one row per
+    * pair). The short-payload guard lives INSIDE the generator (an
+    * empty array, zero candidate rows) rather than as a Filter, so a
+    * stream of short payloads still drives the event-time clock — the
+    * watermark-pushdown rule every gate in this file follows; the
+    * fingerprint itself is materialized in its OWN projection first so
+    * the per-band lambda references a column, not a re-evaluated
+    * kernel call. */
+  def corpusPhashSuspects(docs: Dataset[DocRow], index: CorpusPhashIndex,
+      maxHamming: Int = 13): DataFrame = {
+    import docs.sparkSession.implicits._
+    val payload = $"text".cast("binary")
+    docs
+      .withWatermark("ts", "2 hours")
+      .select($"doc_id", $"ts",
+        when(length(payload) >= 60,
+          graft.functions.functions.ahash60(payload)).as("h"))
+      .select($"doc_id", $"ts", $"h",
+        explode(expr("CASE WHEN h IS NULL THEN array() ELSE " +
+          "transform(sequence(0, 3), k -> named_struct(" +
+          "'band', k, 'bv', (shiftright(h, k * 15) & 32767))) END")).as("kb"))
+      .select($"doc_id", $"ts", $"h",
+        $"kb.band".as("band"), $"kb.bv".as("bv"))
+      .join(index.df, Seq("band", "bv"))
+      .filter($"doc_id" =!= $"corpus_asset_id" &&
+        expr("bit_count(h ^ corpus_h)") <= maxHamming)
+      .select($"doc_id", $"corpus_asset_id",
+        expr("cast(bit_count(h ^ corpus_h) as int)").as("hamming"), $"ts")
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_asset_id")
+      .select($"doc_id", $"corpus_asset_id", $"hamming")
+  }
+
   /** Static segment-fingerprint index of a corpus — the line-dedup
     * sibling of [[CorpusWinnowIndex]]: one md5 per DISTINCT 8-token
     * segment, built by the same extraction the batch q_line_dedup

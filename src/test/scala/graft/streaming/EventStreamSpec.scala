@@ -364,6 +364,42 @@ class EventStreamSpec extends SparkTestBase {
       assert(streamed(id) == d, s"doc $id: stream ${streamed(id)} vs batch $d")
   }
 
+  test("streaming phash gate equals the batch q_asset_phash face bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+    val index = EventStream.corpusPhashIndex(corpus)
+    val docs = corpus.as[(Long, String)].collect()
+    val in = MemoryStream[EventStream.DocRow]
+    val q = EventStream.corpusPhashSuspects(in.toDS(), index)
+      .writeStream.format("memory").queryName("phashall")
+      .outputMode("append").start()
+    // the whole corpus re-arrives, plus a planted exact duplicate of
+    // doc 0 (hamming 0 — a guaranteed hit) and a sub-60-byte payload
+    // (must emit nothing AND not stall the event-time clock)
+    in.addData((docs.map { case (id, text) =>
+      EventStream.DocRow(id + 100000L, ts("2024-01-01 10:00:00"), text)
+    } :+ EventStream.DocRow(200000L, ts("2024-01-01 10:00:00"), docs.head._2)
+      :+ EventStream.DocRow(200001L, ts("2024-01-01 10:00:00"), "short")).toSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("phashall")
+      .select("doc_id", "corpus_asset_id", "hamming")
+      .as[(Long, Long, Int)].collect()
+    // the planted duplicate hits its original at hamming 0
+    assert(streamed.exists { case (a, b, h) => a == 200000L && b == docs.head._1 && h == 0 })
+    assert(!streamed.exists(_._1 == 200001L))
+    // undirected view of the re-arrived corpus == the batch face
+    // exactly (same kernel, same bands, same threshold)
+    val undirected = streamed
+      .collect { case (a, b, h) if a != 200000L && a - 100000L != b =>
+        (math.min(a - 100000L, b), math.max(a - 100000L, b), h) }.toSet
+    val batch = graft.queries.MultimodalMeta.qAssetPhash(spark, dir)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(undirected == batch, s"stream $undirected vs batch $batch")
+  }
+
   test("streaming line gate scores an arrival's known-segment fraction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
