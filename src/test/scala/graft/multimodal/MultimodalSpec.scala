@@ -61,6 +61,29 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("ahash60 matches an independent reimplementation on random payloads") {
+    import graft.functions.AHash60
+    // straightforward per-block restatement of the oracle SQL's
+    // arithmetic (exact integer cross-multiplication, ⌊i·n/60⌋ splits)
+    def reference(bytes: Array[Byte]): Long = {
+      val n = bytes.length
+      val total = bytes.map(b => (b & 0xff).toLong).sum
+      (0 until 60).foldLeft(0L) { (acc, i) =>
+        val s = (i.toLong * n / 60).toInt
+        val e = ((i + 1).toLong * n / 60).toInt
+        val bs = bytes.slice(s, e).map(b => (b & 0xff).toLong).sum
+        if (bs * n > total * (e - s)) acc | (1L << i) else acc
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    val lengths = Seq(60, 61, 119, 120, 121, 600, 601) ++
+      Seq.fill(40)(60 + rnd.nextInt(2000))
+    lengths.foreach { n =>
+      val payload = Array.fill[Byte](n)((32 + rnd.nextInt(95)).toByte)
+      assert(AHash60.compute(payload) === reference(payload), s"len $n")
+    }
+  }
+
   test("asset phash near-dup plan is banded — no all-pairs join") {
     val plan = graft.queries.MultimodalMeta.qAssetPhash(spark, sfDir)
       .queryExecution.executedPlan.toString
