@@ -534,10 +534,18 @@ object Events {
     val act = Tables.events(spark, sfDir)
       .select($"user_id", date_trunc("week", $"ts").cast("date").as("w"))
       .distinct()
-    val first = act.groupBy($"user_id").agg(min($"w").as("cohort_week"))
-    val sizes = first.groupBy($"cohort_week").agg(count(lit(1)).as("n_cohort"))
-    act.join(first, Seq("user_id"))
-      .groupBy($"cohort_week",
+    // first-touch as a per-user window over the SAME partitioning the
+    // distinct just established — not a separate aggregate joined back,
+    // which would plan a second scan of the fact table; the two
+    // consumers below share this subtree's exchanges (ReuseExchange),
+    // so the fact is read once however large it is
+    val wc = act.withColumn("cohort_week",
+      min($"w").over(Window.partitionBy($"user_id")))
+    // every user is active in their first week, so the cohort size is
+    // the count of (user, w == cohort_week) rows — no extra frame
+    val sizes = wc.filter($"w" === $"cohort_week")
+      .groupBy($"cohort_week").agg(count(lit(1)).as("n_cohort"))
+    wc.groupBy($"cohort_week",
         expr("datediff(w, cohort_week) div 7").cast("int").as("week_offset"))
       .agg(count(lit(1)).as("n_active"))
       .join(broadcast(sizes), Seq("cohort_week"))
