@@ -50,7 +50,16 @@ class SparkEntryContractSpec extends SparkTestBase {
         val cart = df.queryExecution.executedPlan.collect {
           case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
         }
+        // the only nested loop the repo's conventions allow is the
+        // bounded totals/probe broadcast — always BuildRight, with the
+        // broadcast (bounded) side on the right; a BuildLeft NL means
+        // the UNBOUNDED side got broadcast
+        val badNl = df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+            if !b.toString.contains("BuildRight") => b
+        }
         if (cart.nonEmpty) Some(s"$name: CartesianProductExec in plan")
+        else if (badNl.nonEmpty) Some(s"$name: BuildLeft BroadcastNestedLoopJoin in plan")
         else { df.count(); None }
       }
       catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
