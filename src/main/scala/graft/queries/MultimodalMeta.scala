@@ -198,6 +198,90 @@ object MultimodalMeta {
       |       CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 13""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Banded-phash recall audit — the blocking-quality doctrine applied
+  // to the perceptual-hash pipeline: q_asset_phash's 4×15-bit banding
+  // is NOT exhaustive at Hamming radius 13 (the pigeonhole guarantee
+  // stops at 3), and its oracle REPLICATES the banding, so nothing
+  // upstream measures what the bands miss. This face measures it: on a
+  // deterministic 1-in-5 sample of assets, exhaustive pair truth
+  // (every sample pair within radius 13 — a broadcast nested loop over
+  // the 8-byte hash frame, BuildRight, bounded by the FIXED sample
+  // size however large the corpus) against the banded candidates, as
+  // exact counts plus the two guarded ratios. At 100 TB the sample is
+  // the only thing exhaustively paired — the audit's cost does not
+  // grow with corpus size, which is the whole point of auditing on a
+  // sample.
+  private val PhashSampleMod = 5
+  private val PhashMaxHamming = 13
+
+  def qPhashRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h = phash60(spark, sfDir).filter($"asset_id" % PhashSampleMod === 0)
+    val a = h.select($"asset_id".as("ia"), $"h".as("ha"))
+    val b = h.select($"asset_id".as("ib"), $"h".as("hb"))
+    val truth = a.join(broadcast(b), $"ia" < $"ib")
+      .filter(expr("bit_count(ha ^ hb)") <= PhashMaxHamming)
+      .select($"ia", $"ib")
+    val banded = h.select($"asset_id", $"h",
+      explode(expr(
+        "transform(sequence(0, 3), k -> named_struct('band', k, 'bv', (shiftright(h, k * 15) & 32767)))")).as("kb"))
+      .select($"asset_id", $"kb.band".as("band"), $"kb.bv".as("bv"))
+    val cand = banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.bv" === $"y.bv" &&
+          $"x.asset_id" < $"y.asset_id")
+      .select($"x.asset_id".as("ia"), $"y.asset_id".as("ib"))
+      .distinct()
+    val caught = truth.join(cand, Seq("ia", "ib"), "left_semi")
+    h.agg(count(lit(1)).as("n_sample"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+      .select($"n_sample", $"n_truth", $"n_candidates", $"n_caught",
+        when($"n_truth" > 0,
+          $"n_caught".cast("double") / $"n_truth".cast("double")).as("completeness"),
+        when($"n_sample" > 1,
+          (($"n_sample" * ($"n_sample" - 1)) / 2 - $"n_candidates").cast("double")
+            / (($"n_sample" * ($"n_sample" - 1)) / 2).cast("double")).as("reduction_ratio"))
+  }
+
+  val qPhashRecallSql: String =
+    s"""WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents
+      |           WHERE strlen(text) >= 60),
+      |byt AS (SELECT doc_id, n,
+      |          list_transform(range(n), i -> ord(substr(text, CAST(i+1 AS INTEGER), 1))) AS bs
+      |        FROM d),
+      |tot AS (SELECT doc_id, n, bs, list_sum(bs) AS total FROM byt),
+      |bits AS (SELECT doc_id, t.i,
+      |           CASE WHEN list_sum(bs[CAST((t.i*n)//60 + 1 AS BIGINT):CAST(((t.i+1)*n)//60 AS BIGINT)]) * n
+      |                     > total * (((t.i+1)*n)//60 - (t.i*n)//60)
+      |                THEN (1::BIGINT << t.i) ELSE 0 END AS bit
+      |         FROM tot CROSS JOIN unnest(range(60)) AS t(i)),
+      |h AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS hash FROM bits
+      |      GROUP BY 1 HAVING doc_id % $PhashSampleMod = 0),
+      |truth AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+      |          FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |          WHERE bit_count(xor(a.hash, b.hash)) <= $PhashMaxHamming),
+      |bands AS (SELECT doc_id, hash, t.j, (hash >> (15*t.j)) & 32767 AS bv
+      |          FROM h CROSS JOIN unnest(range(4)) AS t(j)),
+      |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      |         FROM bands a JOIN bands b
+      |           ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |caught AS (SELECT t.ia, t.ib FROM truth t
+      |           WHERE EXISTS (SELECT 1 FROM cand c
+      |                         WHERE c.ia = t.ia AND c.ib = t.ib)),
+      |tots AS (SELECT (SELECT count(*) FROM h) AS n_sample,
+      |                (SELECT count(*) FROM truth) AS n_truth,
+      |                (SELECT count(*) FROM cand) AS n_candidates,
+      |                (SELECT count(*) FROM caught) AS n_caught)
+      |SELECT n_sample, n_truth, n_candidates, n_caught,
+      |       CASE WHEN n_truth > 0
+      |            THEN CAST(n_caught AS DOUBLE) / n_truth END AS completeness,
+      |       CASE WHEN n_sample > 1
+      |            THEN CAST(n_sample * (n_sample - 1) // 2 - n_candidates AS DOUBLE)
+      |                 / (n_sample * (n_sample - 1) // 2) END AS reduction_ratio
+      |FROM tots""".stripMargin
+
   /** Setup-phase hook (the Dedup.prewarmStaging accounting rationale):
     * materialize the staged fingerprint table so the index build is
     * charged to setup, not to the first probe. */
@@ -210,11 +294,13 @@ object MultimodalMeta {
     "q_asset_meta" -> (qAssetMeta _),
     "q_frame_sample" -> (qFrameSample _),
     "q_asset_sim" -> (qAssetSim _),
-    "q_asset_phash" -> (qAssetPhash _))
+    "q_asset_phash" -> (qAssetPhash _),
+    "q_phash_recall" -> (qPhashRecall _))
 
   val oracleSql: Map[String, String] = Map(
     "q_asset_meta" -> qAssetMetaSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_asset_sim" -> qAssetSimSql,
-    "q_asset_phash" -> qAssetPhashSql)
+    "q_asset_phash" -> qAssetPhashSql,
+    "q_phash_recall" -> qPhashRecallSql)
 }
