@@ -1101,4 +1101,24 @@ class LlmOpsSpec extends SparkTestBase {
     // positive and someone beats the uniform start's damped floor
     assert(r.values.forall(_ > 0))
   }
+
+  test("IVF compaction is a filter: tombstone fold equals re-assignment of survivors") {
+    // the q_ann_deletes contract rests on this: because cell assignment
+    // is PER-VECTOR against frozen centroids, folding tombstones into
+    // the cell table (compaction) is exactly a filter of the standing
+    // table — no re-clustering, no neighbor's cell can change. A probe
+    // of the compacted table therefore equals the tombstoned probe of
+    // the immutable table, which is what the oracle certifies.
+    import org.apache.spark.sql.functions.col
+    val cells = Similarity.corpusCells(spark, sfDir).select("vec_id", "cell")
+    val folded = cells.filter(col("vec_id") % 17 =!= 3)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 17 =!= 3)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = graft.core.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % Similarity.CentroidMod === 0)
+      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
+    val reassigned = Similarity.cellAssign(emb, cent).select("vec_id", "cell")
+    assert(folded.exceptAll(reassigned).isEmpty && reassigned.exceptAll(folded).isEmpty)
+  }
 }
