@@ -1557,25 +1557,42 @@ object TextOps {
   // first occurrences, an aggregation, never a running distinct.
   private val HeapsBuckets = 16
 
-  def qHeapsLaw(spark: SparkSession, sfDir: String): DataFrame =
-    heapsBeta(docsWide(spark, sfDir))
+  def qHeapsLaw(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // the corpus is never re-tokenized for this statistic: the staged
+    // retrieval postings already hold (term, doc_id, tf); one equi-join
+    // attaches the doc→source map (a fact-keyed join, not a broadcast —
+    // the map is corpus-sized) and the per-bucket aggregations run over
+    // postings rows, not token occurrences
+    val p = Retrieval.postings(spark, sfDir).filter($"term" =!= "")
+      .join(docsWide(spark, sfDir).select($"doc_id", $"source"), Seq("doc_id"))
+      .select($"source", $"doc_id", $"term", $"tf")
+    heapsFromPostings(p)
+  }
 
   /** The statistic over any (source, doc_id, text) frame — the spec
-    * plants closed- and open-vocabulary sources here. */
+    * plants closed- and open-vocabulary sources here; the query face
+    * feeds the STAGED postings through the same math. */
   private[queries] def heapsBeta(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs
-      .select($"source", $"doc_id", explode(split($"text", " ")).as("w"))
-      .filter(length($"w") > 0)
-      .localCheckpoint(eager = false) // token totals + first-occurrence branches
+    heapsFromPostings(docs
+      .select($"source", $"doc_id", explode(split($"text", " ")).as("term"))
+      .filter(length($"term") > 0)
+      .groupBy($"source", $"doc_id", $"term").agg(count(lit(1)).as("tf")))
+  }
+
+  private def heapsFromPostings(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val toks = p.localCheckpoint(eager = false) // totals + first-occurrence branches
     val mx = toks.agg(max($"doc_id").as("mx"))
     def bkt(c: Column): Column =
       greatest(lit(1L), expr(s"(${c.toString} * $HeapsBuckets + mx - 1) div mx"))
-    val tokB = toks.groupBy($"source", $"doc_id").agg(count(lit(1)).as("nt"))
+    val tokB = toks.groupBy($"source", $"doc_id").agg(sum($"tf").as("nt"))
       .crossJoin(broadcast(mx))
       .groupBy($"source", bkt($"doc_id").as("b")).agg(sum($"nt").as("toks_b"))
-    val newB = toks.groupBy($"source", $"w").agg(min($"doc_id").as("fd"))
+    val newB = toks.groupBy($"source", $"term").agg(min($"doc_id").as("fd"))
       .crossJoin(broadcast(mx))
       .groupBy($"source", bkt($"fd").as("b")).agg(count(lit(1)).as("new_b"))
     val w = org.apache.spark.sql.expressions.Window
