@@ -928,6 +928,20 @@ object Dedup {
   def qSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     simhashBandedPairs(simhashed(spark, sfDir))
 
+  /** Band-match candidates WITHOUT the hamming verify — what the
+    * blocking-quality audit counts for the simhash strategy. */
+  private def simhashBandCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val banded = simhashed(spark, sfDir).select($"doc_id",
+      explode(expr(
+        "transform(sequence(0, 3), k -> named_struct('band', k, 'bv', (shiftright(simhash, k * 15) & 32767)))")).as("kb"))
+      .select($"doc_id", $"kb.band".as("band"), $"kb.bv".as("bv"))
+    banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.bv" === $"y.bv" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+  }
+
   /** 4 disjoint 15-bit bands: hamming ≤ 3 ⇒ at least one band identical
     * (pigeonhole), so the banded equi-join has perfect recall. */
   private def simhashBandedPairs(sh: DataFrame): DataFrame = {
@@ -1516,6 +1530,13 @@ object Dedup {
     val c1 = norm(snCandText(spark, sfDir))
     val c2 = norm(snCandRev(spark, sfDir))
     val cu = c1.unionByName(c2).distinct().localCheckpoint()
+    // the sketch-band family measured against the SAME jaccard truth:
+    // simhash banding is md5-derived, so the oracle reproduces the
+    // exact candidate set (LSH minhash bands are xxhash-keyed and
+    // deliberately NOT audited here — their candidate count is not
+    // engine-portable; their RESULT is certified by q_dedup_near's
+    // brute-force oracle instead)
+    val c3 = norm(simhashBandCandidates(spark, sfDir))
     def audit(name: String, cand: DataFrame): DataFrame =
       cand.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(cand.join(truth, Seq("pa", "pb"), "left_semi")
@@ -1527,6 +1548,7 @@ object Dedup {
     audit("sn_text", c1)
       .unionByName(audit("sn_reverse", c2))
       .unionByName(audit("sn_multipass", cu))
+      .unionByName(audit("simhash_bands", c3))
       .crossJoin(broadcast(totals))
       .select($"strategy", $"n_candidates", $"n_true", $"n_truth",
         when($"n_truth" > 0,
@@ -1555,6 +1577,22 @@ object Dedup {
        |         ON b.idx > a.idx AND b.idx - a.idx <= $SnWindow),
        |cu AS (SELECT DISTINCT pa, pb FROM (
        |         SELECT pa, pb FROM c1 UNION ALL SELECT pa, pb FROM c2)),
+       |$ShingleSqlCte,
+       |hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hv FROM sh),
+       |sbits AS (
+       |  SELECT doc_id, j,
+       |         CASE WHEN sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+       |              THEN 1 ELSE 0 END AS bit
+       |  FROM hh CROSS JOIN (SELECT unnest(range(60)) AS j) t
+       |  GROUP BY 1, 2),
+       |sim AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS simhash
+       |        FROM sbits GROUP BY 1),
+       |sbands AS (SELECT doc_id, t.j, (simhash >> (15*t.j)) & 32767 AS bv
+       |           FROM sim CROSS JOIN unnest(range(4)) AS t(j)),
+       |c3 AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS pa,
+       |                       greatest(a.doc_id, b.doc_id) AS pb
+       |       FROM sbands a JOIN sbands b
+       |         ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id),
        |tot AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
        |               (SELECT (count(*) * (count(*) - 1)) // 2
        |                FROM documents) AS n_space),
@@ -1568,7 +1606,11 @@ object Dedup {
        |      UNION ALL
        |      SELECT 'sn_multipass',
        |             (SELECT count(*) FROM cu),
-       |             (SELECT count(*) FROM cu JOIN truth USING (pa, pb)))
+       |             (SELECT count(*) FROM cu JOIN truth USING (pa, pb))
+       |      UNION ALL
+       |      SELECT 'simhash_bands',
+       |             (SELECT count(*) FROM c3),
+       |             (SELECT count(*) FROM c3 JOIN truth USING (pa, pb)))
        |SELECT strategy, n_candidates, n_true, n_truth,
        |       CASE WHEN n_truth > 0
        |            THEN CAST(n_true AS DOUBLE) / CAST(n_truth AS DOUBLE)

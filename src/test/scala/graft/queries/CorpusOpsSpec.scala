@@ -180,7 +180,8 @@ class CorpusOpsSpec extends SparkTestBase {
     val rows = Dedup.qBlockingQuality(spark, sfDir)
       .as[(String, Long, Long, Long, Option[Double], Option[Double])]
       .collect().map(r => r._1 -> r).toMap
-    assert(rows.keySet == Set("sn_text", "sn_reverse", "sn_multipass"))
+    assert(rows.keySet ==
+      Set("sn_text", "sn_reverse", "sn_multipass", "simhash_bands"))
     val (t, r2, mp) = (rows("sn_text"), rows("sn_reverse"), rows("sn_multipass"))
     // the union can only add candidates and can only find more truth
     assert(mp._2 >= math.max(t._2, r2._2) && mp._2 <= t._2 + r2._2)
