@@ -1045,6 +1045,20 @@ object functions {
   private def col(e: Expression): Column = GraftColumnBridge.column(e)
   private def ex(c: Column): Expression = GraftColumnBridge.expression(c)
 
+  /** THE 4×15-bit band decomposition of a 60-bit signature — array of
+    * (band, bv) structs, one per disjoint 15-bit slice. Every banded
+    * face (simhash pairs, the blocking audit's simhash strategy, batch
+    * + streaming phash, the phash recall audit) pins bit-equal
+    * contracts on this exact layout; a single definition makes a band
+    * change a compile-visible event instead of six silent drifts. */
+  def bands_4x15(sig: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, sequence, struct, transform}
+    transform(sequence(lit(0), lit(3)), k =>
+      struct(k.as("band"),
+        col(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+          ex(sig), ex(k * lit(15)))).bitwiseAND(lit(32767)).as("bv")))
+  }
+
   def minhash_sig(c: Column, numHashes: Int): Column = col(MinHashSig(ex(c), numHashes))
   def word_shingles(c: Column, n: Int): Column = col(WordShingles(ex(c), n))
   def char_ngrams(c: Column, n: Int): Column = col(CharNgrams(ex(c), n))

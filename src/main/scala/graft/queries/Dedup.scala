@@ -933,8 +933,7 @@ object Dedup {
   private def simhashBandCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val banded = simhashed(spark, sfDir).select($"doc_id",
-      explode(expr(
-        "transform(sequence(0, 3), k -> named_struct('band', k, 'bv', (shiftright(simhash, k * 15) & 32767)))")).as("kb"))
+      explode(graft.functions.functions.bands_4x15($"simhash")).as("kb"))
       .select($"doc_id", $"kb.band".as("band"), $"kb.bv".as("bv"))
     banded.as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.bv" === $"y.bv" && $"x.doc_id" < $"y.doc_id")
@@ -947,8 +946,7 @@ object Dedup {
   private def simhashBandedPairs(sh: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
     val banded = sh.select($"doc_id", $"simhash",
-      explode(expr(
-        "transform(sequence(0, 3), k -> named_struct('band', k, 'bv', (shiftright(simhash, k * 15) & 32767)))")).as("kb"))
+      explode(graft.functions.functions.bands_4x15($"simhash")).as("kb"))
       .select($"doc_id", $"simhash", $"kb.band".as("band"), $"kb.bv".as("bv"))
     banded.as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.bv" === $"y.bv" && $"x.doc_id" < $"y.doc_id")

@@ -534,11 +534,14 @@ object Events {
     val act = Tables.events(spark, sfDir)
       .select($"user_id", date_trunc("week", $"ts").cast("date").as("w"))
       .distinct()
-    // first-touch as a per-user window over the SAME partitioning the
-    // distinct just established — not a separate aggregate joined back,
-    // which would plan a second scan of the fact table; the two
-    // consumers below share this subtree's exchanges (ReuseExchange),
-    // so the fact is read once however large it is
+    // first-touch as a per-user window rather than a separate aggregate
+    // joined back (which planned a second scan of the fact table). The
+    // window does add its own hashpartitioning(user_id) exchange ABOVE
+    // the distinct's (user_id, w) one — what makes the shape cheap is
+    // that the two consumers below share the whole scan→distinct→window
+    // subtree via exchange reuse, so the fact is read once however
+    // large it is; the exchanges above it carry only distinct
+    // (user, week) rows
     val wc = act.withColumn("cohort_week",
       min($"w").over(Window.partitionBy($"user_id")))
     // every user is active in their first week, so the cohort size is

@@ -163,8 +163,7 @@ object MultimodalMeta {
     import spark.implicits._
     val h = phash60(spark, sfDir)
     val banded = h.select($"asset_id", $"h",
-      explode(expr(
-        "transform(sequence(0, 3), k -> named_struct('band', k, 'bv', (shiftright(h, k * 15) & 32767)))")).as("kb"))
+      explode(graft.functions.functions.bands_4x15($"h")).as("kb"))
       .select($"asset_id", $"h", $"kb.band".as("band"), $"kb.bv".as("bv"))
     banded.as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.bv" === $"y.bv" &&
@@ -204,38 +203,48 @@ object MultimodalMeta {
   // is NOT exhaustive at Hamming radius 13 (the pigeonhole guarantee
   // stops at 3), and its oracle REPLICATES the banding, so nothing
   // upstream measures what the bands miss. This face measures it: on a
-  // deterministic 1-in-5 sample of assets, exhaustive pair truth
+  // FIXED-SIZE deterministic sample of assets, exhaustive pair truth
   // (every sample pair within radius 13 — a broadcast nested loop over
-  // the 8-byte hash frame, BuildRight, bounded by the FIXED sample
-  // size however large the corpus) against the banded candidates, as
-  // exact counts plus the two guarded ratios. At 100 TB the sample is
-  // the only thing exhaustively paired — the audit's cost does not
-  // grow with corpus size, which is the whole point of auditing on a
-  // sample.
-  private val PhashSampleMod = 5
+  // the 8-byte hash frame, BuildRight) against the banded candidates,
+  // as exact counts plus the two guarded ratios. The sample is the
+  // first 128 assets in md5(id) order (engine-portable draw via
+  // TakeOrderedAndProject), NOT a fixed fraction: a 1-in-k sample
+  // grows linearly with the corpus and its all-pairs truth
+  // quadratically, inverting the bounded-audit contract at 100 TB;
+  // with the fixed draw the exhaustive truth pass is ≤ 128²/2
+  // compares however large the corpus (review r10 finding).
+  private val PhashSampleK = 128
   private val PhashMaxHamming = 13
 
   def qPhashRecall(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val h = phash60(spark, sfDir).filter($"asset_id" % PhashSampleMod === 0)
+    val h = phash60(spark, sfDir)
+      .orderBy(md5($"asset_id".cast("string")), $"asset_id")
+      .limit(PhashSampleK)
+      .select($"asset_id", $"h")
+      // truth, candidates, and the totals row all branch from the
+      // sample; checkpoint so the draw runs once (the qBlockingQuality
+      // multi-branch discipline)
+      .localCheckpoint()
     val a = h.select($"asset_id".as("ia"), $"h".as("ha"))
     val b = h.select($"asset_id".as("ib"), $"h".as("hb"))
     val truth = a.join(broadcast(b), $"ia" < $"ib")
       .filter(expr("bit_count(ha ^ hb)") <= PhashMaxHamming)
       .select($"ia", $"ib")
     val banded = h.select($"asset_id", $"h",
-      explode(expr(
-        "transform(sequence(0, 3), k -> named_struct('band', k, 'bv', (shiftright(h, k * 15) & 32767)))")).as("kb"))
+      explode(graft.functions.functions.bands_4x15($"h")).as("kb"))
       .select($"asset_id", $"kb.band".as("band"), $"kb.bv".as("bv"))
     val cand = banded.as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.bv" === $"y.bv" &&
           $"x.asset_id" < $"y.asset_id")
       .select($"x.asset_id".as("ia"), $"y.asset_id".as("ib"))
       .distinct()
-    val caught = truth.join(cand, Seq("ia", "ib"), "left_semi")
+    val truthC = truth.localCheckpoint()
+    val candC = cand.localCheckpoint()
+    val caught = truthC.join(candC, Seq("ia", "ib"), "left_semi")
     h.agg(count(lit(1)).as("n_sample"))
-      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(truthC.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(candC.agg(count(lit(1)).as("n_candidates")))
       .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
       .select($"n_sample", $"n_truth", $"n_candidates", $"n_caught",
         when($"n_truth" > 0,
@@ -257,8 +266,10 @@ object MultimodalMeta {
       |                     > total * (((t.i+1)*n)//60 - (t.i*n)//60)
       |                THEN (1::BIGINT << t.i) ELSE 0 END AS bit
       |         FROM tot CROSS JOIN unnest(range(60)) AS t(i)),
-      |h AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS hash FROM bits
-      |      GROUP BY 1 HAVING doc_id % $PhashSampleMod = 0),
+      |hall AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS hash FROM bits
+      |         GROUP BY 1),
+      |h AS (SELECT doc_id, hash FROM hall
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $PhashSampleK),
       |truth AS (SELECT a.doc_id AS ia, b.doc_id AS ib
       |          FROM h a JOIN h b ON a.doc_id < b.doc_id
       |          WHERE bit_count(xor(a.hash, b.hash)) <= $PhashMaxHamming),

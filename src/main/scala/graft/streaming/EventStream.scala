@@ -435,8 +435,7 @@ object EventStream {
       .select($"doc_id".as("corpus_asset_id"),
         graft.functions.functions.ahash60(payload).as("corpus_h"))
       .select($"corpus_asset_id", $"corpus_h",
-        explode(expr("transform(sequence(0, 3), k -> named_struct(" +
-          "'band', k, 'bv', (shiftright(corpus_h, k * 15) & 32767)))")).as("kb"))
+        explode(graft.functions.functions.bands_4x15($"corpus_h")).as("kb"))
       .select($"corpus_asset_id", $"corpus_h",
         $"kb.band".as("band"), $"kb.bv".as("bv")))
   }
@@ -464,9 +463,9 @@ object EventStream {
         when(length(payload) >= 60,
           graft.functions.functions.ahash60(payload)).as("h"))
       .select($"doc_id", $"ts", $"h",
-        explode(expr("CASE WHEN h IS NULL THEN array() ELSE " +
-          "transform(sequence(0, 3), k -> named_struct(" +
-          "'band', k, 'bv', (shiftright(h, k * 15) & 32767))) END")).as("kb"))
+        explode(when($"h".isNull,
+            array().cast("array<struct<band:int,bv:bigint>>"))
+          .otherwise(graft.functions.functions.bands_4x15($"h"))).as("kb"))
       .select($"doc_id", $"ts", $"h",
         $"kb.band".as("band"), $"kb.bv".as("bv"))
       .join(index.df, Seq("band", "bv"))

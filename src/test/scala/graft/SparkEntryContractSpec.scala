@@ -54,9 +54,12 @@ class SparkEntryContractSpec extends SparkTestBase {
         // bounded totals/probe broadcast — always BuildRight, with the
         // broadcast (bounded) side on the right; a BuildLeft NL means
         // the UNBOUNDED side got broadcast
+        // match on the node's own buildSide — toString prints the whole
+        // SUBTREE, so a substring check is satisfied by any BuildRight
+        // descendant and misses the violation
         val badNl = df.queryExecution.executedPlan.collect {
           case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-            if !b.toString.contains("BuildRight") => b
+            if b.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft => b
         }
         if (cart.nonEmpty) Some(s"$name: CartesianProductExec in plan")
         else if (badNl.nonEmpty) Some(s"$name: BuildLeft BroadcastNestedLoopJoin in plan")

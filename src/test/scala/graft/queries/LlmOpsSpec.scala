@@ -1108,17 +1108,20 @@ class LlmOpsSpec extends SparkTestBase {
     // the cell table (compaction) is exactly a filter of the standing
     // table — no re-clustering, no neighbor's cell can change. A probe
     // of the compacted table therefore equals the tombstoned probe of
-    // the immutable table, which is what the oracle certifies.
+    // the immutable table, which is what the oracle certifies. Pinned
+    // on the LEARNED cells + centroids — the exact table and model
+    // q_ann_deletes probes (review r10: pinning the subset-centroid
+    // corpusCells instead would let a learned-index change break the
+    // contract while the test stayed green).
     import org.apache.spark.sql.functions.col
-    val cells = Similarity.corpusCells(spark, sfDir).select("vec_id", "cell")
+    val cells = Similarity.learnedCells(spark, sfDir).select("vec_id", "cell")
     val folded = cells.filter(col("vec_id") % 17 =!= 3)
     val emb = graft.core.Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") % 17 =!= 3)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cent = graft.core.Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") % Similarity.CentroidMod === 0)
-      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
-    val reassigned = Similarity.cellAssign(emb, cent).select("vec_id", "cell")
+    val reassigned = Similarity.cellAssign(emb,
+        Similarity.learnedCentroids(spark, sfDir))
+      .select("vec_id", "cell")
     assert(folded.exceptAll(reassigned).isEmpty && reassigned.exceptAll(folded).isEmpty)
   }
 }

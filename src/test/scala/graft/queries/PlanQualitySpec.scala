@@ -208,7 +208,7 @@ class PlanQualitySpec extends SparkTestBase {
     }
     // only the tiny centroid/probe broadcasts may nest-loop; the codes
     // table itself must never be a nested-loop side
-    assert(loops.forall(_.toString.contains("BuildRight")), p)
+    assert(loops.forall(_.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight), p)
   }
 
   test("curation pipeline plan has no all-pairs join and prunes the doc scan") {
@@ -669,7 +669,7 @@ class PlanQualitySpec extends SparkTestBase {
       val loops = df.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
       }
-      assert(loops.forall(_.toString.contains("BuildRight")), p)
+      assert(loops.forall(_.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight), p)
     }
   }
 
