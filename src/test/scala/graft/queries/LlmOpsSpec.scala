@@ -1124,4 +1124,75 @@ class LlmOpsSpec extends SparkTestBase {
       .select("vec_id", "cell")
     assert(folded.exceptAll(reassigned).isEmpty && reassigned.exceptAll(folded).isEmpty)
   }
+
+  // ------------------------------------------------------------------
+  // MMR diversified top-k (q_mmr_rerank)
+
+  test("MMR rerank equals a brute-force greedy decimal reimplementation") {
+    // independent greedy over the same top-32 pool: the kernel's exact
+    // summation order, BigDecimal HALF_UP round-9 scores, id tie-breaks.
+    // Also measures the determinism margins the oracle contract rests on.
+    import scala.math.BigDecimal.RoundingMode
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val q = emb(0L)
+    val ranked = emb.toSeq.collect { case (id, v) if id != 0L => (id, v, cos(q, v)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }
+    // pool identity is itself a double compare: the 32/33 boundary must
+    // sit far above cross-engine cosine noise (~1e-15)
+    assert(ranked(31)._3 - ranked(32)._3 > 1e-6,
+      s"pool boundary margin ${ranked(31)._3 - ranked(32)._3}")
+    val pool = ranked.take(32)
+    var selected = Vector(pool.head)
+    var margins = Vector.empty[BigDecimal]
+    for (_ <- 2 to 5) {
+      val scored = pool.filterNot(c => selected.exists(_._1 == c._1))
+        .map { case (id, v, rel) =>
+          val pen = selected.map(s => cos(v, s._2)).max
+          (id, v, rel,
+            BigDecimal(0.5 * rel - 0.5 * pen).setScale(9, RoundingMode.HALF_UP))
+        }.sortBy { case (id, _, _, s9) => (-s9, id) }
+      margins :+= scored.head._4 - scored(1)._4
+      selected :+= ((scored.head._1, scored.head._2, scored.head._3))
+    }
+    val expect = selected.zipWithIndex.map { case ((id, _, _), i) => (i + 1, id) }
+    val got = Similarity.qMmrRerank(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(got == expect, s"mmr $got vs brute-force $expect")
+    // every greedy argmax decided by a gap ≥ 1e-6 — seven orders above
+    // the cosine noise the round-9 decimal cut absorbs
+    assert(margins.forall(_ >= BigDecimal("0.000001")), s"step margins $margins")
+  }
+
+  test("MMR drops a near-duplicate of the top pick that relevance alone ranks second") {
+    import spark.implicits._
+    def unit(deg: Double, plane: Int, flip: Boolean = false): Array[Double] = {
+      val r = math.toRadians(deg)
+      val s = if (flip) -math.sin(r) else math.sin(r)
+      if (plane == 0) Array(math.cos(r), s, 0.0) else Array(math.cos(r), 0.0, s)
+    }
+    // query direction is (1,0,0); rel of a unit vector is its x component
+    val items = Seq(
+      1L -> unit(10, 0),                // top relevance
+      2L -> unit(11, 0),                // near-duplicate of 1 (sim = cos 1°)
+      3L -> unit(45, 1),                // diverse
+      4L -> unit(50, 1, flip = true))   // diverse, opposite half-plane
+    assert(items.sortBy { case (_, a) => -a(0) }.map(_._1) == Seq(1L, 2L, 3L, 4L),
+      "fixture: relevance alone must rank the near-duplicate second")
+    val pool = items.map { case (id, a) => (id, a, a(0)) }.toDF("nid", "v", "rel")
+    val got = Similarity.mmrSelect(pool, k = 3).select("rank", "nid")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    // the λ=1/2 penalty pushes the near-duplicate out of the K=3 slots
+    assert(got == Seq((1, 1L), (2, 3L), (3, 4L)), got.toString)
+  }
 }
