@@ -1174,6 +1174,60 @@ class LlmOpsSpec extends SparkTestBase {
     assert(margins.forall(_ >= BigDecimal("0.000001")), s"step margins $margins")
   }
 
+  test("facility-location exemplars equal a brute-force greedy decimal reimplementation") {
+    // independent per-cell greedy over the SAME staged cell assignment:
+    // round-9 decimal cosines once, then exact BigDecimal coverage sums
+    // and (coverage desc, id) argmax — the engine-portable arithmetic
+    // the oracle contract rests on.
+    import scala.math.BigDecimal.RoundingMode
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def s9(a: Array[Double], b: Array[Double]): BigDecimal =
+      BigDecimal(cos(a, b)).setScale(9, RoundingMode.HALF_UP)
+    val assign = Similarity.corpusCells(spark, sfDir)
+      .selectExpr("cell", "vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val expect = assign.groupBy(_._1).toSeq.flatMap { case (cell, members) =>
+      val ms = members.map { case (_, id, v) => (id, v) }.sortBy(_._1)
+      var selected = Vector.empty[(Long, BigDecimal)]
+      for (rank <- 1 to 3 if rank <= ms.size) {
+        val scored = ms.filterNot(m => selected.exists(_._1 == m._1))
+          .map { case (c, vc) =>
+            val covSum = ms.map { case (_, vi) =>
+              val s = s9(vi, vc)
+              if (selected.isEmpty) s
+              else {
+                val prev = selected.map(p => s9(vi, ms.find(_._1 == p._1).get._2)).max
+                if (s > prev) s else prev
+              }
+            }.sum
+            (c, covSum)
+          }.sortBy { case (c, cov) => (-cov, c) }
+        selected :+= scored.head
+      }
+      selected.zipWithIndex.map { case ((id, cov), i) =>
+        (cell, i + 1, id, cov.toDouble)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Similarity.qFacilitySelect(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got == expect, s"facility $got vs brute-force $expect")
+    // cell-boundedness: every exemplar is a member of its own cell, and
+    // each cell yields min(|cell|, 3) exemplars
+    val byCell = assign.groupBy(_._1).map { case (c, m) => c -> m.map(_._2).toSet }
+    assert(got.forall { case (c, _, id, _) => byCell(c)(id) })
+    val perCell = got.groupBy(_._1).map { case (c, rs) => c -> rs.size }
+    assert(byCell.forall { case (c, m) => perCell.getOrElse(c, 0) == math.min(m.size, 3) })
+  }
+
   test("MMR drops a near-duplicate of the top pick that relevance alone ranks second") {
     import spark.implicits._
     def unit(deg: Double, plane: Int, flip: Boolean = false): Array[Double] = {
