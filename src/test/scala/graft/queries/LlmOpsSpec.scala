@@ -1228,6 +1228,45 @@ class LlmOpsSpec extends SparkTestBase {
     assert(byCell.forall { case (c, m) => perCell.getOrElse(c, 0) == math.min(m.size, 3) })
   }
 
+  test("cluster agreement ARI equals a brute-force pair-counting recompute") {
+    // exact BigInt sufficient statistics, then the SAME fixed-association
+    // double expression the query and oracle share
+    val a = Similarity.learnedCells(spark, sfDir).selectExpr("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val b = Similarity.corpusCells(spark, sfDir).selectExpr("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val keys = a.keySet
+    assert(keys == b.keySet, "both partitions cover the same vectors")
+    def sq(xs: Iterable[Long]): BigInt = xs.map(x => BigInt(x) * x).sum
+    val nij = keys.groupBy(k => (a(k), b(k))).values.map(_.size.toLong)
+    val ai = keys.groupBy(a).values.map(_.size.toLong)
+    val bj = keys.groupBy(b).values.map(_.size.toLong)
+    val nd = keys.size.toDouble
+    val sp = sq(nij).toDouble - nd
+    val ap = sq(ai).toDouble - nd
+    val bp = sq(bj).toDouble - nd
+    val np = nd * (nd - 1.0)
+    val expect =
+      if (np * (ap + bp) - 2.0 * ap * bp == 0.0) 1.0
+      else 2.0 * (np * sp - ap * bp) / (np * (ap + bp) - 2.0 * ap * bp)
+    val row = Similarity.qClusterAgreement(spark, sfDir).collect()(0)
+    assert(row.getLong(0) == keys.size.toLong)
+    assert(row.getLong(1) == ai.size.toLong && row.getLong(2) == bj.size.toLong)
+    assert(row.getDouble(3) == expect, s"ari ${row.getDouble(3)} vs $expect")
+  }
+
+  test("ARI is 1 on identical partitions and invariant under cell relabeling") {
+    val p = Similarity.corpusCells(spark, sfDir).selectExpr("vec_id", "cell")
+    assert(Similarity.adjustedRand(p, p).collect()(0).getDouble(3) == 1.0)
+    val l = Similarity.learnedCells(spark, sfDir).selectExpr("vec_id", "cell")
+    val base = Similarity.adjustedRand(l, p).collect()(0).getDouble(3)
+    // an injective relabel of one side is the same partition
+    val perm = p.selectExpr("vec_id", "cell * 7919 + 13 as cell")
+    assert(Similarity.adjustedRand(l, perm).collect()(0).getDouble(3) == base)
+    // and the learned/subset partitions genuinely differ at sf0.001
+    assert(base < 1.0 && base > -1.0)
+  }
+
   test("MMR drops a near-duplicate of the top pick that relevance alone ranks second") {
     import spark.implicits._
     def unit(deg: Double, plane: Int, flip: Boolean = false): Array[Double] = {
