@@ -856,8 +856,22 @@ case class PqEncode(child: Expression, codebook: Seq[Double], m: Int)
 }
 
 object PqEncode {
+  /** Codebook/vector geometry guard shared by [[PqEncode]] and
+    * [[PqLut]]: `dim / m` and `cb.length / dim` must divide exactly or
+    * the codes/LUT grid silently truncates — corrupt index geometry,
+    * fail loudly (the adc_score grid-guard stance). */
+  def checkGeometry(name: String, dim: Int, cb: Array[Double], m: Int): Unit = {
+    if (dim == 0 || dim % m != 0)
+      throw new IllegalArgumentException(
+        s"$name: $dim-dim vector is not a grid over $m subspaces")
+    if (cb.length % dim != 0 || cb.length == 0)
+      throw new IllegalArgumentException(
+        s"$name: ${cb.length}-entry codebook is not a grid over $dim dims")
+  }
+
   def compute(v: ArrayData, cb: Array[Double], m: Int): ArrayData = {
     val dim = v.numElements()
+    checkGeometry("pq_encode", dim, cb, m)
     val sub = dim / m
     val k = cb.length / dim
     val out = new Array[Int](m)
@@ -944,6 +958,7 @@ case class PqLut(child: Expression, codebook: Seq[Double], m: Int)
 object PqLut {
   def compute(v: ArrayData, cb: Array[Double], m: Int): ArrayData = {
     val dim = v.numElements()
+    PqEncode.checkGeometry("pq_lut", dim, cb, m)
     val sub = dim / m
     val k = cb.length / dim
     val out = new Array[Long](m * k)

@@ -255,9 +255,15 @@ object BpeTrainer {
       val sig = graft.core.Tables.documents(spark, sfDir)
         .agg(expr(CorpusSigSpark)).head().getLong(0)
       this.synchronized {
-        val current = java.nio.file.Files.exists(path.resolve("_GRAFT_COMMITTED")) &&
-          spark.read.parquet(path.toString)
-            .select($"corpus_sig").head().getLong(0) == sig
+        // headOption, not head(): a marked-but-empty (externally
+        // truncated) sidecar is STALE to be rebuilt, not a hard failure
+        // for every query that reads it; distinct() so a multi-file
+        // sidecar with mixed sigs (partial overwrite) also reads stale
+        val current = java.nio.file.Files.exists(path.resolve("_GRAFT_COMMITTED")) && {
+          val sigs = spark.read.parquet(path.toString)
+            .select($"corpus_sig").distinct().limit(2).collect().toSeq
+          sigs.length == 1 && sigs.head.getLong(0) == sig
+        }
         if (!current) {
           // staged OUTSIDE bpe-merges/ so the oracle's glob can never
           // observe half-written model files, then published through the

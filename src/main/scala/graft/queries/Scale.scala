@@ -311,6 +311,26 @@ object Scale {
     * leftovers. One hour dwarfs any real mirror write time. */
   private[queries] val OrcStageTtlMs: Long = 60L * 60 * 1000
 
+  /** Liveness check for a foreign stage-* dir: the builder that created
+    * it records its pid in `_owner`; while that pid is alive the dir is
+    * an in-flight build no matter how old (a write can outlive the TTL,
+    * and writer/sweeper clock skew can fake age — review r10). A dir
+    * with no `_owner` (pre-r11 residue) or a dead owner falls back to
+    * the mtime TTL. /proc is the liveness source — the scratch contract
+    * is single-host (one machine owns the scratch dir), so same-host
+    * pid probing is sound. */
+  private[queries] def stageOwnerAlive(p: java.nio.file.Path): Boolean = {
+    val owner = p.resolve("_owner")
+    java.nio.file.Files.exists(owner) && {
+      try {
+        val pid = new String(java.nio.file.Files.readAllBytes(owner),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get("/proc", pid.toString))
+      } catch { case _: NumberFormatException => false }
+    }
+  }
+
   private[queries] def orcMirror(spark: SparkSession, sfDir: String): String =
     this.synchronized {
       // serialize builders through the same per-process lock every other
@@ -334,12 +354,17 @@ object Scale {
           val ls = java.nio.file.Files.list(dest)
           try ls.forEach { p =>
             if (p.getFileName.toString.startsWith("stage-") &&
-                java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+                java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff &&
+                !stageOwnerAlive(p))
               graft.core.CommitProtocol.deleteRecursively(p)
           } finally ls.close()
         }
         java.nio.file.Files.createDirectories(dest)
         val staging = java.nio.file.Files.createTempDirectory(dest, "stage-")
+        // liveness file: while this JVM lives, no sweeper (this one or a
+        // concurrent builder's) may treat the dir as crash residue
+        java.nio.file.Files.write(staging.resolve("_owner"),
+          java.util.Arrays.asList(ProcessHandle.current().pid().toString))
         val staged = staging.resolve("data")
         Tables.documents(spark, sfDir)
           .select(col("doc_id"), col("source"), col("n_chars"))

@@ -143,6 +143,35 @@ class BpeTrainerSpec extends SparkTestBase {
       committed.map(r => (r._1, r._2, r._3)))
   }
 
+  test("a marked-but-empty sidecar reads as stale and is rebuilt (review r10)") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val expected = BpeTrainer.committedMerges(spark, sfDir)
+      .as[(Int, String, String, String)].collect().toSeq.sortBy(_._1)
+    val path = BpeTrainer.mergesPath(sfDir)
+    // externally truncate: swap the data files for a ZERO-ROW file of the
+    // same schema while the commit marker stays in place
+    val schema = spark.read.parquet(path.toString).schema
+    val tmp = java.nio.file.Files.createTempDirectory("bpe-empty")
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("d").toString)
+    val old = java.nio.file.Files.list(path).iterator().asScala.toList
+      .filter(_.getFileName.toString != "_GRAFT_COMMITTED")
+    old.foreach(graft.core.CommitProtocol.deleteRecursively)
+    java.nio.file.Files.list(tmp.resolve("d")).iterator().asScala.toList
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(p => java.nio.file.Files.copy(p, path.resolve(p.getFileName)))
+    assert(java.nio.file.Files.exists(path.resolve("_GRAFT_COMMITTED")))
+    // the memoized frame must not mask the on-disk corruption in this test
+    graft.operators.Staging.invalidate(Some(sfDir))
+    val rebuilt = BpeTrainer.committedMerges(spark, sfDir)
+      .as[(Int, String, String, String)].collect().toSeq.sortBy(_._1)
+    assert(rebuilt == expected,
+      "empty sidecar must be rebuilt to the trained list, not hard-fail")
+    graft.core.CommitProtocol.deleteRecursively(tmp)
+  }
+
   test("the oracle's string-replace merge formulation equals the real encoder (property)") {
     // The DuckDB encode oracle applies merge (l, r) as
     // replace('␟l␟␟r␟' → '␟lr␟') over a chr(31)-double-delimited symbol

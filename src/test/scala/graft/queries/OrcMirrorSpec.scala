@@ -63,6 +63,55 @@ class OrcMirrorSpec extends SparkTestBase {
     assert(Files.exists(destDir.resolve("_committed")))
   }
 
+  test("a TTL-stale stage-* dir with a LIVE owner survives the sweep (review r10)") {
+    // a write can outlive the TTL, and writer/sweeper clock skew can fake
+    // age — the `_owner` liveness file overrides mtime while its pid lives
+    wipeMirror()
+    Files.createDirectories(destDir)
+    val inflight = Files.createTempDirectory(destDir, "stage-")
+    Files.writeString(inflight.resolve("inflight.orc"), "slow writer")
+    Files.writeString(inflight.resolve("_owner"),
+      ProcessHandle.current().pid().toString)
+    Files.setLastModifiedTime(inflight, FileTime.fromMillis(
+      System.currentTimeMillis() - Scale.OrcStageTtlMs - 60000))
+
+    Scale.orcMirror(spark, sfDir)
+
+    assert(Files.exists(inflight.resolve("inflight.orc")),
+      "live-owner staging was destroyed by the TTL sweep")
+    graft.core.CommitProtocol.deleteRecursively(inflight)
+  }
+
+  test("a TTL-stale stage-* dir with a DEAD owner is cleared") {
+    wipeMirror()
+    Files.createDirectories(destDir)
+    val orphan = Files.createTempDirectory(destDir, "stage-")
+    Files.writeString(orphan.resolve("leftover"), "crashed writer")
+    // pid from far outside any plausible live range on this host
+    Files.writeString(orphan.resolve("_owner"), "999999999")
+    Files.setLastModifiedTime(orphan, FileTime.fromMillis(
+      System.currentTimeMillis() - Scale.OrcStageTtlMs - 60000))
+
+    Scale.orcMirror(spark, sfDir)
+
+    assert(!Files.exists(orphan), "dead-owner staging residue not cleared")
+  }
+
+  test("stageOwnerAlive reads liveness from the _owner pid file") {
+    wipeMirror()
+    val dir = Files.createTempDirectory("stage-probe")
+    assert(!Scale.stageOwnerAlive(dir), "no _owner must read as not-alive")
+    Files.writeString(dir.resolve("_owner"), "not-a-pid")
+    assert(!Scale.stageOwnerAlive(dir), "garbage _owner must read as not-alive")
+    Files.writeString(dir.resolve("_owner"),
+      ProcessHandle.current().pid().toString)
+    assert(Scale.stageOwnerAlive(dir), "own live pid must read as alive")
+    graft.core.CommitProtocol.deleteRecursively(dir)
+    // and the real build leaves a committed mirror behind as before
+    Scale.orcMirror(spark, sfDir)
+    assert(Files.exists(destDir.resolve("_committed")))
+  }
+
   test("the committed mirror is reused and the read is registry-memoized") {
     val first = Scale.orcMirror(spark, sfDir)
     val mt = Files.getLastModifiedTime(destDir.resolve("_committed"))

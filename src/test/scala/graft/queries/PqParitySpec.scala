@@ -93,4 +93,27 @@ class PqParitySpec extends SparkTestBase {
         new GenericArrayData(Array.tabulate(8)(_.toLong))) // 8 % 3 != 0
     }
   }
+
+  test("pq_encode / pq_lut fail loudly on non-grid codebook geometry") {
+    import graft.functions.{PqEncode, PqLut}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val v6 = new GenericArrayData(Array.tabulate(6)(_.toDouble))
+    val cb12 = Array.tabulate(12)(_.toDouble) // 2 centroids over dim 6
+    // well-formed geometry passes
+    assert(PqEncode.compute(v6, cb12, 2).numElements() === 2)
+    assert(PqLut.compute(v6, cb12, 2).numElements() === 4)
+    // dim % m != 0 — subspace width would silently truncate
+    intercept[IllegalArgumentException] { PqEncode.compute(v6, cb12, 4) }
+    intercept[IllegalArgumentException] { PqLut.compute(v6, cb12, 4) }
+    // cb.length % dim != 0 — centroid count would silently truncate
+    val cb13 = Array.tabulate(13)(_.toDouble)
+    intercept[IllegalArgumentException] { PqEncode.compute(v6, cb13, 2) }
+    intercept[IllegalArgumentException] { PqLut.compute(v6, cb13, 2) }
+    // empty vector / empty codebook are corruption, not data
+    val v0 = new GenericArrayData(Array.empty[Double])
+    intercept[IllegalArgumentException] { PqEncode.compute(v0, cb12, 2) }
+    intercept[IllegalArgumentException] {
+      PqEncode.compute(v6, Array.empty[Double], 2)
+    }
+  }
 }
