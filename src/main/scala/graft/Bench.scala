@@ -79,6 +79,30 @@ object Bench {
     val only: Set[String] = if (args.nonEmpty) args(0).split(",").toSet else Set.empty
     require((only -- SparkEntry.queries.keySet).isEmpty,
       s"unknown bench queries: ${(only -- SparkEntry.queries.keySet).mkString(",")}")
+    // Wait (bounded) for a quiet machine before measuring anything: four
+    // rounds running, the official bench started on a contended driver
+    // machine (load1 3.8–5.6 vs the <2 idle bar set round 6) and every
+    // headline number carried first-pass noise the warm pass then had to
+    // adjudicate away. The measurement now defends itself: hold the start
+    // until the 1-min load average decays under the bar or the wait
+    // budget runs out, and report the wait (idle_wait_sec) so a
+    // still-loaded start is visible, not silent. Full runs only — a
+    // subset arg is local iteration, where latency beats cleanliness.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val idleBar = 2.0
+    val waitBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT", "300").toDouble
+    val waitT0 = System.nanoTime()
+    if (only.isEmpty) {
+      var load = osBean.getSystemLoadAverage
+      while (load >= idleBar &&
+          (System.nanoTime() - waitT0) / 1e9 < waitBudgetSec) {
+        System.err.println(f"[bench] load1 $load%.2f >= $idleBar — waiting for idle")
+        Thread.sleep(10000)
+        load = osBean.getSystemLoadAverage
+      }
+    }
+    val idleWaitSec = (System.nanoTime() - waitT0) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -176,6 +200,7 @@ object Bench {
         s""""warm":${jmap(warm)},"warm_failed":${warmFailed.size},""" +
         s""""n_movers":${movers.size},"load1":${fmt(load1Start)},""" +
         s""""load1_end":${fmt(load1End)},"gc_sec":${fmt(gcSec)},""" +
+        s""""idle_wait_sec":${fmt(idleWaitSec)},""" +
         s""""sf":"$sfDir","failed":${failed.size}}"""
     println(full)
     // The driver captures only the LAST ~2000 chars of the sbt log; at 90+
@@ -201,6 +226,7 @@ object Bench {
       s""""load1":${fmt(load1Start)}""",
       s""""load1_end":${fmt(load1End)}""",
       s""""gc_sec":${fmt(gcSec)}""",
+      s""""idle_wait_sec":${fmt(idleWaitSec)}""",
       s""""setup":${jmap(setup)}""",
       s""""setup_sec":${fmt(setupSec)}""",
       s""""queries":${jmap(slowestPairs)}""",
