@@ -420,26 +420,38 @@ object Dedup {
     * them overstates steady-state latency 2–3× (judge r6 findings 1/3).
     * Queries still build them on demand when nobody prewarmed. */
   def prewarmStaging(spark: SparkSession, sfDir: String): Unit = {
-    shingled(spark, sfDir).count()
-    // review r8: advisor flagged this count as warming a plain def, but
-    // the postings ARE Staging.persisted ("ranked3", above) —
-    // the finding predates the mid-r7 staging commit; nothing to change
-    prefixIndex(spark, sfDir)._2.count()
-    shingledHashed(spark, sfDir).count()
-    nearDupPairs(spark, sfDir).count()
-    corpusGrams(spark, sfDir).count()
-    // the duplicate-cluster fixpoint is the same kind of maintained
-    // table as the pair frame (multi-round star-contraction job whose
-    // consumers all need the SAME labels) — without the prewarm its
-    // ~2 s of CC rounds land on whichever cluster query runs first
-    // (q_cluster_keep 2.1 s first / 0.17 s warm in BENCH_r08 runs)
-    duplicateClusters(spark, sfDir).count()
-    // the SN blocker's maintained candidate frames (text + reversed
-    // key) — three faces read each; built here so the n·w window join
-    // is charged to the index build, not to whichever face runs first
-    snCandText(spark, sfDir).count()
-    snCandRev(spark, sfDir).count()
-    ()
+    prewarmStagingTimed(spark, sfDir); ()
+  }
+
+  /** The same prewarm with per-build timings — graft.TimeSetup's
+    * attribution view of the bench's single dedup_staging number. */
+  def prewarmStagingTimed(spark: SparkSession,
+      sfDir: String): Seq[(String, Double)] = {
+    def t(name: String)(body: => Any): (String, Double) = {
+      val t0 = System.nanoTime()
+      body
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    Seq(
+      t("shingled3") { shingled(spark, sfDir).count() },
+      // review r8: advisor flagged this count as warming a plain def, but
+      // the postings ARE Staging.persisted ("ranked3", above) —
+      // the finding predates the mid-r7 staging commit; nothing to change
+      t("ranked3+prefix3") { prefixIndex(spark, sfDir)._2.count() },
+      t("shingled3h") { shingledHashed(spark, sfDir).count() },
+      t("neardup-pairs") { nearDupPairs(spark, sfDir).count() },
+      t("grams8") { corpusGrams(spark, sfDir).count() },
+      // the duplicate-cluster fixpoint is the same kind of maintained
+      // table as the pair frame (multi-round star-contraction job whose
+      // consumers all need the SAME labels) — without the prewarm its
+      // ~2 s of CC rounds land on whichever cluster query runs first
+      // (q_cluster_keep 2.1 s first / 0.17 s warm in BENCH_r08 runs)
+      t("dup-clusters") { duplicateClusters(spark, sfDir).count() },
+      // the SN blocker's maintained candidate frames (text + reversed
+      // key) — three faces read each; built here so the n·w window join
+      // is charged to the index build, not to whichever face runs first
+      t("sn-cand-text") { snCandText(spark, sfDir).count() },
+      t("sn-cand-rev") { snCandRev(spark, sfDir).count() })
   }
 
   /** Candidate pairs from a postings frame. When the frame carries the
