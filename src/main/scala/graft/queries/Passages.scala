@@ -429,7 +429,132 @@ object Passages {
        |JOIN cnt ca ON ca.doc_id = doc_a
        |JOIN cnt cb ON cb.doc_id = doc_b""".stripMargin
 
+  // --------------------------------------------------------------------
+  // CONTENT-DEFINED CHUNKING dedup (Muthitacharoen et al. SOSP '01, the
+  // LBFS/rsync/FastCDC family) — the SHIFT-ROBUST rung of the dedup
+  // ladder: q_line_dedup's fixed 8-token blocks lose every block
+  // alignment after a one-character insertion, while CDC cuts wherever
+  // the local byte content says to (rolling hash ≡ mask), so an edit
+  // perturbs only the chunk it lands in and the rest of the document
+  // re-deduplicates against the standing chunk store. This is the
+  // storage-layer dedup every large corpus warehouse runs under its
+  // snapshots (crawl-over-crawl, revision chains). Cut rule: a k=5
+  // rolling window at position i (the SAME Rabin–Karp kernel and
+  // arithmetic as q_rolling_fp, so the oracle reproduces every hash
+  // exactly) ends its chunk after character i+5 when h ≡ 63 (mod 64) —
+  // expected ~64-char chunks; the plain Rabin form (no min/max chunk
+  // clamps — FastCDC's normalization is a latency refinement of the
+  // same plan). Everything stays ROW-LOCAL until the md5-keyed hash
+  // agg: hashes → cut offsets → substring slices per row, and only
+  // (md5, source, ints) rows ever shuffle — text never does. Keeper =
+  // globally first occurrence via the exact doc_id·2³²+j key (the
+  // line-dedup rule; j is the chunk ordinal). Accounting mirrors
+  // q_line_dedup with chars instead of tokens (chunks are
+  // variable-width by construction).
+  private val CdcK = 5
+  private val CdcMask = 64L // cut when h % 64 == 63
+
+  /** Per-occurrence chunk rows (every non-text column, plus j, s, and
+    * the chunk char length). Each array step sits in its OWN projection:
+    * a non-cheap array expression referenced inside a later HOF lambda
+    * re-evaluates per element (the winnow lesson — see spark-pitfalls). */
+  private[queries] def cdcChunkRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val keep = docs.columns.filter(_ != "text").map(col)
+    val hashed = docs.select(keep :+ $"text" :+
+      graft.functions.functions.rolling_hashes($"text", CdcK).as("hs"): _*)
+    // ascending cut offsets: window i (0-based) fires → chunk boundary
+    // after char i+k; -1 sentinel keeps the transform total, filter
+    // drops it (sequence-free — hs is already the right length)
+    val cuts = hashed.select(keep :+ $"text" :+
+      filter(
+        transform($"hs", (h, i) =>
+          when(h % CdcMask === CdcMask - 1, i.cast("long") + CdcK)
+            .otherwise(lit(-1L))),
+        o => o >= 0).as("cuts"): _*)
+    val offs = cuts.select(keep :+ $"text" :+
+      concat(array(lit(0L)), $"cuts",
+        array(length($"text").cast("long"))).as("offs"): _*)
+    // slice adjacent offset pairs; empty slices (double cut, cut at the
+    // end, empty text) are dropped BEFORE the ordinal so j densely
+    // numbers real chunks in both engines
+    offs.select(keep :+
+      posexplode(filter(
+        transform(sequence(lit(0), greatest(size($"offs") - 2, lit(0))),
+          j => $"text".substr(element_at($"offs", j + 1) + 1,
+            element_at($"offs", j + 2) - element_at($"offs", j + 1))),
+        s => length(s) > 0)).as(Seq("j", "s")): _*)
+  }
+
+  /** CDC dedup accounting over any (doc_id, source, text) frame. */
+  private[queries] def cdcReport(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val perSrc = cdcChunkRows(docs)
+      .select(md5($"s".cast("binary")).as("h"), $"source",
+        length($"s").cast("long").as("clen"),
+        (shiftLeft($"doc_id", 32) + $"j").as("occ"))
+      .groupBy($"h", $"source")
+      // clen is a function of h (same fingerprint = same chunk text);
+      // min() just picks the constant without carrying text around
+      .agg(count(lit(1)).as("n"), min($"occ").as("mo"), min($"clen").as("clen"))
+    val global = perSrc.groupBy($"h").agg(min($"mo").as("gmo"))
+    val kept = when($"mo" === $"gmo", 1L).otherwise(0L)
+    perSrc.join(global, Seq("h"))
+      .groupBy($"source")
+      .agg(sum($"n").as("n_chunks"),
+        sum(kept).as("n_kept"),
+        sum($"n" - kept).as("n_removed"),
+        sum(($"n" - kept) * $"clen").as("chars_removed"))
+  }
+
+  def qCdcDedup(spark: SparkSession, sfDir: String): DataFrame =
+    cdcReport(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  val qCdcDedupSql: String = {
+    // the q_rolling_fp polynomial, inlined per window — exact int64
+    val hash = (0 until CdcK).map { p =>
+      val pow = Seq.fill(CdcK - 1 - p)(257L).foldLeft(1L)(_ * _)
+      if (pow == 1L) s"unicode(substr(text, i + $p, 1))"
+      else s"unicode(substr(text, i + $p, 1)) * $pow"
+    }.mkString("(", "\n       |               + ", s") % 2147483647")
+    s"""WITH h AS (
+       |  SELECT doc_id, source, text,
+       |         list_transform(range(1, length(text) - ${CdcK - 2}),
+       |           i -> $hash) AS hs
+       |  FROM documents),
+       |co AS (SELECT doc_id, source, text,
+       |              [0] || list_filter(
+       |                list_transform(range(1, len(hs) + 1),
+       |                  i -> CASE WHEN hs[i] % $CdcMask = ${CdcMask - 1}
+       |                            THEN i + ${CdcK - 1} ELSE -1 END),
+       |                o -> o >= 0) || [length(text)] AS offs
+       |       FROM h),
+       |ch AS (SELECT doc_id, source,
+       |              list_filter(
+       |                list_transform(range(1, len(offs)),
+       |                  j -> substr(text, offs[j] + 1, offs[j+1] - offs[j])),
+       |                s -> length(s) > 0) AS cs
+       |       FROM co),
+       |seg AS (SELECT doc_id, source, j, cs[j+1] AS s
+       |        FROM ch, unnest(range(len(cs))) AS t(j)),
+       |g1 AS (SELECT md5(s) AS h, source, count(*) AS n,
+       |              min(doc_id*4294967296 + j) AS mo,
+       |              min(length(s)) AS clen
+       |       FROM seg GROUP BY 1, 2),
+       |g2 AS (SELECT h, min(mo) AS gmo FROM g1 GROUP BY 1)
+       |SELECT source,
+       |       CAST(sum(n) AS BIGINT) AS n_chunks,
+       |       CAST(sum(CASE WHEN mo = gmo THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(n - CASE WHEN mo = gmo THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |       CAST(sum((n - CASE WHEN mo = gmo THEN 1 ELSE 0 END) * clen) AS BIGINT)
+       |         AS chars_removed
+       |FROM g1 JOIN g2 USING (h)
+       |GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_dedup" -> (qCdcDedup _),
     "q_line_dedup" -> (qLineDedup _),
     "q_line_dedup_incremental" -> (qLineDedupIncremental _),
     "q_line_surgery" -> (qLineSurgery _),
@@ -437,6 +562,7 @@ object Passages {
     "q_winnow" -> (qWinnow _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_cdc_dedup" -> qCdcDedupSql,
     "q_line_dedup" -> qLineDedupSql,
     // the incremental face's oracle IS the flat full-corpus report:
     // hash equality certifies the append-only decomposition exact

@@ -337,6 +337,61 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.9, f"recall below target: $recall%.2f")
   }
 
+  test("power iteration recovers a planted dominant direction") {
+    import spark.implicits._
+    // 40 vectors: large ±swing along axis 3, small fixed ripple along
+    // axis 7, zero elsewhere — after centering, PC1 must be ±e3
+    val rows = (0 until 40).map { r =>
+      val v = Array.fill(64)(0.0)
+      v(3) = if (r % 2 == 0) 3.0 + 0.01 * r else -3.0 - 0.01 * r
+      v(7) = 0.2
+      (r.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "v")
+    val (m9, u) = Similarity.pcaModelOf(emb)
+    assert(math.abs(m9(7) - 0.2) < 1e-9, "mean must capture the ripple axis")
+    assert(math.abs(u(3)) > 0.99, s"u(3) = ${u(3)} — planted axis not dominant")
+    assert(u.zipWithIndex.filter(_._2 != 3).map(x => math.abs(x._1)).max < 0.1,
+      "off-axis mass in the learned direction")
+    val norm = math.sqrt(u.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6, s"u not unit: $norm")
+  }
+
+  test("power-iteration model is unit-norm on the real corpus and projections match a driver recompute") {
+    import spark.implicits._
+    val (m9, u) = Similarity.pcaModel(spark, sfDir)
+    val norm = math.sqrt(u.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6, s"u not unit: $norm")
+    // driver recompute of the full projection ranking from raw floats
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val want = emb.map { case (id, v) =>
+      var p = 0.0
+      (0 until 64).foreach(i => p += (v(i).toDouble - m9(i)) * u(i))
+      (id, r9(p))
+    }.sortBy { case (id, p) => (-r9(math.abs(p)), id) }
+      .take(10).zipWithIndex.map { case ((id, p), i) => (i + 1, id, p) }.toSeq
+    val got = Similarity.qPcaPower(spark, sfDir)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
+  test("multi-probe LSH: recall >= 0.9 from HALF the index rows of single-probe") {
+    import spark.implicits._
+    val brute = Similarity.qAnnBrute(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val mp = Similarity.qAnnMultiprobe(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val recall = (brute & mp).size.toDouble / brute.size
+    info(f"multi-probe LSH recall@5 = $recall%.2f (${(brute & mp).size}/${brute.size})")
+    // 4 bands × 4 bits from the same 16 planes as q_ann_lsh: 4 index
+    // rows per vector instead of 8, recall bought back by probing each
+    // band's Hamming-1 neighborhood on the query side only
+    assert(recall >= 0.9, f"recall below target: $recall%.2f")
+  }
+
   test("IVF ANN (learned centroids, shipped default) recall@5 vs brute force is >= 0.9 at nprobe=6") {
     import spark.implicits._
     val brute = Similarity.qAnnBrute(spark, sfDir)

@@ -59,6 +59,110 @@ class PassagesSpec extends SparkTestBase {
     assert(kept == distinctSegs, s"kept $kept vs distinct $distinctSegs")
   }
 
+  // ------------------------------------------------------------------
+  // content-defined chunking
+
+  /** Driver-side CDC reference: same cut rule, from first principles. */
+  private def refCdcChunks(text: String): Seq[String] = {
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    val cuts = (0 to n - 5).filter { i =>
+      var h = 0L
+      (0 until 5).foreach(j => h = (h * 257 + cps(i + j)) % 2147483647L)
+      h % 64 == 63
+    }.map(_ + 5)
+    val offs = (0L +: cuts.map(_.toLong)) :+ n.toLong
+    offs.zip(offs.tail).map { case (a, b) =>
+      new String(cps, a.toInt, (b - a).toInt)
+    }.filter(_.nonEmpty)
+  }
+
+  test("CDC chunking matches a driver-side recompute on the real corpus") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text")
+    val got = Passages.cdcChunkRows(docs)
+      .select($"doc_id", $"j", $"s").as[(Long, Int, String)]
+      .collect().groupBy(_._1)
+      .map { case (d, rs) => d -> rs.sortBy(_._2).map(_._3).toSeq }
+    val want = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (d, t) => d -> refCdcChunks(t) }.toMap
+    assert(got.keySet == want.keySet.filter(want(_).nonEmpty))
+    got.foreach { case (d, cs) => assert(cs == want(d), s"doc $d") }
+    // chunks reassemble the document exactly — CDC is a partition
+    got.foreach { case (d, cs) =>
+      assert(cs.mkString == want(d).mkString)
+    }
+  }
+
+  test("CDC dedup is shift-robust where fixed blocks are not") {
+    import spark.implicits._
+    // doc 2 = doc 1 with ONE token prepended: every fixed 8-token block
+    // realigns (all of doc 2's segments are novel), but CDC boundaries
+    // downstream of the edit are content-determined and reproduce, so
+    // almost everything still dedups against doc 1's chunks
+    val base = graft.core.Tables.documents(spark, dir)
+      .orderBy(org.apache.spark.sql.functions.length($"text").desc, $"doc_id")
+      .select($"text").as[String].head()
+    assert(refCdcChunks(base).size >= 4, "corpus doc too short for the scenario")
+    assert(base.split(" ").length >= 24, "corpus doc too few tokens for the control")
+    val docs = Seq((1L, "s1", base), (2L, "s2", "Z " + base))
+      .toDF("doc_id", "source", "text")
+    val r = Passages.cdcReport(docs).collect()
+      .map(x => x.getString(0) -> x.getLong(2)).toMap // source -> n_kept
+    // the shifted copy (s2, higher doc_id) keeps only what the edit
+    // perturbed: the region before the first reproduced cut — at most
+    // 3 chunks (the two new windows the prefix creates can each add a
+    // cut there); every later chunk re-deduplicates
+    val chunks2 = refCdcChunks("Z " + base).size
+    assert(r("s2") <= 3, s"shifted doc kept ${r("s2")} of $chunks2 chunks as novel")
+    // control: the fixed-block pass keeps (almost) every shifted
+    // segment as novel — CDC must dedup strictly more of doc 2
+    val fixedKept = Passages.lineDedupReport(docs).collect()
+      .map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(fixedKept("s2") > r("s2"),
+      s"fixed blocks kept ${fixedKept("s2")} vs CDC ${r("s2")} — CDC should dedup more")
+  }
+
+  test("CDC report: exact totals on a planted duplicate pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "s2", "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "source", "text")
+    val r = Passages.cdcReport(docs).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    val chunks = refCdcChunks("the quick brown fox jumps over the lazy dog again and again")
+    val totalChars = chunks.map(_.length.toLong).sum
+    // doc 1 keeps everything; doc 2 is wholly duplicate
+    assert(r("s1") == ((chunks.size.toLong, chunks.size.toLong, 0L, 0L)))
+    assert(r("s2") == ((chunks.size.toLong, 0L, chunks.size.toLong, totalChars)))
+  }
+
+  test("CDC plan: no window, no sort, text never shuffles") {
+    // AQE hides ShuffleExchangeExec from plan collects until execution
+    // (spark-pitfalls) — inspect the non-adaptive plan
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Passages.qCdcDedup(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("WindowExec"), "window in CDC plan")
+      noCross(df)
+      // text is consumed row-local: no exchange carries text or chunks
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      exchanges.foreach { e =>
+        val names = e.child.output.map(_.name)
+        assert(!names.contains("text"), s"text rides a shuffle: $names")
+        assert(!names.contains("s"), s"chunk text rides a shuffle: $names")
+      }
+      assert(exchanges.nonEmpty) // the md5-keyed agg does shuffle — narrow rows
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("line dedup matches a driver-side recompute on the real corpus") {
     import spark.implicits._
     val rows = graft.core.Tables.documents(spark, dir)
