@@ -278,9 +278,91 @@ object Curation {
        |  AND doc_id NOT IN (SELECT doc_id FROM cont)
        |  AND doc_id IN (SELECT doc_id FROM tgt)""".stripMargin
 
+  // --------------------------------------------------------------------
+  // CLASSIFIER-BASED QUALITY FILTER — the GPT-3/CCNet admission pattern
+  // (Brown et al. '20 §A; Wenzek et al. '19): train a cheap linear
+  // classifier to separate a REFERENCE subset (here the src1–src3
+  // slice — production feeds a curated corpus) from the background,
+  // then score every document and keep what the model calls
+  // reference-like. The model is multinomial Naive Bayes log-odds with
+  // add-one smoothing: w(t) = ln[ (c_ref(t)+1)/(tot_ref+V) ÷
+  // (c_bg(t)+1)/(tot_bg+V) ], score(d) = Σ_t tf·w(t), keep at score ≥ 0.
+  // Scale shape: TRAINING is one (term × class) aggregation over the
+  // corpus → a vocabulary-sized weight table (the committed model
+  // artifact — kilobytes, the DSIR/percolation lifecycle); INFERENCE
+  // is a map-side broadcast join of that table against the exploded
+  // token stream plus one doc-keyed sum — text never shuffles, and the
+  // whole face is two corpus passes regardless of corpus size.
+  // Engine parity: each weight is ONE exact-integer cross-ratio
+  // (decimal(38,0) widening, the PMI rule) → one division → one ln →
+  // 9-dp decimal; scores are exact decimal sums of those weights, so
+  // the keep cut at 0 and the per-source aggregates can never straddle
+  // engines.
+  private val RefSources = Seq("src1", "src2", "src3")
+
+  def qClassifierFilter(spark: SparkSession, sfDir: String): DataFrame =
+    classifierReport(TextOps.docsWide(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  /** NB log-odds filter over any (doc_id, source, text) frame — exposed
+    * so the spec can plant separable classes and check the decision. */
+  private[queries] def classifierReport(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs
+      .select($"doc_id", $"source", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+    val isRef = $"source".isin(RefSources: _*)
+    val counts = tok.groupBy($"w")
+      .agg(sum(when(isRef, 1L).otherwise(0L)).as("cr"),
+        sum(when(isRef, 0L).otherwise(1L)).as("cb"))
+      .localCheckpoint(eager = false) // model build: one corpus agg
+    val totals = counts.agg(sum($"cr").as("tr"), sum($"cb").as("tb"),
+      count(lit(1)).as("v"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select($"w", expr(
+        """cast(round(ln(
+          |  cast(cast(cr + 1 as decimal(38,0)) * (tb + v) as double) /
+          |  cast(cast(cb + 1 as decimal(38,0)) * (tr + v) as double)), 9)
+          |as decimal(12,9))""".stripMargin).as("wt"))
+    val scored = tok.join(broadcast(weights), Seq("w"))
+      .groupBy($"doc_id", $"source")
+      .agg(sum($"wt").as("score")) // exact decimal — the keep cut is exact
+    scored.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"score" >= 0, 1L).otherwise(0L)).as("n_keep"),
+        sum($"score").as("s"))
+      .select($"source", $"n_docs", $"n_keep",
+        ($"s".cast("double") / $"n_docs".cast("double")).as("avg_score"))
+  }
+
+  val qClassifierFilterSql: String = {
+    val refList = RefSources.map("'" + _ + "'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, source, w FROM (
+       |       SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+       |       FROM documents) WHERE w <> ''),
+       |c AS (SELECT w,
+       |             sum(CASE WHEN source IN ($refList) THEN 1 ELSE 0 END) AS cr,
+       |             sum(CASE WHEN source IN ($refList) THEN 0 ELSE 1 END) AS cb
+       |      FROM tok GROUP BY 1),
+       |tot AS (SELECT sum(cr) AS tr, sum(cb) AS tb, count(*) AS v FROM c),
+       |wt AS (SELECT w, CAST(round(ln(
+       |           CAST(CAST(cr + 1 AS DECIMAL(38,0)) * (tb + v) AS DOUBLE) /
+       |           CAST(CAST(cb + 1 AS DECIMAL(38,0)) * (tr + v) AS DOUBLE)), 9)
+       |         AS DECIMAL(12,9)) AS wt
+       |       FROM c CROSS JOIN tot),
+       |sc AS (SELECT doc_id, source, sum(wt) AS score
+       |       FROM tok JOIN wt USING (w) GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |       CAST(sum(score) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_score
+       |FROM sc GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curate" -> (qCurate _),
     "q_curate_strict" -> (qCurateStrict _),
+    "q_classifier_filter" -> (qClassifierFilter _),
     "q_decontam" -> (qDecontam _),
     "q_dup_rate" -> (qDupRate _),
     "q_source_pruned" -> (qSourcePruned _))
@@ -288,6 +370,7 @@ object Curation {
   val oracleSql: Map[String, String] = Map(
     "q_curate" -> qCurateSql,
     "q_curate_strict" -> qCurateStrictSql,
+    "q_classifier_filter" -> qClassifierFilterSql,
     "q_decontam" -> qDecontamSql,
     "q_dup_rate" -> qDupRateSql,
     "q_source_pruned" -> qSourcePrunedSql)

@@ -458,7 +458,7 @@ object Passages {
     * the chunk char length). Each array step sits in its OWN projection:
     * a non-cheap array expression referenced inside a later HOF lambda
     * re-evaluates per element (the winnow lesson — see spark-pitfalls). */
-  private[queries] def cdcChunkRows(docs: DataFrame): DataFrame = {
+  private[graft] def cdcChunkRows(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val keep = docs.columns.filter(_ != "text").map(col)
     val hashed = docs.select(keep :+ $"text" :+

@@ -516,6 +516,51 @@ object EventStream {
       .select($"doc_id", $"n_segments", $"n_known")
   }
 
+  /** Static content-defined-chunk index of a corpus — the CDC sibling
+    * of [[CorpusSegmentIndex]]: one md5 per DISTINCT content-defined
+    * chunk, built by the SAME extraction the batch q_cdc_dedup report
+    * uses (Passages.cdcChunkRows), so the gate and the batch face can
+    * never disagree on where chunks begin. At 100 TB this is the chunk
+    * store a dedup-under-snapshots warehouse maintains anyway; only
+    * fingerprints live in it, never chunk text. */
+  final case class CorpusChunkIndex(df: DataFrame)
+
+  def corpusChunkIndex(corpus: DataFrame): CorpusChunkIndex = {
+    import corpus.sparkSession.implicits._
+    CorpusChunkIndex(
+      graft.queries.Passages.cdcChunkRows(corpus)
+        .select(md5($"s".cast("binary")).as("h")).distinct())
+  }
+
+  /** Streaming face of CDC dedup: per arriving document, how many of
+    * its content-defined chunks (and how many of its characters)
+    * already exist in the corpus chunk store — scored AT THE DOOR,
+    * before ingestion commits the arrival. Because the chunker is
+    * shift-robust, a near-copy with a small edit still reads as
+    * mostly-known here, where the fixed-segment line gate would see it
+    * as novel — this is the gate that catches lightly-edited
+    * recrawls/revisions. Chunk extraction is the same row-local batch
+    * operator (pass-through columns keep event time on every chunk
+    * row; short/empty arrivals emit no chunks but still drive the
+    * watermark clock — the generator, not a Filter, drops them); only
+    * (md5, ts, ints) reach the join and the windowed rollup, whose
+    * state is bounded by the arrival's own chunk count. */
+  def cdcDupStats(docs: Dataset[DocRow],
+      index: CorpusChunkIndex): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.queries.Passages.cdcChunkRows(
+        docs.withWatermark("ts", "2 hours").toDF)
+      .select($"doc_id", $"ts", md5($"s".cast("binary")).as("h"),
+        length($"s").cast("long").as("clen"))
+      .join(index.df.withColumn("known", lit(1L)), Seq("h"), "left")
+      .groupBy(window($"ts", "1 hour"), $"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce($"known", lit(0L))).as("n_known"),
+        sum(when($"known".isNotNull, $"clen").otherwise(0L)).as("chars_known"),
+        sum($"clen").as("chars_total"))
+      .select($"doc_id", $"n_chunks", $"n_known", $"chars_known", $"chars_total")
+  }
+
   /** Streaming PERCOLATION — prospective search, the inverse of the
     * batch ranker's direction: the query STANDS (a routing rule, an
     * alert, a seed-set expansion probe) and every ARRIVING document is

@@ -339,4 +339,42 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got == exp)
     assert(got.values.forall { case (_, c) => c > 0.0 && c <= 1.0 })
   }
+
+  test("classifier filter separates planted reference-like and background-like docs") {
+    import spark.implicits._
+    // src1 is the reference class (Curation.RefSources); give it a
+    // distinctive vocabulary, give the background another, and plant a
+    // background doc WRITTEN IN the reference vocabulary — the model
+    // must keep it (classification is by content, not by source label)
+    val docs = Seq(
+      (1L, "src1", "alpha beta gamma alpha beta"),
+      (2L, "src1", "alpha gamma alpha beta beta gamma"),
+      (3L, "src9", "noise junk noise junk junk"),
+      (4L, "src9", "junk noise junk noise noise junk"),
+      (5L, "src9", "alpha beta gamma beta alpha") // ref-voiced stray
+    ).toDF("doc_id", "source", "text")
+    val r = Curation.classifierReport(docs).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r("src1") == ((2L, 2L, r("src1")._3)), "reference docs must be kept")
+    assert(r("src1")._3 > 0, "reference class must score positive")
+    // background keeps exactly the ref-voiced stray: 1 of 3
+    assert(r("src9")._1 == 3L && r("src9")._2 == 1L,
+      s"background keep set wrong: ${r("src9")}")
+  }
+
+  test("classifier filter: reference sources outscore the background on the real corpus") {
+    import spark.implicits._
+    val rows = Curation.qClassifierFilter(spark, sfDir).collect()
+      .map(x => x.getString(0) -> x.getDouble(3)).toMap
+    val ref = Seq("src1", "src2", "src3").flatMap(rows.get)
+    val bg = rows.view.filterKeys(k => !Set("src1", "src2", "src3")(k)).values.toSeq
+    assert(ref.nonEmpty && bg.nonEmpty)
+    val refMean = ref.sum / ref.size
+    val bgMean = bg.sum / bg.size
+    info(f"avg score: reference $refMean%.4f vs background $bgMean%.4f")
+    // NB trained to separate ref from background must rank its own
+    // training class higher in expectation, even on near-uniform data
+    assert(refMean > bgMean, s"no separation: $refMean vs $bgMean")
+  }
 }

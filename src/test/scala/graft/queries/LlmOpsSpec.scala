@@ -305,7 +305,7 @@ class LlmOpsSpec extends SparkTestBase {
     val got = Similarity.qAnnRecallReport(spark, sfDir)
       .as[(String, Long, Long, Double)].collect()
       .map(r => r._1 -> r).toMap
-    assert(got.keySet == Set("lsh", "ivf", "quant", "pq"))
+    assert(got.keySet == Set("lsh", "multiprobe", "ivf", "quant", "pq"))
     val brute = Similarity.qAnnBrute(spark, sfDir)
       .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
     def recallOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
@@ -314,6 +314,7 @@ class LlmOpsSpec extends SparkTestBase {
     }
     val indep = Map(
       "lsh" -> recallOf(Similarity.qAnnLsh(spark, sfDir)),
+      "multiprobe" -> recallOf(Similarity.qAnnMultiprobe(spark, sfDir)),
       "ivf" -> recallOf(Similarity.qAnnIvf(spark, sfDir)),
       "quant" -> recallOf(Similarity.qAnnQuant(spark, sfDir)),
       "pq" -> recallOf(Similarity.qAnnPq(spark, sfDir)))

@@ -429,6 +429,45 @@ class EventStreamSpec extends SparkTestBase {
     assert(rows.toSet == Set((2L, 2L, 1L)), s"got ${rows.mkString(",")}")
   }
 
+  test("streaming CDC gate: a shifted near-copy reads as mostly-known chunks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: one long doc; arrival: the same doc with one token
+    // prepended — the shift-robustness contract says its chunks after
+    // the edit region re-match the corpus chunk store
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.core.Tables.documents(spark, dir)
+      .orderBy(org.apache.spark.sql.functions.length($"text").desc, $"doc_id")
+      .select($"text").as[String].head()
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val index = EventStream.corpusChunkIndex(corpus)
+    // driver truth from the SAME batch operator the gate reuses
+    val corpusChunks = graft.queries.Passages.cdcChunkRows(corpus)
+      .select($"s").as[String].collect().toSet
+    val arrivalChunks = graft.queries.Passages.cdcChunkRows(
+        Seq((2L, "Z " + base)).toDF("doc_id", "text"))
+      .select($"s").as[String].collect()
+    val expKnown = arrivalChunks.count(corpusChunks)
+    val expChars = arrivalChunks.filter(corpusChunks).map(_.length.toLong).sum
+    assert(arrivalChunks.length >= 4 && expKnown >= arrivalChunks.length - 3,
+      s"scenario degenerate: ${arrivalChunks.length} chunks, $expKnown known")
+    val in = MemoryStream[EventStream.DocRow]
+    val q = EventStream.cdcDupStats(in.toDS(), index)
+      .writeStream.format("memory").queryName("cdcgate")
+      .outputMode("append").start()
+    in.addData(EventStream.DocRow(2, ts("2024-01-01 10:00:00"), "Z " + base))
+    q.processAllAvailable()
+    // an empty arrival emits no chunks but must still close the window
+    in.addData(EventStream.DocRow(3, ts("2024-01-02 12:00:00"), ""))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("cdcgate")
+      .select("doc_id", "n_chunks", "n_known", "chars_known", "chars_total")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.toSet == Set((2L, arrivalChunks.length.toLong, expKnown.toLong,
+      expChars, arrivalChunks.map(_.length.toLong).sum)),
+      s"got ${rows.mkString(",")}")
+  }
+
   test("streaming funnel emits one conversion per user across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
