@@ -379,6 +379,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("all-but-the-top: processed vectors are orthogonal to the removed direction") {
+    import spark.implicits._
+    val (m9, u) = Similarity.pcaModel(spark, sfDir)
+    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    emb.foreach { case (id, v) =>
+      val c = (0 until 64).map(i => v(i).toDouble - m9(i))
+      var p = 0.0; (0 until 64).foreach(i => p += c(i) * u(i))
+      val pd = r9(p)
+      var res = 0.0; (0 until 64).foreach(i => res += (c(i) - pd * u(i)) * u(i))
+      // u is 9-dp-rounded per component, so ||u||² ≈ 1 to ~1e-8 — the
+      // residual along u is bounded by |pd|·|1 − ||u||²| + rounding
+      assert(math.abs(res) < 1e-6, s"doc $id residual $res")
+    }
+    // and the transform is not a no-op: some query's top-5 changes
+    val brute = Similarity.qAnnBrute(spark, sfDir)
+      .as[(Long, Int, Long)].collect().toSet
+    val abtt = Similarity.qAbttSim(spark, sfDir)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(brute != abtt, "removing the dominant direction changed nothing")
+  }
+
   test("multi-probe LSH: recall >= 0.9 from HALF the index rows of single-probe") {
     import spark.implicits._
     val brute = Similarity.qAnnBrute(spark, sfDir)
