@@ -279,6 +279,70 @@ object Curation {
        |  AND doc_id IN (SELECT doc_id FROM tgt)""".stripMargin
 
   // --------------------------------------------------------------------
+  // CURATION LINEAGE — the governance readout OF the curation pipeline:
+  // per source, how many documents each admission stage rejects and how
+  // many survive all of them. q_curate emits only the survivors; an
+  // operator of a production pipeline needs the complement — WHY the
+  // corpus shrank (dedup? near-dup? quality?) and where (which source)
+  // — both for debugging a collapsing source and for the data-card
+  // accounting every training set ships with. Flags are counted
+  // INDEPENDENTLY (a doc can be both a near-dup victim and low quality;
+  // exclusive reason-priority accounting hides the overlap that
+  // explains "why did relaxing one filter change nothing"). The flag
+  // sets come from the SAME verified building blocks q_curate composes
+  // (exact-dup keepers, verified near-dup victims, quality labels), so
+  // the oracle nests their SQL and hash-green here re-certifies the
+  // composition. Scale shape: three broadcast-able id-set joins against
+  // frames ≪ corpus, one source-keyed agg — text never moves.
+  def qCurateLineage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val keepers = Dedup.qDedupExact(spark, sfDir).select($"keeper_id")
+    val nearVictims = Dedup.nearDupPairs(spark, sfDir).select($"doc_b").distinct()
+    val lowQ = TextOps.qQualityScore(spark, sfDir)
+      .filter($"label" === "drop").select($"doc_id")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source")
+      .join(keepers.withColumn("k", lit(1L)),
+        $"doc_id" === $"keeper_id", "left")
+      .join(nearVictims.withColumn("nv", lit(1L)),
+        $"doc_id" === $"doc_b", "left")
+      .join(lowQ.withColumnRenamed("doc_id", "lq_id").withColumn("lq", lit(1L)),
+        $"doc_id" === $"lq_id", "left")
+      .select($"source",
+        when($"k".isNull, 1L).otherwise(0L).as("f_exact"),
+        coalesce($"nv", lit(0L)).as("f_near"),
+        coalesce($"lq", lit(0L)).as("f_lowq"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"f_exact").as("n_exact_dup"),
+        sum($"f_near").as("n_near_dup"),
+        sum($"f_lowq").as("n_low_quality"),
+        sum(when($"f_exact" + $"f_near" + $"f_lowq" === 0, 1L).otherwise(0L))
+          .as("n_kept"))
+  }
+
+  val qCurateLineageSql: String =
+    s"""WITH keepers AS (SELECT keeper_id FROM (${Dedup.qDedupExactSql})),
+       |nv AS (SELECT DISTINCT doc_b FROM (${Dedup.qDedupNearSql})),
+       |lq AS (SELECT doc_id FROM (${TextOps.qQualityScoreSql})
+       |       WHERE label = 'drop'),
+       |f AS (SELECT d.source,
+       |             CASE WHEN d.doc_id IN (SELECT keeper_id FROM keepers)
+       |                  THEN 0 ELSE 1 END AS f_exact,
+       |             CASE WHEN d.doc_id IN (SELECT doc_b FROM nv)
+       |                  THEN 1 ELSE 0 END AS f_near,
+       |             CASE WHEN d.doc_id IN (SELECT doc_id FROM lq)
+       |                  THEN 1 ELSE 0 END AS f_lowq
+       |      FROM documents d)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(f_exact) AS BIGINT) AS n_exact_dup,
+       |       CAST(sum(f_near) AS BIGINT) AS n_near_dup,
+       |       CAST(sum(f_lowq) AS BIGINT) AS n_low_quality,
+       |       CAST(sum(CASE WHEN f_exact + f_near + f_lowq = 0 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_kept
+       |FROM f GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
   // CLASSIFIER-BASED QUALITY FILTER — the GPT-3/CCNet admission pattern
   // (Brown et al. '20 §A; Wenzek et al. '19): train a cheap linear
   // classifier to separate a REFERENCE subset (here the src1–src3
@@ -363,6 +427,7 @@ object Curation {
     "q_curate" -> (qCurate _),
     "q_curate_strict" -> (qCurateStrict _),
     "q_classifier_filter" -> (qClassifierFilter _),
+    "q_curate_lineage" -> (qCurateLineage _),
     "q_decontam" -> (qDecontam _),
     "q_dup_rate" -> (qDupRate _),
     "q_source_pruned" -> (qSourcePruned _))
@@ -371,6 +436,7 @@ object Curation {
     "q_curate" -> qCurateSql,
     "q_curate_strict" -> qCurateStrictSql,
     "q_classifier_filter" -> qClassifierFilterSql,
+    "q_curate_lineage" -> qCurateLineageSql,
     "q_decontam" -> qDecontamSql,
     "q_dup_rate" -> qDupRateSql,
     "q_source_pruned" -> qSourcePrunedSql)

@@ -340,6 +340,27 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got.values.forall { case (_, c) => c > 0.0 && c <= 1.0 })
   }
 
+  test("curation lineage reconciles with the curation pipeline's survivors") {
+    import spark.implicits._
+    // n_kept per source must equal the docs q_curate actually emits —
+    // the lineage face and the pipeline face share the same verified
+    // building blocks and may never disagree on the survivor set
+    val lineage = Curation.qCurateLineage(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(5))).toMap
+    val survivors = Curation.qCurate(spark, sfDir)
+      .join(graft.core.Tables.documents(spark, sfDir).select($"doc_id", $"source"),
+        Seq("doc_id"))
+      .groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    lineage.foreach { case (src, (n, kept)) =>
+      assert(kept == survivors.getOrElse(src, 0L),
+        s"$src: lineage kept $kept vs curate ${survivors.getOrElse(src, 0L)}")
+      assert(kept <= n)
+    }
+    val totalDocs = graft.core.Tables.documents(spark, sfDir).count()
+    assert(lineage.values.map(_._1).sum == totalDocs, "lineage must cover every doc")
+  }
+
   test("classifier filter separates planted reference-like and background-like docs") {
     import spark.implicits._
     // src1 is the reference class (Curation.RefSources); give it a
