@@ -368,14 +368,17 @@ object Curation {
     classifierReport(TextOps.docsWide(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text")))
 
-  /** NB log-odds filter over any (doc_id, source, text) frame — exposed
-    * so the spec can plant separable classes and check the decision. */
-  private[queries] def classifierReport(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val tok = docs
-      .select($"doc_id", $"source", explode(split($"text", " ")).as("w"))
+  private def tokenStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", $"source", explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0)
+  }
+
+  /** The trained (term, 9-dp log-odds weight) frame — the model
+    * artifact; the streaming gate collects it onto its closure. */
+  private[graft] def classifierWeights(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tok = tokenStream(docs)
     val isRef = $"source".isin(RefSources: _*)
     val counts = tok.groupBy($"w")
       .agg(sum(when(isRef, 1L).otherwise(0L)).as("cr"),
@@ -383,16 +386,29 @@ object Curation {
       .localCheckpoint(eager = false) // model build: one corpus agg
     val totals = counts.agg(sum($"cr").as("tr"), sum($"cb").as("tb"),
       count(lit(1)).as("v"))
-    val weights = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .select($"w", expr(
         """cast(round(ln(
           |  cast(cast(cr + 1 as decimal(38,0)) * (tb + v) as double) /
           |  cast(cast(cb + 1 as decimal(38,0)) * (tr + v) as double)), 9)
           |as decimal(12,9))""".stripMargin).as("wt"))
-    val scored = tok.join(broadcast(weights), Seq("w"))
+  }
+
+  /** Per-document exact-decimal scores — shared by the report face and
+    * the streaming gate's bit-equality spec. */
+  private[graft] def classifierScores(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    tokenStream(docs).join(broadcast(classifierWeights(docs)), Seq("w"))
       .groupBy($"doc_id", $"source")
       .agg(sum($"wt").as("score")) // exact decimal — the keep cut is exact
-    scored.groupBy($"source")
+  }
+
+  /** NB log-odds filter over any (doc_id, source, text) frame — exposed
+    * so the spec can plant separable classes and check the decision. */
+  private[queries] def classifierReport(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    classifierScores(docs).groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when($"score" >= 0, 1L).otherwise(0L)).as("n_keep"),
         sum($"score").as("s"))

@@ -486,6 +486,50 @@ object Passages {
         s => length(s) > 0)).as(Seq("j", "s")): _*)
   }
 
+  /** INCREMENTAL CDC dedup — the append-only maintenance face of the
+    * chunk store, the exact decomposition q_line_dedup_incremental
+    * proved for fixed segments applied to content-defined chunks: the
+    * standing report plus the batch joined against the standing
+    * distinct-chunk index (EventStream.corpusChunkIndex maintains the
+    * same table); the old corpus is never re-chunked. Exact for the
+    * same reason — batch occurrence keys doc_id·2³²+j exceed every
+    * standing key under append-only ingest, so standing keepers never
+    * displace. The ORACLE is the flat full-corpus q_cdc_dedup SQL:
+    * hash-green certifies incremental ≡ full recomputation. */
+  def qCdcDedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+    val thr = docs.agg(expr("(max(doc_id) * 9) div 10").as("thr"))
+    val parts = docs.crossJoin(broadcast(thr))
+    val standing = parts.filter($"doc_id" < $"thr").drop("thr")
+    val batch = parts.filter($"doc_id" >= $"thr").drop("thr")
+    val standingReport = cdcReport(standing)
+    val standingIdx = cdcChunkRows(standing)
+      .select(md5($"s".cast("binary")).as("h")).distinct()
+    val perSrc = cdcChunkRows(batch)
+      .select(md5($"s".cast("binary")).as("h"), $"source",
+        length($"s").cast("long").as("clen"),
+        (shiftLeft($"doc_id", 32) + $"j").as("occ"))
+      .groupBy($"h", $"source")
+      .agg(count(lit(1)).as("n"), min($"occ").as("mo"), min($"clen").as("clen"))
+    val batchFirst = perSrc.groupBy($"h").agg(min($"mo").as("gmo"))
+      .join(standingIdx, Seq("h"), "left_anti")
+    val kept = when($"mo" === $"gmo", 1L).otherwise(0L)
+    val batchReport = perSrc
+      .join(batchFirst, Seq("h"), "left")
+      .groupBy($"source")
+      .agg(sum($"n").as("n_chunks"),
+        sum(kept).as("n_kept"),
+        sum($"n" - kept).as("n_removed"),
+        sum(($"n" - kept) * $"clen").as("chars_removed"))
+    standingReport.unionByName(batchReport)
+      .groupBy($"source")
+      .agg(sum($"n_chunks").as("n_chunks"), sum($"n_kept").as("n_kept"),
+        sum($"n_removed").as("n_removed"),
+        sum($"chars_removed").as("chars_removed"))
+  }
+
   /** CDC dedup accounting over any (doc_id, source, text) frame. */
   private[queries] def cdcReport(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
@@ -555,6 +599,7 @@ object Passages {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_dedup" -> (qCdcDedup _),
+    "q_cdc_dedup_incremental" -> (qCdcDedupIncremental _),
     "q_line_dedup" -> (qLineDedup _),
     "q_line_dedup_incremental" -> (qLineDedupIncremental _),
     "q_line_surgery" -> (qLineSurgery _),
@@ -563,6 +608,9 @@ object Passages {
 
   val oracleSql: Map[String, String] = Map(
     "q_cdc_dedup" -> qCdcDedupSql,
+    // the incremental face's oracle IS the flat full-corpus report:
+    // hash equality certifies the append-only decomposition exact
+    "q_cdc_dedup_incremental" -> qCdcDedupSql,
     "q_line_dedup" -> qLineDedupSql,
     // the incremental face's oracle IS the flat full-corpus report:
     // hash equality certifies the append-only decomposition exact

@@ -36,7 +36,7 @@ object TextOps {
     * locally. Only the heavy fan-out aggregations route through it —
     * map-only scans keep the raw table and their pinned Exchange-free
     * plans. Results are layout-independent (aggregations/joins only). */
-  private[queries] def docsWide(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def docsWide(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Staging.persisted(spark, sfDir, "docs_wide") {
       Tables.documents(spark, sfDir)
         .repartition(spark.sparkContext.defaultParallelism)

@@ -988,6 +988,46 @@ object EventStream {
     * arrival is flagged (the tokenizer-mismatch / junk-text signal). */
   val OovGateMax = 0.5
 
+  /** Committed NB log-odds weights — the classifier-filter model
+    * (Curation.classifierWeights) collected onto the closure:
+    * vocabulary-sized, kilobytes, the deployed-scorer shape of every
+    * gate here. Weights stay java.math.BigDecimal so the gate's sum IS
+    * the batch face's exact decimal sum. */
+  final case class NbFilterModel(weights: Map[String, java.math.BigDecimal]) {
+    require(weights.nonEmpty, "empty weight model")
+  }
+
+  def nbFilterModel(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): NbFilterModel = {
+    val docs = graft.queries.TextOps.docsWide(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    NbFilterModel(graft.queries.Curation.classifierWeights(docs)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap)
+  }
+
+  /** Streaming face of classifier-based quality filtering
+    * (q_classifier_filter): each arriving document is scored against
+    * the COMMITTED log-odds weights with the batch arithmetic — exact
+    * BigDecimal addition of the same 9-dp weights, keep at score ≥ 0 —
+    * so an admitted arrival equals the batch scorer's verdict for the
+    * same text BIT-FOR-BIT (asserted over the whole corpus in
+    * EventStreamSpec). OOV tokens (absent from the trained vocabulary)
+    * contribute nothing, exactly like the batch inner join. Stateless
+    * map — admission happens BEFORE ingestion commits the arrival. */
+  def nbFilterFlags(docs: Dataset[DocArrival],
+      model: NbFilterModel): DataFrame = {
+    import docs.sparkSession.implicits._
+    val weights = model.weights
+    docs.map { d =>
+      var s = java.math.BigDecimal.ZERO
+      var matched = 0L
+      d.text.split(" ").foreach { t =>
+        if (t.nonEmpty) weights.get(t).foreach { w => s = s.add(w); matched += 1 }
+      }
+      (d.doc_id, matched, s.doubleValue(), s.signum() >= 0)
+    }.toDF("doc_id", "n_matched", "score", "keep")
+  }
+
   /** Streaming face of the batch curation gate (queries.TextOps
     * qGopherRules + qOovRate): each arriving document is scored with
     * the SAME arithmetic the batch queries use — integer counts

@@ -140,6 +140,24 @@ class PassagesSpec extends SparkTestBase {
     assert(r("s2") == ((chunks.size.toLong, 0L, chunks.size.toLong, totalChars)))
   }
 
+  test("incremental CDC equals the flat report, and really is incremental") {
+    import spark.implicits._
+    val inc = Passages.qCdcDedupIncremental(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val flat = Passages.qCdcDedup(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(inc == flat, "incremental maintenance diverged from recomputation")
+    // the demonstration split must actually exercise both legs
+    val docs = graft.core.Tables.documents(spark, dir)
+    val thr = docs.agg(org.apache.spark.sql.functions.expr(
+      "(max(doc_id) * 9) div 10")).as[Long].head()
+    val standing = docs.filter($"doc_id" < thr).count()
+    val batch = docs.filter($"doc_id" >= thr).count()
+    assert(standing > 0 && batch > 0, s"degenerate split: $standing/$batch")
+  }
+
   test("CDC plan: no window, no sort, text never shuffles") {
     // AQE hides ShuffleExchangeExec from plan collects until execution
     // (spark-pitfalls) — inspect the non-adaptive plan

@@ -468,6 +468,36 @@ class EventStreamSpec extends SparkTestBase {
       s"got ${rows.mkString(",")}")
   }
 
+  test("streaming NB filter gate equals the batch classifier scores bit-for-bit") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.queries.TextOps.docsWide(spark, dir)
+      .select($"doc_id", $"source", $"text")
+    val model = EventStream.nbFilterModel(spark, dir)
+    val arrivals = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        EventStream.DocArrival(id, ts("2024-01-01 10:00:00"), t) }.toSeq
+    val streamed = EventStream.nbFilterFlags(arrivals.toDS(), model)
+      .select($"doc_id", $"score", $"keep").as[(Long, Double, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val batch = graft.queries.Curation.classifierScores(docs)
+      .select($"doc_id", $"score".cast("double"),
+        ($"score" >= 0).as("k")).as[(Long, Double, Boolean)].collect()
+    assert(batch.nonEmpty && streamed.keySet == batch.map(_._1).toSet)
+    batch.foreach { case (id, sc, k) =>
+      val (gs, gk) = streamed(id)
+      assert(java.lang.Double.doubleToLongBits(gs) ==
+        java.lang.Double.doubleToLongBits(sc), s"doc $id: gate $gs vs batch $sc")
+      assert(gk == k, s"doc $id keep verdict diverged")
+    }
+    // an OOV-only arrival scores 0 and is admitted (no weights match)
+    val oov = EventStream.nbFilterFlags(
+      Seq(EventStream.DocArrival(999L, ts("2024-01-01 10:00:00"),
+        "zzzunseen qqqnovel")).toDS(), model)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(oov.toSeq == Seq((999L, 0L, 0.0, true)))
+  }
+
   test("streaming funnel emits one conversion per user across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
