@@ -379,6 +379,27 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("deflation recovers the second planted axis, orthogonal to the first") {
+    import spark.implicits._
+    // axis 3 carries the large variance (PC1), axis 7 a smaller
+    // independent swing (PC2) — sign patterns decorrelated so the two
+    // axes are independent in the planted covariance
+    val rows = (0 until 40).map { r =>
+      val v = Array.fill(64)(0.0)
+      v(3) = (if (r % 2 == 0) 1 else -1) * (3.0 + 0.01 * r)
+      v(7) = (if (r % 4 < 2) 1 else -1) * (1.0 + 0.005 * r)
+      (r.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "v")
+    val (m1, u1) = Similarity.pcaModelOf(emb)
+    assert(math.abs(u1(3)) > 0.99, s"PC1 missed axis 3: ${u1(3)}")
+    val (_, u2) = Similarity.pcaModelOf(Similarity.deflatedOf(emb, m1, u1))
+    assert(math.abs(u2(7)) > 0.99, s"PC2 missed axis 7: ${u2(7)}")
+    assert(math.abs(u2(3)) < 0.05, s"PC2 leaked PC1 mass: ${u2(3)}")
+    var d = 0.0; (0 until 64).foreach(i => d += u1(i) * u2(i))
+    assert(math.abs(d) < 1e-3, s"PC1/PC2 not orthogonal: $d")
+  }
+
   test("all-but-the-top: processed vectors are orthogonal to the removed direction") {
     import spark.implicits._
     val (m9, u) = Similarity.pcaModel(spark, sfDir)
