@@ -1631,7 +1631,177 @@ object Dedup {
        |FROM s CROSS JOIN tot""".stripMargin
 
   // --------------------------------------------------------------------
+  // LSH BANDING S-CURVE AUDIT — the tuning table behind every minhash
+  // deployment decision (Leskovec/Rajaraman/Ullman ch. 3): for a grid of
+  // (bands b, rows r) configurations with b·r ≤ 96, report the measured
+  // candidate volume, the measured pair completeness against the exact
+  // jaccard ≥ 0.6 truth set, and the THEORETICAL S-curve expectation
+  // E[recall] = mean over truth pairs of 1 − (1 − j^r)^b — the number a
+  // team compares against the measured column to decide whether the
+  // hash family is behaving before committing a 100 TB dedup run to one
+  // (b, r) point. Unlike the production signature (xxhash-keyed native
+  // kernel, engine-private), this audit runs over an engine-PORTABLE
+  // signature — one md5 per shingle reduced mod p = 2³¹−1, then a fixed
+  // affine rehash family (aᵢ·h + bᵢ mod p) — so the DuckDB oracle
+  // reproduces the exact candidate sets and certifies both the banding
+  // arithmetic and the audit's ratios. The S-curve doubles are made
+  // bit-identical across engines by evaluating the SAME fixed-association
+  // multiply tree (binary powering, no pow()) on both sides and summing
+  // in exact decimal. Scale: signatures are row-local HOFs over the
+  // staged shingle frame (96 affine passes over an already-materialized
+  // hash array — the q_winnow projection discipline), candidates come
+  // from banded equi-joins only, and every audit aggregate is
+  // pair-table-sized; at production scale this runs on a sample, like
+  // every design-time audit in this file.
+  private val LshP = 2147483647L // 2³¹ − 1 (Mersenne prime)
+  private val LshAMul = 506952114L // Knuth 2654435761 mod p
+  private val LshBMul = 40503L
+  private[queries] val LshCfgs = Seq((32, 3), (24, 4), (16, 6), (12, 8))
+
+  /** Fixed-association binary-powering product: both engines evaluate a
+    * structurally identical multiply tree, so the IEEE doubles match
+    * bit-for-bit (pow() carries no such cross-engine guarantee). */
+  private def powChain(x: Column, e: Int): Column =
+    if (e == 1) x
+    else if (e % 2 == 0) { val h = powChain(x, e / 2); h * h }
+    else powChain(x, e - 1) * x
+
+  private def powChainSql(x: String, e: Int): String =
+    if (e == 1) x
+    else if (e % 2 == 0) { val h = powChainSql(x, e / 2); s"($h * $h)" }
+    else s"(${powChainSql(x, e - 1)} * $x)"
+
+  /** Portable 96-slot minhash signature: md5-derived base hash per
+    * shingle (materialized in its own projection so the 96-way rehash
+    * references a cheap attribute, not a re-evaluated md5 per lambda
+    * element), then row-local affine minima. */
+  private def lshPortableSig(spark: SparkSession, sfDir: String): DataFrame =
+    lshSigFromShingles(shingled(spark, sfDir))
+
+  /** Signature builder over any (doc_id, sh: array<string>) frame —
+    * factored out so the spec pins the collide-on-equal-signature
+    * guarantee over planted duplicates. */
+  private[queries] def lshSigFromShingles(shFrame: DataFrame): DataFrame = {
+    import shFrame.sparkSession.implicits._
+    val hs = shFrame.select($"doc_id",
+      transform($"sh", s =>
+        conv(substring(md5(s.cast("binary")), 1, 12), 16, 10).cast("long") % LshP)
+        .as("hs"))
+    hs.select($"doc_id",
+      transform(sequence(lit(0), lit(NumHashes - 1)), i => {
+        val a = ((i + 1) * lit(LshAMul)) % LshP
+        val b = ((i + 1) * lit(LshBMul) + lit(17L)) % LshP
+        array_min(transform($"hs", h => (a * h + b) % LshP))
+      }).as("sig"))
+  }
+
+  /** Banded candidate pairs for one (bands, rows) point over the
+    * portable signature: band key = md5 of the comma-joined slot slice,
+    * pairs only from the band equi-join. */
+  private[queries] def lshBandPairs(sig: DataFrame, b: Int, r: Int): DataFrame = {
+    import sig.sparkSession.implicits._
+    val banded = sig.select($"doc_id",
+      posexplode(transform(sequence(lit(0), lit(b - 1)), j =>
+        md5(concat_ws(",",
+          transform(slice($"sig", j * r + 1, lit(r)), v => v.cast("string")))
+          .cast("binary")))).as(Seq("band", "bk")))
+    banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.bk" === $"y.bk" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+  }
+
+  def qLshCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // each checkpointed frame feeds every config branch (4 self-join
+    // sides + truth semi-joins) — materialize once, not once per branch
+    val sig = lshPortableSig(spark, sfDir).localCheckpoint()
+    val truth = nearDupPairs(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"jac").localCheckpoint()
+    val totals = truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(sig.agg(count(lit(1)).as("nd"))
+        .select(expr("(nd * (nd - 1)) div 2").as("n_space"))))
+    val rows = LshCfgs.map { case (b, r) =>
+      val cand = lshBandPairs(sig, b, r).localCheckpoint()
+      val miss = lit(1.0) - powChain($"jac", r)
+      val expect = truth
+        .select((lit(1.0) - powChain(miss, b)).as("p0"))
+        .select(expr("cast(round(p0, 9) as decimal(12,9))").as("pr"))
+        .agg(sum($"pr").as("sum_pr"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_true"))))
+        .crossJoin(broadcast(expect))
+        .select(lit(s"b${b}_r$r").as("strategy"), lit(b).as("bands"),
+          lit(r).as("rows_per_band"), $"n_candidates", $"n_true", $"sum_pr")
+    }
+    rows.reduce(_.unionByName(_))
+      .crossJoin(broadcast(totals))
+      .select($"strategy", $"bands", $"rows_per_band",
+        $"n_candidates", $"n_true", $"n_truth",
+        when($"n_truth" > 0,
+          $"n_true".cast("double") / $"n_truth".cast("double"))
+          .as("completeness"),
+        when($"n_truth" > 0,
+          $"sum_pr".cast("double") / $"n_truth".cast("double"))
+          .as("expected_completeness"),
+        when($"n_space" > 0,
+          ($"n_space" - $"n_candidates").cast("double") / $"n_space".cast("double"))
+          .as("reduction_ratio"))
+  }
+
+  val qLshCurveSql: String = {
+    val cfg = LshCfgs.map { case (b, r) =>
+      val jr = powChainSql("jac", r)
+      val prob = s"1.0 - ${powChainSql(s"(1.0 - $jr)", b)}"
+      s"""k_b${b} AS (SELECT doc_id, i // $r AS band,
+         |              md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS bk
+         |            FROM sg WHERE i < ${b * r} GROUP BY 1, 2),
+         |c_b${b} AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |            FROM k_b${b} a JOIN k_b${b} b
+         |              ON a.band = b.band AND a.bk = b.bk
+         |             AND a.doc_id < b.doc_id),
+         |e_b${b} AS (SELECT sum(CAST(round($prob, 9) AS DECIMAL(12,9))) AS sum_pr
+         |            FROM tr)""".stripMargin
+    }.mkString(",\n")
+    val branches = LshCfgs.map { case (b, r) =>
+      s"""SELECT 'b${b}_r$r' AS strategy, $b AS bands, $r AS rows_per_band,
+         |       (SELECT count(*) FROM c_b${b}) AS n_candidates,
+         |       (SELECT count(*) FROM c_b${b} JOIN tr USING (doc_a, doc_b)) AS n_true,
+         |       (SELECT sum_pr FROM e_b${b}) AS sum_pr""".stripMargin
+    }.mkString("\n      UNION ALL\n")
+    s"""WITH $ShingleSqlCte,
+       |hb AS (SELECT doc_id,
+       |              ('0x' || substr(md5(s), 1, 12))::BIGINT % $LshP AS hm
+       |       FROM sh),
+       |sg AS (SELECT doc_id, i,
+       |              min(((((i + 1) * $LshAMul) % $LshP) * hm
+       |                   + ((i + 1) * $LshBMul + 17) % $LshP) % $LshP) AS v
+       |       FROM hb CROSS JOIN range($NumHashes) t(i)
+       |       GROUP BY 1, 2),
+       |tr AS (SELECT doc_a, doc_b, jac FROM ($NearPairSql)),
+       |$cfg,
+       |tot AS (SELECT (SELECT count(*) FROM tr) AS n_truth,
+       |               (SELECT (count(*) * (count(*) - 1)) // 2
+       |                FROM sg WHERE i = 0) AS n_space),
+       |s AS ($branches)
+       |SELECT strategy, bands, rows_per_band, n_candidates, n_true, n_truth,
+       |       CASE WHEN n_truth > 0
+       |            THEN CAST(n_true AS DOUBLE) / CAST(n_truth AS DOUBLE)
+       |       END AS completeness,
+       |       CASE WHEN n_truth > 0
+       |            THEN CAST(sum_pr AS DOUBLE) / CAST(n_truth AS DOUBLE)
+       |       END AS expected_completeness,
+       |       CASE WHEN n_space > 0
+       |            THEN CAST(n_space - n_candidates AS DOUBLE) / CAST(n_space AS DOUBLE)
+       |       END AS reduction_ratio
+       |FROM s CROSS JOIN tot""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lsh_curve" -> (qLshCurve _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
     "q_sorted_neighborhood_mp" -> (qSortedNeighborhoodMp _),
     "q_blocking_quality" -> (qBlockingQuality _),
@@ -1658,6 +1828,7 @@ object Dedup {
     "q_simhash_pairs" -> (qSimhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_lsh_curve" -> qLshCurveSql,
     "q_sorted_neighborhood" -> qSortedNeighborhoodSql,
     "q_sorted_neighborhood_mp" -> qSortedNeighborhoodMpSql,
     "q_blocking_quality" -> qBlockingQualitySql,

@@ -194,6 +194,40 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("lsh S-curve audit: exact dups collide in every config, ratios coherent") {
+    import spark.implicits._
+    // pigeonhole theorem under test: identical shingle sets → identical
+    // portable signatures → every band key equal → the pair surfaces in
+    // EVERY (b, r) config, no matter how strict
+    val planted = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("a b c", "b c d", "c d e")),
+      (3L, Seq("x y z", "y z w", "z w v"))).toDF("doc_id", "sh")
+    val sig = Dedup.lshSigFromShingles(planted)
+    Dedup.LshCfgs.foreach { case (b, r) =>
+      val pairs = Dedup.lshBandPairs(sig, b, r)
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"exact dup missed at b=$b r=$r")
+      assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+        s"disjoint shingle sets collided at b=$b r=$r: $pairs")
+    }
+    val rows = Dedup.qLshCurve(spark, sfDir)
+      .as[(String, Int, Int, Long, Long, Long,
+           Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => (r._2, r._3) -> r).toMap
+    assert(rows.keySet == Dedup.LshCfgs.toSet)
+    rows.values.foreach { r =>
+      assert(r._5 <= r._4 && r._5 <= r._6) // n_true ≤ candidates, ≤ truth
+      assert(r._7.contains(r._5.toDouble / r._6))
+      assert(r._8.forall(e => e >= 0 && e <= 1))
+      assert(r._9.forall(x => x >= 0 && x <= 1))
+    }
+    // the S-curve steepens with rows-per-band: along the fixed-budget
+    // grid the predicted recall over the same truth set never rises
+    val byR = Dedup.LshCfgs.sortBy(_._2).map(c => rows(c)._8.get)
+    assert(byR == byR.sorted.reverse, s"expected non-increasing in r: $byR")
+  }
+
   test("k-core pruning equals a driver-side peel and is a fixpoint at round 4") {
     import spark.implicits._
     val pairs = Dedup.qDedupNear(spark, sfDir)
