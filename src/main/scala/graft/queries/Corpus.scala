@@ -621,7 +621,196 @@ object Corpus {
        |       CAST(sum(az) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS delta
        |FROM pr GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------------
+  // SKYLINE (Pareto frontier) — the multi-criteria document selection
+  // primitive (Börzsönyi/Kossmann/Stocker, ICDE'01): keep exactly the
+  // documents no other document dominates. Criteria here are the
+  // vocabulary-efficiency tradeoff a curation team actually browses:
+  // MAXIMIZE distinct-token count, MINIMIZE total token count ("the most
+  // vocabulary for the fewest tokens") — anti-correlated, so the
+  // frontier is non-trivial. Both dimensions are exact integers, so
+  // dominance never touches a float boundary.
+  //
+  // Scale shape (the reason this isn't the textbook quadratic
+  // NOT-EXISTS): skyline membership factors through the per-length
+  // champion — a doc dominated by its own length class's max-distinct
+  // doc is out immediately, so stage 1 is ONE map-side-combined hash
+  // aggregation to a frame whose cardinality is bounded by the number
+  // of DISTINCT document lengths (≤ max tokens per doc, ~10³ — corpus-
+  // size-independent). Stage 2's prefix-max window runs over that
+  // bounded frame only, and stage 3 joins the surviving (length,
+  // champion) pairs back broadcast-style. The oracle runs the quadratic
+  // NOT EXISTS definition, so the decomposition itself is verified.
+  def qSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables.documents(spark, sfDir).select($"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tokens"),
+      size(array_distinct(split($"text", " "))).cast("long").as("n_distinct"))
+    // stage 1: per-length champion (max distinct count at each length)
+    val g = m.groupBy($"n_tokens").agg(max($"n_distinct").as("dt_max"))
+    // stage 2: champion survives iff strictly richer than every champion
+    // of a strictly shorter length (bounded frame — see header)
+    val w = Window.orderBy($"n_tokens")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = g
+      .select($"n_tokens", $"dt_max",
+        max($"dt_max").over(w).as("best_shorter"))
+      .where($"best_shorter".isNull || $"dt_max" > $"best_shorter")
+      .select($"n_tokens", $"dt_max".as("n_distinct"))
+    // stage 3: all docs sitting exactly on a surviving frontier point
+    // (coordinate ties are mutually non-dominating, so all are kept)
+    m.join(broadcast(frontier), Seq("n_tokens", "n_distinct"))
+      .select($"doc_id", $"n_tokens", $"n_distinct")
+  }
+
+  val qSkylineSql: String =
+    """WITH m AS (SELECT doc_id,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      |           FROM documents)
+      |SELECT doc_id, n_tokens, n_distinct FROM m a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM m b
+      |  WHERE b.n_tokens <= a.n_tokens AND b.n_distinct >= a.n_distinct
+      |    AND (b.n_tokens < a.n_tokens OR b.n_distinct > a.n_distinct))""".stripMargin
+
+  // --------------------------------------------------------------------
+  // DBSCAN (Ester/Kriegel/Sander/Xu, KDD'96) over the 2-D quality-
+  // feature space (avg token length × type-token ratio) — density-based
+  // curation: the dense regions are "normal prose" clusters, the sparse
+  // tail is exactly the quality-outlier set a reviewer triages. (The
+  // synthetic embedding table is near-uniform in every axis — no density
+  // structure to find — so the geometric operator runs where the data
+  // HAS geometry; the embedding-space outlier face is q_embed_outliers.)
+  //
+  // Semantics: |N_eps(p)| counts p itself; core ⇔ count ≥ minPts;
+  // clusters = connected components of the core-core eps-graph (labeled
+  // by component-minimum doc_id via the alternating-star CC operator);
+  // border = non-core within eps of ≥1 core, attached to its MINIMUM
+  // core-neighbor cluster (deterministic, unlike the textbook's
+  // first-come assignment); the rest is noise (cluster −1).
+  //
+  // Scale shape: candidate pairs come from a grid blocked at cell side
+  // eps — each point probes its 3×3 neighborhood, every true eps-pair is
+  // guaranteed inside (cell side = eps), and occupancy per cell is
+  // bounded by the data's density, not corpus size. The eps-graph is
+  // therefore an equi-join on cell keys, degree is one hash aggregation,
+  // and the CC rounds are the O(log²) star operator. Both engines
+  // evaluate the identical fixed-association distance expression
+  // (dx·dx + dy·dy ≤ eps·eps on exact-integer-derived doubles), and the
+  // oracle generates pairs BRUTE-FORCE, so the grid's completeness is
+  // itself verified, not assumed.
+  private val DbEps = 0.03
+  private val DbMinPts = 5
+
+  /** (doc_id, x = avg token length, y = type-token ratio) — both exact
+    * integer ratios evaluated as one IEEE division per coordinate. */
+  private def dbscanFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id",
+        aggregate(transform($"toks", t => length(t)), lit(0L), (a, x) => a + x)
+          .as("tot"),
+        size($"toks").cast("long").as("nt"),
+        size(array_distinct($"toks")).cast("long").as("dt"))
+      .select($"doc_id",
+        ($"tot".cast("double") / $"nt".cast("double")).as("x"),
+        ($"dt".cast("double") / $"nt".cast("double")).as("y"))
+  }
+
+  def qDbscan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val eps2 = lit(DbEps) * lit(DbEps)
+    val pts = dbscanFeatures(spark, sfDir)
+      .select($"doc_id", $"x", $"y",
+        floor($"x" / DbEps).as("cx"), floor($"y" / DbEps).as("cy"))
+      .localCheckpoint() // feeds probe side, home side, and the final attach
+    // directed eps-graph: each point probes the 3×3 cells around its own;
+    // the partner's HOME cell is unique, so each directed pair surfaces
+    // exactly once — no distinct() needed
+    val probe = pts
+      .select($"doc_id".as("ida"), $"x".as("xa"), $"y".as("ya"),
+        explode(sequence(lit(-1), lit(1))).as("ox"), $"cx", $"cy")
+      .select($"ida", $"xa", $"ya",
+        explode(sequence(lit(-1), lit(1))).as("oy"), $"ox", $"cx", $"cy")
+      .select($"ida", $"xa", $"ya",
+        ($"cx" + $"ox").as("kx"), ($"cy" + $"oy").as("ky"))
+    val home = pts.select($"doc_id".as("idb"), $"x".as("xb"), $"y".as("yb"),
+      $"cx".as("kx"), $"cy".as("ky"))
+    val nbr = probe.join(home, Seq("kx", "ky"))
+      .where($"ida" =!= $"idb" &&
+        (($"xa" - $"xb") * ($"xa" - $"xb") +
+          ($"ya" - $"yb") * ($"ya" - $"yb")) <= eps2)
+      .select($"ida", $"idb")
+      .localCheckpoint() // feeds degree, core-core edges, and border attach
+    val deg = nbr.groupBy($"ida").agg(count(lit(1)).as("nn"))
+    val core = deg.where($"nn" + lit(1L) >= DbMinPts).select($"ida".as("doc_id"))
+      .localCheckpoint()
+    val coreEdges = nbr
+      .join(core.select($"doc_id".as("ida")), Seq("ida"))
+      .join(core.select($"doc_id".as("idb")), Seq("idb"))
+      .select($"ida", $"idb")
+    // component-minimum labels; isolated cores (no core neighbor) are
+    // their own singleton cluster — coalesce to the node id below
+    val labels = graft.operators.ConnectedComponents.starLabels(coreEdges)
+      .toDF("doc_id", "lbl")
+    val coreLab = core.join(labels, Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster"))
+    val borderLab = nbr
+      .join(coreLab.select($"doc_id".as("idb"), $"cluster"), Seq("idb"))
+      .join(coreLab.select($"doc_id".as("ida")), Seq("ida"), "left_anti")
+      .groupBy($"ida").agg(min($"cluster").as("cluster"))
+      .select($"ida".as("doc_id"), $"cluster")
+    pts.select($"doc_id")
+      .join(coreLab.withColumnRenamed("cluster", "c_core"), Seq("doc_id"), "left_outer")
+      .join(borderLab.withColumnRenamed("cluster", "c_border"), Seq("doc_id"), "left_outer")
+      .join(deg.withColumnRenamed("ida", "doc_id"), Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        when($"c_core".isNotNull, "core")
+          .when($"c_border".isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce($"c_core", $"c_border", lit(-1L)).as("cluster"),
+        (coalesce($"nn", lit(0L)) + lit(1L)).as("n_in_eps"))
+  }
+
+  val qDbscanSql: String =
+    s"""WITH RECURSIVE
+       |f AS (SELECT doc_id,
+       |             CAST(CAST(list_sum(list_transform(string_split(text, ' '),
+       |                                               t -> len(t))) AS BIGINT)
+       |                  AS DOUBLE)
+       |               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x,
+       |             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS y
+       |      FROM documents),
+       |nb AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+       |       FROM f a JOIN f b ON a.doc_id <> b.doc_id
+       |        AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |              <= $DbEps * $DbEps),
+       |deg AS (SELECT ida AS doc_id, count(*) AS nn FROM nb GROUP BY 1),
+       |core AS (SELECT doc_id FROM deg WHERE nn + 1 >= $DbMinPts),
+       |e AS (SELECT ida AS v, idb AS w FROM nb
+       |      WHERE ida IN (SELECT doc_id FROM core)
+       |        AND idb IN (SELECT doc_id FROM core)),
+       |r AS (SELECT doc_id AS v, doc_id AS w FROM core
+       |      UNION SELECT e.v, r.w FROM e JOIN r ON e.w = r.v),
+       |lab AS (SELECT v AS doc_id, min(w) AS cluster FROM r GROUP BY 1),
+       |bl AS (SELECT nb.ida AS doc_id, min(lab.cluster) AS cluster
+       |       FROM nb JOIN lab ON nb.idb = lab.doc_id
+       |       WHERE nb.ida NOT IN (SELECT doc_id FROM core) GROUP BY 1)
+       |SELECT f.doc_id,
+       |       CASE WHEN lab.cluster IS NOT NULL THEN 'core'
+       |            WHEN bl.cluster IS NOT NULL THEN 'border'
+       |            ELSE 'noise' END AS role,
+       |       COALESCE(lab.cluster, bl.cluster, -1) AS cluster,
+       |       CAST(COALESCE(deg.nn, 0) + 1 AS BIGINT) AS n_in_eps
+       |FROM f LEFT JOIN lab USING (doc_id) LEFT JOIN bl USING (doc_id)
+       |       LEFT JOIN deg USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> (qSkyline _),
+    "q_dbscan" -> (qDbscan _),
     "q_burrows_delta" -> (qBurrowsDelta _),
     "q_source_cosine" -> (qSourceCosine _),
     "q_profile_drift" -> (qProfileDrift _),
@@ -632,6 +821,8 @@ object Corpus {
     "q_token_entropy" -> (qTokenEntropy _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_skyline" -> qSkylineSql,
+    "q_dbscan" -> qDbscanSql,
     "q_burrows_delta" -> qBurrowsDeltaSql,
     "q_source_cosine" -> qSourceCosineSql,
     "q_profile_drift" -> qProfileDriftSql,

@@ -439,7 +439,68 @@ object Curation {
        |FROM sc GROUP BY 1""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // Dedup saturation curve: the cumulative duplicate rate as the corpus
+  // grows in ingest order — the plot every data team draws before
+  // deciding whether crawling MORE of a source still buys novel data
+  // (duplicate probability rises with corpus size, so the marginal value
+  // of a crawl decays; cf. the dedup sections of the Gopher and
+  // RefinedWeb dataset reports). A document counts as a duplicate-on-
+  // arrival when it near-matches any EARLIER document — exactly the
+  // doc_b side of the verified LSH pair table, whose generator orients
+  // doc_a < doc_b. Ingest order is bucketed into 20 equal doc_id ranges
+  // by pure arithmetic against one broadcast scalar (no global sort, no
+  // ntile over the corpus), the per-bucket rollup is one map-side-
+  // combined hash aggregation, and the cumulative window runs over the
+  // 20-row bucket frame — at 100 TB the only corpus-scale work is the
+  // already-staged pair table and one scan.
+  def qDedupSaturation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dups = Dedup.nearDupPairs(spark, sfDir)
+      .select($"doc_b".as("doc_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    val docs = Tables.documents(spark, sfDir).select($"doc_id")
+    val mx = docs.agg(max($"doc_id").as("mx"))
+    val perBucket = docs
+      .join(broadcast(dups), Seq("doc_id"), "left_outer")
+      .crossJoin(broadcast(mx))
+      .select(expr("doc_id div (mx div 20 + 1)").as("bucket"),
+        coalesce($"is_dup", lit(0L)).as("d"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"d").as("n_dups"))
+    // bucket-table-sized frame (≤ 20 rows): the unpartitioned cumulative
+    // window is deliberate and bounded, like every rollup in this file
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perBucket
+      .select($"bucket", $"n_docs", $"n_dups",
+        sum($"n_docs").over(w).as("cum_docs"),
+        sum($"n_dups").over(w).as("cum_dups"))
+      .select($"bucket", $"n_docs", $"n_dups", $"cum_docs", $"cum_dups",
+        ($"cum_dups".cast("double") / $"cum_docs".cast("double"))
+          .as("cum_dup_rate"))
+  }
+
+  val qDedupSaturationSql: String =
+    s"""WITH dup AS (SELECT DISTINCT doc_b AS doc_id
+       |             FROM (${Dedup.qDedupNearSql})),
+       |mx AS (SELECT max(doc_id) AS mx FROM documents),
+       |g AS (SELECT doc_id // (mx // 20 + 1) AS bucket,
+       |             count(*) AS n_docs,
+       |             CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dup)
+       |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+       |      FROM documents CROSS JOIN mx GROUP BY 1)
+       |SELECT bucket, n_docs, n_dups,
+       |       CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
+       |       CAST(sum(n_dups) OVER (ORDER BY bucket) AS BIGINT) AS cum_dups,
+       |       CAST(sum(n_dups) OVER (ORDER BY bucket) AS DOUBLE)
+       |         / CAST(sum(n_docs) OVER (ORDER BY bucket) AS DOUBLE)
+       |         AS cum_dup_rate
+       |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_saturation" -> (qDedupSaturation _),
     "q_curate" -> (qCurate _),
     "q_curate_strict" -> (qCurateStrict _),
     "q_classifier_filter" -> (qClassifierFilter _),
@@ -449,6 +510,7 @@ object Curation {
     "q_source_pruned" -> (qSourcePruned _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_saturation" -> qDedupSaturationSql,
     "q_curate" -> qCurateSql,
     "q_curate_strict" -> qCurateStrictSql,
     "q_classifier_filter" -> qClassifierFilterSql,

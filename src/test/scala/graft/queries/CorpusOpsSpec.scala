@@ -228,6 +228,89 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(byR == byR.sorted.reverse, s"expected non-increasing in r: $byR")
   }
 
+  test("skyline equals the brute-force quadratic Pareto set") {
+    import spark.implicits._
+    val m = docRows.map { case (id, _, text) =>
+      val toks = text.split(' ')
+      (id, toks.length.toLong, toks.distinct.length.toLong)
+    }
+    val expected = m.filter { case (_, nt, dt) =>
+      !m.exists { case (_, nt2, dt2) =>
+        nt2 <= nt && dt2 >= dt && (nt2 < nt || dt2 > dt)
+      }
+    }.map(_._1).toSet
+    assert(expected.nonEmpty)
+    val got = Corpus.qSkyline(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == expected)
+    // frontier is a strict staircase: sorted by length, distinct counts
+    // strictly increase (coordinate ties collapse to the same point)
+    val stairs = got.map(r => (r._2, r._3)).distinct.sortBy(_._1)
+    assert(stairs.sliding(2).forall {
+      case Array((n1, d1), (n2, d2)) => n1 < n2 && d1 < d2
+      case _ => true
+    })
+  }
+
+  test("dbscan equals a driver-side brute-force DBSCAN (grid completeness included)") {
+    import spark.implicits._
+    val eps = 0.03
+    val minPts = 5
+    val pts = docRows.map { case (id, _, text) =>
+      val toks = text.split(' ')
+      val nt = toks.length.toLong
+      (id, toks.map(_.length.toLong).sum.toDouble / nt.toDouble,
+        toks.distinct.length.toLong.toDouble / nt.toDouble)
+    }
+    def close(a: (Long, Double, Double), b: (Long, Double, Double)) =
+      a._1 != b._1 &&
+        (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3) <= eps * eps
+    val nbrs = pts.map(p => p._1 -> pts.filter(q => close(p, q)).map(_._1).toSet).toMap
+    val cores = pts.map(_._1).filter(id => nbrs(id).size + 1 >= minPts).toSet
+    // BFS connected components over core-core edges, labeled by min id
+    var cluster = Map.empty[Long, Long]
+    for (c <- cores.toSeq.sorted if !cluster.contains(c)) {
+      var frontier = Set(c); var comp = Set(c)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(v => nbrs(v).filter(cores)) -- comp
+        comp ++= frontier
+      }
+      val lbl = comp.min
+      comp.foreach(v => cluster += v -> lbl)
+    }
+    val expected = pts.map { p =>
+      val id = p._1
+      if (cores(id)) (id, "core", cluster(id), nbrs(id).size + 1L)
+      else {
+        val coreNb = nbrs(id).filter(cores)
+        if (coreNb.nonEmpty) (id, "border", coreNb.map(cluster).min, nbrs(id).size + 1L)
+        else (id, "noise", -1L, nbrs(id).size + 1L)
+      }
+    }.toSet
+    val got = Corpus.qDbscan(spark, sfDir)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == expected)
+    // structure is non-trivial at this sf: at least one of each role
+    assert(Set("core", "border", "noise").subsetOf(got.map(_._2)))
+  }
+
+  test("dedup saturation curve: cumulative columns are consistent and monotone") {
+    import spark.implicits._
+    val rows = Curation.qDedupSaturation(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    val nDocs = graft.core.Tables.documents(spark, sfDir).count()
+    val nDups = Dedup.nearDupPairs(spark, sfDir)
+      .select($"doc_b").distinct().count()
+    assert(rows.map(_._2).sum == nDocs)
+    assert(rows.map(_._3).sum == nDups)
+    assert(rows.last._4 == nDocs && rows.last._5 == nDups)
+    // cum columns are prefix sums of the per-bucket columns
+    assert(rows.scanLeft(0L)(_ + _._2).tail.sameElements(rows.map(_._4)))
+    assert(rows.scanLeft(0L)(_ + _._3).tail.sameElements(rows.map(_._5)))
+    rows.foreach(r => assert(r._6 >= 0.0 && r._6 <= 1.0 &&
+      r._6 == r._5.toDouble / r._4.toDouble))
+  }
+
   test("k-core pruning equals a driver-side peel and is a fixpoint at round 4") {
     import spark.implicits._
     val pairs = Dedup.qDedupNear(spark, sfDir)
