@@ -1055,6 +1055,91 @@ object AHash60 {
   }
 }
 
+/** Engine-PORTABLE minhash signature — the md5-based affine family the
+  * LSH S-curve audit shares with its external oracle (Dedup.qLshCurve):
+  * per element, base = first 12 hex chars of md5 mod p (p = 2³¹−1),
+  * then sig[j] = min over elements of ((j+1)·AMul % p)·base +
+  * ((j+1)·BMul + 17) % p, all mod p. Unlike [[MinHashSig]] (xxhash64,
+  * engine-private, the production signature), every step here is
+  * reproducible from any engine's `md5()` — the point of the audit is
+  * that a second engine can recompute the exact candidate sets. As a
+  * nested HOF this is ~100× interpreted-lambda cost (measured 3.5 s
+  * warm at sf0.1 for the S-curve's signature build); the kernel fuses
+  * md5 + rehash + minima into one codegen'd call per row. */
+case class PortableMinhash(child: Expression, numHashes: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if numHashes < 1 || numHashes > MinHashSig.MaxHashes =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName numHashes must be in [1, ${MinHashSig.MaxHashes}], got $numHashes")
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+  // containsNull mirrors the HOF formulation it replaces: an empty
+  // input yields all-null slots (array_min over an empty array), not
+  // Long.MaxValue sentinels that would band-join as real keys
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "portable_minhash"
+  override def foldable: Boolean = child.foldable
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableMinhash.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableMinhash.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableMinhash =
+    copy(child = newChild)
+}
+
+object PortableMinhash {
+  /** 2³¹ − 1 (Mersenne prime) — the modulus of the affine family. */
+  val P = 2147483647L
+  /** Knuth's 2654435761 mod P. */
+  val AMul = 506952114L
+  val BMul = 40503L
+  val Shift = 17L
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = md5Local.get()
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        seen = true
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        // first 12 hex chars = first 6 bytes, big-endian unsigned
+        var h = 0L
+        var b = 0
+        while (b < 6) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        val hm = h % P
+        var j = 0
+        while (j < k) {
+          val a = ((j + 1) * AMul) % P
+          val c = ((j + 1) * BMul + Shift) % P
+          val v = (a * hm + c) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    // no hashable element → all-null slots, the HOF array_min semantics
+    if (!seen) return new GenericArrayData(new Array[Any](k))
+    new GenericArrayData(mins.map(Long.box(_): Any))
+  }
+}
+
 /** Column-API entry points for the native expressions. */
 object functions {
   private def col(e: Expression): Column = GraftColumnBridge.column(e)
@@ -1075,6 +1160,7 @@ object functions {
   }
 
   def minhash_sig(c: Column, numHashes: Int): Column = col(MinHashSig(ex(c), numHashes))
+  def portable_minhash(c: Column, numHashes: Int): Column = col(PortableMinhash(ex(c), numHashes))
   def word_shingles(c: Column, n: Int): Column = col(WordShingles(ex(c), n))
   def char_ngrams(c: Column, n: Int): Column = col(CharNgrams(ex(c), n))
   def rolling_hashes(c: Column, k: Int): Column = col(RollingHashes(ex(c), k))

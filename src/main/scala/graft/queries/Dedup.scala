@@ -81,7 +81,7 @@ object Dedup {
   // --------------------------------------------------------------------
   // Near-dup candidate pairs via minhash + banded LSH, verified by exact
   // shingle jaccard ≥ 0.6.
-  private val NumHashes = 96 // 32 bands × 3 rows
+  private[queries] val NumHashes = 96 // 32 bands × 3 rows
   private val NumBands = 32
 
   /** (doc_id, sh) with distinct 3-shingle arrays.
@@ -1653,9 +1653,12 @@ object Dedup {
   // from banded equi-joins only, and every audit aggregate is
   // pair-table-sized; at production scale this runs on a sample, like
   // every design-time audit in this file.
-  private val LshP = 2147483647L // 2³¹ − 1 (Mersenne prime)
-  private val LshAMul = 506952114L // Knuth 2654435761 mod p
-  private val LshBMul = 40503L
+  // single source of truth for the affine family lives with the kernel
+  // (functions/expressions.scala PortableMinhash); the SQL interpolations
+  // below and the kernel arithmetic can never drift apart
+  private val LshP = graft.functions.PortableMinhash.P
+  private val LshAMul = graft.functions.PortableMinhash.AMul
+  private val LshBMul = graft.functions.PortableMinhash.BMul
   private[queries] val LshCfgs = Seq((32, 3), (24, 4), (16, 6), (12, 8))
 
   /** Fixed-association binary-powering product: both engines evaluate a
@@ -1680,19 +1683,14 @@ object Dedup {
 
   /** Signature builder over any (doc_id, sh: array<string>) frame —
     * factored out so the spec pins the collide-on-equal-signature
-    * guarantee over planted duplicates. */
+    * guarantee over planted duplicates. One fused codegen'd kernel call
+    * per row (md5 + 96 affine minima); the nested-HOF formulation it
+    * replaces paid interpreted-lambda cost per (element × slot) —
+    * 3.5 s warm at sf0.1 for this build alone. */
   private[queries] def lshSigFromShingles(shFrame: DataFrame): DataFrame = {
     import shFrame.sparkSession.implicits._
-    val hs = shFrame.select($"doc_id",
-      transform($"sh", s =>
-        conv(substring(md5(s.cast("binary")), 1, 12), 16, 10).cast("long") % LshP)
-        .as("hs"))
-    hs.select($"doc_id",
-      transform(sequence(lit(0), lit(NumHashes - 1)), i => {
-        val a = ((i + 1) * lit(LshAMul)) % LshP
-        val b = ((i + 1) * lit(LshBMul) + lit(17L)) % LshP
-        array_min(transform($"hs", h => (a * h + b) % LshP))
-      }).as("sig"))
+    shFrame.select($"doc_id",
+      graft.functions.functions.portable_minhash($"sh", NumHashes).as("sig"))
   }
 
   /** Banded candidate pairs for one (bands, rows) point over the
@@ -1714,40 +1712,74 @@ object Dedup {
 
   def qLshCurve(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // each checkpointed frame feeds every config branch (4 self-join
-    // sides + truth semi-joins) — materialize once, not once per branch
+    // the checkpointed frames each feed two consumers (sig: banding +
+    // n_space; truth: hit-join + S-curve sums) — materialize once
     val sig = lshPortableSig(spark, sfDir).localCheckpoint()
     val truth = nearDupPairs(spark, sfDir)
       .select($"doc_a", $"doc_b", $"jac").localCheckpoint()
-    val totals = truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(broadcast(sig.agg(count(lit(1)).as("nd"))
-        .select(expr("(nd * (nd - 1)) div 2").as("n_space"))))
-    val rows = LshCfgs.map { case (b, r) =>
-      val cand = lshBandPairs(sig, b, r).localCheckpoint()
-      val miss = lit(1.0) - powChain($"jac", r)
-      val expect = truth
-        .select((lit(1.0) - powChain(miss, b)).as("p0"))
-        .select(expr("cast(round(p0, 9) as decimal(12,9))").as("pr"))
-        .agg(sum($"pr").as("sum_pr"))
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(broadcast(cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-          .agg(count(lit(1)).as("n_true"))))
-        .crossJoin(broadcast(expect))
-        .select(lit(s"b${b}_r$r").as("strategy"), lit(b).as("bands"),
-          lit(r).as("rows_per_band"), $"n_candidates", $"n_true", $"sum_pr")
+    // ALL four configs band in one exploded frame, so candidate
+    // generation is ONE self-join on (strategy, band, key) and the
+    // measurement is ONE hash aggregation — the per-config-branch
+    // formulation this replaces paid 4 × (join + distinct + 2 aggs +
+    // checkpoint) in scheduler rounds (~3 s warm at sf0.1 for a
+    // pair-table-sized result)
+    val bandArrays = LshCfgs.map { case (b, r) =>
+      transform(sequence(lit(0), lit(b - 1)), j =>
+        struct(lit(s"b${b}_r$r").as("strategy"), j.as("band"),
+          md5(concat_ws(",",
+            transform(slice($"sig", j * r + 1, lit(r)), v => v.cast("string")))
+            .cast("binary")).as("bk")))
     }
-    rows.reduce(_.unionByName(_))
+    val banded = sig
+      .select($"doc_id", explode(concat(bandArrays: _*)).as("k"))
+      .select($"doc_id", $"k.strategy".as("strategy"),
+        $"k.band".as("band"), $"k.bk".as("bk"))
+    val cand = banded.as("x").join(banded.as("y"),
+        $"x.strategy" === $"y.strategy" && $"x.band" === $"y.band" &&
+          $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.strategy".as("strategy"),
+        $"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    val measured = cand
+      .join(broadcast(truth.select($"doc_a", $"doc_b", lit(1L).as("hit"))),
+        Seq("doc_a", "doc_b"), "left_outer")
+      .groupBy($"strategy")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce($"hit", lit(0L))).as("n_true"))
+    // theoretical S-curve sums for all configs + n_truth: ONE pass over
+    // the pair-table-sized truth frame, unpivoted to per-strategy rows
+    val expAggs = LshCfgs.map { case (b, r) =>
+      val p0 = lit(1.0) - powChain(lit(1.0) - powChain($"jac", r), b)
+      sum(round(p0, 9).cast("decimal(12,9)")).as(s"e_b${b}_r$r")
+    } :+ count(lit(1)).as("n_truth")
+    val expWide = truth.agg(expAggs.head, expAggs.tail: _*)
+    val expected = expWide.select($"n_truth", expr(
+      s"stack(${LshCfgs.size}, " + LshCfgs.map { case (b, r) =>
+        s"'b${b}_r$r', e_b${b}_r$r" }.mkString(", ") +
+        ") as (strategy, sum_pr)"))
+    val spine = LshCfgs
+      .map { case (b, r) => (s"b${b}_r$r", b, r) }
+      .toDF("strategy", "bands", "rows_per_band")
+    val totals = sig.agg(count(lit(1)).as("nd"))
+      .select(expr("(nd * (nd - 1)) div 2").as("n_space"))
+    // spine is the outer side: a config whose banding yields ZERO
+    // candidate pairs must still report its row (n_candidates = 0)
+    spine
+      .join(measured, Seq("strategy"), "left_outer")
+      .join(broadcast(expected), Seq("strategy"))
       .crossJoin(broadcast(totals))
       .select($"strategy", $"bands", $"rows_per_band",
-        $"n_candidates", $"n_true", $"n_truth",
+        coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+        coalesce($"n_true", lit(0L)).as("n_true"), $"n_truth",
         when($"n_truth" > 0,
-          $"n_true".cast("double") / $"n_truth".cast("double"))
+          coalesce($"n_true", lit(0L)).cast("double") / $"n_truth".cast("double"))
           .as("completeness"),
         when($"n_truth" > 0,
           $"sum_pr".cast("double") / $"n_truth".cast("double"))
           .as("expected_completeness"),
         when($"n_space" > 0,
-          ($"n_space" - $"n_candidates").cast("double") / $"n_space".cast("double"))
+          ($"n_space" - coalesce($"n_candidates", lit(0L))).cast("double")
+            / $"n_space".cast("double"))
           .as("reduction_ratio"))
   }
 

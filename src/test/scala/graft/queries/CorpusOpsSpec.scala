@@ -204,6 +204,27 @@ class CorpusOpsSpec extends SparkTestBase {
       (2L, Seq("a b c", "b c d", "c d e")),
       (3L, Seq("x y z", "y z w", "z w v"))).toDF("doc_id", "sh")
     val sig = Dedup.lshSigFromShingles(planted)
+    // kernel parity: the fused portable_minhash equals a driver-side
+    // recompute of the documented md5-affine family
+    locally {
+      val p = graft.functions.PortableMinhash.P
+      val aM = graft.functions.PortableMinhash.AMul
+      val bM = graft.functions.PortableMinhash.BMul
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def base(s: String): Long = {
+        val d = md.digest(s.getBytes("UTF-8"))
+        (0 until 6).foldLeft(0L)((h, b) => (h << 8) | (d(b) & 0xffL)) % p
+      }
+      val expected = planted.collect().map { row =>
+        val hs = row.getSeq[String](1).map(base)
+        row.getLong(0) -> (0 until Dedup.NumHashes).map { j =>
+          hs.map(h => (((j + 1) * aM % p) * h + ((j + 1) * bM + 17) % p) % p).min
+        }
+      }.toMap
+      sig.collect().foreach { row =>
+        assert(row.getSeq[Long](1) == expected(row.getLong(0)))
+      }
+    }
     Dedup.LshCfgs.foreach { case (b, r) =>
       val pairs = Dedup.lshBandPairs(sig, b, r)
         .as[(Long, Long)].collect().toSet
