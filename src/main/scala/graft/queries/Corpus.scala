@@ -704,18 +704,23 @@ object Corpus {
   private val DbMinPts = 5
 
   /** (doc_id, x = avg token length, y = type-token ratio) — both exact
-    * integer ratios evaluated as one IEEE division per coordinate. */
+    * integer ratios evaluated as one IEEE division per coordinate.
+    * Total token chars uses the split identity Σ len(tok) =
+    * len(text) − (n_tokens − 1) — splitting on one char turns every
+    * separator into exactly one boundary, empty tokens included — so
+    * the sum costs two codegen'd scalar ops instead of an interpreted
+    * per-token lambda (the oracle computes the HOF form; the identity
+    * makes them equal on every string). */
   private def dbscanFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
-      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"text", split($"text", " ").as("toks"))
       .select($"doc_id",
-        aggregate(transform($"toks", t => length(t)), lit(0L), (a, x) => a + x)
-          .as("tot"),
+        length($"text").cast("long").as("len"),
         size($"toks").cast("long").as("nt"),
         size(array_distinct($"toks")).cast("long").as("dt"))
       .select($"doc_id",
-        ($"tot".cast("double") / $"nt".cast("double")).as("x"),
+        (($"len" - $"nt" + 1L).cast("double") / $"nt".cast("double")).as("x"),
         ($"dt".cast("double") / $"nt".cast("double")).as("y"))
   }
 
@@ -746,17 +751,60 @@ object Corpus {
       .localCheckpoint() // feeds degree, core-core edges, and border attach
     val deg = nbr.groupBy($"ida").agg(count(lit(1)).as("nn"))
     val core = deg.where($"nn" + lit(1L) >= DbMinPts).select($"ida".as("doc_id"))
-      .localCheckpoint()
-    val coreEdges = nbr
-      .join(core.select($"doc_id".as("ida")), Seq("ida"))
-      .join(core.select($"doc_id".as("idb")), Seq("idb"))
-      .select($"ida", $"idb")
-    // component-minimum labels; isolated cores (no core neighbor) are
-    // their own singleton cluster — coalesce to the node id below
-    val labels = graft.operators.ConnectedComponents.starLabels(coreEdges)
-      .toDF("doc_id", "lbl")
-    val coreLab = core.join(labels, Seq("doc_id"), "left_outer")
-      .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster"))
+    // cluster labels via CELL CONTRACTION (the MR-DBSCAN merge step,
+    // He et al. '11): cores sharing a FINE cell of side eps/2 are
+    // mutually within eps·√2/2 < eps by construction (the float compare
+    // can never disagree at that margin), so each fine cell contracts to
+    // one node — its minimum core doc_id — and connected components run
+    // over the cell-adjacency graph, whose edge count is bounded by
+    // occupied-cell adjacency, NOT by point density. A dense blob makes
+    // the point-graph quadratic in density (238k core-core edges at
+    // sf0.1 — measured 4.9 s warm mostly in CC rounds); the contracted
+    // graph stays a few thousand edges at any corpus size. Component
+    // minima are preserved exactly: min over cell representatives =
+    // min over member cores.
+    val c2 = DbEps / 2.0
+    val coreCells = core.join(pts, Seq("doc_id"))
+      .select($"doc_id", floor($"x" / c2).as("c2x"), floor($"y" / c2).as("c2y"))
+    val coreRep = coreCells
+      .join(coreCells.groupBy($"c2x", $"c2y").agg(min($"doc_id").as("rep")),
+        Seq("c2x", "c2y"))
+      .select($"doc_id", $"rep")
+      .localCheckpoint() // feeds the two edge-endpoint joins + the label attach
+    // coreRep is corpus-sized (cores ≈ corpus in a dense space) — these
+    // joins shuffle on the id; only the CELL-sized label frame broadcasts
+    val cellEdges = nbr
+      .join(coreRep.select($"doc_id".as("ida"), $"rep".as("repa")), Seq("ida"))
+      .join(coreRep.select($"doc_id".as("idb"), $"rep".as("repb")), Seq("idb"))
+      .where($"repa" =!= $"repb")
+      .select($"repa", $"repb").distinct()
+    // component-minimum labels by DRIVER-SIDE union-find: the contracted
+    // graph is geometry-bounded — occupied cells ≤ (feature extent /
+    // (eps/2))², independent of corpus size — so it is a threshold-sized
+    // frame by this repo's collect discipline (1.6k nodes / 18k edges at
+    // sf0.1, and the SAME at sf100k because density saturates the grid,
+    // not the node count). The alternating-star operator stays the right
+    // tool for PAIR-scale graphs (duplicate clusters); here its per-round
+    // scheduler cost (measured 6.6 s) dwarfs a millisecond union-find.
+    val edgeList = cellEdges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(v: Long): Long = {
+      var r = v
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = v
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root union
+    }
+    val labels = edgeList.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => (v, find(v))).toSeq.toDF("rep", "lbl")
+    // a cell with no cross-cell edge is its own cluster — coalesce to
+    // the representative below
+    val coreLab = coreRep.join(broadcast(labels), Seq("rep"), "left_outer")
+      .select($"doc_id", coalesce($"lbl", $"rep").as("cluster"))
     val borderLab = nbr
       .join(coreLab.select($"doc_id".as("idb"), $"cluster"), Seq("idb"))
       .join(coreLab.select($"doc_id".as("ida")), Seq("ida"), "left_anti")
