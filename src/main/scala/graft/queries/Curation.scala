@@ -416,14 +416,18 @@ object Curation {
         ($"s".cast("double") / $"n_docs".cast("double")).as("avg_score"))
   }
 
-  val qClassifierFilterSql: String = {
-    val refList = RefSources.map("'" + _ + "'").mkString(", ")
-    s"""WITH tok AS (SELECT doc_id, source, w FROM (
+  private val RefListSql = RefSources.map("'" + _ + "'").mkString(", ")
+
+  /** Shared NB-score CTE block (tok → counts → weights → per-doc
+    * scores) — the report face and the calibration audit project the
+    * SAME sc frame, so their oracles share one definition. */
+  private val NbScoreCte: String =
+    s"""tok AS (SELECT doc_id, source, w FROM (
        |       SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
        |       FROM documents) WHERE w <> ''),
        |c AS (SELECT w,
-       |             sum(CASE WHEN source IN ($refList) THEN 1 ELSE 0 END) AS cr,
-       |             sum(CASE WHEN source IN ($refList) THEN 0 ELSE 1 END) AS cb
+       |             sum(CASE WHEN source IN ($RefListSql) THEN 1 ELSE 0 END) AS cr,
+       |             sum(CASE WHEN source IN ($RefListSql) THEN 0 ELSE 1 END) AS cb
        |      FROM tok GROUP BY 1),
        |tot AS (SELECT sum(cr) AS tr, sum(cb) AS tb, count(*) AS v FROM c),
        |wt AS (SELECT w, CAST(round(ln(
@@ -432,12 +436,62 @@ object Curation {
        |         AS DECIMAL(12,9)) AS wt
        |       FROM c CROSS JOIN tot),
        |sc AS (SELECT doc_id, source, sum(wt) AS score
-       |       FROM tok JOIN wt USING (w) GROUP BY 1, 2)
+       |       FROM tok JOIN wt USING (w) GROUP BY 1, 2)""".stripMargin
+
+  val qClassifierFilterSql: String =
+    s"""WITH $NbScoreCte
        |SELECT source, count(*) AS n_docs,
        |       CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
        |       CAST(sum(score) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_score
        |FROM sc GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Classifier calibration audit (reliability diagram): bin the NB
+  // log-odds scores into fixed-width bins and compare, per bin, the
+  // EMPIRICAL reference fraction against the MEAN PREDICTED probability
+  // sigmoid(score) — the plot that decides whether a quality
+  // classifier's scores can be thresholded/temperature-sampled as
+  // probabilities or only rank-ordered (Guo et al. '17 on modern-model
+  // calibration). A naive Bayes trained on correlated tokens is
+  // predictably over-confident, and this face makes that measurable.
+  //
+  // Engine parity: bins come from floor(score/2) on the double cast of
+  // the exact-decimal score (identical IEEE division both engines);
+  // sigmoid is ONE fixed-association expression 1/(1+exp(−s)) rounded
+  // to 9-dp decimal per document (the ln-weight rule), summed exactly,
+  // divided once at the end. Scale: the per-doc score frame already
+  // exists (one map-side join + doc-keyed agg); binning adds one
+  // map-only projection and a bin-keyed agg to a readout-sized frame
+  // (bins bounded by the score range, not the corpus).
+  def qNbCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = TextOps.docsWide(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+    classifierScores(docs)
+      .select($"score".cast("double").as("s"),
+        when($"source".isin(RefSources: _*), 1L).otherwise(0L).as("is_ref"))
+      .select(floor($"s" / 2.0).cast("long").as("bin"), $"is_ref",
+        expr("cast(round(1.0 / (1.0 + exp(-s)), 9) as decimal(12,9))").as("p"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"is_ref").as("n_ref"),
+        sum($"p").as("sp"))
+      .select($"bin", $"n_docs", $"n_ref",
+        ($"n_ref".cast("double") / $"n_docs".cast("double")).as("frac_ref"),
+        ($"sp".cast("double") / $"n_docs".cast("double")).as("mean_pred"))
   }
+
+  val qNbCalibrationSql: String =
+    s"""WITH $NbScoreCte,
+       |b AS (SELECT CAST(floor(CAST(score AS DOUBLE) / 2.0) AS BIGINT) AS bin,
+       |             CASE WHEN source IN ($RefListSql) THEN 1 ELSE 0 END AS is_ref,
+       |             CAST(round(1.0 / (1.0 + exp(-CAST(score AS DOUBLE))), 9)
+       |                  AS DECIMAL(12,9)) AS p
+       |      FROM sc)
+       |SELECT bin, count(*) AS n_docs,
+       |       CAST(sum(is_ref) AS BIGINT) AS n_ref,
+       |       CAST(sum(is_ref) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_ref,
+       |       CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_pred
+       |FROM b GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
   // Dedup saturation curve: the cumulative duplicate rate as the corpus
@@ -501,6 +555,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_saturation" -> (qDedupSaturation _),
+    "q_nb_calibration" -> (qNbCalibration _),
     "q_curate" -> (qCurate _),
     "q_curate_strict" -> (qCurateStrict _),
     "q_classifier_filter" -> (qClassifierFilter _),
@@ -511,6 +566,7 @@ object Curation {
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_saturation" -> qDedupSaturationSql,
+    "q_nb_calibration" -> qNbCalibrationSql,
     "q_curate" -> qCurateSql,
     "q_curate_strict" -> qCurateStrictSql,
     "q_classifier_filter" -> qClassifierFilterSql,

