@@ -700,8 +700,8 @@ object Corpus {
   // (dx·dx + dy·dy ≤ eps·eps on exact-integer-derived doubles), and the
   // oracle generates pairs BRUTE-FORCE, so the grid's completeness is
   // itself verified, not assumed.
-  private val DbEps = 0.03
-  private val DbMinPts = 5
+  private[graft] val DbEps = 0.03
+  private[graft] val DbMinPts = 5
 
   /** (doc_id, x = avg token length, y = type-token ratio) — both exact
     * integer ratios evaluated as one IEEE division per coordinate.
@@ -711,23 +711,30 @@ object Corpus {
     * the sum costs two codegen'd scalar ops instead of an interpreted
     * per-token lambda (the oracle computes the HOF form; the identity
     * makes them equal on every string). */
-  private def dbscanFeatures(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select($"doc_id", $"text", split($"text", " ").as("toks"))
-      .select($"doc_id",
-        length($"text").cast("long").as("len"),
-        size($"toks").cast("long").as("nt"),
-        size(array_distinct($"toks")).cast("long").as("dt"))
-      .select($"doc_id",
-        (($"len" - $"nt" + 1L).cast("double") / $"nt".cast("double")).as("x"),
-        ($"dt".cast("double") / $"nt".cast("double")).as("y"))
+  private[graft] def dbscanFeaturesOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // pass-through of every non-consumed column — the streaming gate's
+    // event-time contract (ts must ride the feature rows)
+    val pass = docs.columns.filterNot(Set("doc_id", "text")).toSeq.map(col)
+    docs
+      .select($"doc_id" +: split($"text", " ").as("toks") +:
+        length($"text").cast("long").as("len") +: pass: _*)
+      .select($"doc_id" +: $"len" +:
+        size($"toks").cast("long").as("nt") +:
+        size(array_distinct($"toks")).cast("long").as("dt") +: pass: _*)
+      .select($"doc_id" +:
+        (($"len" - $"nt" + 1L).cast("double") / $"nt".cast("double")).as("x") +:
+        ($"dt".cast("double") / $"nt".cast("double")).as("y") +: pass: _*)
   }
 
-  def qDbscan(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** Shared pipeline up to the labeled-core frame: (pts, nbr, deg,
+    * coreLab) — the report face assembles roles on top; the streaming
+    * attach gate commits coreLab ⋈ pts as its standing index. */
+  private[graft] def dbscanParts(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import docs.sparkSession.implicits._
     val eps2 = lit(DbEps) * lit(DbEps)
-    val pts = dbscanFeatures(spark, sfDir)
+    val pts = dbscanFeaturesOf(docs)
       .select($"doc_id", $"x", $"y",
         floor($"x" / DbEps).as("cx"), floor($"y" / DbEps).as("cy"))
       .localCheckpoint() // feeds probe side, home side, and the final attach
@@ -805,6 +812,22 @@ object Corpus {
     // the representative below
     val coreLab = coreRep.join(broadcast(labels), Seq("rep"), "left_outer")
       .select($"doc_id", coalesce($"lbl", $"rep").as("cluster"))
+    (pts, nbr, deg, coreLab)
+  }
+
+  /** The committed (core point × cluster) table — the standing index the
+    * streaming attach gate probes (EventStream.corpusDbscanIndex). */
+  private[graft] def dbscanCoreIndex(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val (pts, _, _, coreLab) = dbscanParts(docs)
+    coreLab.join(pts, Seq("doc_id"))
+      .select($"doc_id", $"x", $"y", $"cx", $"cy", $"cluster")
+  }
+
+  def qDbscan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (pts, nbr, deg, coreLab) =
+      dbscanParts(Tables.documents(spark, sfDir))
     val borderLab = nbr
       .join(coreLab.select($"doc_id".as("idb"), $"cluster"), Seq("idb"))
       .join(coreLab.select($"doc_id".as("ida")), Seq("ida"), "left_anti")

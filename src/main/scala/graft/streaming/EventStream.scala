@@ -561,6 +561,59 @@ object EventStream {
       .select($"doc_id", $"n_chunks", $"n_known", $"chars_known", $"chars_total")
   }
 
+  /** Static DBSCAN core index — the committed (cell, coordinates,
+    * cluster) table of every CORE point, built by the SAME batch
+    * pipeline as q_dbscan (queries.Corpus.dbscanCoreIndex). Cell keys
+    * are pre-renamed to the probe's join names. Only coordinates and
+    * labels live in it, never text. */
+  final case class CorpusDbscanIndex(df: DataFrame)
+
+  def corpusDbscanIndex(corpus: DataFrame): CorpusDbscanIndex = {
+    import corpus.sparkSession.implicits._
+    CorpusDbscanIndex(graft.queries.Corpus.dbscanCoreIndex(corpus)
+      .select($"cx".as("kx"), $"cy".as("ky"),
+        $"x".as("ix"), $"y".as("iy"), $"cluster"))
+  }
+
+  /** Streaming DBSCAN attach — the online face of q_dbscan: each
+    * arriving document's quality features (computed by the SAME batch
+    * operator, event time riding the pass-through columns) probe the
+    * 3×3 eps-cells around their own cell in the committed core index;
+    * an arrival within eps of ≥1 core attaches to the MINIMUM core
+    * neighbor's cluster (the batch border rule — deterministic), the
+    * rest emit cluster −1 (noise / quality outlier at the door, the
+    * density analog of the drift gate). The probe is 9 rows per
+    * arrival joined to the static index; no streaming state beyond the
+    * windowed per-document rollup. Batch parity: driven over the whole
+    * corpus, every non-noise document re-derives its own batch cluster
+    * (a core is within eps of itself), and every batch-noise document
+    * reads noise (asserted in EventStreamSpec). */
+  def dbscanAttach(docs: Dataset[DocRow], index: CorpusDbscanIndex): DataFrame = {
+    import docs.sparkSession.implicits._
+    val eps = graft.queries.Corpus.DbEps
+    val eps2 = lit(eps) * lit(eps)
+    val probe = graft.queries.Corpus.dbscanFeaturesOf(
+        docs.withWatermark("ts", "2 hours").toDF)
+      .select($"doc_id", $"ts", $"x", $"y",
+        floor($"x" / eps).as("cx"), floor($"y" / eps).as("cy"))
+      .select($"doc_id", $"ts", $"x", $"y",
+        explode(sequence(lit(-1), lit(1))).as("ox"), $"cx", $"cy")
+      .select($"doc_id", $"ts", $"x", $"y",
+        explode(sequence(lit(-1), lit(1))).as("oy"), $"ox", $"cx", $"cy")
+      .select($"doc_id", $"ts", $"x", $"y",
+        ($"cx" + $"ox").as("kx"), ($"cy" + $"oy").as("ky"))
+    probe
+      .join(index.df, Seq("kx", "ky"), "left_outer")
+      .select($"doc_id", $"ts",
+        when((($"x" - $"ix") * ($"x" - $"ix") +
+          ($"y" - $"iy") * ($"y" - $"iy")) <= eps2, $"cluster").as("c"))
+      .groupBy(window($"ts", "1 hour"), $"doc_id")
+      .agg(min($"c").as("cl"),
+        sum(when($"c".isNotNull, 1L).otherwise(0L)).as("n_core_within_eps"))
+      .select($"doc_id", coalesce($"cl", lit(-1L)).as("cluster"),
+        $"n_core_within_eps")
+  }
+
   /** Streaming PERCOLATION — prospective search, the inverse of the
     * batch ranker's direction: the query STANDS (a routing rule, an
     * alert, a seed-set expansion probe) and every ARRIVING document is

@@ -468,6 +468,53 @@ class EventStreamSpec extends SparkTestBase {
       s"got ${rows.mkString(",")}")
   }
 
+  test("streaming dbscan gate re-derives every batch cluster at the door") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+    val index = EventStream.corpusDbscanIndex(corpus)
+    // batch truth: role + cluster per document, and the core set for
+    // the independent core-neighbor count
+    val batch = graft.queries.Corpus.qDbscan(spark, dir)
+      .select($"doc_id", $"role", $"cluster")
+      .as[(Long, String, Long)].collect()
+    val feats = graft.queries.Corpus.dbscanFeaturesOf(corpus)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val eps = graft.queries.Corpus.DbEps
+    val cores = batch.filter(_._2 == "core").map(_._1).toSet
+    def nCoreWithin(id: Long): Long = {
+      val (x, y) = feats(id)
+      cores.count { c =>
+        val (cx, cy) = feats(c)
+        (x - cx) * (x - cx) + (y - cy) * (y - cy) <= eps * eps
+      }.toLong
+    }
+    val expected = batch.map { case (id, role, cluster) =>
+      (id, if (role == "noise") -1L else cluster, nCoreWithin(id))
+    }.toSet
+    assert(expected.exists(_._2 >= 0) && expected.exists(_._2 == -1L))
+    val texts = corpus.as[(Long, String)].collect()
+    val in = MemoryStream[EventStream.DocRow]
+    val q = EventStream.dbscanAttach(in.toDS(), index)
+      .writeStream.format("memory").queryName("dbscangate")
+      .outputMode("append").start()
+    in.addData(texts.map { case (id, t) =>
+      EventStream.DocRow(id, ts("2024-01-01 10:00:00"), t) }.toSeq: _*)
+    q.processAllAvailable()
+    in.addData(EventStream.DocRow(-999, ts("2024-01-02 12:00:00"), "clock tick"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("dbscangate")
+      .select("doc_id", "cluster", "n_core_within_eps")
+      .as[(Long, Long, Long)].collect().filter(_._1 >= 0)
+    assert(rows.length == texts.length)
+    assert(rows.toSet == expected, {
+      val diff = (rows.toSet -- expected) ++ (expected -- rows.toSet)
+      s"first diffs: ${diff.take(5).mkString(",")}"
+    })
+  }
+
   test("streaming NB filter gate equals the batch classifier scores bit-for-bit") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
