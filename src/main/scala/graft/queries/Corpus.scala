@@ -675,6 +675,63 @@ object Corpus {
       |    AND (b.n_tokens < a.n_tokens OR b.n_distinct > a.n_distinct))""".stripMargin
 
   // --------------------------------------------------------------------
+  // GENERAL-DIMENSION SKYLINE — the d ≥ 3 algorithm (q_skyline's
+  // prefix-max window trick is a 2-D special case): three curation
+  // criteria — MAXIMIZE distinct tokens, MINIMIZE total tokens,
+  // MINIMIZE stop-word hits — all exact integers, so dominance never
+  // touches a float.
+  //
+  // Scale shape is the distributed two-phase skyline (local skyline →
+  // global skyline of the union): rows are salted into 64 hash groups,
+  // phase 1 removes everything dominated WITHIN its group (a group-
+  // keyed self-join — n²/64 comparisons, shuffled on the salt, never a
+  // full cartesian), and phase 2 runs the exact pairwise pass over the
+  // phase-1 survivors only. Correct because dominance is transitive:
+  // any globally-dominated row has a maximal dominator that is itself
+  // undominated, hence survives ITS group's local pass and kills the
+  // row in phase 2. Phase 2's comparison set is survivor-sized (the
+  // union of 64 local skylines), so the non-equi join broadcasts.
+  // The oracle runs the quadratic NOT EXISTS definition — the
+  // decomposition is verified, not assumed.
+  def qSkyline3(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val m = Tables.documents(spark, sfDir).select($"doc_id",
+      size(toks).cast("long").as("nt"),
+      size(array_distinct(toks)).cast("long").as("dt"),
+      size(filter(toks, t => t.isInCollection(TextOps.stopWords)))
+        .cast("long").as("st"))
+      .withColumn("g", pmod(xxhash64($"doc_id"), lit(64)))
+    def dom(b: String, a: String) =
+      col(s"$b.dt") >= col(s"$a.dt") && col(s"$b.nt") <= col(s"$a.nt") &&
+        col(s"$b.st") <= col(s"$a.st") &&
+        (col(s"$b.dt") > col(s"$a.dt") || col(s"$b.nt") < col(s"$a.nt") ||
+          col(s"$b.st") < col(s"$a.st"))
+    val local = m.as("a").join(m.as("b"),
+      $"a.g" === $"b.g" && dom("b", "a"), "left_anti")
+    local.as("a").join(broadcast(local.as("b")), dom("b", "a"), "left_anti")
+      .select($"doc_id", $"nt".as("n_tokens"), $"dt".as("n_distinct"),
+        $"st".as("stop_hits"))
+  }
+
+  val qSkyline3Sql: String = {
+    val stopList = TextOps.stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH m AS (SELECT doc_id,
+       |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |                  CAST(len(list_filter(string_split(text, ' '),
+       |                                       t -> t IN $stopList)) AS BIGINT) AS stop_hits
+       |           FROM documents)
+       |SELECT doc_id, n_tokens, n_distinct, stop_hits FROM m a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM m b
+       |  WHERE b.n_distinct >= a.n_distinct AND b.n_tokens <= a.n_tokens
+       |    AND b.stop_hits <= a.stop_hits
+       |    AND (b.n_distinct > a.n_distinct OR b.n_tokens < a.n_tokens
+       |         OR b.stop_hits < a.stop_hits))""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // DBSCAN (Ester/Kriegel/Sander/Xu, KDD'96) over the 2-D quality-
   // feature space (avg token length × type-token ratio) — density-based
   // curation: the dense regions are "normal prose" clusters, the sparse
@@ -881,6 +938,7 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skyline" -> (qSkyline _),
+    "q_skyline3" -> (qSkyline3 _),
     "q_dbscan" -> (qDbscan _),
     "q_burrows_delta" -> (qBurrowsDelta _),
     "q_source_cosine" -> (qSourceCosine _),
@@ -893,6 +951,7 @@ object Corpus {
 
   val oracleSql: Map[String, String] = Map(
     "q_skyline" -> qSkylineSql,
+    "q_skyline3" -> qSkyline3Sql,
     "q_dbscan" -> qDbscanSql,
     "q_burrows_delta" -> qBurrowsDeltaSql,
     "q_source_cosine" -> qSourceCosineSql,

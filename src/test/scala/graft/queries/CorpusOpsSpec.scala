@@ -310,6 +310,29 @@ class CorpusOpsSpec extends SparkTestBase {
     })
   }
 
+  test("3-d skyline equals the brute-force Pareto set (two-phase merge verified)") {
+    import spark.implicits._
+    val stop = TextOps.stopWords.toSet
+    val m = docRows.map { case (id, _, text) =>
+      val toks = text.split(' ')
+      (id, toks.length.toLong, toks.distinct.length.toLong,
+        toks.count(stop).toLong)
+    }
+    def dom(b: (Long, Long, Long, Long), a: (Long, Long, Long, Long)) =
+      b._3 >= a._3 && b._2 <= a._2 && b._4 <= a._4 &&
+        (b._3 > a._3 || b._2 < a._2 || b._4 < a._4)
+    val expected = m.filter(a => !m.exists(b => dom(b, a))).map(_._1).toSet
+    val got = Corpus.qSkyline3(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == expected)
+    // the third criterion genuinely widens the frontier on this corpus
+    // (no containment assertion — an equal-(nt,dt), lower-stop point can
+    // lawfully evict a 2-d skyline member from the 3-d frontier)
+    val got2d = Corpus.qSkyline(spark, sfDir)
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    assert(got.length > got2d.size)
+  }
+
   test("dbscan equals a driver-side brute-force DBSCAN (grid completeness included)") {
     import spark.implicits._
     val eps = 0.03
