@@ -193,6 +193,35 @@ class PlanQualitySpec extends SparkTestBase {
     try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("dbscan eps-graph is an equi-join on cell keys; no cartesian anywhere") {
+    // the grid blocking is the whole scale story: a refactor that drops
+    // the (kx, ky) keys degenerates to an all-pairs distance join
+    val p = plan(Corpus.qDbscan(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("3-d skyline: only the survivor-sized phase-2 pass may nest-loop") {
+    // phase 1 (the n²/64 local pass) must stay a salt-keyed equi-join;
+    // dominance joins have no equi keys in phase 2, so exactly that pass
+    // is a broadcast nested loop over the union of local skylines
+    withoutAqe { // AQE wraps the join execs until runtime (memory: plan pins)
+      val df = Corpus.qSkyline3(spark, sfDir)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      val loops = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(loops.size == 1, p)
+      val salted = df.queryExecution.executedPlan.collect {
+        case h: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => h
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(salted.nonEmpty, p) // the local pass is equi-keyed on the salt
+    }
+  }
+
   test("IVF-PQ probe joins stay equi-keyed — no unbounded cross join") {
     // the composed production index must never cross the corpus with
     // itself: cells gate candidates, codes join the LUT on
