@@ -92,18 +92,25 @@ object Retrieval {
         .agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot"))
     }
 
-  def qBm25(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Weighted BM25 probe over the standing postings: scores every doc
+    * holding a query term, exact-decimal sum of qw·idf·tfn per doc.
+    * `queryTerms` is a (term, qw decimal(2,1)) frame — the unweighted
+    * probe passes weight 1.0; the PRF re-rank passes 0.5 expansions.
+    * Broadcast-sized by construction (a query's term list). */
+  private def bm25Scores(spark: SparkSession, sfDir: String,
+      queryTerms: DataFrame): DataFrame = {
     import spark.implicits._
     val corpus = corpusStats(spark, sfDir)
-    // the probe: a keep-set filter over the standing postings; df comes
+    // the probe: a keep-set join over the standing postings; df comes
     // from the standing term-stats sidecar, not a per-query aggregation
-    val tf = postings(spark, sfDir).filter($"term".isin(Bm25Terms: _*))
+    val tf = postings(spark, sfDir).join(broadcast(queryTerms), Seq("term"))
     val dfreq = termStats(spark, sfDir)
-      .filter($"term".isin(Bm25Terms: _*)).select($"term", $"df")
-    val scored = tf
+      .join(broadcast(queryTerms.select($"term")), Seq("term"))
+      .select($"term", $"df")
+    tf
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(corpus))
-      .select($"doc_id",
+      .select($"doc_id", $"qw",
         round(($"tf" * lit(Bm25K1 + 1)) /
           ($"tf" + lit(Bm25K1) * (lit(1 - Bm25B) +
             lit(Bm25B) * ($"dl".cast("double") * $"n_docs" / $"tot"))), 9)
@@ -111,7 +118,18 @@ object Retrieval {
         round(log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))), 9)
           .cast("decimal(12,9)").as("idf"))
       .groupBy($"doc_id")
-      .agg(sum($"idf" * $"tfn").as("s"), count(lit(1)).as("n_terms"))
+      .agg(sum($"qw" * $"idf" * $"tfn").as("s"), count(lit(1)).as("n_terms"))
+  }
+
+  private def unitTerms(spark: SparkSession, terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    terms.toDF("term")
+      .select($"term", lit(1.0).cast("decimal(2,1)").as("qw"))
+  }
+
+  def qBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scored = bm25Scores(spark, sfDir, unitTerms(spark, Bm25Terms))
     val top = scored.orderBy($"s".desc, $"doc_id").limit(Bm25TopK)
     // rescale the exact sum to 9 dp BEFORE widening: a scale-18 decimal
     // casts to double through an int128 in DuckDB (two roundings, last-
@@ -150,6 +168,113 @@ object Retrieval {
        |agg AS (SELECT doc_id, sum(idf * tfn) AS s, count(*) AS n_terms
        |        FROM sc GROUP BY 1)
        |SELECT doc_id, n_terms, CAST(CAST(round(s, 9) AS DECIMAL(22,9)) AS DOUBLE) AS score,
+       |       CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INTEGER) AS rank
+       |FROM agg ORDER BY s DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // PSEUDO-RELEVANCE FEEDBACK (Rocchio '71 / RM-style expansion): run
+  // the BM25 probe, treat its top-10 as relevant, mine the 5 strongest
+  // expansion terms from those documents (weight = Σ feedback tf ×
+  // 9-dp idf — exact decimal, so the top-5 cut is engine-exact; terms
+  // shorter than 3 chars, the original query terms, and terms in over
+  // half the corpus are excluded), then re-run the SAME weighted BM25
+  // with the originals at weight 1.0 and the expansions at 0.5 — the
+  // classic recall lever when queries underspecify (the retrieval
+  // family's next rung above q_bm25/q_rrf_fusion).
+  //
+  // Scale: pass 1 is the standing-postings probe; expansion mining
+  // semi-joins the postings against the BROADCAST 10-doc feedback set
+  // (feedback-sized frame, df from the standing term-stats sidecar);
+  // pass 2 is the same probe with a 10-term keep set. No corpus text
+  // is read anywhere and no stage exceeds the probe's cost.
+  private val PrfFeedbackK = Bm25TopK
+  private val PrfExpandK = 5
+
+  /** The mined (term, weight) expansion candidates, exposed so the spec
+    * can pin the selection against a driver recompute. */
+  private[queries] def prfExpansionTerms(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fb = bm25Scores(spark, sfDir, unitTerms(spark, Bm25Terms))
+      .orderBy($"s".desc, $"doc_id").limit(PrfFeedbackK)
+      .select($"doc_id")
+    postings(spark, sfDir)
+      .join(broadcast(fb), Seq("doc_id"))
+      .filter(length($"term") >= 3 && !$"term".isin(Bm25Terms: _*))
+      .groupBy($"term").agg(sum($"tf").as("ftf"))
+      .join(termStats(spark, sfDir).select($"term", $"df"), Seq("term"))
+      .crossJoin(broadcast(corpusStats(spark, sfDir)))
+      .filter($"df" * 2 <= $"n_docs")
+      .select($"term",
+        (round(log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))), 9)
+          .cast("decimal(12,9)") * $"ftf").as("w"))
+      .orderBy($"w".desc, $"term").limit(PrfExpandK)
+  }
+
+  def qPrfExpand(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val expTerms = prfExpansionTerms(spark, sfDir)
+      .select($"term", lit(0.5).cast("decimal(2,1)").as("qw"))
+    val qTerms = unitTerms(spark, Bm25Terms).unionByName(expTerms)
+    val rescored = bm25Scores(spark, sfDir, qTerms)
+    rescored.orderBy($"s".desc, $"doc_id").limit(Bm25TopK)
+      .select($"doc_id", $"n_terms",
+        round($"s", 9).cast("decimal(22,9)").cast("double").as("score"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"s".desc, $"doc_id")).as("rank"))
+  }
+
+  val qPrfExpandSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val termRows = Bm25Terms.map(t => s"('$t')").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, text,
+       |             CAST(length(text) - length(replace(text, ' ', '')) + 1
+       |                  AS BIGINT) AS dl
+       |           FROM documents),
+       |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS tot FROM d),
+       |tfall AS (SELECT doc_id, dl, term, count(*) AS tf
+       |          FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term
+       |                FROM d)
+       |          GROUP BY 1, 2, 3),
+       |dfall AS (SELECT term, count(*) AS df FROM tfall GROUP BY 1),
+       |sc1 AS (SELECT doc_id,
+       |          CAST(round((tf * ${Bm25K1 + 1}) /
+       |            (tf + $Bm25K1 * (${1 - Bm25B} +
+       |              $Bm25B * (CAST(dl AS DOUBLE) * n_docs / tot))), 9)
+       |            AS DECIMAL(12,9)) AS tfn,
+       |          CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 9)
+       |            AS DECIMAL(12,9)) AS idf
+       |        FROM tfall JOIN dfall USING (term) CROSS JOIN corpus
+       |        WHERE term IN $terms),
+       |fb AS (SELECT doc_id, sum(idf * tfn) AS s FROM sc1 GROUP BY 1
+       |       ORDER BY s DESC, doc_id LIMIT $PrfFeedbackK),
+       |cand AS (SELECT term,
+       |           CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 9)
+       |             AS DECIMAL(12,9)) * CAST(sum(tf) AS BIGINT) AS w
+       |         FROM tfall JOIN fb USING (doc_id) JOIN dfall USING (term)
+       |              CROSS JOIN corpus
+       |         WHERE length(term) >= 3 AND term NOT IN $terms
+       |           AND df * 2 <= n_docs
+       |         GROUP BY term, df, n_docs),
+       |expt AS (SELECT term, CAST(0.5 AS DECIMAL(2,1)) AS qw FROM cand
+       |         ORDER BY w DESC, term LIMIT $PrfExpandK),
+       |qt AS (SELECT term, CAST(1.0 AS DECIMAL(2,1)) AS qw
+       |       FROM (VALUES $termRows) v(term)
+       |       UNION ALL SELECT term, qw FROM expt),
+       |sc2 AS (SELECT doc_id, qw,
+       |          CAST(round((tf * ${Bm25K1 + 1}) /
+       |            (tf + $Bm25K1 * (${1 - Bm25B} +
+       |              $Bm25B * (CAST(dl AS DOUBLE) * n_docs / tot))), 9)
+       |            AS DECIMAL(12,9)) AS tfn,
+       |          CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 9)
+       |            AS DECIMAL(12,9)) AS idf
+       |        FROM tfall JOIN qt USING (term) JOIN dfall USING (term)
+       |             CROSS JOIN corpus),
+       |agg AS (SELECT doc_id, sum(qw * idf * tfn) AS s, count(*) AS n_terms
+       |        FROM sc2 GROUP BY 1)
+       |SELECT doc_id, n_terms,
+       |       CAST(CAST(round(s, 9) AS DECIMAL(22,9)) AS DOUBLE) AS score,
        |       CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INTEGER) AS rank
        |FROM agg ORDER BY s DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
@@ -601,6 +726,7 @@ object Retrieval {
   // --------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (qBm25 _),
+    "q_prf_expand" -> (qPrfExpand _),
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_kmv_overlap" -> (qKmvOverlap _),
     "q_kmv_distinct" -> (qKmvDistinct _),
@@ -609,6 +735,7 @@ object Retrieval {
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25" -> qBm25Sql,
+    "q_prf_expand" -> qPrfExpandSql,
     "q_rrf_fusion" -> qRrfFusionSql,
     "q_kmv_overlap" -> qKmvOverlapSql,
     "q_kmv_distinct" -> qKmvDistinctSql,

@@ -47,6 +47,56 @@ class RetrievalSpec extends SparkTestBase {
     assert(got.forall(_._2 > 0))
   }
 
+  test("prf expansion terms equal a driver recompute; re-rank is well-formed") {
+    import spark.implicits._
+    val originals = Set("table", "scan", "window", "join", "hash")
+    // driver recompute of the mined expansion set from first principles
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val dl = docs.map { case (id, t) => id -> (t.count(_ == ' ') + 1).toLong }.toMap
+    val nDocs = docs.length.toLong
+    val fbIds = Retrieval.qBm25(spark, sfDir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(fbIds.size == 10)
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    val ftf = scala.collection.mutable.Map.empty[String, Long]
+    for ((id, t) <- docs) {
+      val counts = t.split(' ').groupBy(identity).view.mapValues(_.length.toLong)
+      for ((w, c) <- counts) {
+        df(w) = df.getOrElse(w, 0L) + 1L
+        if (fbIds(id)) ftf(w) = ftf.getOrElse(w, 0L) + c
+      }
+    }
+    def idf9(d: Long): BigDecimal =
+      BigDecimal(math.log(1.0 + (nDocs - d + 0.5) / (d + 0.5)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expected = ftf.iterator
+      .filter { case (w, _) =>
+        w.length >= 3 && !originals(w) && df(w) * 2 <= nDocs }
+      .map { case (w, f) => (w, idf9(df(w)) * BigDecimal(f)) }
+      .toSeq.sortBy { case (w, wt) => (-wt, w) }.take(5)
+    val got = Retrieval.prfExpansionTerms(spark, sfDir)
+      .select($"term", $"w".cast("string")).as[(String, String)].collect()
+      .map { case (t, w) => (t, BigDecimal(w)) }
+    assert(got.map(_._1).toSeq == expected.map(_._1),
+      s"got ${got.mkString(",")} expected ${expected.mkString(",")}")
+    got.zip(expected).foreach { case ((_, gw), (_, ew)) => assert(gw == ew) }
+    assert(got.map(_._1).toSet.intersect(originals).isEmpty)
+    // the re-ranked output is well-formed and reflects the wider query
+    val prf = Retrieval.qPrfExpand(spark, sfDir)
+      .select($"doc_id", $"rank", $"score", $"n_terms")
+      .as[(Long, Int, Double, Long)].collect().sortBy(_._2)
+    assert(prf.map(_._2).toSeq == (1 to prf.length))
+    assert(prf.map(_._3).toSeq == prf.map(_._3).sortBy(-_).toSeq)
+    // each ranked doc's n_terms equals the driver-counted presence of
+    // the widened (original ∪ expansion) query in that document
+    val widened = originals ++ got.map(_._1)
+    val tokens = docs.map { case (id, t) => id -> t.split(' ').toSet }.toMap
+    prf.foreach { case (id, _, _, n) =>
+      assert(n == widened.count(tokens(id)), s"doc $id")
+    }
+  }
+
   test("dsir weights separate the target domain from the rest") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
