@@ -902,9 +902,11 @@ object Corpus {
         (coalesce($"nn", lit(0L)) + lit(1L)).as("n_in_eps"))
   }
 
-  val qDbscanSql: String =
-    s"""WITH RECURSIVE
-       |f AS (SELECT doc_id,
+  /** The brute-force DBSCAN CTE block (features → eps-graph → cores →
+    * recursive-CTE CC → border attach) shared by the report oracle and
+    * the silhouette oracle — one definition, zero drift. */
+  private val DbscanCteSql: String =
+    s"""f AS (SELECT doc_id,
        |             CAST(CAST(list_sum(list_transform(string_split(text, ' '),
        |                                               t -> len(t))) AS BIGINT)
        |                  AS DOUBLE)
@@ -926,7 +928,11 @@ object Corpus {
        |lab AS (SELECT v AS doc_id, min(w) AS cluster FROM r GROUP BY 1),
        |bl AS (SELECT nb.ida AS doc_id, min(lab.cluster) AS cluster
        |       FROM nb JOIN lab ON nb.idb = lab.doc_id
-       |       WHERE nb.ida NOT IN (SELECT doc_id FROM core) GROUP BY 1)
+       |       WHERE nb.ida NOT IN (SELECT doc_id FROM core) GROUP BY 1)""".stripMargin
+
+  val qDbscanSql: String =
+    s"""WITH RECURSIVE
+       |$DbscanCteSql
        |SELECT f.doc_id,
        |       CASE WHEN lab.cluster IS NOT NULL THEN 'core'
        |            WHEN bl.cluster IS NOT NULL THEN 'border'
@@ -936,8 +942,92 @@ object Corpus {
        |FROM f LEFT JOIN lab USING (doc_id) LEFT JOIN bl USING (doc_id)
        |       LEFT JOIN deg USING (doc_id)""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Simplified silhouette (point-to-centroid; Kaufman & Rousseeuw's
+  // silhouette with the medoid scan replaced by centroids — the form
+  // every large-scale clustering dashboard uses because it is O(n·k),
+  // not O(n²)): for every clustered document, a = distance to its OWN
+  // cluster centroid, b = distance to the nearest OTHER centroid,
+  // s = (b − a)/max(a, b) — the did-DBSCAN-carve-real-structure audit
+  // next to the label-agreement face.
+  //
+  // Engine parity: features are rounded to 9-dp decimal BEFORE the
+  // centroid mean (exact decimal sums, order-independent), each
+  // centroid coordinate widens once as exact-sum/count, distances and
+  // sqrt are the same fixed-association IEEE tree both sides, each s
+  // rounds to 9-dp decimal before the per-cluster mean. Scale: one
+  // corpus agg to the cluster-count-sized centroid table (geometry-
+  // bounded, broadcast), one map-only cross of points × centroids, one
+  // rollup.
+  def qDbscanSilhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val assigned = qDbscan(spark, sfDir).where($"cluster" >= 0)
+      .select($"doc_id", $"cluster")
+    val p = assigned
+      .join(dbscanFeaturesOf(Tables.documents(spark, sfDir)), Seq("doc_id"))
+      .select($"doc_id", $"cluster",
+        round($"x", 9).cast("decimal(12,9)").as("x9"),
+        round($"y", 9).cast("decimal(12,9)").as("y9"))
+    val cent = p.groupBy($"cluster").agg(
+      (sum($"x9").cast("double") / count(lit(1)).cast("double")).as("cx"),
+      (sum($"y9").cast("double") / count(lit(1)).cast("double")).as("cy"))
+    val d = p.crossJoin(broadcast(cent.select($"cluster".as("cl2"), $"cx", $"cy")))
+      .select($"doc_id", $"cluster",
+        sqrt(($"x9".cast("double") - $"cx") * ($"x9".cast("double") - $"cx") +
+          ($"y9".cast("double") - $"cy") * ($"y9".cast("double") - $"cy")).as("dist"),
+        ($"cluster" === $"cl2").as("own"))
+    val s = d.groupBy($"doc_id", $"cluster")
+      .agg(max(when($"own", $"dist")).as("a"),
+        min(when(!$"own", $"dist")).as("b"))
+      .select($"cluster",
+        round(when($"b".isNull, lit(null))
+          .when(greatest($"a", $"b") === 0.0, lit(0.0))
+          .otherwise(($"b" - $"a") / greatest($"a", $"b")), 9)
+          .cast("decimal(12,9)").as("s9"))
+    s.groupBy($"cluster")
+      .agg(count(lit(1)).as("n_members"), count($"s9").as("n_scored"),
+        sum($"s9").as("ss"))
+      .select($"cluster", $"n_members", $"n_scored",
+        ($"ss".cast("double") / $"n_scored".cast("double")).as("mean_silhouette"))
+  }
+
+  val qDbscanSilhouetteSql: String =
+    s"""WITH RECURSIVE
+       |$DbscanCteSql,
+       |asg AS (SELECT f.doc_id, COALESCE(lab.cluster, bl.cluster) AS cluster,
+       |               CAST(round(f.x, 9) AS DECIMAL(12,9)) AS x9,
+       |               CAST(round(f.y, 9) AS DECIMAL(12,9)) AS y9
+       |        FROM f LEFT JOIN lab USING (doc_id) LEFT JOIN bl USING (doc_id)
+       |        WHERE COALESCE(lab.cluster, bl.cluster) IS NOT NULL),
+       |cent AS (SELECT cluster AS cl2,
+       |                CAST(sum(x9) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cx,
+       |                CAST(sum(y9) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cy
+       |         FROM asg GROUP BY 1),
+       |dd AS (SELECT doc_id, cluster,
+       |              sqrt((CAST(x9 AS DOUBLE) - cx) * (CAST(x9 AS DOUBLE) - cx)
+       |                 + (CAST(y9 AS DOUBLE) - cy) * (CAST(y9 AS DOUBLE) - cy))
+       |                AS dist,
+       |              cluster = cl2 AS own
+       |       FROM asg CROSS JOIN cent),
+       |ab AS (SELECT doc_id, cluster,
+       |              max(CASE WHEN own THEN dist END) AS a,
+       |              min(CASE WHEN NOT own THEN dist END) AS b
+       |       FROM dd GROUP BY 1, 2),
+       |sil AS (SELECT cluster,
+       |               CAST(round(CASE WHEN b IS NULL THEN NULL
+       |                    WHEN greatest(a, b) = 0.0 THEN 0.0
+       |                    ELSE (b - a) / greatest(a, b) END, 9)
+       |                 AS DECIMAL(12,9)) AS s9
+       |        FROM ab)
+       |SELECT cluster, count(*) AS n_members,
+       |       CAST(count(s9) AS BIGINT) AS n_scored,
+       |       CAST(sum(s9) AS DOUBLE) / CAST(count(s9) AS DOUBLE)
+       |         AS mean_silhouette
+       |FROM sil GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skyline" -> (qSkyline _),
+    "q_dbscan_silhouette" -> (qDbscanSilhouette _),
     "q_skyline3" -> (qSkyline3 _),
     "q_dbscan" -> (qDbscan _),
     "q_burrows_delta" -> (qBurrowsDelta _),
@@ -952,6 +1042,7 @@ object Corpus {
   val oracleSql: Map[String, String] = Map(
     "q_skyline" -> qSkylineSql,
     "q_skyline3" -> qSkyline3Sql,
+    "q_dbscan_silhouette" -> qDbscanSilhouetteSql,
     "q_dbscan" -> qDbscanSql,
     "q_burrows_delta" -> qBurrowsDeltaSql,
     "q_source_cosine" -> qSourceCosineSql,

@@ -375,6 +375,54 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(Set("core", "border", "noise").subsetOf(got.map(_._2)))
   }
 
+  test("dbscan silhouette equals a driver recompute and is bounded in [-1, 1]") {
+    import spark.implicits._
+    def r9(d: Double): BigDecimal =
+      BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val assigned = Corpus.qDbscan(spark, sfDir)
+      .where($"cluster" >= 0).select($"doc_id", $"cluster")
+      .as[(Long, Long)].collect().toMap
+    val feats = Corpus.dbscanFeaturesOf(
+        graft.core.Tables.documents(spark, sfDir).select($"doc_id", $"text"))
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r9(r._2), r9(r._3))).toMap
+    val byCluster = assigned.groupBy(_._2).view.mapValues(_.keys.toSeq)
+    // centroid = exact decimal sum widened once, divided as doubles —
+    // the same two operations Spark performs
+    val centD = byCluster.map { case (c, ids) =>
+      val n = ids.length.toDouble
+      c -> ((ids.map(feats(_)._1).sum.toDouble / n,
+        ids.map(feats(_)._2).sum.toDouble / n))
+    }.toMap
+    def dist(p: (BigDecimal, BigDecimal), q: (Double, Double)): Double =
+      math.sqrt((p._1.toDouble - q._1) * (p._1.toDouble - q._1) +
+        (p._2.toDouble - q._2) * (p._2.toDouble - q._2))
+    val sByCluster = assigned.toSeq.map { case (id, c) =>
+      val a = dist(feats(id), centD(c))
+      val bs = centD.collect { case (c2, q) if c2 != c => dist(feats(id), q) }
+      val s = if (bs.isEmpty) None
+      else {
+        val b = bs.min
+        Some(if (math.max(a, b) == 0.0) BigDecimal(0)
+        else r9((b - a) / math.max(a, b)))
+      }
+      (c, s)
+    }.groupBy(_._1)
+    val got = Corpus.qDbscanSilhouette(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val expectedD = sByCluster.map { case (c, rows) =>
+      val scored = rows.flatMap(_._2)
+      (c, rows.length.toLong, scored.length.toLong,
+        scored.sum.toDouble / scored.length.toDouble)
+    }.toSet
+    assert(got == expectedD, {
+      val diff = (got -- expectedD) ++ (expectedD -- got)
+      s"diffs: ${diff.take(4).mkString(",")}"
+    })
+    got.foreach(r => assert(r._4 >= -1.0 && r._4 <= 1.0))
+    assert(got.size >= 3) // real multi-cluster structure at this sf
+  }
+
   test("dedup saturation curve: cumulative columns are consistent and monotone") {
     import spark.implicits._
     val rows = Curation.qDedupSaturation(spark, sfDir)
