@@ -795,7 +795,50 @@ object Events {
       |FROM p FULL OUTER JOIN e ON p.user_id = e.user_id AND p.day = e.day""".stripMargin
 
   // --------------------------------------------------------------------
+  // --------------------------------------------------------------------
+  // User-journey transition matrix (the first-order Markov model every
+  // product-analytics engine ships as "path analysis"): per-user
+  // next-event edges with ^start/^end pseudo-states (entry and exit
+  // rates fall out of the same matrix), counts row-normalized into
+  // transition probabilities. Scale: the lag/lead window partitions by
+  // user (the sessionize shape), the edge rollup is one map-side-
+  // combined hash agg, and the normalizing window runs over the
+  // (|event types|+2)²-bounded matrix frame. Probabilities are one
+  // long-to-double division each — engine-identical.
+  def qTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .select($"event_type",
+        coalesce(lag($"event_type", 1).over(w), lit("^start")).as("src"),
+        lead($"event_type", 1).over(w).isNull.as("is_last"))
+    val edges = ev.select($"src", $"event_type".as("dst"))
+      .unionByName(ev.where($"is_last")
+        .select($"event_type".as("src"), lit("^end").as("dst")))
+    val g = edges.groupBy($"src", $"dst").agg(count(lit(1)).as("n_transitions"))
+    g.select($"src", $"dst", $"n_transitions",
+      ($"n_transitions".cast("double") /
+        sum($"n_transitions").over(Window.partitionBy($"src")).cast("double"))
+        .as("p"))
+  }
+
+  val qTransitionsSql: String =
+    """WITH e AS (SELECT event_type,
+      |             coalesce(lag(event_type) OVER w, '^start') AS src,
+      |             lead(event_type) OVER w IS NULL AS is_last
+      |           FROM events
+      |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |edges AS (SELECT src, event_type AS dst FROM e
+      |          UNION ALL SELECT event_type, '^end' FROM e WHERE is_last),
+      |g AS (SELECT src, dst, count(*) AS n_transitions FROM edges GROUP BY 1, 2)
+      |SELECT src, dst, n_transitions,
+      |       CAST(n_transitions AS DOUBLE)
+      |         / CAST(sum(n_transitions) OVER (PARTITION BY src) AS DOUBLE) AS p
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transitions" -> (qTransitions _),
     "q_scd2" -> (qScd2 _),
     "q_full_outer" -> (qFullOuter _),
     "q_event_window" -> (qEventWindow _),
@@ -821,6 +864,7 @@ object Events {
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_transitions" -> qTransitionsSql,
     "q_scd2" -> qScd2Sql,
     "q_full_outer" -> qFullOuterSql,
     "q_event_window" -> qEventWindowSql,

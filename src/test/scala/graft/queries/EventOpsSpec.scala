@@ -67,6 +67,36 @@ class EventOpsSpec extends SparkTestBase {
     assert(got == Seq((1L, 3, Some(5L)), (2L, 1, None), (3L, 2, None)))
   }
 
+  test("transition matrix equals a driver recompute with start/end bookkeeping") {
+    import spark.implicits._
+    val dir = tempDir("transitions")
+    writeEvents(dir, Seq(
+      (1L, 10L, 1L, "view", 0.0, "{}"),
+      (2L, 12L, 1L, "click", 0.0, "{}"),
+      (3L, 15L, 1L, "purchase", 0.0, "{}"),
+      (4L, 10L, 2L, "view", 0.0, "{}"),
+      (5L, 20L, 2L, "view", 0.0, "{}"),
+      (6L, 10L, 3L, "click", 0.0, "{}")))
+    val got = Events.qTransitions(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+    val counts = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(counts == Map(
+      ("^start", "view") -> 2L, ("^start", "click") -> 1L,
+      ("view", "click") -> 1L, ("view", "view") -> 1L,
+      ("click", "purchase") -> 1L,
+      ("purchase", "^end") -> 1L, ("view", "^end") -> 1L,
+      ("click", "^end") -> 1L))
+    // start out-mass and end in-mass both equal the user count
+    assert(got.filter(_._1 == "^start").map(_._3).sum == 3L)
+    assert(got.filter(_._2 == "^end").map(_._3).sum == 3L)
+    // rows normalize: per src, probabilities sum to 1 and p = n/tot
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val tot = rows.map(_._3).sum
+      rows.foreach(r => assert(r._4 == r._3.toDouble / tot.toDouble))
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12)
+    }
+  }
+
   test("upsert op labels partition the key space as the mod filters dictate") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"
