@@ -1107,6 +1107,11 @@ object PortableMinhash {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  // the affine family is fixed — precompute it once instead of two
+  // multiplies + two mods per (element × slot)
+  private val aArr = Array.tabulate(MinHashSig.MaxHashes)(j => ((j + 1) * AMul) % P)
+  private val bArr = Array.tabulate(MinHashSig.MaxHashes)(j => ((j + 1) * BMul + Shift) % P)
+
   def compute(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
@@ -1125,9 +1130,7 @@ object PortableMinhash {
         val hm = h % P
         var j = 0
         while (j < k) {
-          val a = ((j + 1) * AMul) % P
-          val c = ((j + 1) * BMul + Shift) % P
-          val v = (a * hm + c) % P
+          val v = (aArr(j) * hm + bArr(j)) % P
           if (v < mins(j)) mins(j) = v
           j += 1
         }
