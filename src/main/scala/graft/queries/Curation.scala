@@ -553,7 +553,44 @@ object Curation {
        |         AS cum_dup_rate
        |FROM g""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Syndication matrix: the verified near-dup pairs grouped by
+  // (origin source, copy source) — WHO copies WHOM, the per-source-pair
+  // drill-down under q_dup_rate's per-source rate (crawl dashboards use
+  // exactly this to find mirror networks and decide which feed is
+  // canonical). Direction follows the pair table's orientation
+  // doc_a < doc_b: the lower id is the earlier arrival, its source the
+  // origin. Mean jaccard per cell goes through the 9-dp-decimal-sum
+  // rule (order-independent), one widening division at the end. The
+  // pair table is ≪ corpus and broadcasts into the two source lookups;
+  // the rollup frame is source²-bounded.
+  def qSyndication(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    Dedup.nearDupPairs(spark, sfDir)
+      .select($"doc_a", $"doc_b",
+        round($"jac", 9).cast("decimal(12,9)").as("j9"))
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("src_origin")), Seq("doc_a"))
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("src_copy")), Seq("doc_b"))
+      .groupBy($"src_origin", $"src_copy")
+      .agg(count(lit(1)).as("n_pairs"), sum($"j9").as("sj"))
+      .select($"src_origin", $"src_copy", $"n_pairs",
+        ($"sj".cast("double") / $"n_pairs".cast("double")).as("mean_jac"))
+  }
+
+  val qSyndicationSql: String =
+    s"""WITH p AS (SELECT doc_a, doc_b,
+       |                  CAST(round(jac, 9) AS DECIMAL(12,9)) AS j9
+       |           FROM (${Dedup.qDedupNearSql})),
+       |j AS (SELECT a.source AS src_origin, b.source AS src_copy, j9
+       |      FROM p JOIN documents a ON p.doc_a = a.doc_id
+       |             JOIN documents b ON p.doc_b = b.doc_id)
+       |SELECT src_origin, src_copy, count(*) AS n_pairs,
+       |       CAST(sum(j9) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_jac
+       |FROM j GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_syndication" -> (qSyndication _),
     "q_dedup_saturation" -> (qDedupSaturation _),
     "q_nb_calibration" -> (qNbCalibration _),
     "q_curate" -> (qCurate _),
@@ -565,6 +602,7 @@ object Curation {
     "q_source_pruned" -> (qSourcePruned _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_syndication" -> qSyndicationSql,
     "q_dedup_saturation" -> qDedupSaturationSql,
     "q_nb_calibration" -> qNbCalibrationSql,
     "q_curate" -> qCurateSql,

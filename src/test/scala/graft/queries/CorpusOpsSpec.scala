@@ -423,6 +423,28 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got.size >= 3) // real multi-cluster structure at this sf
   }
 
+  test("syndication matrix equals a driver rollup of the verified pairs") {
+    import spark.implicits._
+    val srcOf = docRows.map(r => r._1 -> r._2).toMap
+    val pairs = Dedup.qDedupNear(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    val expected = pairs
+      .map { case (a, b, j) =>
+        (srcOf(a), srcOf(b),
+          BigDecimal(j).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      }
+      .groupBy(r => (r._1, r._2))
+      .map { case ((o, c), rows) =>
+        (o, c, rows.length.toLong,
+          rows.map(_._3).sum.toDouble / rows.length.toDouble)
+      }.toSet
+    val got = Curation.qSyndication(spark, sfDir)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == expected)
+    assert(got.toSeq.map(_._3).sum == pairs.length)
+  }
+
   test("dedup saturation curve: cumulative columns are consistent and monotone") {
     import spark.implicits._
     val rows = Curation.qDedupSaturation(spark, sfDir)
