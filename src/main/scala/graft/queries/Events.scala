@@ -837,7 +837,78 @@ object Events {
       |         / CAST(sum(n_transitions) OVER (PARTITION BY src) AS DOUBLE) AS p
       |FROM g""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Journey stationary mass: 3 fixed power steps of the EXACT empirical
+  // transition kernel (q_transitions' edges plus the ^end→^start
+  // recycling edge that closes the chain), at parts-per-billion integer
+  // scale with per-edge floor division — the qDupPagerank/qTextrank
+  // bounded-iteration discipline, so every intermediate is an exact
+  // long and both engines walk identical states. The readout is where
+  // user attention concentrates under the observed dynamics (the
+  // PageRank of the journey graph, damping-free because the recycle
+  // edge already makes the chain irreducible). The final share divides
+  // the exact mass by the exact total once, as doubles. All iteration
+  // frames are (|event types|+2)-bounded.
+  private val McScale = 1000000000L
+  private val McIters = 3
+
+  def qJourneyStationary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .select($"event_type",
+        coalesce(lag($"event_type", 1).over(w), lit("^start")).as("src"),
+        lead($"event_type", 1).over(w).isNull.as("is_last"))
+    val raw = ev.select($"src", $"event_type".as("dst"))
+      .unionByName(ev.where($"is_last")
+        .select($"event_type".as("src"), lit("^end").as("dst")))
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+      .unionByName(Seq(("^end", "^start", 1L)).toDF("src", "dst", "n"))
+    val tot = raw.groupBy($"src").agg(sum($"n").as("wt"))
+    val ed = raw.join(tot, Seq("src")).localCheckpoint(eager = false)
+    var r = tot.select($"src".as("node"), lit(McScale).as("r"))
+    for (_ <- 1 to McIters) {
+      r = ed.join(r, $"src" === $"node")
+        .select($"dst",
+          expr("CAST((CAST(r AS DECIMAL(38,0)) * n) div wt AS BIGINT)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("r"))
+        .select($"dst".as("node"), $"r")
+    }
+    r.crossJoin(broadcast(r.agg(sum($"r").as("tr"))))
+      .select($"node".as("state"), $"r".as("mass"),
+        ($"r".cast("double") / $"tr".cast("double")).as("share"))
+  }
+
+  val qJourneyStationarySql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (SELECT e.dst AS node,
+         |  CAST(sum((CAST($prev.r AS HUGEINT) * e.n) // d.wt) AS BIGINT) AS r
+         |FROM e JOIN d USING (src) JOIN $prev ON $prev.node = e.src
+         |GROUP BY 1)""".stripMargin
+    s"""WITH ev AS (SELECT event_type,
+       |              coalesce(lag(event_type) OVER w, '^start') AS src,
+       |              lead(event_type) OVER w IS NULL AS is_last
+       |            FROM events
+       |            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |e0 AS (SELECT src, event_type AS dst FROM ev
+       |       UNION ALL SELECT event_type, '^end' FROM ev WHERE is_last),
+       |e1 AS (SELECT src, dst, count(*) AS n FROM e0 GROUP BY 1, 2),
+       |e AS (SELECT src, dst, CAST(n AS BIGINT) AS n FROM e1
+       |      UNION ALL SELECT '^end', '^start', 1),
+       |d AS (SELECT src, CAST(sum(n) AS BIGINT) AS wt FROM e GROUP BY 1),
+       |r0 AS (SELECT src AS node, CAST($McScale AS BIGINT) AS r FROM d),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")},
+       |tr AS (SELECT CAST(sum(r) AS BIGINT) AS tr FROM r3)
+       |SELECT node AS state, r AS mass,
+       |       CAST(r AS DOUBLE) / CAST(tr AS DOUBLE) AS share
+       |FROM r3 CROSS JOIN tr""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_journey_stationary" -> (qJourneyStationary _),
     "q_transitions" -> (qTransitions _),
     "q_scd2" -> (qScd2 _),
     "q_full_outer" -> (qFullOuter _),
@@ -864,6 +935,7 @@ object Events {
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_journey_stationary" -> qJourneyStationarySql,
     "q_transitions" -> qTransitionsSql,
     "q_scd2" -> qScd2Sql,
     "q_full_outer" -> qFullOuterSql,

@@ -97,6 +97,45 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
+  test("journey stationary mass equals a BigInt floor-division power recompute") {
+    import spark.implicits._
+    val dir = tempDir("stationary")
+    writeEvents(dir, Seq(
+      (1L, 10L, 1L, "view", 0.0, "{}"),
+      (2L, 12L, 1L, "click", 0.0, "{}"),
+      (3L, 15L, 1L, "purchase", 0.0, "{}"),
+      (4L, 10L, 2L, "view", 0.0, "{}"),
+      (5L, 20L, 2L, "view", 0.0, "{}"),
+      (6L, 10L, 3L, "click", 0.0, "{}")))
+    val edges = scala.collection.mutable.Map(
+      ("^start", "view") -> 2L, ("^start", "click") -> 1L,
+      ("view", "click") -> 1L, ("view", "view") -> 1L,
+      ("click", "purchase") -> 1L,
+      ("purchase", "^end") -> 1L, ("view", "^end") -> 1L,
+      ("click", "^end") -> 1L, ("^end", "^start") -> 1L)
+    val wt = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val states = (edges.keys.map(_._1) ++ edges.keys.map(_._2)).toSet
+    var r = states.map(_ -> BigInt(1000000000L)).toMap
+    for (_ <- 1 to 3) {
+      val next = scala.collection.mutable.Map.empty[String, BigInt]
+        .withDefaultValue(BigInt(0))
+      for (((s, d), n) <- edges if r.contains(s))
+        next(d) += r(s) * n / wt(s)
+      r = next.toMap
+    }
+    val totMass = r.values.sum
+    val expected = r.map { case (s, m) =>
+      (s, m.toLong, m.toLong.toDouble / totMass.toLong.toDouble) }.toSet
+    val got = Events.qJourneyStationary(spark, dir)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == expected, {
+      val diff = (got -- expected) ++ (expected -- got)
+      s"diffs: ${diff.take(5).mkString(",")}"
+    })
+    // every state survives three steps of this closed chain
+    assert(got.map(_._1) == states)
+  }
+
   test("upsert op labels partition the key space as the mod filters dictate") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"
