@@ -388,6 +388,10 @@ object Corpus {
     // materializing the labeled cores pulls the pts/nbr/corerep stages
     // through with it (deg is a cheap rollup of the staged nbr)
     dbscanStagedParts(spark, sfDir)._4.count()
+    // the sweep's widest-grid pair table is its own stage (different
+    // cell side); forcing it here leaves only the per-eps rollups to
+    // the audit query itself
+    dbscanSweepNbr(spark, sfDir).count()
     ()
   }
 
@@ -1045,8 +1049,158 @@ object Corpus {
        |         AS mean_silhouette
        |FROM sil GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------
+  // DBSCAN eps SWEEP — the parameter-selection audit (Ester '96 §4.2's
+  // k-dist heuristic made relational): per candidate eps, how many
+  // documents are core / border / noise and how many clusters form —
+  // the table a team reads before committing a 100 TB density run to
+  // one eps, exactly as q_lsh_curve is read before committing to one
+  // (b, r). The eps-graph is built ONCE at the WIDEST grid (cell side
+  // = max eps, so the 3×3 probe covers every sweep point) carrying the
+  // squared distance; each eps point is then a conditional filter over
+  // that one pair table — degrees are one 3-way conditional aggregation
+  // away, and only the cluster count needs a per-eps contraction +
+  // driver union-find (geometry-bounded, as in q_dbscan). The oracle
+  // recomputes every point brute-force with its own recursive-CTE
+  // closure, so the shared-pair-table decomposition is verified.
+  private[queries] val DbSweepEps = Seq(0.02, 0.03, 0.045) // DbEps is the middle point
+
+  /** The sweep's staged inputs: the widest-grid point table and the
+    * d2-carrying eps-graph at max(eps) — one build per corpus, shared
+    * by the audit query and the setup prewarm. */
+  private def dbscanSweepPts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val epsMax = DbSweepEps.max
+    graft.operators.Staging.persisted(spark, sfDir, "dbscan-sweep-pts") {
+      dbscanFeaturesOf(Tables.documents(spark, sfDir))
+        .select($"doc_id", $"x", $"y",
+          floor($"x" / epsMax).as("cx"), floor($"y" / epsMax).as("cy"))
+    }
+  }
+
+  private def dbscanSweepNbr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val epsMax = DbSweepEps.max
+    val pts = dbscanSweepPts(spark, sfDir)
+    graft.operators.Staging.persisted(spark, sfDir, "dbscan-sweep-nbr") {
+      val probe = pts
+        .select($"doc_id".as("ida"), $"x".as("xa"), $"y".as("ya"),
+          explode(sequence(lit(-1), lit(1))).as("ox"), $"cx", $"cy")
+        .select($"ida", $"xa", $"ya",
+          explode(sequence(lit(-1), lit(1))).as("oy"), $"ox", $"cx", $"cy")
+        .select($"ida", $"xa", $"ya",
+          ($"cx" + $"ox").as("kx"), ($"cy" + $"oy").as("ky"))
+      val home = pts.select($"doc_id".as("idb"), $"x".as("xb"), $"y".as("yb"),
+        $"cx".as("kx"), $"cy".as("ky"))
+      probe.join(home, Seq("kx", "ky"))
+        .where($"ida" =!= $"idb")
+        .select($"ida", $"idb",
+          (($"xa" - $"xb") * ($"xa" - $"xb") +
+            ($"ya" - $"yb") * ($"ya" - $"yb")).as("d2"))
+        .where($"d2" <= lit(epsMax) * lit(epsMax))
+    }
+  }
+
+  def qDbscanSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pts = dbscanSweepPts(spark, sfDir)
+    val nbr = dbscanSweepNbr(spark, sfDir)
+    val nDocs = pts.count()
+    val rows = DbSweepEps.map { eps =>
+      val eps2 = lit(eps) * lit(eps)
+      val nbrE = nbr.where($"d2" <= eps2)
+      val deg = nbrE.groupBy($"ida").agg(count(lit(1)).as("nn"))
+      val core = deg.where($"nn" + lit(1L) >= DbMinPts).select($"ida".as("doc_id"))
+        .localCheckpoint() // feeds contraction, core-core edges, border anti-join
+      val c2 = eps / 2.0
+      val coreCells = core.join(pts, Seq("doc_id"))
+        .select($"doc_id", floor($"x" / c2).as("c2x"), floor($"y" / c2).as("c2y"))
+      val coreRep = coreCells
+        .join(coreCells.groupBy($"c2x", $"c2y").agg(min($"doc_id").as("rep")),
+          Seq("c2x", "c2y"))
+        .select($"doc_id", $"rep")
+        .localCheckpoint()
+      val cellEdges = nbrE
+        .join(coreRep.select($"doc_id".as("ida"), $"rep".as("repa")), Seq("ida"))
+        .join(coreRep.select($"doc_id".as("idb"), $"rep".as("repb")), Seq("idb"))
+        .where($"repa" =!= $"repb")
+        .select($"repa", $"repb").distinct()
+      // driver union-find over the geometry-bounded contracted graph
+      val edgeList = cellEdges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(v: Long): Long = {
+        var r = v
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = v
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val reps = coreRep.select($"rep").distinct().as[Long].collect()
+      val nClusters = reps.map(find).distinct.length.toLong
+      val nCore = core.count()
+      val nBorder = nbrE
+        .join(core.select($"doc_id".as("idb")), Seq("idb"))
+        .join(core.select($"doc_id".as("ida")), Seq("ida"), "left_anti")
+        .select($"ida").distinct().count()
+      (eps, nCore, nBorder, nDocs - nCore - nBorder, nClusters)
+    }
+    rows.toDF("eps", "n_core", "n_border", "n_noise", "n_clusters")
+  }
+
+  val qDbscanSweepSql: String = {
+    def block(i: Int, eps: Double): String =
+      s"""deg$i AS (SELECT ida AS doc_id, count(*) AS nn FROM nb2
+         |          WHERE d2 <= $eps * $eps GROUP BY 1),
+         |core$i AS (SELECT doc_id FROM deg$i WHERE nn + 1 >= $DbMinPts),
+         |e$i AS (SELECT ida AS v, idb AS w FROM nb2
+         |        WHERE d2 <= $eps * $eps
+         |          AND ida IN (SELECT doc_id FROM core$i)
+         |          AND idb IN (SELECT doc_id FROM core$i)),
+         |r$i AS (SELECT doc_id AS v, doc_id AS w FROM core$i
+         |        UNION SELECT e$i.v, r$i.w FROM e$i JOIN r$i ON e$i.w = r$i.v),
+         |lab$i AS (SELECT v, min(w) AS cluster FROM r$i GROUP BY 1),
+         |bd$i AS (SELECT DISTINCT nb2.ida AS doc_id FROM nb2
+         |         WHERE d2 <= $eps * $eps
+         |           AND nb2.idb IN (SELECT doc_id FROM core$i)
+         |           AND nb2.ida NOT IN (SELECT doc_id FROM core$i))""".stripMargin
+    val blocks = DbSweepEps.zipWithIndex
+      .map { case (e, i) => block(i, e) }.mkString(",\n")
+    val branches = DbSweepEps.zipWithIndex.map { case (e, i) =>
+      s"""SELECT CAST($e AS DOUBLE) AS eps,
+         |       (SELECT count(*) FROM core$i) AS n_core,
+         |       (SELECT count(*) FROM bd$i) AS n_border,
+         |       (SELECT count(*) FROM f)
+         |         - (SELECT count(*) FROM core$i)
+         |         - (SELECT count(*) FROM bd$i) AS n_noise,
+         |       (SELECT count(DISTINCT cluster) FROM lab$i) AS n_clusters"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    val em = DbSweepEps.max
+    s"""WITH RECURSIVE
+       |f AS (SELECT doc_id,
+       |             CAST(CAST(list_sum(list_transform(string_split(text, ' '),
+       |                                               t -> len(t))) AS BIGINT)
+       |                  AS DOUBLE)
+       |               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x,
+       |             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS y
+       |      FROM documents),
+       |nb2 AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+       |        FROM f a JOIN f b ON a.doc_id <> b.doc_id
+       |        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |                <= $em * $em),
+       |$blocks
+       |$branches""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skyline" -> (qSkyline _),
+    "q_dbscan_sweep" -> (qDbscanSweep _),
     "q_dbscan_silhouette" -> (qDbscanSilhouette _),
     "q_skyline3" -> (qSkyline3 _),
     "q_dbscan" -> (qDbscan _),
@@ -1062,6 +1216,7 @@ object Corpus {
   val oracleSql: Map[String, String] = Map(
     "q_skyline" -> qSkylineSql,
     "q_skyline3" -> qSkyline3Sql,
+    "q_dbscan_sweep" -> qDbscanSweepSql,
     "q_dbscan_silhouette" -> qDbscanSilhouetteSql,
     "q_dbscan" -> qDbscanSql,
     "q_burrows_delta" -> qBurrowsDeltaSql,

@@ -375,6 +375,28 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(Set("core", "border", "noise").subsetOf(got.map(_._2)))
   }
 
+  test("dbscan sweep's middle point reconciles exactly with the report face") {
+    import spark.implicits._
+    val sweep = Corpus.qDbscanSweep(spark, sfDir)
+      .as[(Double, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(sweep.keySet == Corpus.DbSweepEps.toSet)
+    val report = Corpus.qDbscan(spark, sfDir)
+      .as[(Long, String, Long, Long)].collect()
+    val byRole = report.groupBy(_._2).view.mapValues(_.length.toLong)
+      .toMap.withDefaultValue(0L)
+    val nClusters = report.filter(_._3 >= 0).map(_._3).distinct.length.toLong
+    assert(sweep(0.03) ==
+      ((byRole("core"), byRole("border"), byRole("noise"), nClusters)))
+    // density monotonicity: cores never shrink as eps widens
+    val byEps = Corpus.DbSweepEps.sorted.map(sweep(_)._1)
+    assert(byEps == byEps.sorted, s"core counts not monotone: $byEps")
+    sweep.values.foreach { case (c, b, n, k) =>
+      assert(c + b + n == report.length.toLong)
+      assert(k <= c && (c == 0L) == (k == 0L))
+    }
+  }
+
   test("dbscan silhouette equals a driver recompute and is bounded in [-1, 1]") {
     import spark.implicits._
     def r9(d: Double): BigDecimal =
