@@ -1063,6 +1063,11 @@ object Corpus {
   // driver union-find (geometry-bounded, as in q_dbscan). The oracle
   // recomputes every point brute-force with its own recursive-CTE
   // closure, so the shared-pair-table decomposition is verified.
+  // Cost honesty: the widest-eps pair table is density-quadratic (54M
+  // directed pairs at sf1), so at production scale this audit runs on
+  // a corpus SAMPLE — the q_lsh_curve rule for every design-time audit
+  // in this repo; the production-eps report (q_dbscan) keeps its own
+  // tighter grid.
   private[queries] val DbSweepEps = Seq(0.02, 0.03, 0.045) // DbEps is the middle point
 
   /** The sweep's staged inputs: the widest-grid point table and the
