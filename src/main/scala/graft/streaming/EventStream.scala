@@ -561,6 +561,71 @@ object EventStream {
       .select($"doc_id", $"n_chunks", $"n_known", $"chars_known", $"chars_total")
   }
 
+  /** Committed journey-transition model — the streaming twin of
+    * queries.Events.qTransitions' matrix, kept as EXACT integer
+    * (count, row-mass) pairs so the gate's rarity cut is an integer
+    * comparison, never a float. (types+2)²-bounded — kilobytes on the
+    * closure, like every committed gate model. Built by the SAME
+    * lag/lead construction as the batch face (^start/^end included, so
+    * row masses equal the batch matrix's denominators). */
+  final case class JourneyModel(counts: Map[(String, String), Long],
+      outMass: Map[String, Long])
+
+  def journeyModel(events: DataFrame): JourneyModel = {
+    import events.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ev = events.select($"user_id", $"ts", $"event_id", $"event_type")
+      .select($"event_type",
+        coalesce(lag($"event_type", 1).over(w), lit("^start")).as("src"),
+        lead($"event_type", 1).over(w).isNull.as("is_last"))
+    val edges = ev.select($"src", $"event_type".as("dst"))
+      .unionByName(ev.where($"is_last")
+        .select($"event_type".as("src"), lit("^end").as("dst")))
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+    JourneyModel(edges.map(e => (e._1, e._2) -> e._3).toMap,
+      edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap)
+  }
+
+  /** One scored transition at the door. */
+  final case class TransitionFlag(user_id: Long, event_id: Long,
+      src: String, dst: String, n: Long, wt: Long, anomalous: Boolean)
+
+  /** Streaming journey-anomaly gate: per-user state is ONE string (the
+    * last event type); each arrival's (prev → current) transition is
+    * looked up in the committed matrix and flagged anomalous iff its
+    * empirical share is under thresholdPerMille — compared as exact
+    * integers (n·1000 < wt·threshold), so the gate, the batch matrix
+    * and the spec's driver recompute can never disagree on a boundary.
+    * A user's first-ever event scores the ^start edge; a transition
+    * the corpus never saw (n = 0, including an unknown source state)
+    * is maximally anomalous. The bot/broken-client tripwire at the
+    * door — the navigation analog of the profile-drift gate. */
+  def journeyAnomalies(events: Dataset[EventRow], model: JourneyModel,
+      thresholdPerMille: Long = 50L): Dataset[TransitionFlag] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    def fn(userId: Long, rows: Iterator[EventRow],
+        state: GroupState[String]): Iterator[TransitionFlag] = {
+      var prev = state.getOption.getOrElse("^start")
+      val out = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+        val n = model.counts.getOrElse((prev, e.event_type), 0L)
+        val wt = model.outMass.getOrElse(prev, 0L)
+        val flag = n == 0L || n * 1000L < wt * thresholdPerMille
+        val r = TransitionFlag(userId, e.event_id, prev, e.event_type,
+          n, wt, flag)
+        prev = e.event_type
+        r
+      }
+      state.update(prev)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Static DBSCAN core index — the committed (cell, coordinates,
     * cluster) table of every CORE point, built by the SAME batch
     * pipeline as q_dbscan (queries.Corpus.dbscanCoreIndex). Cell keys

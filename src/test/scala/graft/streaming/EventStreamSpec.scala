@@ -468,6 +468,42 @@ class EventStreamSpec extends SparkTestBase {
       s"got ${rows.mkString(",")}")
   }
 
+  test("journey anomaly gate scores transitions against the committed matrix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, ts("2024-01-01 10:00:10"), 1L, "view"),
+      (2L, ts("2024-01-01 10:00:12"), 1L, "click"),
+      (3L, ts("2024-01-01 10:00:15"), 1L, "purchase"),
+      (4L, ts("2024-01-01 10:00:10"), 2L, "view"),
+      (5L, ts("2024-01-01 10:00:20"), 2L, "view"),
+      (6L, ts("2024-01-01 10:00:10"), 3L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val model = EventStream.journeyModel(corpus)
+    // the model mirrors the batch matrix incl. ^start/^end row masses
+    assert(model.counts(("^start", "view")) == 2L &&
+      model.outMass("^start") == 3L && model.outMass("view") == 3L)
+    val in = MemoryStream[EventStream.EventRow]
+    val q = EventStream.journeyAnomalies(in.toDS(), model)
+      .writeStream.format("memory").queryName("journeygate")
+      .outputMode("append").start()
+    in.addData(EventStream.EventRow(10, ts("2024-01-02 09:00:00"), 9, "view", 0.0))
+    q.processAllAvailable()
+    // state carries the last type across micro-batches
+    in.addData(
+      EventStream.EventRow(11, ts("2024-01-02 09:00:05"), 9, "click", 0.0),
+      EventStream.EventRow(12, ts("2024-01-02 09:00:09"), 9, "error", 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("journeygate")
+      .select("event_id", "src", "dst", "n", "wt", "anomalous")
+      .as[(Long, String, String, Long, Long, Boolean)].collect()
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (10L, "^start", "view", 2L, 3L, false),
+      (11L, "view", "click", 1L, 3L, false),
+      (12L, "click", "error", 0L, 2L, true)))
+  }
+
   test("streaming dbscan gate re-derives every batch cluster at the door") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
