@@ -5,6 +5,46 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale must not break the JSON
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** EXTERNAL-CPU meter: the start-idle gate (load1 < 2) cannot see load
+    * arriving MID-run, and load1 sampled mid-run mostly measures the
+    * bench's own 32 threads (the r11-clean sf1 run still ended at
+    * load1 14.5). The contamination-specific signal is total busy CPU
+    * from /proc/stat MINUS this JVM's own process CPU: ~0 on a clean
+    * run whatever the bench itself does, and exactly the foreign work
+    * when a co-tenant (or hypervisor steal, which /proc/stat itemizes
+    * and busy() includes) lands mid-run. Review r11 item 1. */
+  private object ExtCpu {
+    private val os = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+    /** (busy cpu-seconds machine-wide incl. steal, own cpu-seconds,
+      * wall nanos); busy = every /proc/stat field except idle+iowait.
+      * USER_HZ is POSIX-fixed at 100 for userspace. */
+    final case class Snap(busySec: Double, ownSec: Double, wallNanos: Long)
+    def snap(): Snap = {
+      val busy = try {
+        val line = java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        (f.sum - f(3) - (if (f.length > 4) f(4) else 0L)) / 100.0
+      } catch { case _: Throwable => -1.0 }
+      val own = os match {
+        case s: com.sun.management.OperatingSystemMXBean =>
+          s.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+      Snap(busy, own, System.nanoTime())
+    }
+    /** Average FOREIGN busy cores between two snaps; -1 when the meter
+      * is unavailable (non-Linux /proc or a non-HotSpot bean). */
+    def foreignCores(a: Snap, b: Snap): Double = {
+      if (a.busySec < 0 || b.busySec < 0 || a.ownSec < 0 || b.ownSec < 0)
+        return -1.0
+      val wall = (b.wallNanos - a.wallNanos) / 1e9
+      if (wall <= 0) return -1.0
+      math.max(0.0, ((b.busySec - a.busySec) - (b.ownSec - a.ownSec)) / wall)
+    }
+  }
+
   /** Measured SETUP phase: one-time per-corpus builds that a production
     * deployment pays at ingest (bucketed fact mirrors) or maintains as
     * standing tables next to the corpus (shingle frames, prefix
@@ -127,15 +167,51 @@ object Bench {
     // JIT warmup and per-query numbers are not comparable.
     try SparkEntry.entry(spark).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-    // Setup phase (timed per step, reported separately from query time).
-    val setup = setupSteps.map { case (name, fn) =>
+    // MID-RUN watchdog (review r11 item 1): the start-idle gate cannot
+    // see foreign load arriving mid-run, which forced three rounds of
+    // warm-rerun adjudication. Every setup step and query is now
+    // bracketed by ExtCpu snaps; a window with > extBar foreign cores
+    // marks the measurement contaminated, the run parks (bounded) until
+    // a 1-s gap sample shows the machine quiet, and a contaminated
+    // QUERY is re-measured once — raw numbers need no post-hoc warm
+    // substitution. All pauses accumulate in midrun_wait_sec; the
+    // contaminated first measures ship in "contended" for transparency.
+    val extBar = sys.env.getOrElse("SPARK_GRAFT_EXT_BAR", "2.0").toDouble
+    val midrunBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_MIDRUN_WAIT", "300").toDouble
+    var midrunWaitSec = 0.0
+    def pauseUntilQuiet(): Unit = {
+      var quiet = false
+      while (!quiet && midrunWaitSec < midrunBudgetSec) {
+        val a = ExtCpu.snap(); Thread.sleep(1000)
+        val fc = ExtCpu.foreignCores(a, ExtCpu.snap())
+        midrunWaitSec += 1.0
+        quiet = fc < 0 || fc < extBar
+        if (!quiet) { Thread.sleep(4000); midrunWaitSec += 4.0 }
+      }
+    }
+    // Setup phase (timed per step, reported separately from query time;
+    // per-step foreign-core readings ship in setup_ext so a
+    // contaminated build is attributable, and the NEXT step starts on a
+    // quiet machine — builds are cached, so a re-measure would be
+    // meaningless; visibility is the honest option here).
+    val setupRaw = setupSteps.map { case (name, fn) =>
+      val s0 = ExtCpu.snap()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir); true }
       catch { case e: Throwable =>
         System.err.println(s"[bench] setup $name failed: ${e.getMessage}"); false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val fc = ExtCpu.foreignCores(s0, ExtCpu.snap())
+      if (fc > extBar && only.isEmpty) {
+        System.err.println(f"[bench] setup $name saw $fc%.1f foreign cores — pausing")
+        pauseUntilQuiet()
+      }
+      (name, sec, fc)
     }
+    val setup = setupRaw.map(r => r._1 -> r._2)
+    val setupExt = setupRaw.map(r => r._1 -> r._3)
     val setupSec = setup.map(_._2).filter(_ >= 0).sum
     // Cumulative JVM GC time over the timed section: after ~100 queries
     // the heap holds every staged frame and codegen class, and a major
@@ -168,7 +244,23 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-    val results = selected.map { case (name, fn) => name -> time(name, fn, failed ::= _) }
+    val timedStart = ExtCpu.snap()
+    var contended = List.empty[(String, Double)]
+    val results = selected.map { case (name, fn) =>
+      val s0 = ExtCpu.snap()
+      val t = time(name, fn, failed ::= _)
+      val fc = ExtCpu.foreignCores(s0, ExtCpu.snap())
+      // re-measure once after parking: the first number carried foreign
+      // work (the 0.1 s floor keeps jiffy quantization noise out)
+      if (t >= 0.1 && fc > extBar && only.isEmpty) {
+        System.err.println(
+          f"[bench] $name saw $fc%.1f foreign cores — parking, re-measuring")
+        contended ::= (name -> t)
+        pauseUntilQuiet()
+        name -> time(name, fn, failed ::= _)
+      } else name -> t
+    }
+    val extCoresAvg = ExtCpu.foreignCores(timedStart, ExtCpu.snap())
     val ok0 = results.filter(_._2 >= 0)
     // Warm second pass: a warm time ≈ the first time means the first
     // number is real steady-state; a much smaller warm time flags either
@@ -197,10 +289,14 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""setup":${jmap(setup)},"setup_sec":${fmt(setupSec)},""" +
+        s""""setup_ext":${jmap(setupExt)},""" +
         s""""warm":${jmap(warm)},"warm_failed":${warmFailed.size},""" +
         s""""n_movers":${movers.size},"load1":${fmt(load1Start)},""" +
         s""""load1_end":${fmt(load1End)},"gc_sec":${fmt(gcSec)},""" +
         s""""idle_wait_sec":${fmt(idleWaitSec)},""" +
+        s""""midrun_wait_sec":${fmt(midrunWaitSec)},""" +
+        s""""ext_cores_avg":${fmt(extCoresAvg)},""" +
+        s""""contended":${jmap(contended)},""" +
         s""""sf":"$sfDir","failed":${failed.size}}"""
     println(full)
     // The driver captures only the LAST ~2000 chars of the sbt log; at 90+
@@ -227,13 +323,16 @@ object Bench {
       s""""load1_end":${fmt(load1End)}""",
       s""""gc_sec":${fmt(gcSec)}""",
       s""""idle_wait_sec":${fmt(idleWaitSec)}""",
+      s""""midrun_wait_sec":${fmt(midrunWaitSec)}""",
+      s""""ext_cores_avg":${fmt(extCoresAvg)}""",
+      s""""n_contended":${contended.size}""",
       s""""setup":${jmap(setup)}""",
       s""""setup_sec":${fmt(setupSec)}""",
       s""""queries":${jmap(slowestPairs)}""",
       s""""warm":${jmap(warm)}""",
       s""""warm_failed":${warmFailed.size}""",
       s""""n_movers":${movers.size}""",
-      """"note":"slowest-12 + >2x-vs-prior movers warm-rerun; setup = one-time staged builds excluded from query time; full per-query map in target/bench_full.json and the preceding line"""")
+      """"note":"slowest-12 + >2x-vs-prior movers warm-rerun; a query whose window saw >2 foreign cores (ext-cpu watchdog) parks then re-measures once, first measure kept in contended; setup = one-time staged builds excluded from query time; full per-query map in target/bench_full.json and the preceding line"""")
     println(compactFields.mkString("{", ",", "}"))
     spark.stop()
     // A broken query must never bench as fast: non-zero exit on any

@@ -863,25 +863,18 @@ object Corpus {
     // not the node count). The alternating-star operator stays the right
     // tool for PAIR-scale graphs (duplicate clusters); here its per-round
     // scheduler cost (measured 6.6 s) dwarfs a millisecond union-find.
+    // The bound is ENFORCED, not assumed: DriverComponents counts the
+    // contracted edges and falls back to the distributed operator over
+    // its cap, so a pathological feature distribution degrades to a
+    // slower plan instead of a silent driver OOM (review r11).
     val coreLab = stage("corelab", () => {
-      val edgeList = cellEdges.as[(Long, Long)].collect()
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(v: Long): Long = {
-        var r = v
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = v
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      edgeList.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root union
-      }
-      val labels = edgeList.flatMap(e => Seq(e._1, e._2)).distinct
-        .map(v => (v, find(v))).toSeq.toDF("rep", "lbl")
+      val labels = graft.operators.DriverComponents.minLabels(cellEdges)
+        .toDF("rep", "lbl")
       // a cell with no cross-cell edge is its own cluster — coalesce to
-      // the representative
-      coreRep.join(broadcast(labels), Seq("rep"), "left_outer")
+      // the representative (labels is a LocalRelation in the normal path
+      // — Spark broadcasts it unhinted; hinting would be wrong in the
+      // over-cap fallback where it is pair-scale)
+      coreRep.join(labels, Seq("rep"), "left_outer")
         .select($"doc_id", coalesce($"lbl", $"rep").as("cluster"))
     })
     (pts, nbr, deg, coreLab)
@@ -1067,8 +1060,37 @@ object Corpus {
   // directed pairs at sf1), so at production scale this audit runs on
   // a corpus SAMPLE — the q_lsh_curve rule for every design-time audit
   // in this repo; the production-eps report (q_dbscan) keeps its own
-  // tighter grid.
+  // tighter grid. The sample contract is ENFORCED (review r11), not a
+  // comment: see DbSweepRowBudget / sampleToBudget below.
   private[queries] val DbSweepEps = Seq(0.02, 0.03, 0.045) // DbEps is the middle point
+
+  /** Enforced sample-at-scale contract (review r11 item 3): the sweep's
+    * pair table is density-quadratic, so over this many points the
+    * audit runs on a deterministic sample. 20k keeps every oracle SF
+    * (sf0.01 = 500 docs, sf0.1 = 5000) exactly unsampled — hashes
+    * unchanged — while sf1's 50k docs sample to ~20k and a 100 TB
+    * corpus to the same bounded audit size. */
+  private[queries] val DbSweepRowBudget: Long = 20000L
+
+  /** The budget is a session knob (`graft.dbscan.sweep.rowBudget`) so a
+    * deployment can widen or tighten the audit's sample without a
+    * rebuild; the default above is the contract. */
+  private[queries] def dbSweepRowBudget(spark: SparkSession): Long =
+    spark.conf.getOption("graft.dbscan.sweep.rowBudget")
+      .map(_.toLong).getOrElse(DbSweepRowBudget)
+
+  /** Deterministic row-budget sampler: identity at n ≤ budget,
+    * hash-Bernoulli at ~budget/n above it (xxhash64 of doc_id — an
+    * internal key that never reaches output, per the oracle-parity
+    * house rules). Same rows every run, every partitioning. */
+  private[queries] def sampleToBudget(pts: DataFrame, n: Long,
+      budget: Long): DataFrame =
+    if (n <= budget) pts
+    else pts.where(pmod(xxhash64(col("doc_id")), lit(1000000L)) <
+      lit(budget * 1000000L / n))
+
+  private[queries] def sampleToBudget(pts: DataFrame, budget: Long): DataFrame =
+    sampleToBudget(pts, pts.count(), budget)
 
   /** The sweep's staged inputs: the widest-grid point table and the
     * d2-carrying eps-graph at max(eps) — one build per corpus, shared
@@ -1077,7 +1099,11 @@ object Corpus {
     import spark.implicits._
     val epsMax = DbSweepEps.max
     graft.operators.Staging.persisted(spark, sfDir, "dbscan-sweep-pts") {
-      dbscanFeaturesOf(Tables.documents(spark, sfDir))
+      // budget decision off the cheap parquet count-star, not a feature
+      // recompute; the guard fires before any quadratic work exists
+      val docs = Tables.documents(spark, sfDir)
+      sampleToBudget(dbscanFeaturesOf(docs), docs.count(),
+        dbSweepRowBudget(spark))
         .select($"doc_id", $"x", $"y",
           floor($"x" / epsMax).as("cx"), floor($"y" / epsMax).as("cy"))
     }
@@ -1133,10 +1159,14 @@ object Corpus {
         col(s"c$i").as(s"cb$i")): _*), Seq("idb"))
       .groupBy($"ida").agg(hasAggs.head, hasAggs.tail: _*)
     // per-eps core/border counts in ONE rollup of the flag frame
+    // coalesce: an EMPTY flag frame (degenerate corpus with no pairs at
+    // all) makes the ungrouped sums NULL — the oracle's per-eps counts
+    // are zero there, and getLong would NPE (review r11 advice)
     val cntAggs = idx.flatMap { i =>
-      Seq(sum(when(col(s"c$i"), 1L).otherwise(0L)).as(s"core$i"),
-        sum(when(!col(s"c$i") && col(s"h$i") === 1L, 1L).otherwise(0L))
-          .as(s"border$i"))
+      Seq(coalesce(sum(when(col(s"c$i"), 1L).otherwise(0L)), lit(0L))
+          .as(s"core$i"),
+        coalesce(sum(when(!col(s"c$i") && col(s"h$i") === 1L, 1L)
+          .otherwise(0L)), lit(0L)).as(s"border$i"))
     }
     val cnt = flags.join(touched, Seq("ida"))
       .agg(cntAggs.head, cntAggs.tail: _*).collect()(0)
@@ -1157,22 +1187,17 @@ object Corpus {
         .join(coreRep.select($"doc_id".as("idb"), $"rep".as("repb")), Seq("idb"))
         .where($"repa" =!= $"repb")
         .select($"repa", $"repb").distinct()
-      // driver union-find over the geometry-bounded contracted graph
-      val edgeList = cellEdges.as[(Long, Long)].collect()
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(v: Long): Long = {
-        var r = v
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = v
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      edgeList.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val reps = coreRep.select($"rep").distinct().as[Long].collect()
-      val nClusters = reps.map(find).distinct.length.toLong
+      // capped driver union-find (distributed fallback over the cap —
+      // review r11). Cluster count without collecting reps (a
+      // pathological all-isolated corpus makes the rep list
+      // corpus-sized): components among edge-incident reps (distinct
+      // labels — a LocalRelation in the driver path, milliseconds) plus
+      // one isolated cluster per edge-less rep.
+      val labels = graft.operators.DriverComponents.minLabels(cellEdges)
+      val nReps = coreRep.select($"rep").distinct().count()
+      val nIncident = labels.count()
+      val nComponents = labels.select($"lbl").distinct().count()
+      val nClusters = nComponents + (nReps - nIncident)
       val nCore = cnt.getLong(2 * i)
       val nBorder = cnt.getLong(2 * i + 1)
       (eps, nCore, nBorder, nDocs - nCore - nBorder, nClusters)

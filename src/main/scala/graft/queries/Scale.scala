@@ -327,7 +327,13 @@ object Scale {
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong
         java.nio.file.Files.isDirectory(
           java.nio.file.Paths.get("/proc", pid.toString))
-      } catch { case _: NumberFormatException => false }
+      } catch {
+        // a garbled _owner is not-alive; so is one a concurrent sweeper
+        // deleted between the exists() probe and the read (NoSuchFile /
+        // any IO failure) — fall back to the mtime TTL, never fail the
+        // whole mirror build (review r11 advice)
+        case _: NumberFormatException | _: java.io.IOException => false
+      }
     }
   }
 

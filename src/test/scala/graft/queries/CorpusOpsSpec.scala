@@ -397,6 +397,45 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("sampleToBudget is identity under budget, deterministic strict subset over it") {
+    import spark.implicits._
+    val pts = (0L until 2000L).map(i => (i, i * 0.001, i * 0.002))
+      .toDF("doc_id", "x", "y")
+    assert(Corpus.sampleToBudget(pts, 2000L).count() == 2000L)
+    val s1 = Corpus.sampleToBudget(pts, 500L)
+      .select($"doc_id").as[Long].collect().toSet
+    val s2 = Corpus.sampleToBudget(pts.repartition(7), 500L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "sample must be partitioning-independent")
+    assert(s1.size > 250 && s1.size < 750, s"~budget/n fraction, got ${s1.size}")
+  }
+
+  test("sweep's sample-at-scale guard fires on an over-budget corpus") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir).count()
+    assert(docs > 100L)
+    try {
+      spark.conf.set("graft.dbscan.sweep.rowBudget", "100")
+      graft.operators.Staging.invalidate(Some(sfDir))
+      val sweep = Corpus.qDbscanSweep(spark, sfDir)
+        .as[(Double, Long, Long, Long, Long)].collect()
+      // every eps row reports the same sampled population, strictly
+      // under the corpus and near the budget
+      val totals = sweep.map(r => r._2 + r._3 + r._4).distinct
+      assert(totals.length == 1, s"inconsistent totals: ${totals.toSeq}")
+      val n = totals.head
+      assert(n > 0 && n < docs, s"guard did not fire: n=$n of $docs")
+      // deterministic: a fresh staging build lands on the same sample
+      graft.operators.Staging.invalidate(Some(sfDir))
+      val again = Corpus.qDbscanSweep(spark, sfDir)
+        .as[(Double, Long, Long, Long, Long)].collect()
+      assert(sweep.toSet == again.toSet)
+    } finally {
+      spark.conf.unset("graft.dbscan.sweep.rowBudget")
+      graft.operators.Staging.invalidate(Some(sfDir))
+    }
+  }
+
   test("dbscan silhouette equals a driver recompute and is bounded in [-1, 1]") {
     import spark.implicits._
     def r9(d: Double): BigDecimal =
