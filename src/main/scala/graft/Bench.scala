@@ -82,6 +82,12 @@ object Bench {
     // the BPE merge list is a model artifact like the IVF centroids:
     // trained once per corpus, consumed by both tokenizer query faces
     "bpe_model" -> ((s, dir) => { graft.operators.BpeTrainer.trainedMerges(s, dir); () }),
+    // the journey transition matrix is the same kind of committed model
+    // artifact — built once per corpus, read by the batch gate face and
+    // the streaming journey gate
+    "journey_model" -> ((s, dir) => {
+      graft.queries.Events.committedJourneyEdges(s, dir).count(); ()
+    }),
     // events-table footer reads + first-file-listing: 95% of
     // q_asof_join's r7 headline (4.53 s first / 0.21 s warm) was this
     // one-time touch, not the plan (judge r7 finding 4) — itemize it

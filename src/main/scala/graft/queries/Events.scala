@@ -838,6 +838,139 @@ object Events {
       |FROM g""".stripMargin
 
   // --------------------------------------------------------------------
+  // Journey-anomaly gate, BATCH face + committed model sidecar (review
+  // r11 item 6 — the BPE precedent applied to the streaming gate's
+  // model): the transition matrix the streaming gate scores against
+  // (EventStream.journeyAnomalies) is committed as a parquet sidecar
+  // tagged with an events-table content signature, the batch face
+  // recomputes every event's flag RELATIONALLY from events + sidecar,
+  // and the oracle re-derives the same flags in DuckDB from the same
+  // two inputs — so the gate's decision boundary (the exact-integer
+  // n·1000 < wt·thr compare) is oracle-checked, not just spec-checked.
+  // Scale: the model is (|event types|+2)²-bounded (kilobytes), the
+  // flag pass is one lag window + two broadcast joins — the shape of a
+  // 100 TB backfill scoring job.
+  //
+  // 150‰ sits just above the testdata's rarest gate-visible shares
+  // (133.3‰ entry edges at sf0.001/sf0.01, with view→view at 150.5‰
+  // a hair OVER the cut), so the oracle compare exercises both flag
+  // values AND the razor-thin boundary where only the exact-integer
+  // n·1000 < wt·thr form is trustworthy.
+  private[graft] val JourneyThrPerMille = 150L
+
+  private[graft] def journeyModelPath(sfDir: String): java.nio.file.Path =
+    graft.core.Scratch.dir("journey-model", sfDir)
+
+  /** Absolute glob for the oracle SQL — derived from the same
+    * Scratch.base() the writer uses (the centroid-mirror rule). */
+  private def journeyModelGlob: String =
+    graft.core.Scratch.base().resolve("journey-model").toString + "/*/*.parquet"
+
+  /** Content signature that picks THIS corpus's matrix out of the
+    * glob: Σ event_id + 1000003·count, exact integers both engines. */
+  private[graft] val EventsSigSpark = "sum(event_id) + 1000003L * count(*)"
+  private[graft] val EventsSigDuck =
+    "SELECT CAST(sum(event_id) + 1000003 * count(*) AS BIGINT) FROM events"
+
+  /** Build-or-reuse the committed journey matrix — (src, dst, n, wt):
+    * qTransitions' edge counts (^start/^end included) plus the per-src
+    * row mass wt, so the gate's rarity cut n·1000 < wt·thr is an
+    * integer compare against committed longs. Verified against the
+    * events signature once per (session, corpus); stale or truncated
+    * sidecars rebuild (the BpeTrainer.committedMerges discipline). */
+  def committedJourneyEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Staging.memoized(spark, sfDir, "journey-model") {
+      import spark.implicits._
+      val path = journeyModelPath(sfDir)
+      val sig = Tables.events(spark, sfDir)
+        .agg(expr(EventsSigSpark)).head().getLong(0)
+      this.synchronized {
+        val current = java.nio.file.Files
+          .exists(path.resolve("_GRAFT_COMMITTED")) && {
+          val sigs = spark.read.parquet(path.toString)
+            .select($"corpus_sig").distinct().limit(2).collect().toSeq
+          sigs.length == 1 && sigs.head.getLong(0) == sig
+        }
+        if (!current) {
+          // staged OUTSIDE journey-model/ so the oracle's glob can never
+          // observe half-written model files
+          java.nio.file.Files.deleteIfExists(path.resolve("_GRAFT_COMMITTED"))
+          val staging = path.getParent
+            .resolveSibling("journey-model-staging").resolve(path.getFileName)
+          graft.core.CommitProtocol.deleteRecursively(staging)
+          val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          val ev = Tables.events(spark, sfDir)
+            .select($"user_id", $"ts", $"event_id", $"event_type")
+            .select($"event_type",
+              coalesce(lag($"event_type", 1).over(w), lit("^start")).as("src"),
+              lead($"event_type", 1).over(w).isNull.as("is_last"))
+          ev.select($"src", $"event_type".as("dst"))
+            .unionByName(ev.where($"is_last")
+              .select($"event_type".as("src"), lit("^end").as("dst")))
+            .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+            .select($"src", $"dst", $"n",
+              sum($"n").over(Window.partitionBy($"src")).as("wt"))
+            .withColumn("corpus_sig", lit(sig))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(staging.toString)
+          graft.core.CommitProtocol.publish(staging, Seq(staging -> path)) {
+            java.nio.file.Files.createFile(path.resolve("_GRAFT_COMMITTED")); ()
+          }
+        }
+      }
+      spark.read.parquet(path.toString).select($"src", $"dst", $"n", $"wt")
+    }
+
+  /** Batch journey gate: every event scored against the COMMITTED
+    * matrix with the streaming gate's exact rule — n = 0 (unknown
+    * transition) or n·1000 < wt·50 flags anomalous; wt is the source
+    * state's row mass even when the (src, dst) pair is unseen, read
+    * from the per-src mass projection so the face stays faithful when
+    * scored events diverge from the model's corpus. */
+  def qJourneyGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .select($"user_id", $"event_id",
+        coalesce(lag($"event_type", 1).over(w), lit("^start")).as("src"),
+        $"event_type".as("dst"))
+    val m = committedJourneyEdges(spark, sfDir)
+    val mass = m.select($"src", $"wt").distinct()
+    ev.join(broadcast(m.select($"src", $"dst", $"n")), Seq("src", "dst"),
+        "left_outer")
+      .join(broadcast(mass), Seq("src"), "left_outer")
+      .select($"user_id", $"event_id", $"src", $"dst",
+        coalesce($"n", lit(0L)).as("n"),
+        coalesce($"wt", lit(0L)).as("wt"),
+        when(coalesce($"n", lit(0L)) === 0L ||
+            coalesce($"n", lit(0L)) * lit(1000L) <
+              coalesce($"wt", lit(0L)) * lit(JourneyThrPerMille), 1L)
+          .otherwise(0L).as("is_anomalous"))
+  }
+
+  def qJourneyGateSql: String =
+    s"""WITH m AS (SELECT DISTINCT src, dst, n, wt
+       |           FROM read_parquet('$journeyModelGlob')
+       |           WHERE corpus_sig = ($EventsSigDuck)),
+       |mass AS (SELECT DISTINCT src, wt FROM m),
+       |e AS (SELECT user_id, event_id,
+       |        coalesce(lag(event_type)
+       |          OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       |          '^start') AS src,
+       |        event_type AS dst
+       |      FROM events)
+       |SELECT e.user_id, e.event_id, e.src, e.dst,
+       |       CAST(coalesce(m.n, 0) AS BIGINT) AS n,
+       |       CAST(coalesce(mass.wt, 0) AS BIGINT) AS wt,
+       |       CAST(CASE WHEN coalesce(m.n, 0) = 0
+       |                   OR coalesce(m.n, 0) * 1000
+       |                        < coalesce(mass.wt, 0) * $JourneyThrPerMille
+       |            THEN 1 ELSE 0 END AS BIGINT) AS is_anomalous
+       |FROM e LEFT JOIN m ON e.src = m.src AND e.dst = m.dst
+       |       LEFT JOIN mass ON e.src = mass.src""".stripMargin
+
+  // --------------------------------------------------------------------
   // Journey stationary mass: 3 fixed power steps of the EXACT empirical
   // transition kernel (q_transitions' edges plus the ^end→^start
   // recycling edge that closes the chain), at parts-per-billion integer
@@ -908,6 +1041,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_journey_gate" -> (qJourneyGate _),
     "q_journey_stationary" -> (qJourneyStationary _),
     "q_transitions" -> (qTransitions _),
     "q_scd2" -> (qScd2 _),
@@ -935,6 +1069,7 @@ object Events {
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_journey_gate" -> qJourneyGateSql,
     "q_journey_stationary" -> qJourneyStationarySql,
     "q_transitions" -> qTransitionsSql,
     "q_scd2" -> qScd2Sql,

@@ -588,6 +588,20 @@ object EventStream {
       edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap)
   }
 
+  /** The deployed-model route (review r11 item 6): the gate reads the
+    * COMMITTED sidecar (queries.Events.committedJourneyEdges) — the
+    * same artifact the oracle-checked batch face q_journey_gate joins —
+    * so what the stream scores against is exactly what the oracle
+    * re-derives. The wt column already carries each src's row mass. */
+  def committedJourneyModel(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): JourneyModel = {
+    val rows = graft.queries.Events.committedJourneyEdges(spark, sfDir)
+      .collect()
+    JourneyModel(
+      rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      rows.map(r => r.getString(0) -> r.getLong(3)).toMap)
+  }
+
   /** One scored transition at the door. */
   final case class TransitionFlag(user_id: Long, event_id: Long,
       src: String, dst: String, n: Long, wt: Long, anomalous: Boolean)
@@ -603,7 +617,8 @@ object EventStream {
     * is maximally anomalous. The bot/broken-client tripwire at the
     * door — the navigation analog of the profile-drift gate. */
   def journeyAnomalies(events: Dataset[EventRow], model: JourneyModel,
-      thresholdPerMille: Long = 50L): Dataset[TransitionFlag] = {
+      thresholdPerMille: Long =
+        graft.queries.Events.JourneyThrPerMille): Dataset[TransitionFlag] = {
     import events.sparkSession.implicits._
     def micros(t: Timestamp): Long =
       t.getTime * 1000L + (t.getNanos / 1000) % 1000

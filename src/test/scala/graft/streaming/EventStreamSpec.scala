@@ -504,6 +504,38 @@ class EventStreamSpec extends SparkTestBase {
       (12L, "click", "error", 0L, 2L, true)))
   }
 
+  test("journey gate under the COMMITTED model equals the oracle-checked batch face") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: the sidecar-joined relational face (oracle-green)
+    val batch = graft.queries.Events.qJourneyGate(spark, dir)
+      .select($"event_id", $"src", $"dst", $"n", $"wt", $"is_anomalous")
+      .as[(Long, String, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6 == 1L))).toMap
+    val model = EventStream.committedJourneyModel(spark, dir)
+    // drive EVERY event through the stream in event order per user (one
+    // batch — flatMapGroupsWithState sorts within the group anyway)
+    val evs = graft.core.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStream.EventRow].collect()
+    val in = MemoryStream[EventStream.EventRow]
+    val q = EventStream.journeyAnomalies(in.toDS(), model)
+      .writeStream.format("memory").queryName("journeygatefull")
+      .outputMode("append").start()
+    in.addData(evs.toIndexedSeq)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("journeygatefull")
+      .select("event_id", "src", "dst", "n", "wt", "anomalous")
+      .as[(Long, String, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got.keySet == batch.keySet)
+    val diffs = got.collect { case (id, v) if batch(id) != v => (id, v, batch(id)) }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(3).mkString("; ")}")
+    // the boundary is exercised: both flag values occur on this corpus
+    assert(got.values.exists(_._5) && got.values.exists(!_._5))
+  }
+
   test("streaming dbscan gate re-derives every batch cluster at the door") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
