@@ -293,6 +293,116 @@ object MultimodalMeta {
       |                 / (n_sample * (n_sample - 1) // 2) END AS reduction_ratio
       |FROM tots""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Index MAINTENANCE legs (review r11 item 7 — the asset family gains
+  // the same attach/delete discipline the ANN family got in r10/r11).
+  //
+  // INCREMENTAL attach: a deterministic 10% of assets (id ≡ 7 mod 10)
+  // play the arriving batch; only THEY are fingerprinted at the door
+  // (map-only, same ahash60 kernel) and their bands probe the standing
+  // index's band table asymmetrically — candidates come only from
+  // new×standing bucket matches, so the cost is O(batch · bands +
+  // collisions), independent of corpus², and the standing side is the
+  // SAME staged fingerprint frame the batch report reads. A modular
+  // split (not an id threshold) keeps the batch a fixed fraction at
+  // every scale. The oracle replicates the banded generation with the
+  // same split — integer-exact end to end.
+  private val ArriveMod = 10L
+  private val ArriveRem = 6L
+
+  /** The shared banded fingerprint frame — (asset_id, h, band, bv). */
+  private def bandedPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    phash60(spark, sfDir)
+      .select($"asset_id", $"h",
+        explode(graft.functions.functions.bands_4x15($"h")).as("kb"))
+      .select($"asset_id", $"h", $"kb.band".as("band"), $"kb.bv".as("bv"))
+  }
+
+  def qAssetPhashIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val banded = bandedPhash(spark, sfDir)
+    val standing = banded.filter($"asset_id" % ArriveMod =!= ArriveRem)
+      .select($"asset_id".as("old_id"), $"h".as("ho"), $"band", $"bv")
+    val arriving = banded.filter($"asset_id" % ArriveMod === ArriveRem)
+      .select($"asset_id".as("new_id"), $"h".as("hn"), $"band", $"bv")
+    arriving.join(standing, Seq("band", "bv"))
+      .select($"new_id", $"old_id",
+        expr("cast(bit_count(hn ^ ho) as int)").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 13)
+  }
+
+  val qAssetPhashIncrementalSql: String =
+    s"""WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents
+      |           WHERE strlen(text) >= 60),
+      |byt AS (SELECT doc_id, n,
+      |          list_transform(range(n), i -> ord(substr(text, CAST(i+1 AS INTEGER), 1))) AS bs
+      |        FROM d),
+      |tot AS (SELECT doc_id, n, bs, list_sum(bs) AS total FROM byt),
+      |bits AS (SELECT doc_id, t.i,
+      |           CASE WHEN list_sum(bs[CAST((t.i*n)//60 + 1 AS BIGINT):CAST(((t.i+1)*n)//60 AS BIGINT)]) * n
+      |                     > total * (((t.i+1)*n)//60 - (t.i*n)//60)
+      |                THEN (1::BIGINT << t.i) ELSE 0 END AS bit
+      |         FROM tot CROSS JOIN unnest(range(60)) AS t(i)),
+      |h AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS hash FROM bits GROUP BY 1),
+      |bands AS (SELECT doc_id, hash, t.j, (hash >> (15*t.j)) & 32767 AS bv
+      |          FROM h CROSS JOIN unnest(range(4)) AS t(j)),
+      |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id,
+      |                a.hash AS hn, b.hash AS ho
+      |         FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv
+      |         WHERE a.doc_id % $ArriveMod = $ArriveRem
+      |           AND b.doc_id % $ArriveMod != $ArriveRem)
+      |SELECT new_id, old_id,
+      |       CAST(bit_count(xor(hn, ho)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(hn, ho)) <= 13""".stripMargin
+
+  // DELETE leg: tombstones (id ≡ 3 mod 17, the ANN family's set) are
+  // anti-joined out of the fingerprint frame BEFORE banding — a deleted
+  // asset costs an id compare at probe time, never a hash read, and the
+  // standing index stays immutable between compactions (the warehouse
+  // tombstone discipline, ShiftWarehouse S6).
+  private val DeleteMod = 17L
+  private val DeleteRem = 3L
+
+  def qAssetPhashDeletes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dead = phash60(spark, sfDir)
+      .filter($"asset_id" % DeleteMod === DeleteRem).select($"asset_id")
+    val live = bandedPhash(spark, sfDir)
+      .join(broadcast(dead), Seq("asset_id"), "left_anti")
+    live.as("x").join(live.as("y"),
+        $"x.band" === $"y.band" && $"x.bv" === $"y.bv" &&
+          $"x.asset_id" < $"y.asset_id")
+      .select($"x.asset_id".as("asset_a"), $"y.asset_id".as("asset_b"),
+        expr("cast(bit_count(x.h ^ y.h) as int)").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 13)
+  }
+
+  val qAssetPhashDeletesSql: String =
+    s"""WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents
+      |           WHERE strlen(text) >= 60 AND doc_id % $DeleteMod != $DeleteRem),
+      |byt AS (SELECT doc_id, n,
+      |          list_transform(range(n), i -> ord(substr(text, CAST(i+1 AS INTEGER), 1))) AS bs
+      |        FROM d),
+      |tot AS (SELECT doc_id, n, bs, list_sum(bs) AS total FROM byt),
+      |bits AS (SELECT doc_id, t.i,
+      |           CASE WHEN list_sum(bs[CAST((t.i*n)//60 + 1 AS BIGINT):CAST(((t.i+1)*n)//60 AS BIGINT)]) * n
+      |                     > total * (((t.i+1)*n)//60 - (t.i*n)//60)
+      |                THEN (1::BIGINT << t.i) ELSE 0 END AS bit
+      |         FROM tot CROSS JOIN unnest(range(60)) AS t(i)),
+      |h AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS hash FROM bits GROUP BY 1),
+      |bands AS (SELECT doc_id, hash, t.j, (hash >> (15*t.j)) & 32767 AS bv
+      |          FROM h CROSS JOIN unnest(range(4)) AS t(j)),
+      |cand AS (SELECT DISTINCT a.doc_id AS asset_a, b.doc_id AS asset_b,
+      |                a.hash AS ha, b.hash AS hb
+      |         FROM bands a JOIN bands b
+      |           ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      |SELECT asset_a, asset_b,
+      |       CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 13""".stripMargin
+
   /** Setup-phase hook (the Dedup.prewarmStaging accounting rationale):
     * materialize the staged fingerprint table so the index build is
     * charged to setup, not to the first probe. */
@@ -306,6 +416,8 @@ object MultimodalMeta {
     "q_frame_sample" -> (qFrameSample _),
     "q_asset_sim" -> (qAssetSim _),
     "q_asset_phash" -> (qAssetPhash _),
+    "q_asset_phash_incremental" -> (qAssetPhashIncremental _),
+    "q_asset_phash_deletes" -> (qAssetPhashDeletes _),
     "q_phash_recall" -> (qPhashRecall _))
 
   val oracleSql: Map[String, String] = Map(
@@ -313,5 +425,7 @@ object MultimodalMeta {
     "q_frame_sample" -> qFrameSampleSql,
     "q_asset_sim" -> qAssetSimSql,
     "q_asset_phash" -> qAssetPhashSql,
+    "q_asset_phash_incremental" -> qAssetPhashIncrementalSql,
+    "q_asset_phash_deletes" -> qAssetPhashDeletesSql,
     "q_phash_recall" -> qPhashRecallSql)
 }

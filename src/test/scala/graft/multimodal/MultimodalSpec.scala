@@ -91,6 +91,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("phash maintenance legs reconcile with the full report") {
+    import spark.implicits._
+    val full = graft.queries.MultimodalMeta.qAssetPhash(spark, sfDir)
+      .as[(Long, Long, Int)].collect().toSet
+    // incremental = exactly the full pairs that CROSS the arrival split,
+    // re-keyed (new, old); within-batch and within-standing pairs are
+    // someone else's run
+    val inc = graft.queries.MultimodalMeta.qAssetPhashIncremental(spark, sfDir)
+      .as[(Long, Long, Int)].collect().toSet
+    val expInc = full.collect {
+      case (a, b, h) if a % 10 == 6 ^ b % 10 == 6 =>
+        if (a % 10 == 6) (a, b, h) else (b, a, h)
+    }
+    assert(inc == expInc && inc.nonEmpty)
+    // deletes = exactly the full pairs with both endpoints alive
+    val del = graft.queries.MultimodalMeta.qAssetPhashDeletes(spark, sfDir)
+      .as[(Long, Long, Int)].collect().toSet
+    val expDel = full.filter { case (a, b, _) =>
+      a % 17 != 3 && b % 17 != 3
+    }
+    assert(del == expDel && del.size < full.size,
+      s"tombstones must remove something: ${del.size} vs ${full.size}")
+    // both legs stay banded — no all-pairs join anywhere
+    Seq(graft.queries.MultimodalMeta.qAssetPhashIncremental(spark, sfDir),
+      graft.queries.MultimodalMeta.qAssetPhashDeletes(spark, sfDir))
+      .foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), plan)
+        assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      }
+  }
+
   test("decode batches are bounded by BatchSize") {
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     (1 to 150).grouped(Multimodal.DecodeStub.BatchSize).foreach(g => sizes += g.size)

@@ -583,6 +583,40 @@ class EventStreamSpec extends SparkTestBase {
     })
   }
 
+  test("streaming phash gate over a standing-only index equals q_asset_phash_incremental") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the incremental contract end-to-end: the index holds ONLY the
+    // standing 90% (id % 10 != 6); the arriving 10% is driven through
+    // the streaming gate and must surface exactly the new×standing
+    // pairs the batch maintenance leg reports
+    val corpus = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+    val index = EventStream.corpusPhashIndex(
+      corpus.filter($"doc_id" % 10 =!= 6))
+    val expected = graft.queries.MultimodalMeta
+      .qAssetPhashIncremental(spark, dir)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(expected.nonEmpty, "corpus must have cross-split phash dups")
+    val arriving = corpus.filter($"doc_id" % 10 === 6)
+      .as[(Long, String)].collect()
+    val in = MemoryStream[EventStream.DocRow]
+    val q = EventStream.corpusPhashSuspects(in.toDS(), index)
+      .writeStream.format("memory").queryName("phashincr")
+      .outputMode("append").start()
+    in.addData(arriving.map { case (id, t) =>
+      EventStream.DocRow(id, ts("2024-01-01 10:00:00"), t) }.toSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("phashincr")
+      .select("doc_id", "corpus_asset_id", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected, {
+      val diff = (got -- expected) ++ (expected -- got)
+      s"first diffs: ${diff.take(5).mkString(",")}"
+    })
+  }
+
   test("streaming NB filter gate equals the batch classifier scores bit-for-bit") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
