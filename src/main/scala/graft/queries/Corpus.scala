@@ -377,9 +377,11 @@ object Corpus {
       sfDir: String): DataFrame =
     graft.operators.Staging.persisted(spark, sfDir, "source_term") {
       import spark.implicits._
-      TextOps.docsWide(spark, sfDir)
-        .select($"source", explode(split($"text", " ")).as("term"))
-        .groupBy($"source", $"term").agg(count(lit(1)).as("c"))
+      // DERIVED from the standing postings (tf = occurrence count per
+      // doc/term, exact), not a second corpus-wide token fan-out —
+      // review r9 item 5 / r11 item 2: one tokenize pass per corpus
+      graft.queries.Retrieval.postings(spark, sfDir)
+        .groupBy($"source", $"term").agg(sum($"tf").as("c"))
     }
 
   /** Materialize the profile sidecar — a Bench setup step. */

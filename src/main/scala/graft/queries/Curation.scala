@@ -88,7 +88,10 @@ object Curation {
   private def shingled5(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Staging.persisted(spark, sfDir, "shingled5") {
       import spark.implicits._
-      Tables.documents(spark, sfDir)
+      // reads the wide mirror like shingled3: multi-split parallelism,
+      // and the corpus text is scanned from the ONE staged frame every
+      // token/shingle family shares (review r11 item 2)
+      TextOps.docsWide(spark, sfDir)
         .select($"doc_id", graft.functions.functions.word_shingles($"text", 5).as("sh"))
         .filter(size($"sh") > 0)
     }

@@ -1674,13 +1674,6 @@ object Dedup {
     else if (e % 2 == 0) { val h = powChainSql(x, e / 2); s"($h * $h)" }
     else s"(${powChainSql(x, e - 1)} * $x)"
 
-  /** Portable 96-slot minhash signature: md5-derived base hash per
-    * shingle (materialized in its own projection so the 96-way rehash
-    * references a cheap attribute, not a re-evaluated md5 per lambda
-    * element), then row-local affine minima. */
-  private def lshPortableSig(spark: SparkSession, sfDir: String): DataFrame =
-    lshSigFromShingles(shingled(spark, sfDir))
-
   /** Signature builder over any (doc_id, sh: array<string>) frame —
     * factored out so the spec pins the collide-on-equal-signature
     * guarantee over planted duplicates. One fused codegen'd kernel call
@@ -1712,10 +1705,28 @@ object Dedup {
 
   def qLshCurve(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // ENFORCED sample-at-scale (review r11 item 3's audit follow-up):
+    // banded candidate volume is bucket-occupancy-bounded, which a
+    // duplicate-heavy corpus can still blow up — over the budget the
+    // audit runs on the sweep's deterministic doc sample, with the
+    // truth table restricted to sampled endpoints by the SAME hash
+    // predicate so completeness stays a well-defined ratio. Identity
+    // at every oracle SF (500 / 5k docs < 20k). q_blocking_quality
+    // needs no guard: its SN candidate generation is n·w-bounded by
+    // construction whatever the distribution.
+    val shAll = shingled(spark, sfDir)
+    val nDocs = shAll.count()
+    val budget = graft.queries.Corpus.dbSweepRowBudget(spark)
+    val inSample = (c: Column) =>
+      pmod(xxhash64(c), lit(1000000L)) < lit(budget * 1000000L / nDocs)
+    val sampled =
+      if (nDocs <= budget) shAll else shAll.where(inSample($"doc_id"))
     // the checkpointed frames each feed two consumers (sig: banding +
     // n_space; truth: hit-join + S-curve sums) — materialize once
-    val sig = lshPortableSig(spark, sfDir).localCheckpoint()
-    val truth = nearDupPairs(spark, sfDir)
+    val sig = lshSigFromShingles(sampled).localCheckpoint()
+    val truth0 = nearDupPairs(spark, sfDir)
+    val truth = (if (nDocs <= budget) truth0
+      else truth0.where(inSample($"doc_a") && inSample($"doc_b")))
       .select($"doc_a", $"doc_b", $"jac").localCheckpoint()
     // ALL four configs band in one exploded frame, so candidate
     // generation is ONE self-join on (strategy, band, key) and the

@@ -65,10 +65,19 @@ object Retrieval {
   private[queries] def postings(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Staging.persisted(spark, sfDir, "postings") {
       import spark.implicits._
+      // source and lang ride along (constant per doc, so the grouping
+      // key widens without adding rows): the per-source profile and the
+      // DSIR model now DERIVE from this one frame instead of re-running
+      // their own corpus-wide token fan-outs (review r9 item 5 / r11
+      // item 2 — one tokenize pass per corpus for every term-level
+      // family). At 100 TB these are dictionary-encoded columns of the
+      // maintained postings table.
       TextOps.docsWide(spark, sfDir)
-        .select($"doc_id", tokenCountCol($"text").as("dl"),
+        .select($"doc_id", $"source", $"lang",
+          tokenCountCol($"text").as("dl"),
           explode(split($"text", " ")).as("term"))
-        .groupBy($"term", $"doc_id", $"dl").agg(count(lit(1)).as("tf"))
+        .groupBy($"term", $"doc_id", $"dl", $"source", $"lang")
+        .agg(count(lit(1)).as("tf"))
     }
 
   /** Per-term corpus statistics over the standing postings: document
@@ -546,12 +555,13 @@ object Retrieval {
   private val bucketSqlOf =
     s"CAST(concat('0x', substr(md5(term), 1, 6)) AS BIGINT) % $DsirBuckets"
 
+  /** DSIR's bucketed token view, DERIVED from the standing postings
+    * (tf carries the occurrence multiplicity — exact integer, so every
+    * downstream count/sum equals the per-occurrence formulation). */
   private def dsirToks(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    TextOps.docsWide(spark, sfDir)
-      .select($"doc_id", $"lang",
-        explode(split($"text", " ")).as("term"))
-      .select($"doc_id", $"lang", bucketOf($"term").as("b"))
+    postings(spark, sfDir)
+      .select($"doc_id", $"lang", bucketOf($"term").as("b"), $"tf")
   }
 
   /** The fitted DSIR MODEL: per-bucket log-likelihood ratio
@@ -567,8 +577,8 @@ object Retrieval {
     // pass scans the fan-out once, and the B-row result feeds both the
     // totals and the ratio table
     val counts = toks.groupBy($"b")
-      .agg(count(lit(1)).as("n_raw"),
-        sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_tgt"))
+      .agg(sum($"tf").as("n_raw"),
+        sum(when($"lang" === "en", $"tf").otherwise(0L)).as("n_tgt"))
       .localCheckpoint(eager = false)
     val totals = counts.agg(sum($"n_raw").as("tot_raw"), sum($"n_tgt").as("tot_tgt"))
     // add-one smoothing keeps buckets the target never saw finite; the
@@ -589,9 +599,14 @@ object Retrieval {
   private[queries] def dsirWeightsExact(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ratio = dsirRatio(spark, sfDir)
+    // tf·lr in exact decimal = tf repetitions of lr; the sum narrows
+    // back to the per-occurrence formulation's decimal(22,9) (exact —
+    // |w| is bounded far below the scale edge), so the admission rule's
+    // cross-multiplied compare keeps its exact-precision contract
     dsirToks(spark, sfDir).join(broadcast(ratio), Seq("b"))
       .groupBy($"doc_id")
-      .agg(sum($"lr").as("w"), count(lit(1)).as("n_tokens"))
+      .agg(sum($"lr" * $"tf".cast("decimal(10,0)")).cast("decimal(22,9)").as("w"),
+        sum($"tf").as("n_tokens"))
   }
 
   def qDsirWeights(spark: SparkSession, sfDir: String): DataFrame = {

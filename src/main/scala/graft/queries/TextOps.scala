@@ -1564,12 +1564,11 @@ object TextOps {
   def qHeapsLaw(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // the corpus is never re-tokenized for this statistic: the staged
-    // retrieval postings already hold (term, doc_id, tf); one equi-join
-    // attaches the doc→source map (a fact-keyed join, not a broadcast —
-    // the map is corpus-sized) and the per-bucket aggregations run over
-    // postings rows, not token occurrences
+    // retrieval postings already hold (term, doc_id, tf) AND carry the
+    // source column since the r12 consolidation — no doc→source join
+    // at all; the per-bucket aggregations run over postings rows, not
+    // token occurrences
     val p = Retrieval.postings(spark, sfDir).filter($"term" =!= "")
-      .join(docsWide(spark, sfDir).select($"doc_id", $"source"), Seq("doc_id"))
       .select($"source", $"doc_id", $"term", $"tf")
     heapsFromPostings(p)
   }

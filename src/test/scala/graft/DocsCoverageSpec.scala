@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Docs-sync gate (review r11 item 8): the SURVEY §8 coverage table and
+  * the registry drifted twice in round-11 commit messages (219 vs 220).
+  * Coverage facts are now derived from `SparkEntry.queries` IN A TEST,
+  * so the docs cannot lag the code:
+  *   - every registered query name must appear in SURVEY §8;
+  *   - §8's machine-checkable count line must equal the registry size.
+  * Tests run with cwd = the project root (forked JVM), the same
+  * convention every Scratch/target-relative path in the repo relies on.
+  */
+class DocsCoverageSpec extends AnyFunSuite {
+
+  private lazy val survey: String = new String(
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+    "UTF-8")
+
+  private lazy val section8: String = {
+    val start = survey.indexOf("\n## 8.")
+    assert(start >= 0, "SURVEY.md must have a §8 coverage section")
+    survey.substring(start)
+  }
+
+  test("every SparkEntry query appears in SURVEY §8") {
+    val missing = SparkEntry.queries.keys
+      .filterNot(section8.contains).toSeq.sorted
+    assert(missing.isEmpty,
+      s"SURVEY §8 lags the registry by ${missing.size}: ${missing.mkString(", ")}")
+  }
+
+  test("SURVEY §8's registry-count line equals SparkEntry.queries.size") {
+    val m = """Driver-visible queries: (\d+)""".r.findFirstMatchIn(section8)
+    assert(m.isDefined,
+      "SURVEY §8 must carry a 'Driver-visible queries: N' count line")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"SURVEY §8 says ${m.get.group(1)}, registry has ${SparkEntry.queries.size}")
+  }
+
+  test("every query has an oracle and every oracle has a query") {
+    // the driver records a weaker rows-only check for oracle-less
+    // queries; this repo's contract is the stronger one — keep it total
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      s"asymmetric: ${(SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet) ++
+        (SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet)}")
+  }
+}

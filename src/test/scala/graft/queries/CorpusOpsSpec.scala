@@ -249,6 +249,27 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(byR == byR.sorted.reverse, s"expected non-increasing in r: $byR")
   }
 
+  test("lsh curve's sample-at-scale guard fires over budget, keeps ratios consistent") {
+    import spark.implicits._
+    val full = Dedup.qLshCurve(spark, sfDir)
+      .select($"strategy", $"n_truth").as[(String, Long)].collect().toMap
+    try {
+      spark.conf.set("graft.dbscan.sweep.rowBudget", "100")
+      val sampled = Dedup.qLshCurve(spark, sfDir)
+        .as[(String, Int, Int, Long, Long, Long,
+             Option[Double], Option[Double], Option[Double])].collect()
+      assert(sampled.length == Dedup.LshCfgs.size)
+      sampled.foreach { r =>
+        // truth strictly shrank to sampled endpoints, invariants hold
+        assert(r._6 <= full(r._1))
+        assert(r._5 <= r._4 && r._5 <= r._6)
+        if (r._6 > 0) assert(r._7.contains(r._5.toDouble / r._6))
+      }
+      assert(sampled.map(_._6).max < full.values.max,
+        "guard did not restrict the truth table")
+    } finally spark.conf.unset("graft.dbscan.sweep.rowBudget")
+  }
+
   test("nb calibration bins equal a driver recompute over the score frame") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, sfDir)
