@@ -403,6 +403,105 @@ object MultimodalMeta {
       |       CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 13""".stripMargin
 
+  // --------------------------------------------------------------------
+  // CROSS-MODAL NOMINATOR RECALL (review r11 residual: "no cross-modal
+  // join beyond phash/cosine") — the audit a multimodal pipeline runs
+  // before letting cheap surface features PRE-FILTER candidates for the
+  // expensive modality: per probe document, the text modality nominates
+  // a wide pool (8-dim char-frequency features, the qAssetSim
+  // extractor, squared-L2 top-50) and the audit measures how many of
+  // the embedding modality's true top-k (exact cosine, the ANN family's
+  // arithmetic) the pool caught — through the doc_id ↔ vec_id bridge
+  // every embedding-joined face shares. Near-zero recall (this
+  // synthetic corpus: 0–2 of 10, the random-overlap baseline) means the
+  // cheap features CANNOT stand in for the vectors and the pipeline
+  // must pay the dense index; a real aligned corpus reads high. Scale
+  // shape: both sides are bounded top-k selections (native k-row-state
+  // operator, no candidate sort); at 100 TB each side's candidates come
+  // from its OWN staged index (banded features for text, IVF cells for
+  // vectors) and the recall join is probe-keyed — index-agnostic.
+  // Integer counts + one boundary division keep it fp-stable.
+  private val ModalProbes = 10L
+  private val ModalPool = 50 // text-side nomination pool
+  private val ModalK = 10    // embedding-side truth set
+
+  def qModalAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def freqCols(prefix: String) = FeatureChars.zipWithIndex.map { case (ch, i) =>
+      ((length($"text") - length(replace($"text", lit(ch), lit(""))))
+        .cast("double") / length($"text")).as(s"$prefix$i")
+    }
+    val feats = Tables.documents(spark, sfDir)
+      .select($"doc_id" +: freqCols("f"): _*)
+    val probesT = feats.filter($"doc_id" < ModalProbes)
+      .select($"doc_id".as("probe_id") +:
+        (0 until FeatureChars.size).map(i => col(s"f$i").as(s"p$i")): _*)
+    val distT = (0 until FeatureChars.size)
+      .map(i => (col(s"f$i") - col(s"p$i")) * (col(s"f$i") - col(s"p$i")))
+      .reduceLeft(_ + _)
+    val pool = graft.plans.TopKPerGroup.topKPerGroup(
+        feats.join(broadcast(probesT), $"doc_id" =!= $"probe_id")
+          .select($"probe_id", $"doc_id".as("nid"), distT.as("d")),
+        Seq($"probe_id"), Seq($"d".asc, $"nid".asc), ModalPool)
+      .select($"probe_id", $"nid")
+    val emb = Tables.embeddings(spark, sfDir)
+    val probesE = emb.filter($"vec_id" < ModalProbes)
+      .select($"vec_id".as("probe_id"),
+        $"embedding".cast("array<double>").as("qv"))
+    val truth = graft.plans.TopKPerGroup.topKPerGroup(
+        emb.select($"vec_id".as("nid"), $"embedding".cast("array<double>").as("nv"))
+          .join(broadcast(probesE), $"nid" =!= $"probe_id")
+          .select($"probe_id", $"nid",
+            graft.queries.Similarity.cosineCol($"qv", $"nv").as("cos")),
+        Seq($"probe_id"), Seq($"cos".desc, $"nid".asc), ModalK)
+      .select($"probe_id", $"nid")
+    val caught = truth.join(pool, Seq("probe_id", "nid"))
+      .groupBy($"probe_id").agg(count(lit(1)).as("n_caught"))
+    probesT.select($"probe_id")
+      .join(caught, Seq("probe_id"), "left_outer")
+      .select($"probe_id",
+        coalesce($"n_caught", lit(0L)).as("n_caught"),
+        (coalesce($"n_caught", lit(0L)).cast("double") /
+          lit(ModalK).cast("double")).as("nominator_recall"))
+  }
+
+  val qModalAgreementSql: String = {
+    val f = FeatureChars.zipWithIndex.map { case (ch, i) =>
+      s"CAST(length(text) - length(replace(text, '$ch', '')) AS DOUBLE) / length(text) AS f$i"
+    }.mkString(",\n      |         ")
+    val d = (0 until FeatureChars.size)
+      .map(i => s"(f$i - p$i) * (f$i - p$i)").mkString(" + ")
+    s"""WITH feats AS (
+       |  SELECT doc_id,
+       |         $f
+       |  FROM documents),
+       |pt AS (SELECT doc_id AS probe_id,
+       |              ${(0 until FeatureChars.size).map(i => s"f$i AS p$i").mkString(", ")}
+       |       FROM feats WHERE doc_id < $ModalProbes),
+       |tn AS (SELECT probe_id, doc_id AS nid,
+       |              row_number() OVER (PARTITION BY probe_id
+       |                ORDER BY $d ASC, doc_id) AS rk
+       |       FROM feats JOIN pt ON doc_id <> probe_id),
+       |eq AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS qv
+       |       FROM embeddings WHERE vec_id < $ModalProbes),
+       |en AS (SELECT probe_id, vec_id AS nid,
+       |              row_number() OVER (PARTITION BY probe_id
+       |                ORDER BY list_cosine_similarity(qv, embedding::DOUBLE[]) DESC,
+       |                         vec_id) AS rk
+       |       FROM eq JOIN embeddings ON vec_id <> probe_id),
+       |ov AS (SELECT probe_id, count(*) AS n_caught
+       |       FROM (SELECT probe_id, nid FROM en WHERE rk <= $ModalK) e
+       |       JOIN (SELECT probe_id, nid FROM tn WHERE rk <= $ModalPool) t
+       |         USING (probe_id, nid)
+       |       GROUP BY 1)
+       |SELECT p.probe_id,
+       |       CAST(coalesce(ov.n_caught, 0) AS BIGINT) AS n_caught,
+       |       CAST(coalesce(ov.n_caught, 0) AS DOUBLE) / $ModalK
+       |         AS nominator_recall
+       |FROM (SELECT DISTINCT probe_id FROM pt) p
+       |LEFT JOIN ov ON p.probe_id = ov.probe_id""".stripMargin
+  }
+
   /** Setup-phase hook (the Dedup.prewarmStaging accounting rationale):
     * materialize the staged fingerprint table so the index build is
     * charged to setup, not to the first probe. */
@@ -418,6 +517,7 @@ object MultimodalMeta {
     "q_asset_phash" -> (qAssetPhash _),
     "q_asset_phash_incremental" -> (qAssetPhashIncremental _),
     "q_asset_phash_deletes" -> (qAssetPhashDeletes _),
+    "q_modal_agreement" -> (qModalAgreement _),
     "q_phash_recall" -> (qPhashRecall _))
 
   val oracleSql: Map[String, String] = Map(
@@ -427,5 +527,6 @@ object MultimodalMeta {
     "q_asset_phash" -> qAssetPhashSql,
     "q_asset_phash_incremental" -> qAssetPhashIncrementalSql,
     "q_asset_phash_deletes" -> qAssetPhashDeletesSql,
+    "q_modal_agreement" -> qModalAgreementSql,
     "q_phash_recall" -> qPhashRecallSql)
 }

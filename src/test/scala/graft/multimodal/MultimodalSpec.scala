@@ -123,6 +123,48 @@ class MultimodalSpec extends SparkTestBase {
       }
   }
 
+  test("cross-modal nominator recall equals a driver recompute") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val chars = "aerstnol"
+    def feats(t: String): Array[Double] =
+      chars.map(c => t.count(_ == c).toDouble / t.length).toArray
+    val fmap = docs.map { case (id, t) => id -> feats(t) }.toMap
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      // same left-to-right association as the query's column expression
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += (a(i) - b(i)) * (a(i) - b(i)); i += 1 }
+      d
+    }
+    val expected = (0L until 10L).map { p =>
+      val pool = fmap.toSeq.filter(_._1 != p)
+        .map { case (id, f) => (l2(f, fmap(p)), id) }
+        .sortBy(identity).take(50).map(_._2).toSet
+      val truth = emb.toSeq.filter(_._1 != p)
+        .map { case (id, v) => (-cos(emb(p), v), id) }
+        .sortBy(identity).take(10).map(_._2)
+      p -> truth.count(pool).toLong
+    }.toMap
+    val got = graft.queries.MultimodalMeta.qModalAgreement(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 10)
+    got.foreach { case (p, n, r) =>
+      assert(n == expected(p), s"probe $p: $n vs ${expected(p)}")
+      assert(r == n.toDouble / 10.0)
+    }
+    // the audit carries signal on this corpus: both outcomes occur
+    assert(got.exists(_._2 > 0) && got.exists(_._2 == 0))
+  }
+
   test("decode batches are bounded by BatchSize") {
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     (1 to 150).grouped(Multimodal.DecodeStub.BatchSize).foreach(g => sizes += g.size)
