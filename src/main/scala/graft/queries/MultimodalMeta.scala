@@ -404,6 +404,52 @@ object MultimodalMeta {
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 13""".stripMargin
 
   // --------------------------------------------------------------------
+  // FRAME-LEVEL VERBATIM REUSE — the video-dedup composite: the SAME
+  // frame sampler as q_frame_sample (256-byte slices, head-sampled ≤4
+  // per asset) feeds a per-frame md5 fingerprint, and assets sharing ≥1
+  // identical frame surface as reuse pairs with their shared-frame
+  // count — how stolen/syndicated footage is actually found (frame
+  // fingerprints + inverted index), the binary-modality sibling of
+  // line-level text dedup. Scale shape: fingerprinting is map-only at
+  // ingest (16 bytes per frame, payloads never leave the scan); the
+  // pair generator is an equi-join on the fingerprint — bounded by
+  // hash-bucket occupancy, never assets². All-integer/hash outputs.
+  def qFrameDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payload = $"text".cast("binary")
+    val frames = Tables.documents(spark, sfDir)
+      .select($"doc_id".as("asset_id"), payload.as("payload"),
+        length(payload).cast("long").as("nb"))
+      .select($"asset_id", $"payload",
+        least(lit(4L), greatest(lit(1L), expr("(nb + 255) div 256"))).as("nf"))
+      .select($"asset_id",
+        explode(transform(sequence(lit(0L), $"nf" - 1),
+          i => md5($"payload".substr((i * 256 + 1).cast("int"), lit(256)))))
+          .as("h"))
+      // distinct per (asset, fingerprint): shared CONTENT count, not
+      // shared occurrence count — a frame repeated within one asset
+      // still matches a partner once
+      .distinct()
+    frames.as("x").join(frames.as("y"),
+        $"x.h" === $"y.h" && $"x.asset_id" < $"y.asset_id")
+      .select($"x.asset_id".as("asset_a"), $"y.asset_id".as("asset_b"))
+      .groupBy($"asset_a", $"asset_b")
+      .agg(count(lit(1)).as("n_shared_frames"))
+  }
+
+  val qFrameDedupSql: String =
+    """WITH f AS (SELECT doc_id,
+      |             least(4, greatest(1, (strlen(text) + 255) // 256)) AS nf
+      |           FROM documents),
+      |fr AS (SELECT DISTINCT doc_id,
+      |              md5(substr(text, CAST(i * 256 + 1 AS INTEGER), 256)) AS h
+      |       FROM documents JOIN f USING (doc_id), unnest(range(nf)) AS t(i))
+      |SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+      |       CAST(count(*) AS BIGINT) AS n_shared_frames
+      |FROM fr a JOIN fr b ON a.h = b.h AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
   // CROSS-MODAL NOMINATOR RECALL (review r11 residual: "no cross-modal
   // join beyond phash/cosine") — the audit a multimodal pipeline runs
   // before letting cheap surface features PRE-FILTER candidates for the
@@ -455,10 +501,12 @@ object MultimodalMeta {
             graft.queries.Similarity.cosineCol($"qv", $"nv").as("cos")),
         Seq($"probe_id"), Seq($"cos".desc, $"nid".asc), ModalK)
       .select($"probe_id", $"nid")
-    val caught = truth.join(pool, Seq("probe_id", "nid"))
+    // both sides are probes×k-bounded by construction (≤ 10·50 rows at
+    // ANY corpus size) — broadcast is structurally safe, not a guess
+    val caught = pool.join(broadcast(truth), Seq("probe_id", "nid"))
       .groupBy($"probe_id").agg(count(lit(1)).as("n_caught"))
     probesT.select($"probe_id")
-      .join(caught, Seq("probe_id"), "left_outer")
+      .join(broadcast(caught), Seq("probe_id"), "left_outer")
       .select($"probe_id",
         coalesce($"n_caught", lit(0L)).as("n_caught"),
         (coalesce($"n_caught", lit(0L)).cast("double") /
@@ -518,6 +566,7 @@ object MultimodalMeta {
     "q_asset_phash_incremental" -> (qAssetPhashIncremental _),
     "q_asset_phash_deletes" -> (qAssetPhashDeletes _),
     "q_modal_agreement" -> (qModalAgreement _),
+    "q_frame_dedup" -> (qFrameDedup _),
     "q_phash_recall" -> (qPhashRecall _))
 
   val oracleSql: Map[String, String] = Map(
@@ -528,5 +577,6 @@ object MultimodalMeta {
     "q_asset_phash_incremental" -> qAssetPhashIncrementalSql,
     "q_asset_phash_deletes" -> qAssetPhashDeletesSql,
     "q_modal_agreement" -> qModalAgreementSql,
+    "q_frame_dedup" -> qFrameDedupSql,
     "q_phash_recall" -> qPhashRecallSql)
 }

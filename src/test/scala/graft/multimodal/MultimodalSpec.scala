@@ -165,6 +165,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.exists(_._2 > 0) && got.exists(_._2 == 0))
   }
 
+  test("frame-level reuse equals a driver recompute over sampled frame bytes") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def frames(t: String): Set[String] = {
+      val b = t.getBytes("UTF-8")
+      val nf = math.min(4L, math.max(1L, (b.length + 255L) / 256L)).toInt
+      (0 until nf).map { i =>
+        val s = b.slice(i * 256, math.min(b.length, i * 256 + 256))
+        java.security.MessageDigest.getInstance("MD5").digest(s)
+          .map("%02x".format(_)).mkString
+      }.toSet
+    }
+    val fm = docs.map { case (id, t) => id -> frames(t) }
+    val expected = (for {
+      (a, fa) <- fm; (b, fb) <- fm if a < b
+      n = (fa & fb).size if n > 0
+    } yield (a, b, n.toLong)).toSet
+    val got = graft.queries.MultimodalMeta.qFrameDedup(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected && got.nonEmpty, {
+      val d = (got -- expected) ++ (expected -- got)
+      s"diffs: ${d.take(5).mkString(",")}"
+    })
+    // the pair generator is the inverted-index equi-join, never all-pairs
+    val plan = graft.queries.MultimodalMeta.qFrameDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("decode batches are bounded by BatchSize") {
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     (1 to 150).grouped(Multimodal.DecodeStub.BatchSize).foreach(g => sizes += g.size)
