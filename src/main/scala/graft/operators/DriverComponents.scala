@@ -14,21 +14,25 @@ import org.apache.spark.sql.functions._
   * assumption: a pathological feature distribution (features spread
   * over an unbounded extent, or a mis-scaled grid) could make the
   * contracted graph corpus-sized and OOM the driver silently. This
-  * wrapper makes the assumption ENFORCED: it counts the edges first
-  * and, over the cap, falls back to the distributed
-  * [[ConnectedComponents.starLabels]] operator instead of collecting —
-  * the answer stays correct at any scale, only the execution strategy
+  * wrapper makes the assumption ENFORCED — and pays for the enforcement
+  * with ZERO extra jobs on the expected path: the edges are collected
+  * through `limit(cap + 1)`, so a result of ≤ cap rows IS the complete
+  * edge list (one job, no count, no checkpoint), and cap + 1 rows
+  * proves overflow, at which point the distributed
+  * [[ConnectedComponents.starLabels]] operator takes over (recomputing
+  * the edge frame once — acceptable on the pathological path). The
+  * answer stays correct at any scale; only the execution strategy
   * changes (review r11 "What's wrong" item 1).
   */
 object DriverComponents {
 
   /** ~160 MB of boxed (Long, Long) on a 128 GiB driver — far above any
     * geometry-bounded contraction (18k edges at sf0.1) and far below
-    * where a collect would hurt. */
+    * where a collect would hurt. Bounded by Int for `limit`. */
   val DefaultEdgeCap: Long = 10L * 1000 * 1000
 
-  /** True iff the last [[minLabels]] call on this thread took the
-    * distributed fallback — spec introspection only. */
+  /** True iff the last [[minLabels]]/[[minLabelsWithCounts]] call on
+    * this thread took the distributed fallback — spec introspection. */
   private val lastFallback = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
   }
@@ -45,20 +49,27 @@ object DriverComponents {
     * path (a broadcast hint there would be wrong — don't add one at the
     * call site).
     */
-  def minLabels(edges: DataFrame, edgeCap: Long = DefaultEdgeCap): DataFrame = {
+  def minLabels(edges: DataFrame, edgeCap: Long = DefaultEdgeCap): DataFrame =
+    minLabelsWithCounts(edges, edgeCap)._1
+
+  /** [[minLabels]] plus (incident-node count, component count) — free
+    * on the driver path (the label array is already local), two small
+    * aggregations on the fallback path. The sweep's per-eps cluster
+    * count reads these instead of re-querying the label frame. */
+  def minLabelsWithCounts(edges: DataFrame,
+      edgeCap: Long = DefaultEdgeCap): (DataFrame, Long, Long) = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // one materialization: the cap's count() and the collect (or the
-    // star rounds) read the checkpoint instead of re-running the edge
-    // pipeline per action
-    val e = edges.toDF("a", "b").where($"a" =!= $"b").localCheckpoint()
-    val n = e.count()
-    if (n > edgeCap) {
+    val e = edges.toDF("a", "b").where($"a" =!= $"b")
+    val capInt = math.min(edgeCap, Int.MaxValue - 2L).toInt
+    val edgeList = e.limit(capInt + 1).as[(Long, Long)].collect()
+    if (edgeList.length > capInt) {
       lastFallback.set(true)
-      ConnectedComponents.starLabels(e).toDF("v", "lbl")
+      val labels = ConnectedComponents.starLabels(e).toDF("v", "lbl")
+        .localCheckpoint() // two counts + the caller's join read it once
+      (labels, labels.count(), labels.select($"lbl").distinct().count())
     } else {
       lastFallback.set(false)
-      val edgeList = e.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(v: Long): Long = {
         var r = v
@@ -71,8 +82,10 @@ object DriverComponents {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root union
       }
-      edgeList.flatMap(p => Seq(p._1, p._2)).distinct
-        .map(v => (v, find(v))).toSeq.toDF("v", "lbl")
+      val labeled = edgeList.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(v => (v, find(v)))
+      (labeled.toSeq.toDF("v", "lbl"), labeled.length.toLong,
+        labeled.map(_._2).distinct.length.toLong)
     }
   }
 }

@@ -1192,13 +1192,12 @@ object Corpus {
       // capped driver union-find (distributed fallback over the cap —
       // review r11). Cluster count without collecting reps (a
       // pathological all-isolated corpus makes the rep list
-      // corpus-sized): components among edge-incident reps (distinct
-      // labels — a LocalRelation in the driver path, milliseconds) plus
-      // one isolated cluster per edge-less rep.
-      val labels = graft.operators.DriverComponents.minLabels(cellEdges)
+      // corpus-sized): components among edge-incident reps — both
+      // counts are FREE on the driver path (the label array is already
+      // local) — plus one isolated cluster per edge-less rep.
+      val (_, nIncident, nComponents) =
+        graft.operators.DriverComponents.minLabelsWithCounts(cellEdges)
       val nReps = coreRep.select($"rep").distinct().count()
-      val nIncident = labels.count()
-      val nComponents = labels.select($"lbl").distinct().count()
       val nClusters = nComponents + (nReps - nIncident)
       val nCore = cnt.getLong(2 * i)
       val nBorder = cnt.getLong(2 * i + 1)
