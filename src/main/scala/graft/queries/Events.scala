@@ -923,7 +923,8 @@ object Events {
 
   /** Batch journey gate: every event scored against the COMMITTED
     * matrix with the streaming gate's exact rule — n = 0 (unknown
-    * transition) or n·1000 < wt·50 flags anomalous; wt is the source
+    * transition) or n·1000 < wt·[[JourneyThrPerMille]] flags anomalous;
+    * wt is the source
     * state's row mass even when the (src, dst) pair is unseen, read
     * from the per-src mass projection so the face stays faithful when
     * scored events diverge from the model's corpus. */
