@@ -13,7 +13,7 @@ object Bench {
     * run whatever the bench itself does, and exactly the foreign work
     * when a co-tenant (or hypervisor steal, which /proc/stat itemizes
     * and busy() includes) lands mid-run. Review r11 item 1. */
-  private object ExtCpu {
+  private[graft] object ExtCpu {
     private val os = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean
     /** (busy cpu-seconds machine-wide incl. steal, own cpu-seconds,

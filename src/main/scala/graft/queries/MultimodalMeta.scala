@@ -414,18 +414,29 @@ object MultimodalMeta {
   // ingest (16 bytes per frame, payloads never leave the scan); the
   // pair generator is an equi-join on the fingerprint — bounded by
   // hash-bucket occupancy, never assets². All-integer/hash outputs.
+  /** Per-frame md5 fingerprints of ANY (…, text) frame — pass-through
+    * columns survive (the segmentRows contract), so the batch report
+    * and the streaming ingest gate share ONE extraction and can never
+    * disagree on frame boundaries. No Filter node: every row emits ≥1
+    * frame (nf is floored at 1), so a stream of short payloads still
+    * drives the event-time clock. */
+  private[graft] def frameHashRows(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val payload = $"text".cast("binary")
+    val others = df.columns.filter(_ != "text").map(col).toSeq
+    df.select(others :+ payload.as("payload"): _*)
+      .withColumn("nb", length($"payload").cast("long"))
+      .withColumn("nf",
+        least(lit(4L), greatest(lit(1L), expr("(nb + 255) div 256"))))
+      .select(others :+ explode(transform(sequence(lit(0L), $"nf" - 1),
+        i => md5($"payload".substr((i * 256 + 1).cast("int"), lit(256)))))
+        .as("h"): _*)
+  }
+
   def qFrameDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val payload = $"text".cast("binary")
-    val frames = Tables.documents(spark, sfDir)
-      .select($"doc_id".as("asset_id"), payload.as("payload"),
-        length(payload).cast("long").as("nb"))
-      .select($"asset_id", $"payload",
-        least(lit(4L), greatest(lit(1L), expr("(nb + 255) div 256"))).as("nf"))
-      .select($"asset_id",
-        explode(transform(sequence(lit(0L), $"nf" - 1),
-          i => md5($"payload".substr((i * 256 + 1).cast("int"), lit(256)))))
-          .as("h"))
+    val frames = frameHashRows(Tables.documents(spark, sfDir)
+        .select($"doc_id".as("asset_id"), $"text"))
       // distinct per (asset, fingerprint): shared CONTENT count, not
       // shared occurrence count — a frame repeated within one asset
       // still matches a partner once

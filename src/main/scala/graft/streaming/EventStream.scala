@@ -516,6 +516,42 @@ object EventStream {
       .select($"doc_id", $"n_segments", $"n_known")
   }
 
+  /** Static frame-fingerprint index of an asset corpus — the
+    * binary-modality sibling of [[CorpusSegmentIndex]]: one md5 per
+    * DISTINCT sampled frame, built by the SAME extraction the batch
+    * q_frame_dedup report uses (MultimodalMeta.frameHashRows), so the
+    * gate and the batch face can never disagree on frame boundaries.
+    * 16 bytes per distinct frame; payloads never enter the index. */
+  final case class CorpusFrameIndex(df: DataFrame)
+
+  def corpusFrameIndex(corpus: DataFrame): CorpusFrameIndex = {
+    import corpus.sparkSession.implicits._
+    CorpusFrameIndex(graft.queries.MultimodalMeta
+      .frameHashRows(corpus.select($"doc_id", $"text"))
+      .select($"h").distinct())
+  }
+
+  /** Streaming face of frame-level reuse: per arriving asset, how many
+    * of its sampled frames already exist in the corpus — stolen/
+    * syndicated-footage evidence AT THE DOOR, before ingestion commits
+    * the arrival (batch analog: q_frame_dedup's pair accounting).
+    * Frame extraction is the SAME batch operator (event time rides the
+    * pass-through columns; every arrival emits ≥1 frame so the clock
+    * never stalls); fingerprints LEFT-join the static index so novel
+    * frames count as unknown rather than dropping rows; the windowed
+    * per-asset rollup is the only state. */
+  def frameReuseStats(docs: Dataset[DocRow],
+      index: CorpusFrameIndex): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.queries.MultimodalMeta.frameHashRows(
+        docs.withWatermark("ts", "2 hours").toDF)
+      .join(index.df.withColumn("known", lit(1L)), Seq("h"), "left")
+      .groupBy(window($"ts", "1 hour"), $"doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(coalesce($"known", lit(0L))).as("n_known"))
+      .select($"doc_id", $"n_frames", $"n_known")
+  }
+
   /** Static content-defined-chunk index of a corpus — the CDC sibling
     * of [[CorpusSegmentIndex]]: one md5 per DISTINCT content-defined
     * chunk, built by the SAME extraction the batch q_cdc_dedup report

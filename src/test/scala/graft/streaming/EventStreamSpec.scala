@@ -583,6 +583,56 @@ class EventStreamSpec extends SparkTestBase {
     })
   }
 
+  test("streaming frame-reuse gate scores arrivals against the committed frame index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+    val index = EventStream.corpusFrameIndex(corpus)
+    val texts = corpus.as[(Long, String)].collect()
+    // driver truth via the same slicing arithmetic
+    def frames(t: String): Seq[String] = {
+      val b = t.getBytes("UTF-8")
+      val nf = math.min(4L, math.max(1L, (b.length + 255L) / 256L)).toInt
+      (0 until nf).map { i =>
+        val s = b.slice(i * 256, math.min(b.length, i * 256 + 256))
+        java.security.MessageDigest.getInstance("MD5").digest(s)
+          .map("%02x".format(_)).mkString
+      }
+    }
+    val known = texts.flatMap(t => frames(t._2)).toSet
+    // arrivals: a verbatim re-ingest of a corpus doc (all frames
+    // known), a splice reusing a long doc's first full frame + novel
+    // bytes (partially known — the source doc must have ≥256 bytes so
+    // its own frame 0 is exactly that slice), and pure novel bytes
+    val long = texts.find(_._2.getBytes("UTF-8").length >= 512).get._2
+    val reused = texts.head._2
+    val splice = long.take(256) + ("z" * 300)
+    val novel = "q" * 700
+    val arrivals = Seq((9001L, reused), (9002L, splice), (9003L, novel))
+    val expected = arrivals.map { case (id, t) =>
+      val fs = frames(t)
+      (id, fs.length.toLong, fs.count(known).toLong)
+    }.toSet
+    assert(expected.exists(e => e._3 == e._2) &&
+      expected.exists(e => e._3 > 0 && e._3 < e._2) &&
+      expected.exists(_._3 == 0L))
+    val in = MemoryStream[EventStream.DocRow]
+    val q = EventStream.frameReuseStats(in.toDS(), index)
+      .writeStream.format("memory").queryName("framegate")
+      .outputMode("append").start()
+    in.addData(arrivals.map { case (id, t) =>
+      EventStream.DocRow(id, ts("2024-01-01 10:00:00"), t) }: _*)
+    q.processAllAvailable()
+    in.addData(EventStream.DocRow(-999, ts("2024-01-02 12:00:00"), "tick"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("framegate")
+      .select("doc_id", "n_frames", "n_known")
+      .as[(Long, Long, Long)].collect().filter(_._1 > 0).toSet
+    assert(got == expected, s"got $got vs $expected")
+  }
+
   test("streaming phash gate over a standing-only index equals q_asset_phash_incremental") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
