@@ -1094,6 +1094,53 @@ object TextOps {
       |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // Per-document LM cross-entropy — the CCNet perplexity filter proper
+  // (Wenzek et al. '20: score every document under a corpus LM, drop
+  // the high-perplexity tail). qUnigramLm/qBigramLm keep COUNT-level
+  // signals; this face emits the log-probability score those counts
+  // proxy: H(doc) = −Σ tf·ln p(t) / n, p(t) = cf/total under the
+  // corpus unigram model (every in-corpus token has cf ≥ 1 — no
+  // smoothing needed for self-scoring). Engine parity by the dsirRatio
+  // rule: each term's ln is taken ONCE from the same IEEE division,
+  // rounded to 9-dp decimal (model-sized table), and the per-doc sum is
+  // tf-weighted EXACT decimal — order-independent — with one final
+  // double division at the boundary. Scale: the lp table is
+  // vocabulary-sized off the standing term stats (broadcast); the scan
+  // is one tf-weighted rollup of the standing postings — no corpus
+  // re-tokenize, the same two maintained tables every retrieval face
+  // reads.
+  def qLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Retrieval.termStats(spark, sfDir).select($"term", $"cf")
+    val total = stats.agg(sum($"cf")).head().getLong(0)
+    val lp = stats.select($"term",
+      round(log($"cf".cast("double") / lit(total).cast("double")), 9)
+        .cast("decimal(12,9)").as("lp"))
+    Retrieval.postings(spark, sfDir).select($"doc_id", $"term", $"tf")
+      .join(broadcast(lp), Seq("term"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_toks"),
+        sum($"lp" * $"tf".cast("decimal(10,0)")).as("s"))
+      .select($"doc_id", $"n_toks",
+        ((-$"s").cast("double") / $"n_toks".cast("double"))
+          .as("cross_entropy"))
+  }
+
+  val qLmScoreSql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |f AS (SELECT tok, count(*) AS cf FROM t GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM t),
+      |lp AS (SELECT tok,
+      |              CAST(round(ln(CAST(cf AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+      |                   AS DECIMAL(12,9)) AS lp
+      |       FROM f CROSS JOIN tot)
+      |SELECT doc_id, count(*) AS n_toks,
+      |       CAST(-sum(lp) AS DOUBLE) / count(*) AS cross_entropy
+      |FROM t JOIN lp USING (tok)
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
   // Bigram-LM rarity scoring — the context-sensitive upgrade of
   // qUnigramLm and the count-level core of the CCNet/KenLM perplexity
   // filter (Wenzek et al. '20 score documents under a corpus n-gram LM
@@ -1743,6 +1790,7 @@ object TextOps {
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_repetition" -> (qRepetition _),
     "q_unigram_lm" -> (qUnigramLm _),
+    "q_lm_score" -> (qLmScore _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_kn_continuation" -> (qKnContinuation _),
     "q_curriculum" -> (qCurriculum _),
@@ -1782,6 +1830,7 @@ object TextOps {
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_repetition" -> qRepetitionSql,
     "q_unigram_lm" -> qUnigramLmSql,
+    "q_lm_score" -> qLmScoreSql,
     "q_bigram_lm" -> qBigramLmSql,
     "q_kn_continuation" -> qKnContinuationSql,
     "q_curriculum" -> qCurriculumSql,

@@ -203,4 +203,35 @@ class RetrievalSpec extends SparkTestBase {
     assert(byRank.map(x => (-x._2._3, x._1)).toSeq ==
       byRank.map(x => (-x._2._3, x._1)).sortBy(identity).toSeq)
   }
+  test("per-doc LM cross-entropy equals a BigDecimal driver recompute") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val cf = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+    val total = toks.map(_._2.size.toLong).sum
+    // each term's ln once, HALF_UP to 9 dp (Spark's round on doubles),
+    // then exact decimal tf-weighted sums — the query's arithmetic
+    val lp = cf.map { case (w, c) =>
+      w -> BigDecimal(math.log(c.toDouble / total.toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.toMap
+    val expected = toks.map { case (id, ws) =>
+      val s = ws.map(lp).sum
+      id -> ((ws.size.toLong, (-s).toDouble / ws.size.toDouble))
+    }.toMap
+    val got = graft.queries.TextOps.qLmScore(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (id, n, ce) =>
+      val (_, en, ece) = (id, expected(id)._1, expected(id)._2)
+      assert(n == en, s"doc $id n_toks $n vs $en")
+      assert(ce == ece, s"doc $id ce $ce vs $ece")
+      assert(ce > 0.0)
+    }
+    // the filterable signal exists: entropies genuinely spread
+    val ces = got.map(_._3)
+    assert(ces.max - ces.min > 0.1)
+  }
+
 }
