@@ -397,6 +397,12 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("LM cross-entropy joins the postings to a broadcast lp table — same shape") {
+    val p = plan(TextOps.qLmScore(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("passage overlap is a pure equi self-join — no nested loop, no cross") {
     val p = plan(Dedup.qPassageOverlap(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
