@@ -1109,13 +1109,22 @@ object TextOps {
   // is one tf-weighted rollup of the standing postings — no corpus
   // re-tokenize, the same two maintained tables every retrieval face
   // reads.
-  def qLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The vocabulary-sized (term, lp) model table and the corpus token
+    * total — factored so the batch face and the streaming LM gate ship
+    * the SAME committed values. */
+  private[graft] def lmLogProbs(spark: SparkSession,
+      sfDir: String): (DataFrame, Long) = {
     import spark.implicits._
     val stats = Retrieval.termStats(spark, sfDir).select($"term", $"cf")
     val total = stats.agg(sum($"cf")).head().getLong(0)
-    val lp = stats.select($"term",
+    (stats.select($"term",
       round(log($"cf".cast("double") / lit(total).cast("double")), 9)
-        .cast("decimal(12,9)").as("lp"))
+        .cast("decimal(12,9)").as("lp")), total)
+  }
+
+  def qLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (lp, _) = lmLogProbs(spark, sfDir)
     Retrieval.postings(spark, sfDir).select($"doc_id", $"term", $"tf")
       .join(broadcast(lp), Seq("term"))
       .groupBy($"doc_id")

@@ -1183,6 +1183,57 @@ object EventStream {
     * EventStreamSpec). OOV tokens (absent from the trained vocabulary)
     * contribute nothing, exactly like the batch inner join. Stateless
     * map — admission happens BEFORE ingestion commits the arrival. */
+  /** Committed LM-score model — the per-term 9-dp log-probabilities the
+    * batch q_lm_score joins (TextOps.lmLogProbs: vocabulary-sized, a
+    * few MB on the closure like the NB weights), plus the
+    * unseen-singleton floor ln(1/total) for tokens the corpus never
+    * saw — the door is exactly where novel vocabulary appears, and it
+    * must score as maximally surprising rather than vanish. */
+  final case class LmScoreModel(lp: Map[String, java.math.BigDecimal],
+      unseen: java.math.BigDecimal)
+
+  def lmScoreModel(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): LmScoreModel = {
+    val (lpDf, total) = graft.queries.TextOps.lmLogProbs(spark, sfDir)
+    // same arithmetic as the table's own entries: one IEEE ln of one
+    // IEEE division, HALF_UP to 9 dp (Spark's round-on-double rule)
+    val unseen = new java.math.BigDecimal(math.log(1.0 / total.toDouble))
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    LmScoreModel(
+      lpDf.collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap,
+      unseen)
+  }
+
+  /** Streaming face of the CCNet perplexity filter (batch analog:
+    * q_lm_score): each arriving document's cross-entropy under the
+    * committed corpus LM, scored at the door with the batch face's
+    * exact arithmetic — per-token 9-dp decimal log-probs summed
+    * EXACTLY (order-independent), one double division at the boundary
+    * — so an arrival that replays a corpus document scores its batch
+    * value bit-for-bit (asserted in EventStreamSpec). Pure stateless
+    * map; n_unknown carries the novel-vocabulary evidence. */
+  def lmScoreFlags(docs: Dataset[DocArrival],
+      model: LmScoreModel): DataFrame = {
+    import docs.sparkSession.implicits._
+    val lp = model.lp
+    val unseen = model.unseen
+    docs.map { d =>
+      // split(-1) keeps trailing empty tokens — the batch tokenize
+      // (Spark's split, no limit) keeps them too
+      val toks = d.text.split(" ", -1)
+      var s = java.math.BigDecimal.ZERO
+      var unk = 0L
+      toks.foreach { t =>
+        lp.get(t) match {
+          case Some(w) => s = s.add(w)
+          case None => s = s.add(unseen); unk += 1
+        }
+      }
+      (d.doc_id, toks.length.toLong, unk,
+        s.negate().doubleValue() / toks.length.toDouble)
+    }.toDF("doc_id", "n_toks", "n_unknown", "cross_entropy")
+  }
+
   def nbFilterFlags(docs: Dataset[DocArrival],
       model: NbFilterModel): DataFrame = {
     import docs.sparkSession.implicits._

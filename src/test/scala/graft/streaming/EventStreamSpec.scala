@@ -697,6 +697,37 @@ class EventStreamSpec extends SparkTestBase {
     assert(oov.toSeq == Seq((999L, 0L, 0.0, true)))
   }
 
+  test("streaming LM-score gate equals the batch cross-entropy bit-for-bit") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val model = EventStream.lmScoreModel(spark, dir)
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val arrivals = docs.map { case (id, t) =>
+      EventStream.DocArrival(id, ts("2024-01-01 10:00:00"), t) }.toSeq
+    val streamed = EventStream.lmScoreFlags(arrivals.toDS(), model)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val batch = graft.queries.TextOps.qLmScore(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(batch.nonEmpty && streamed.keySet == batch.map(_._1).toSet)
+    batch.foreach { case (id, n, ce) =>
+      val (gn, gu, gce) = streamed(id)
+      assert(gn == n && gu == 0L, s"doc $id: $gn/$gu vs $n/0")
+      assert(java.lang.Double.doubleToLongBits(gce) ==
+        java.lang.Double.doubleToLongBits(ce), s"doc $id: gate $gce vs batch $ce")
+    }
+    // a novel-vocabulary arrival scores the unseen floor — maximally
+    // surprising, never silently dropped
+    val novel = EventStream.lmScoreFlags(
+      Seq(EventStream.DocArrival(999L, ts("2024-01-01 10:00:00"),
+        "zzzunseen qqqnovel")).toDS(), model)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(novel.length == 1 && novel.head._3 == 2L)
+    assert(novel.head._4 > streamed.values.map(_._3).max,
+      "novel text must read as more surprising than any corpus doc")
+  }
+
   test("streaming funnel emits one conversion per user across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
