@@ -21,8 +21,30 @@ hard FAILs instead:
   cast the final column to DOUBLE on both sides. Any DECIMAL output
   type is reported as a FAIL here even when values match.
 """
-import sys, json, glob, os
+import sys, json, glob, os, re
 import duckdb
+
+# Committed-sidecar ordering contract (review r12): some oracles read
+# model parquet the Scala side publishes via CommitProtocol (BPE merges,
+# journey matrix, learned centroids). The rebuild window is guarded only
+# by an in-JVM lock, so before executing such SQL we assert the glob
+# matches at least one file AND every matched file sits in a directory
+# carrying the _GRAFT_COMMITTED marker — a missing/half-built sidecar is
+# reported as an ordering failure, not a confusing hash mismatch.
+SIDECAR_GLOB = re.compile(r"read_parquet\('(/[^']+\.parquet)'\)")
+
+
+def sidecar_problem(sql):
+    for g in SIDECAR_GLOB.findall(sql):
+        files = glob.glob(g)
+        if not files:
+            return f"sidecar glob {g} matches no files (run Verify first)"
+        unmarked = sorted({os.path.dirname(f) for f in files
+                           if not os.path.exists(os.path.join(
+                               os.path.dirname(f), "_GRAFT_COMMITTED"))})
+        if unmarked:
+            return f"sidecar dirs without _GRAFT_COMMITTED marker: {unmarked}"
+    return None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -72,6 +94,11 @@ def main():
             status = "ROWS-ONLY" if len(got_rows) >= 0 else "?"
             print(f"{status} {name}: {len(got_rows)} rows (no oracle sql)")
             n_nosql += 1
+            continue
+        problem = sidecar_problem(oracle[name])
+        if problem:
+            print(f"FAIL {name}: {problem}")
+            n_fail += 1
             continue
         try:
             exp_cols, exp_rows = canon(con, con.sql(oracle[name]))

@@ -18,7 +18,17 @@ object Bench {
       .getOperatingSystemMXBean
     /** (busy cpu-seconds machine-wide incl. steal, own cpu-seconds,
       * wall nanos); busy = every /proc/stat field except idle+iowait.
-      * USER_HZ is POSIX-fixed at 100 for userspace. */
+      * USER_HZ is POSIX-fixed at 100 for userspace.
+      *
+      * SINGLE-JVM ASSUMPTION (review r12): ownSec counts only THIS
+      * JVM's process CPU, so CPU burned by a child or sibling of the
+      * bench (an sbt server, a shell-out, a forked compile) is
+      * classified as foreign load and can trigger a spurious park +
+      * re-measure. That is the intended trade: the bench contract is
+      * `runMain graft.Bench` in-process on an otherwise-idle host, and
+      * misclassifying our own children as foreign only ever pauses or
+      * re-measures (conservative — it can't make a noisy number look
+      * clean). */
     final case class Snap(busySec: Double, ownSec: Double, wallNanos: Long)
     def snap(): Snap = {
       val busy = try {

@@ -862,7 +862,17 @@ object Events {
     graft.core.Scratch.dir("journey-model", sfDir)
 
   /** Absolute glob for the oracle SQL — derived from the same
-    * Scratch.base() the writer uses (the centroid-mirror rule). */
+    * Scratch.base() the writer uses (the centroid-mirror rule).
+    *
+    * ORDERING CONTRACT (review r12): the oracle must run AFTER the
+    * sidecar is committed and while no other process is rebuilding it.
+    * The rebuild window (marker deleted, dir swapped) is guarded only
+    * by an in-JVM lock, so a concurrent external oracle could see a
+    * zero-match glob (DuckDB hard-errors) or a sig-filtered-empty
+    * model. The driver satisfies this by construction: Verify builds
+    * every sidecar (running each query) before check_oracle executes
+    * any SQL, and check_oracle additionally asserts the _GRAFT_COMMITTED
+    * marker exists before running sidecar-backed oracles. */
   private def journeyModelGlob: String =
     graft.core.Scratch.base().resolve("journey-model").toString + "/*/*.parquet"
 

@@ -297,7 +297,8 @@ object MultimodalMeta {
   // Index MAINTENANCE legs (review r11 item 7 — the asset family gains
   // the same attach/delete discipline the ANN family got in r10/r11).
   //
-  // INCREMENTAL attach: a deterministic 10% of assets (id ≡ 7 mod 10)
+  // INCREMENTAL attach: a deterministic 10% of assets (id ≡ ArriveRem
+  // mod ArriveMod)
   // play the arriving batch; only THEY are fingerprinted at the door
   // (map-only, same ahash60 kernel) and their bands probe the standing
   // index's band table asymmetrically — candidates come only from

@@ -38,6 +38,22 @@ class DocsCoverageSpec extends AnyFunSuite {
       s"SURVEY §8 says ${m.get.group(1)}, registry has ${SparkEntry.queries.size}")
   }
 
+  test("README's query-count line equals SparkEntry.queries.size") {
+    // review r12: README said 225 while the registry, SURVEY §8 and the
+    // correctness artifact all said 226 — the same drift class §8's
+    // count assertion was added for, now closed for README too
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      "UTF-8")
+    // earlier matches are per-round HISTORY ("69 … at the end of round
+    // 3"); only the last, current-state mention must track the registry
+    val ms = """(\d+) driver-visible queries""".r.findAllMatchIn(readme).toSeq
+    assert(ms.nonEmpty,
+      "README.md must carry an 'N driver-visible queries' count line")
+    assert(ms.last.group(1).toInt == SparkEntry.queries.size,
+      s"README says ${ms.last.group(1)}, registry has ${SparkEntry.queries.size}")
+  }
+
   test("every query has an oracle and every oracle has a query") {
     // the driver records a weaker rows-only check for oracle-less
     // queries; this repo's contract is the stronger one — keep it total
