@@ -900,6 +900,60 @@ object Dedup {
        |  SELECT doc_id FROM ($qDedupClustersSql) WHERE doc_id <> cluster_id)""".stripMargin
 
   // --------------------------------------------------------------------
+  // QUALITY-AWARE canonical selection — what production curation
+  // actually keeps per duplicate cluster. qClusterKeep's min-id keeper
+  // is deterministic but arbitrary: when a scraped mirror (truncated,
+  // boilerplate-wrapped) carries a smaller id than the original, the
+  // min-id rule keeps the worse copy. Here the keeper is the cluster
+  // member with the HIGHEST composite quality score (TextOps.
+  // qualityScored — the same one definition the absolute filter and the
+  // per-source floor read, so curation and dedup can never disagree
+  // about what "best" means), doc_id as the tie-break.
+  //
+  // Plan at 100 TB: cluster members are a set ≪ corpus (broadcast
+  // side); quality is a row-local scan of the corpus; the argmax is the
+  // bounded top-k operator at k=1 keyed by cluster — k-row state per
+  // cluster, no window, no sort over members. The score is compared as
+  // a 9-dp decimal (quality is a bit-identical IEEE composite in both
+  // engines — proven by q_quality_score's hash — so the rounded decimal
+  // ordering is engine-identical), `upgraded` flags clusters where the
+  // quality keeper differs from the min-id keeper (the rows where this
+  // query changes the result of qClusterKeep).
+  def qClusterKeepQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val labels = duplicateClusters(spark, sfDir)
+    val q = graft.queries.TextOps
+      .qualityScored(Tables.documents(spark, sfDir))
+      .select($"doc_id", round($"quality", 9).cast("decimal(10,9)").as("qd"))
+    val members = q.join(broadcast(labels), Seq("doc_id"))
+    graft.plans.TopKPerGroup
+      .topKPerGroup(members, Seq($"cluster_id"),
+        Seq($"qd".desc, $"doc_id".asc), 1)
+      .select($"cluster_id", $"doc_id".as("keeper_id"), $"n_members",
+        $"qd".cast("double").as("keeper_quality"),
+        when($"doc_id" =!= $"cluster_id", 1L).otherwise(0L).as("upgraded"))
+  }
+
+  val qClusterKeepQualitySql: String =
+    s"""WITH lab AS (SELECT * FROM ($qDedupClustersSql)),
+       |q AS (SELECT doc_id,
+       |        CAST(round((least(1.0, CAST(length(text) AS DOUBLE) / 300.0)
+       |                    + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |                      / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 2.0, 9)
+       |             AS DECIMAL(10,9)) AS qd
+       |      FROM documents),
+       |m AS (SELECT lab.doc_id, cluster_id, n_members, qd
+       |      FROM lab JOIN q USING (doc_id)),
+       |r AS (SELECT m.*, row_number() OVER (
+       |        PARTITION BY cluster_id ORDER BY qd DESC, doc_id) AS rk
+       |      FROM m)
+       |SELECT cluster_id, doc_id AS keeper_id, n_members,
+       |       CAST(qd AS DOUBLE) AS keeper_quality,
+       |       CAST(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END AS BIGINT)
+       |         AS upgraded
+       |FROM r WHERE rk = 1""".stripMargin
+
+  // --------------------------------------------------------------------
   // Sketch-only similarity estimation: jaccard estimated as the fraction
   // of agreeing minhash signature slots (the Broder estimator —
   // P[min-slot agreement] = exact jaccard). At 100 TB the exact
@@ -1863,6 +1917,7 @@ object Dedup {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_cluster_keep" -> (qClusterKeep _),
+    "q_cluster_keep_quality" -> (qClusterKeepQuality _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_novelty" -> (qNovelty _),
     "q_passage_overlap" -> (qPassageOverlap _),
@@ -1890,6 +1945,7 @@ object Dedup {
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_cluster_keep" -> qClusterKeepSql,
+    "q_cluster_keep_quality" -> qClusterKeepQualitySql,
     "q_minhash_est" -> qMinhashEstSql,
     "q_novelty" -> qNoveltySql,
     "q_passage_overlap" -> qPassageOverlapSql,

@@ -130,6 +130,35 @@ class LlmOpsSpec extends SparkTestBase {
     assert(kept == Set(0L, 9L), s"kept: $kept")
   }
 
+  test("quality-aware keeper beats the min-id rule on a degraded copy") {
+    import spark.implicits._
+    // doc 0 is a near-dup of doc 1 with 30 repeated filler tokens
+    // appended: same distinct-token set (diversity drops 1.0 → 2/3) so
+    // the min-id rule would keep the DEGRADED copy; the quality keeper
+    // must pick doc 1 and flag the upgrade. doc 9 is unclustered and
+    // must not appear (the output is per-cluster, not per-corpus).
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val degraded = base + (" tok1" * 30)
+    val other = (100 to 160).map(i => s"other$i").mkString(" ")
+    val docs = Seq((0L, degraded, "web"), (1L, base, "web"), (9L, other, "web"))
+      .toDF("doc_id", "text", "source")
+    val dir = tempDir("qkeep")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.nearDupPairs(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), s"pairs: $pairs")
+    val out = Dedup.qClusterKeepQuality(spark, dir)
+      .select("cluster_id", "keeper_id", "n_members", "upgraded")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L, 2L, 1L)), s"keeper rows: $out")
+    // the reported keeper quality is doc 1's composite score, exactly
+    val q1 = TextOps.qualityScored(spark.read.parquet(s"$dir/documents.parquet"))
+      .filter($"doc_id" === 1L).select("quality").as[Double].head()
+    val kq = Dedup.qClusterKeepQuality(spark, dir)
+      .select("keeper_quality").as[Double].head()
+    assert(math.abs(kq - q1) < 1e-9, s"keeper_quality $kq != $q1")
+  }
+
   test("leakage-safe split sends whole near-dup clusters to one side") {
     import spark.implicits._
     // same chained corpus as the cluster test: {0,1,2} form one cluster
