@@ -1150,6 +1150,78 @@ object TextOps {
       |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // PERPLEXITY BUCKETING — the decision CCNet actually ships (Wenzek et
+  // al. '20 §4): after scoring every document under the corpus LM, each
+  // language's corpus is cut into head/middle/tail THIRDS by perplexity
+  // and downstream consumers sample by bucket (head for quality,
+  // middle+head for volume). Here the grouping domain is the source
+  // (the corpus's provenance axis, same role as CCNet's language):
+  // bucket 1 = head (lowest cross-entropy = most fluent under the
+  // corpus model), 3 = tail. Output is the bucket TABLE a mixer
+  // consumes: per (source, bucket) doc/token mass plus the bucket's ce
+  // range (min/max = the published boundary values) and its
+  // token-weighted cross-entropy.
+  //
+  // Arithmetic: per-doc ce is the SAME decimal-sum-one-division value
+  // q_lm_score emits (bit-identical cross-engine, proven by its hash),
+  // so ordering by (ce, doc_id) is engine-identical and ntile(3) is
+  // deterministic; bucket aggregates stay exact (decimal Σs, long Σn)
+  // until one final division each.
+  //
+  // Plan at 100 TB: the per-doc frame is the standing-postings rollup
+  // (no corpus re-tokenize); the only window is the per-source ntile —
+  // partitioned by source, so it spreads, but a source is still ranked
+  // in one task chain. At production scale the exact tertile swaps for
+  // approx_percentile boundary estimation per source (mergeable sketch,
+  // no window) + a row-local bucket compare — the same exact→approx
+  // swap documented on the winsorize/quality-floor family.
+  def qPplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (lp, _) = lmLogProbs(spark, sfDir)
+    val perDoc = Retrieval.postings(spark, sfDir)
+      .select($"doc_id", $"source", $"term", $"tf")
+      .join(broadcast(lp), Seq("term"))
+      .groupBy($"doc_id", $"source")
+      .agg(sum($"tf").as("n_toks"),
+        sum($"lp" * $"tf".cast("decimal(10,0)")).as("s"))
+      .select($"doc_id", $"source", $"n_toks", $"s",
+        ((-$"s").cast("double") / $"n_toks".cast("double")).as("ce"))
+    val bucketed = perDoc.withColumn("bucket",
+      ntile(3).over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"ce".asc, $"doc_id".asc)))
+    bucketed.groupBy($"source", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("n_toks"),
+        min($"ce").as("min_ce"),
+        max($"ce").as("max_ce"),
+        ((-sum($"s")).cast("double") / sum($"n_toks").cast("double"))
+          .as("bucket_ce"))
+  }
+
+  val qPplBucketsSql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |f AS (SELECT tok, count(*) AS cf FROM t GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM t),
+      |lp AS (SELECT tok,
+      |              CAST(round(ln(CAST(cf AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+      |                   AS DECIMAL(12,9)) AS lp
+      |       FROM f CROSS JOIN tot),
+      |d AS (SELECT doc_id, count(*) AS n_toks, sum(lp) AS s
+      |      FROM t JOIN lp USING (tok) GROUP BY 1),
+      |ds AS (SELECT d.doc_id, documents.source, n_toks, s,
+      |              CAST(-s AS DOUBLE) / CAST(n_toks AS DOUBLE) AS ce
+      |       FROM d JOIN documents ON d.doc_id = documents.doc_id),
+      |b AS (SELECT ds.*, CAST(ntile(3) OVER (
+      |        PARTITION BY source ORDER BY ce, doc_id) AS INTEGER) AS bucket
+      |      FROM ds)
+      |SELECT source, bucket, count(*) AS n_docs,
+      |       CAST(sum(n_toks) AS BIGINT) AS n_toks,
+      |       min(ce) AS min_ce, max(ce) AS max_ce,
+      |       CAST(-sum(s) AS DOUBLE) / CAST(sum(n_toks) AS DOUBLE) AS bucket_ce
+      |FROM b GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
   // Bigram-LM rarity scoring — the context-sensitive upgrade of
   // qUnigramLm and the count-level core of the CCNet/KenLM perplexity
   // filter (Wenzek et al. '20 score documents under a corpus n-gram LM
@@ -1800,6 +1872,7 @@ object TextOps {
     "q_repetition" -> (qRepetition _),
     "q_unigram_lm" -> (qUnigramLm _),
     "q_lm_score" -> (qLmScore _),
+    "q_ppl_buckets" -> (qPplBuckets _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_kn_continuation" -> (qKnContinuation _),
     "q_curriculum" -> (qCurriculum _),
@@ -1840,6 +1913,7 @@ object TextOps {
     "q_repetition" -> qRepetitionSql,
     "q_unigram_lm" -> qUnigramLmSql,
     "q_lm_score" -> qLmScoreSql,
+    "q_ppl_buckets" -> qPplBucketsSql,
     "q_bigram_lm" -> qBigramLmSql,
     "q_kn_continuation" -> qKnContinuationSql,
     "q_curriculum" -> qCurriculumSql,

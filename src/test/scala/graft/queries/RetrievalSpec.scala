@@ -234,4 +234,46 @@ class RetrievalSpec extends SparkTestBase {
     assert(ces.max - ces.min > 0.1)
   }
 
+  test("perplexity buckets are exact per-source tertiles of the LM score") {
+    import spark.implicits._
+    // independent recompute: per-doc ce from the already-proven
+    // q_lm_score, ntile(3) re-derived in Scala (first count%3 buckets
+    // take the extra row — the ANSI ntile rule both engines implement)
+    val src = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val perDoc = graft.queries.TextOps.qLmScore(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, ce) => (src(id), id, n, ce) }
+    val expected = perDoc.groupBy(_._1).flatMap { case (s, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      val base = sorted.length / 3; val extra = sorted.length % 3
+      val sizes = (0 until 3).map(b => base + (if (b < extra) 1 else 0))
+      val bounds = sizes.scanLeft(0)(_ + _)
+      (0 until 3).map { b =>
+        val slice = sorted.slice(bounds(b), bounds(b + 1))
+        (s, b + 1) -> ((slice.length.toLong, slice.map(_._3).sum,
+          slice.map(_._4).min, slice.map(_._4).max))
+      }
+    }
+    val got = graft.queries.TextOps.qPplBuckets(spark, sfDir)
+      .select($"source", $"bucket", $"n_docs", $"n_toks", $"min_ce",
+        $"max_ce", $"bucket_ce")
+      .as[(String, Int, Long, Long, Double, Double, Double)].collect()
+    assert(got.length == expected.size, s"${got.length} != ${expected.size}")
+    got.foreach { case (s, b, nd, nt, mn, mx, bce) =>
+      val (end, ent, emn, emx) = expected((s, b))
+      assert(nd == end, s"($s,$b) n_docs $nd vs $end")
+      assert(nt == ent, s"($s,$b) n_toks $nt vs $ent")
+      assert(mn == emn && mx == emx, s"($s,$b) range [$mn,$mx] vs [$emn,$emx]")
+      // token-weighted mean lies inside the bucket's ce range
+      assert(bce >= mn - 1e-12 && bce <= mx + 1e-12, s"($s,$b) bce $bce")
+    }
+    // boundaries are monotone: head ends before middle, middle before tail
+    got.groupBy(_._1).foreach { case (s, rows) =>
+      val byB = rows.sortBy(_._2)
+      assert(byB(0)._6 <= byB(1)._5 && byB(1)._6 <= byB(2)._5,
+        s"$s bucket boundaries not monotone: ${byB.map(r => (r._5, r._6))}")
+    }
+  }
+
 }
