@@ -1273,6 +1273,72 @@ object TextOps {
       |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // DISTINCT-N DIVERSITY — the per-source lexical-diversity readout
+  // (distinct-1/distinct-2, Li et al. '16 "A Diversity-Promoting
+  // Objective"): the fraction of a source's token (and bigram)
+  // instances that are DISTINCT types. The working dataset-quality
+  // version of self-BLEU: synthetic/templated/boilerplate-heavy sources
+  // score low on distinct-2 long before a human reads them, and the
+  // mixer's per-source weights want exactly this table next to the
+  // per-source duplication report (q_dup_rate) and profile. The doc-
+  // level `diversity` inside qualityScored is this statistic's row-
+  // local cousin; the per-source aggregate CANNOT be derived from it
+  // (type sets merge across documents — that's the point: a source
+  // whose documents are individually diverse but mutually identical
+  // collapses here and nowhere else).
+  //
+  // Plan at 100 TB: two hash aggregations each, keyed (source, gram) —
+  // partial aggregation collapses repeats map-side, the second rollup
+  // is source-cardinality. Bigram extraction is the row-local zip_with
+  // (qBigramLm's kernel). No windows, no distinct-over-corpus — the
+  // (source, gram) grain IS the distinct. Exact longs until the two
+  // final divisions.
+  def qDistinctNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val uni = Retrieval.postings(spark, sfDir)
+      .groupBy($"source", $"term").agg(sum($"tf").as("n"))
+      .groupBy($"source")
+      .agg(sum($"n").as("n_toks"), count(lit(1)).as("n_distinct_toks"))
+    val grams = docsWide(spark, sfDir)
+      .select($"source", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"source", explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> concat(a, ' ', b))")).as("bg"))
+    val bi = grams.groupBy($"source", $"bg").agg(count(lit(1)).as("n"))
+      .groupBy($"source")
+      .agg(sum($"n").as("n_bigrams"), count(lit(1)).as("n_distinct_bigrams"))
+    uni.join(bi, Seq("source"))
+      .select($"source", $"n_toks", $"n_distinct_toks",
+        ($"n_distinct_toks".cast("double") / $"n_toks".cast("double"))
+          .as("distinct1"),
+        $"n_bigrams", $"n_distinct_bigrams",
+        ($"n_distinct_bigrams".cast("double") / $"n_bigrams".cast("double"))
+          .as("distinct2"))
+  }
+
+  val qDistinctNgramsSql: String =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |u AS (SELECT source, count(*) AS n_toks,
+      |             count(DISTINCT tok) AS n_distinct_toks
+      |      FROM t GROUP BY 1),
+      |w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT source, ws[i+1] || ' ' || ws[i+2] AS bg
+      |      FROM w, unnest(range(len(ws) - 1)) AS s(i)
+      |      WHERE len(ws) >= 2),
+      |b AS (SELECT source, count(*) AS n_bigrams,
+      |             count(DISTINCT bg) AS n_distinct_bigrams
+      |      FROM g GROUP BY 1)
+      |SELECT source, n_toks, n_distinct_toks,
+      |       CAST(n_distinct_toks AS DOUBLE) / CAST(n_toks AS DOUBLE)
+      |         AS distinct1,
+      |       n_bigrams, n_distinct_bigrams,
+      |       CAST(n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+      |         AS distinct2
+      |FROM u JOIN b USING (source)""".stripMargin
+
+  // --------------------------------------------------------------------
   // KNESER–NEY CONTINUATION scoring — the third rung of the n-gram LM
   // ladder (unigram frequency → bigram frequency → continuation count):
   // Kneser & Ney '95's insight is that a word's usefulness as a backoff
@@ -1873,6 +1939,7 @@ object TextOps {
     "q_unigram_lm" -> (qUnigramLm _),
     "q_lm_score" -> (qLmScore _),
     "q_ppl_buckets" -> (qPplBuckets _),
+    "q_distinct_ngrams" -> (qDistinctNgrams _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_kn_continuation" -> (qKnContinuation _),
     "q_curriculum" -> (qCurriculum _),
@@ -1914,6 +1981,7 @@ object TextOps {
     "q_unigram_lm" -> qUnigramLmSql,
     "q_lm_score" -> qLmScoreSql,
     "q_ppl_buckets" -> qPplBucketsSql,
+    "q_distinct_ngrams" -> qDistinctNgramsSql,
     "q_bigram_lm" -> qBigramLmSql,
     "q_kn_continuation" -> qKnContinuationSql,
     "q_curriculum" -> qCurriculumSql,

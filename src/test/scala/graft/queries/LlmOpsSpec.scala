@@ -159,6 +159,25 @@ class LlmOpsSpec extends SparkTestBase {
     assert(math.abs(kq - q1) < 1e-9, s"keeper_quality $kq != $q1")
   }
 
+  test("distinct-n diversity sees cross-document repetition per-doc scores cannot") {
+    import spark.implicits._
+    // source "tpl": two IDENTICAL fully-diverse docs — every per-doc
+    // diversity is 1.0, but the source's type sets merge: distinct1 =
+    // 4/8, distinct2 = 3/6. Source "var": same shape, disjoint docs —
+    // 1.0 on both. The gap is exactly what the per-source metric adds.
+    val docs = Seq(
+      (0L, "a b c d", "tpl", "en"), (1L, "a b c d", "tpl", "en"),
+      (2L, "p q r s", "var", "en"), (3L, "t u v w", "var", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val dir = tempDir("distinctn")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.qDistinctNgrams(spark, dir)
+      .as[(String, Long, Long, Double, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("tpl") == (("tpl", 8L, 4L, 0.5, 6L, 3L, 0.5)), got("tpl"))
+    assert(got("var") == (("var", 8L, 8L, 1.0, 6L, 6L, 1.0)), got("var"))
+  }
+
   test("leakage-safe split sends whole near-dup clusters to one side") {
     import spark.implicits._
     // same chained corpus as the cluster test: {0,1,2} form one cluster
