@@ -592,7 +592,65 @@ object Curation {
        |       CAST(sum(j9) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_jac
        |FROM j GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------------
+  // K-ANONYMITY / L-DIVERSITY AUDIT — the privacy-risk complement of
+  // q_redact: redaction masks what a regex can SEE; this measures what
+  // the corpus's metadata still LEAKS. A document whose quasi-identifier
+  // tuple — here (source, 100-char length bucket), the attributes an
+  // adversary can observe about a training document from the outside —
+  // is shared by fewer than K other documents is re-identifiable by
+  // those attributes alone (Sweeney '02); a group whose sensitive
+  // attribute (lang) takes a single value leaks that attribute even
+  // when the group is large (l-diversity, Machanavajjhala '07). Output
+  // is the per-source risk table a release review reads: group counts,
+  // the smallest group, how many documents sit in sub-K groups, and how
+  // many groups fail l ≥ 2.
+  //
+  // Plan at 100 TB: one hash aggregation keyed by the QI tuple (bounded
+  // grain, map-side partial collapse; the exact count-distinct over
+  // lang expands to a (QI, lang) pre-aggregate — still QI-bounded),
+  // then a source-cardinality rollup. Exact longs + one final division.
+  private val AnonK = 5L
+  private val AnonL = 2L
+
+  def qKAnon(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.documents(spark, sfDir)
+      .select($"source", $"lang",
+        floor($"n_chars" / lit(100)).as("len_bucket"))
+      .groupBy($"source", $"len_bucket")
+      .agg(count(lit(1)).as("k"), countDistinct($"lang").as("ldiv"))
+    g.groupBy($"source")
+      .agg(sum($"k").as("n_docs"), count(lit(1)).as("n_groups"),
+        min($"k").as("min_k"),
+        sum(when($"k" < AnonK, 1L).otherwise(0L)).as("n_groups_lt_k"),
+        sum(when($"k" < AnonK, $"k").otherwise(0L)).as("n_docs_at_risk"),
+        sum(when($"ldiv" < AnonL, 1L).otherwise(0L)).as("n_groups_low_ldiv"))
+      .select($"source", $"n_docs", $"n_groups", $"min_k",
+        $"n_groups_lt_k", $"n_docs_at_risk",
+        ($"n_docs_at_risk".cast("double") / $"n_docs".cast("double"))
+          .as("risk_frac"),
+        $"n_groups_low_ldiv")
+  }
+
+  val qKAnonSql: String =
+    s"""WITH g AS (SELECT source, n_chars // 100 AS len_bucket,
+       |                  count(*) AS k, count(DISTINCT lang) AS ldiv
+       |           FROM documents GROUP BY 1, 2)
+       |SELECT source, CAST(sum(k) AS BIGINT) AS n_docs,
+       |       count(*) AS n_groups, min(k) AS min_k,
+       |       CAST(sum(CASE WHEN k < $AnonK THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_groups_lt_k,
+       |       CAST(sum(CASE WHEN k < $AnonK THEN k ELSE 0 END) AS BIGINT)
+       |         AS n_docs_at_risk,
+       |       CAST(sum(CASE WHEN k < $AnonK THEN k ELSE 0 END) AS DOUBLE)
+       |         / CAST(sum(k) AS DOUBLE) AS risk_frac,
+       |       CAST(sum(CASE WHEN ldiv < $AnonL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_groups_low_ldiv
+       |FROM g GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anon" -> (qKAnon _),
     "q_syndication" -> (qSyndication _),
     "q_dedup_saturation" -> (qDedupSaturation _),
     "q_nb_calibration" -> (qNbCalibration _),
@@ -605,6 +663,7 @@ object Curation {
     "q_source_pruned" -> (qSourcePruned _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_k_anon" -> qKAnonSql,
     "q_syndication" -> qSyndicationSql,
     "q_dedup_saturation" -> qDedupSaturationSql,
     "q_nb_calibration" -> qNbCalibrationSql,

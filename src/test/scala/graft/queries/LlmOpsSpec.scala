@@ -159,6 +159,24 @@ class LlmOpsSpec extends SparkTestBase {
     assert(math.abs(kq - q1) < 1e-9, s"keeper_quality $kq != $q1")
   }
 
+  test("k-anonymity audit counts sub-K groups, at-risk docs and low-l-diversity") {
+    import spark.implicits._
+    // source "s": bucket 0 holds 6 docs (>= K=5, but all one lang →
+    // low l-diversity), bucket 1 holds 2 docs in 2 langs (< K → both
+    // at risk, l >= 2). Exact expected row:
+    //   n_docs 8, n_groups 2, min_k 2, groups_lt_k 1, docs_at_risk 2,
+    //   risk 0.25, low_ldiv 1.
+    val docs = (0L to 5L).map(i => (i, s"text $i", "en", "s", 50L)) ++
+      Seq((6L, "text 6", "en", "s", 150L), (7L, "text 7", "de", "s", 150L))
+    val dir = tempDir("kanon")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.qKAnon(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Double, Long)].collect()
+    assert(got.toSeq == Seq(("s", 8L, 2L, 2L, 1L, 2L, 0.25, 1L)),
+      s"got: ${got.toSeq}")
+  }
+
   test("distinct-n diversity sees cross-document repetition per-doc scores cannot") {
     import spark.implicits._
     // source "tpl": two IDENTICAL fully-diverse docs — every per-doc
