@@ -366,6 +366,38 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("matryoshka audit equals a driver brute-force over prefix slices") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def top5(dim: Int, q: Long): Set[Long] = {
+      val qv = emb(q).take(dim)
+      emb.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(qv, emb(n).take(dim))))
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(_._1).toSet
+    }
+    val probes = (0L until 10L)
+    val truth = probes.map(q => q -> top5(64, q)).toMap
+    val expected = Seq(8, 16, 32, 64).map { d =>
+      d -> probes.map(q => (top5(d, q) intersect truth(q)).size).sum
+    }.toMap
+    val got = Similarity.qMatryoshka(spark, sfDir)
+      .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(8, 16, 32, 64))
+    got.foreach { case (d, (_, caught, nTruth, recall)) =>
+      assert(nTruth == 50L)
+      assert(caught == expected(d).toLong, s"dim $d: $caught vs ${expected(d)}")
+      assert(recall == caught.toDouble / 50.0)
+    }
+    // the identity leg is exact by construction
+    assert(got(64)._4 == 1.0)
+  }
+
   test("ANN recall report matches the independently-computed recalls, all >= 0.9") {
     import spark.implicits._
     val got = Similarity.qAnnRecallReport(spark, sfDir)
