@@ -1234,6 +1234,68 @@ object EventStream {
     }.toDF("doc_id", "n_toks", "n_unknown", "cross_entropy")
   }
 
+  /** Committed perplexity-ROUTER model: the LM table plus each source's
+    * published head/middle boundary cross-entropies read off the batch
+    * bucket table (q_ppl_buckets' max_ce of buckets 1 and 2) — exactly
+    * what CCNet deploys: per-domain perplexity cutoffs computed once on
+    * the standing corpus, then compared per arriving paragraph. A
+    * handful of doubles per source on the closure. */
+  final case class PplRouteModel(lm: LmScoreModel,
+      bounds: Map[String, (Double, Double)]) {
+    require(bounds.nonEmpty, "empty boundary model")
+  }
+
+  def pplRouteModel(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): PplRouteModel = {
+    import spark.implicits._
+    val b = graft.queries.TextOps.qPplBuckets(spark, sfDir)
+      .select($"source", $"bucket", $"max_ce")
+      .as[(String, Int, Double)].collect()
+      .groupBy(_._1).map { case (s, rows) =>
+        val m = rows.map(r => r._2 -> r._3).toMap
+        s -> ((m(1), m(2)))
+      }
+    PplRouteModel(lmScoreModel(spark, sfDir), b)
+  }
+
+  /** Streaming face of perplexity bucketing (batch analog:
+    * q_ppl_buckets): each arrival's cross-entropy is computed with the
+    * LM gate's exact arithmetic (bit-equal to batch for replayed text),
+    * then routed head/middle/tail against its source's COMMITTED
+    * boundaries. Note the deployment semantics: batch buckets by RANK
+    * (ntile), the door thresholds at the published boundary values —
+    * identical verdicts except for an arrival whose ce ties a boundary
+    * exactly (EventStreamSpec asserts full parity on the corpus, where
+    * no tie exists). A source absent from the model routes to the tail
+    * (bucket 3): an unprofiled domain is unvetted, not head-quality —
+    * the conservative door default, same doctrine as the OOV floor. */
+  def pplRouteFlags(docs: Dataset[SourcedDocArrival],
+      model: PplRouteModel): DataFrame = {
+    import docs.sparkSession.implicits._
+    val lp = model.lm.lp
+    val unseen = model.lm.unseen
+    val bounds = model.bounds
+    docs.map { d =>
+      val toks = d.text.split(" ", -1)
+      var s = java.math.BigDecimal.ZERO
+      var unk = 0L
+      toks.foreach { t =>
+        lp.get(t) match {
+          case Some(w) => s = s.add(w)
+          case None => s = s.add(unseen); unk += 1
+        }
+      }
+      val ce = s.negate().doubleValue() / toks.length.toDouble
+      val bucket = bounds.get(d.source) match {
+        case Some((b1, _)) if ce <= b1 => 1
+        case Some((_, b2)) if ce <= b2 => 2
+        case _ => 3
+      }
+      (d.doc_id, d.ts, d.source, toks.length.toLong, unk, ce, bucket)
+    }.toDF("doc_id", "ts", "source", "n_toks", "n_unknown",
+      "cross_entropy", "bucket")
+  }
+
   def nbFilterFlags(docs: Dataset[DocArrival],
       model: NbFilterModel): DataFrame = {
     import docs.sparkSession.implicits._

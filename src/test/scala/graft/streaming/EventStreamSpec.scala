@@ -728,6 +728,48 @@ class EventStreamSpec extends SparkTestBase {
       "novel text must read as more surprising than any corpus doc")
   }
 
+  test("streaming perplexity router matches the batch ntile buckets at the door") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val model = EventStream.pplRouteModel(spark, dir)
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    val arrivals = docs.map { case (id, src, t) =>
+      EventStream.SourcedDocArrival(id, ts("2024-01-01 10:00:00"), src, t) }.toSeq
+    val routed = EventStream.pplRouteFlags(arrivals.toDS(), model)
+      .select($"doc_id", $"cross_entropy", $"bucket")
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // batch buckets re-derived: ntile(3) per source over (ce, doc_id)
+    val src = docs.map(d => d._1 -> d._2).toMap
+    val perDoc = graft.queries.TextOps.qLmScore(spark, dir)
+      .as[(Long, Long, Double)].collect().map(r => (src(r._1), r._1, r._3))
+    val batchBucket = perDoc.groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val base = sorted.length / 3; val extra = sorted.length % 3
+      val sizes = (0 until 3).map(b => base + (if (b < extra) 1 else 0))
+      val bounds = sizes.scanLeft(0)(_ + _)
+      (0 until 3).flatMap(b =>
+        sorted.slice(bounds(b), bounds(b + 1)).map(r => r._2 -> (b + 1)))
+    }
+    // no ce ties a committed boundary on this corpus, so the threshold
+    // router and the rank bucketer must agree on EVERY document — and
+    // the router's ce is the batch value bit-for-bit
+    val batchCe = perDoc.map(r => r._2 -> r._3).toMap
+    assert(routed.keySet == batchBucket.keySet)
+    batchBucket.foreach { case (id, b) =>
+      val (ce, got) = routed(id)
+      assert(java.lang.Double.doubleToLongBits(ce) ==
+        java.lang.Double.doubleToLongBits(batchCe(id)), s"doc $id ce drift")
+      assert(got == b, s"doc $id routed $got, batch bucket $b")
+    }
+    // an arrival from an unprofiled source routes to the tail
+    val novel = EventStream.pplRouteFlags(
+      Seq(EventStream.SourcedDocArrival(999L, ts("2024-01-01 10:00:00"),
+        "brand-new-source", "some ordinary text here")).toDS(), model)
+      .select($"bucket").as[Int].collect()
+    assert(novel.toSeq == Seq(3))
+  }
+
   test("streaming funnel emits one conversion per user across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
