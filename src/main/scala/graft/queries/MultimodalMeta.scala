@@ -198,6 +198,55 @@ object MultimodalMeta {
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 13""".stripMargin
 
   // --------------------------------------------------------------------
+  // CROSS-MODAL DEDUP CONSENSUS — the duplicate-evidence join a
+  // multimodal corpus wants before deleting anything: the text
+  // modality's verified near-dup pairs (minhash-LSH + exact-jaccard,
+  // the standing pair table) full-outer-joined with the binary
+  // modality's perceptual-hash pairs on the shared doc/asset identity.
+  // Pairs BOTH modalities flag are the highest-confidence duplicates
+  // (delete-safe); text-only and phash-only rows are each modality's
+  // blind spot made visible — a re-encoded asset under rewritten
+  // boilerplate is phash-only, a re-rendered layout of the same prose
+  // is text-only. Both pair tables are ≪ corpus by the established
+  // blocking bounds, so the full outer join is over two small frames
+  // (at 100 TB: two maintained pair tables, pair-keyed equi-join).
+  // Evidence columns stay NULL on the side that did not fire (never a
+  // fake 0 — 0.0 jaccard is a real value); flags are BIGINT 0/1.
+  def qModalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = graft.queries.Dedup.nearDupPairs(spark, sfDir)
+      .select($"doc_a", $"doc_b",
+        round($"jac", 9).cast("decimal(12,9)").as("j9"))
+    val p = qAssetPhash(spark, sfDir)
+      .select($"asset_a".as("doc_a"), $"asset_b".as("doc_b"), $"hamming")
+    t.join(p, Seq("doc_a", "doc_b"), "full_outer")
+      .select($"doc_a", $"doc_b",
+        when($"j9".isNotNull, 1L).otherwise(0L).as("in_text"),
+        when($"hamming".isNotNull, 1L).otherwise(0L).as("in_phash"),
+        when($"j9".isNotNull && $"hamming".isNotNull, 1L).otherwise(0L)
+          .as("consensus"),
+        $"j9".cast("double").as("jac"), $"hamming")
+  }
+
+  val qModalDedupSql: String =
+    s"""WITH t AS (SELECT doc_a, doc_b,
+       |                  CAST(round(jac, 9) AS DECIMAL(12,9)) AS j9
+       |           FROM (${graft.queries.Dedup.qDedupNearSql})),
+       |p AS (SELECT asset_a AS doc_a, asset_b AS doc_b, hamming
+       |      FROM ($qAssetPhashSql))
+       |SELECT coalesce(t.doc_a, p.doc_a) AS doc_a,
+       |       coalesce(t.doc_b, p.doc_b) AS doc_b,
+       |       CAST(CASE WHEN j9 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |         AS in_text,
+       |       CAST(CASE WHEN hamming IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |         AS in_phash,
+       |       CAST(CASE WHEN j9 IS NOT NULL AND hamming IS NOT NULL
+       |            THEN 1 ELSE 0 END AS BIGINT) AS consensus,
+       |       CAST(j9 AS DOUBLE) AS jac, hamming
+       |FROM t FULL OUTER JOIN p
+       |  ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b""".stripMargin
+
+  // --------------------------------------------------------------------
   // Banded-phash recall audit — the blocking-quality doctrine applied
   // to the perceptual-hash pipeline: q_asset_phash's 4×15-bit banding
   // is NOT exhaustive at Hamming radius 13 (the pigeonhole guarantee
@@ -578,6 +627,7 @@ object MultimodalMeta {
     "q_asset_phash_incremental" -> (qAssetPhashIncremental _),
     "q_asset_phash_deletes" -> (qAssetPhashDeletes _),
     "q_modal_agreement" -> (qModalAgreement _),
+    "q_modal_dedup" -> (qModalDedup _),
     "q_frame_dedup" -> (qFrameDedup _),
     "q_phash_recall" -> (qPhashRecall _))
 
@@ -589,6 +639,7 @@ object MultimodalMeta {
     "q_asset_phash_incremental" -> qAssetPhashIncrementalSql,
     "q_asset_phash_deletes" -> qAssetPhashDeletesSql,
     "q_modal_agreement" -> qModalAgreementSql,
+    "q_modal_dedup" -> qModalDedupSql,
     "q_frame_dedup" -> qFrameDedupSql,
     "q_phash_recall" -> qPhashRecallSql)
 }

@@ -123,6 +123,30 @@ class MultimodalSpec extends SparkTestBase {
       }
   }
 
+  test("cross-modal dedup consensus reconciles with both parent pair tables") {
+    import spark.implicits._
+    val text = graft.queries.Dedup.nearDupPairs(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val phash = graft.queries.MultimodalMeta.qAssetPhash(spark, sfDir)
+      .select($"asset_a", $"asset_b").as[(Long, Long)].collect().toSet
+    val got = graft.queries.MultimodalMeta.qModalDedup(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"in_text", $"in_phash", $"consensus",
+        $"jac", $"hamming")
+      .as[(Long, Long, Long, Long, Long, Option[Double], Option[Int])]
+      .collect()
+    // the output is EXACTLY the union of the two pair sets, each row's
+    // flags reporting which side(s) fired, evidence NULL on the silent
+    // side, consensus = conjunction
+    assert(got.map(r => (r._1, r._2)).toSet == (text union phash))
+    got.foreach { case (a, b, it, ip, c, jac, ham) =>
+      assert(it == (if (text((a, b))) 1L else 0L), s"($a,$b) in_text")
+      assert(ip == (if (phash((a, b))) 1L else 0L), s"($a,$b) in_phash")
+      assert(c == it * ip, s"($a,$b) consensus")
+      assert(jac.isDefined == (it == 1L) && ham.isDefined == (ip == 1L),
+        s"($a,$b) evidence nullness")
+    }
+  }
+
   test("cross-modal nominator recall equals a driver recompute") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, sfDir)
