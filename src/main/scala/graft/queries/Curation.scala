@@ -593,6 +593,59 @@ object Curation {
        |FROM j GROUP BY 1, 2""".stripMargin
 
   // --------------------------------------------------------------------
+  // CCNET-CHAIN CURATION — the round-13 decisions composed into the
+  // pipeline CCNet actually runs (Wenzek et al. '20: dedup → LM
+  // perplexity bucketing → keep head+middle), upgraded with this repo's
+  // quality-aware keeper and the decontamination gate:
+  //   keep a document iff
+  //   (a) it is on the TRAIN side of the eval split (doc_id % 20 != 0 —
+  //       the same split q_decontam defines),
+  //   (b) it is not a duplicate-cluster member that LOST the quality
+  //       argmax (q_cluster_keep_quality's keeper survives, min-id's
+  //       arbitrary survivor does not),
+  //   (c) its perplexity bucket is head or middle (q_ppl_buckets'
+  //       per-source tertiles — the tail is dropped),
+  //   (d) it shares no 5-gram with the eval split (q_decontam).
+  // Every signal IS the shipped query (one definition per signal — the
+  // q_curate/q_curate_strict doctrine), so the composite cannot drift
+  // from its parts; the composition itself is two broadcast anti joins
+  // over the row-level bucket frame. Output carries the bucket so a
+  // downstream mixer can still sample head-heavy.
+  private def qualityVictimSet(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Staging.persisted(spark, sfDir, "ccnet_victims") {
+      import spark.implicits._
+      Dedup.duplicateClusters(spark, sfDir).select($"doc_id")
+        .join(Dedup.qClusterKeepQuality(spark, sfDir)
+          .select($"keeper_id".as("doc_id")), Seq("doc_id"), "left_anti")
+    }
+
+  private def contaminatedSet(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Staging.persisted(spark, sfDir, "ccnet_contam") {
+      qDecontam(spark, sfDir).select(col("doc_id"))
+    }
+
+  def qCurateCcnet(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    TextOps.pplDocBuckets(spark, sfDir)
+      .filter($"doc_id" % 20 =!= 0 && $"bucket" <= 2)
+      .join(broadcast(qualityVictimSet(spark, sfDir)), Seq("doc_id"), "left_anti")
+      .join(broadcast(contaminatedSet(spark, sfDir)), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"source", $"bucket")
+  }
+
+  val qCurateCcnetSql: String =
+    s"""WITH ${TextOps.pplDocBucketsCtes},
+       |members AS (SELECT doc_id FROM (${Dedup.qDedupClustersSql})),
+       |keepers AS (SELECT keeper_id FROM (${Dedup.qClusterKeepQualitySql})),
+       |victims AS (SELECT doc_id FROM members
+       |            WHERE doc_id NOT IN (SELECT keeper_id FROM keepers)),
+       |cont AS (SELECT doc_id FROM ($qDecontamSql))
+       |SELECT doc_id, source, bucket FROM b
+       |WHERE doc_id % 20 <> 0 AND bucket <= 2
+       |  AND doc_id NOT IN (SELECT doc_id FROM victims)
+       |  AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin
+
+  // --------------------------------------------------------------------
   // K-ANONYMITY / L-DIVERSITY AUDIT — the privacy-risk complement of
   // q_redact: redaction masks what a regex can SEE; this measures what
   // the corpus's metadata still LEAKS. A document whose quasi-identifier
@@ -651,6 +704,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anon" -> (qKAnon _),
+    "q_curate_ccnet" -> (qCurateCcnet _),
     "q_syndication" -> (qSyndication _),
     "q_dedup_saturation" -> (qDedupSaturation _),
     "q_nb_calibration" -> (qNbCalibration _),
@@ -664,6 +718,7 @@ object Curation {
 
   val oracleSql: Map[String, String] = Map(
     "q_k_anon" -> qKAnonSql,
+    "q_curate_ccnet" -> qCurateCcnetSql,
     "q_syndication" -> qSyndicationSql,
     "q_dedup_saturation" -> qDedupSaturationSql,
     "q_nb_calibration" -> qNbCalibrationSql,

@@ -1175,7 +1175,12 @@ object TextOps {
   // approx_percentile boundary estimation per source (mergeable sketch,
   // no window) + a row-local bucket compare — the same exact→approx
   // swap documented on the winsorize/quality-floor family.
-  def qPplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-document bucket assignments (doc_id, source, n_toks, s, ce,
+    * bucket) — the row-level frame under qPplBuckets, factored so the
+    * CCNet-chain curation composite (Curation.qCurateCcnet) filters on
+    * the SAME bucket assignment the report aggregates. */
+  private[queries] def pplDocBuckets(spark: SparkSession,
+      sfDir: String): DataFrame = {
     import spark.implicits._
     val (lp, _) = lmLogProbs(spark, sfDir)
     val perDoc = Retrieval.postings(spark, sfDir)
@@ -1186,10 +1191,14 @@ object TextOps {
         sum($"lp" * $"tf".cast("decimal(10,0)")).as("s"))
       .select($"doc_id", $"source", $"n_toks", $"s",
         ((-$"s").cast("double") / $"n_toks".cast("double")).as("ce"))
-    val bucketed = perDoc.withColumn("bucket",
+    perDoc.withColumn("bucket",
       ntile(3).over(org.apache.spark.sql.expressions.Window
         .partitionBy($"source").orderBy($"ce".asc, $"doc_id".asc)))
-    bucketed.groupBy($"source", $"bucket")
+  }
+
+  def qPplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pplDocBuckets(spark, sfDir).groupBy($"source", $"bucket")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_toks").as("n_toks"),
         min($"ce").as("min_ce"),
@@ -1198,8 +1207,10 @@ object TextOps {
           .as("bucket_ce"))
   }
 
-  val qPplBucketsSql: String =
-    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  /** The b CTE chain producing per-doc (doc_id, source, n_toks, s, ce,
+    * bucket) — shared verbatim by qPplBucketsSql and qCurateCcnetSql. */
+  private[queries] val pplDocBucketsCtes: String =
+    """t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |           FROM documents),
       |f AS (SELECT tok, count(*) AS cf FROM t GROUP BY 1),
       |tot AS (SELECT count(*) AS n FROM t),
@@ -1214,7 +1225,10 @@ object TextOps {
       |       FROM d JOIN documents ON d.doc_id = documents.doc_id),
       |b AS (SELECT ds.*, CAST(ntile(3) OVER (
       |        PARTITION BY source ORDER BY ce, doc_id) AS INTEGER) AS bucket
-      |      FROM ds)
+      |      FROM ds)""".stripMargin
+
+  val qPplBucketsSql: String =
+    s"""WITH $pplDocBucketsCtes
       |SELECT source, bucket, count(*) AS n_docs,
       |       CAST(sum(n_toks) AS BIGINT) AS n_toks,
       |       min(ce) AS min_ce, max(ce) AS max_ce,

@@ -177,6 +177,32 @@ class LlmOpsSpec extends SparkTestBase {
       s"got: ${got.toSeq}")
   }
 
+  test("ccnet-chain curation equals the set algebra of its shipped parts") {
+    import spark.implicits._
+    val buckets = graft.queries.TextOps.pplDocBuckets(spark, sfDir)
+      .select($"doc_id", $"bucket").as[(Long, Int)].collect().toMap
+    val keepers = Dedup.qClusterKeepQuality(spark, sfDir)
+      .select($"keeper_id").as[Long].collect().toSet
+    val members = Dedup.qDedupClusters(spark, sfDir)
+      .select($"doc_id").as[Long].collect().toSet
+    val contam = Curation.qDecontam(spark, sfDir)
+      .select($"doc_id").as[Long].collect().toSet
+    val expected = buckets.keySet.filter { id =>
+      id % 20 != 0 && buckets(id) <= 2 &&
+        (!members(id) || keepers(id)) && !contam(id)
+    }
+    val got = Curation.qCurateCcnet(spark, sfDir)
+      .select($"doc_id", $"bucket").as[(Long, Int)].collect()
+    assert(got.map(_._1).toSet == expected,
+      s"diff: ${(got.map(_._1).toSet diff expected) ++ (expected diff got.map(_._1).toSet)}")
+    got.foreach { case (id, b) => assert(b == buckets(id)) }
+    // each gate removes something on this corpus — the composite is not
+    // accidentally a pass-through of any single signal
+    assert(expected.nonEmpty)
+    assert(buckets.keySet.exists(id => id % 20 != 0 && buckets(id) > 2))
+    assert((members diff keepers).nonEmpty)
+  }
+
   test("distinct-n diversity sees cross-document repetition per-doc scores cannot") {
     import spark.implicits._
     // source "tpl": two IDENTICAL fully-diverse docs — every per-doc
