@@ -927,6 +927,82 @@ object TextOps {
        |      FROM documents)""".stripMargin
 
   // --------------------------------------------------------------------
+  // DOCUMENT-BOUNDARY BIN PACKING — the packing-efficiency upgrade of
+  // qPack: concat-then-split fills every window but SPLITS documents
+  // across window boundaries (truncation/cross-contamination the
+  // training batch then pays for); the loaders that respect document
+  // boundaries (greedy sequence packing in production SFT/pretraining
+  // stacks) instead bin-pack whole documents into the context window.
+  // This is next-fit-decreasing: within each packing unit, documents
+  // sorted by token count descending are folded once, a bin closing
+  // when the next document does not fit. The packing unit is (source,
+  // md5-shard): packing is embarrassingly parallel across units, the
+  // shard modulus is the corpus-size-scaled parameter that bounds the
+  // per-unit array (8 here; a 100 TB deployment sizes it so a unit is
+  // a few thousand docs — the same bounded-fold contract as chunking),
+  // and the md5 draw is the repo's engine-portable determinism trick.
+  // The fold itself is ONE codegen'd HOF aggregate over the unit's
+  // sorted array (state = current bin/fill + the bin ids emitted so
+  // far); a document longer than the window gets a bin of its own.
+  // Exact integer arithmetic end to end; the oracle replays the same
+  // greedy as a recursive CTE, one document per step.
+  private val PackShards = 8L
+
+  def qPackBins(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .select($"source",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % PackShards).as("shard"),
+        $"doc_id", tokenCount($"text").as("n"))
+    val grouped = d.groupBy($"source", $"shard")
+      // sort key (-n, doc_id): token count DESC, id ASC — deterministic
+      .agg(sort_array(collect_list(
+        struct((-$"n").as("negn"), $"doc_id", $"n"))).as("ds"))
+    val folded = grouped.withColumn("bins", expr(
+      s"""aggregate(ds,
+         |  named_struct('bin', CAST(0 AS BIGINT), 'fill', CAST(0 AS BIGINT),
+         |               'asg', CAST(array() AS ARRAY<BIGINT>)),
+         |  (acc, x) -> named_struct(
+         |    'bin', IF(acc.fill + x.n <= $PackWindow, acc.bin, acc.bin + 1),
+         |    'fill', IF(acc.fill + x.n <= $PackWindow, acc.fill + x.n, x.n),
+         |    'asg', array_append(acc.asg,
+         |      IF(acc.fill + x.n <= $PackWindow, acc.bin, acc.bin + 1))),
+         |  acc -> acc.asg)""".stripMargin))
+    folded
+      .select($"source", $"shard",
+        explode(arrays_zip($"ds", $"bins")).as("z"))
+      .select($"source", $"shard", $"z.bins".as("bin"),
+        $"z.ds.doc_id".as("doc_id"), $"z.ds.n".as("n_toks"))
+  }
+
+  val qPackBinsSql: String =
+    s"""WITH RECURSIVE d0 AS (
+       |  SELECT source,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+       |              % $PackShards AS BIGINT) AS shard,
+       |         doc_id,
+       |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n
+       |  FROM documents),
+       |docs AS (SELECT d0.*, CAST(row_number() OVER (
+       |           PARTITION BY source, shard ORDER BY n DESC, doc_id) AS BIGINT) AS rk
+       |         FROM d0),
+       |r AS (
+       |  SELECT source, shard, CAST(0 AS BIGINT) AS rk, CAST(0 AS BIGINT) AS bin,
+       |         CAST(0 AS BIGINT) AS fill, CAST(NULL AS BIGINT) AS doc_id,
+       |         CAST(NULL AS BIGINT) AS n
+       |  FROM (SELECT DISTINCT source, shard FROM docs)
+       |  UNION ALL
+       |  SELECT d.source, d.shard, d.rk,
+       |         CASE WHEN r.fill + d.n <= $PackWindow THEN r.bin ELSE r.bin + 1 END,
+       |         CASE WHEN r.fill + d.n <= $PackWindow THEN r.fill + d.n ELSE d.n END,
+       |         d.doc_id, d.n
+       |  FROM r JOIN docs d ON d.source = r.source AND d.shard = r.shard
+       |                    AND d.rk = r.rk + 1)
+       |SELECT source, shard, bin, doc_id, n AS n_toks
+       |FROM r WHERE doc_id IS NOT NULL""".stripMargin
+
+  // --------------------------------------------------------------------
   // Stratified sampling — the data-mixing step of a pretraining pipeline
   // (down/up-weight languages or sources to a target mixture). Spark's
   // sampleBy is per-row Bernoulli with a seeded deterministic stream (no
@@ -1975,6 +2051,7 @@ object TextOps {
     "q_chunk" -> (qChunk _),
     "q_typed_agg" -> (qTypedAgg _),
     "q_pack" -> (qPack _),
+    "q_pack_bins" -> (qPackBins _),
     "q_edit_distance" -> (qEditDistance _),
     "q_tfidf" -> (qTfidf _),
     "q_normalize_text" -> (qNormalizeText _),
@@ -2017,6 +2094,7 @@ object TextOps {
     "q_chunk" -> qChunkSql,
     "q_typed_agg" -> qTypedAggSql,
     "q_pack" -> qPackSql,
+    "q_pack_bins" -> qPackBinsSql,
     "q_edit_distance" -> qEditDistanceSql,
     "q_tfidf" -> qTfidfSql,
     "q_normalize_text" -> qNormalizeTextSql,

@@ -177,6 +177,40 @@ class LlmOpsSpec extends SparkTestBase {
       s"got: ${got.toSeq}")
   }
 
+  test("bin packing equals a driver replay of the greedy and respects capacity") {
+    import spark.implicits._
+    val got = TextOps.qPackBins(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // replay the greedy per (source, shard) on the driver
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"source", $"doc_id", $"text").as[(String, Long, String)]
+      .collect()
+      .map { case (src, id, t) =>
+        (src, java.lang.Long.parseLong(md5hex(id.toString).take(4), 16) % 8,
+          id, 1L + t.count(_ == ' '))
+      }
+    val expected = docs.groupBy(d => (d._1, d._2)).flatMap { case ((s, sh), ds) =>
+      var bin = 0L; var fill = 0L
+      ds.sortBy(d => (-d._4, d._3)).toSeq.map { case (_, _, id, n) =>
+        if (fill + n <= 512) fill += n else { bin += 1; fill = n }
+        (s, sh, bin, id, n)
+      }
+    }.toSet
+    assert(got.toSet == expected, s"sizes: ${got.length} vs ${expected.size}")
+    assert(got.map(_._4).distinct.length == docs.length) // every doc exactly once
+    // no multi-document bin exceeds the window
+    got.groupBy(r => (r._1, r._2, r._3)).foreach { case (k, rows) =>
+      if (rows.length > 1)
+        assert(rows.map(_._5).sum <= 512L, s"bin $k overfull")
+    }
+    // boundary-respecting: strictly better mean fill than one-doc-per-bin,
+    // i.e. the packer actually packs (some bin holds >= 2 docs)
+    assert(got.groupBy(r => (r._1, r._2, r._3)).exists(_._2.length >= 2))
+  }
+
   test("ccnet-chain curation equals the set algebra of its shipped parts") {
     import spark.implicits._
     val buckets = graft.queries.TextOps.pplDocBuckets(spark, sfDir)
