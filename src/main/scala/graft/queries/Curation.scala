@@ -110,6 +110,10 @@ object Curation {
     outlierSet(spark, sfDir).count()
     containedSet(spark, sfDir).count()
     onTargetSet(spark, sfDir).count()
+    // the r13 ccnet-chain sets (quality-argmax losers, eval-collision
+    // docs) — same maintained-table contract as the strict signals
+    qualityVictimSet(spark, sfDir).count()
+    contaminatedSet(spark, sfDir).count()
     ()
   }
 

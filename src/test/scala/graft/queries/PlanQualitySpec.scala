@@ -54,6 +54,43 @@ class PlanQualitySpec extends SparkTestBase {
     assert(windows.exists(_.partitionSpec.nonEmpty), df.queryExecution.optimizedPlan.toString)
   }
 
+  test("r13 faces keep their intended plan shapes") {
+    // quality keeper: argmax through the bounded operator — no Window,
+    // no Sort over cluster members
+    val keepDf = Dedup.qClusterKeepQuality(spark, sfDir)
+    assert(plan(keepDf).contains("TopKPerGroupPartial"), plan(keepDf))
+    // the only Window in the lineage is duplicateClusters' n_members
+    // count — partitioned by cluster label over post-fixpoint members;
+    // the argmax itself must NOT plan as a window
+    val kw = keepDf.queryExecution.optimizedPlan
+      .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(kw.forall(_.partitionSpec.nonEmpty), kw.mkString("\n"))
+    // perplexity buckets: the only window is the per-source ntile —
+    // every Window node is PARTITIONED (no single-task global window)
+    val bw = TextOps.qPplBuckets(spark, sfDir).queryExecution.optimizedPlan
+      .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(bw.nonEmpty && bw.forall(_.partitionSpec.nonEmpty),
+      bw.mkString("\n"))
+    // bin packing: the fold is row-local HOF work — no Window node at
+    // all (the sort is array_sort inside the aggregate, not a Sort of
+    // the corpus)
+    val pk = TextOps.qPackBins(spark, sfDir).queryExecution.optimizedPlan
+      .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(pk.isEmpty, pk.mkString("\n"))
+    // k-anon + distinct-n: pure hash-aggregation pipelines — no window,
+    // no cartesian
+    Seq(plan(Curation.qKAnon(spark, sfDir)),
+        plan(TextOps.qDistinctNgrams(spark, sfDir))).foreach { p =>
+      assert(!p.contains("WindowExec"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+    // cross-modal consensus: pair-keyed join of two pair tables — no
+    // cartesian, no nested loop anywhere
+    val md = plan(MultimodalMeta.qModalDedup(spark, sfDir))
+    assert(!md.contains("CartesianProduct") &&
+      !md.contains("BroadcastNestedLoopJoin"), md)
+  }
+
   test("salted two-stage top-k per group equals the direct window form") {
     val direct = Analytics.qTopKPerGroup(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
