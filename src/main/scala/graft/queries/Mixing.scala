@@ -336,7 +336,40 @@ object Mixing {
       |FROM d JOIN thr ON d.source = thr.source""".stripMargin
 
   // --------------------------------------------------------------------
+  // --------------------------------------------------------------------
+  // PERPLEXITY-WEIGHTED RESAMPLING — what the bucket table is FOR
+  // (CCNet trains on head+middle with the tail sampled down, not
+  // dropped): a per-bucket keep-rate applied with the repo's
+  // deterministic md5-Bernoulli (head 1.0, middle 0.5, tail 0.1 — the
+  // published hex cutoffs 0x8000/0x199a of the first 16 md5 bits), so
+  // the sample is reproducible across engines/runs and composes with
+  // every other md5-keyed decision (splits, budgets, mixtures) without
+  // correlation only if the draw is keyed differently — here the key is
+  // md5('ppl:' || doc_id), the salt that makes this draw independent of
+  // qSplit/qTokenBudget's draws on the same ids. Map-only over the
+  // row-level bucket frame; survivors carry their bucket.
+  def qMixturePpl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h = substring(md5(concat(lit("ppl:"), $"doc_id".cast("string"))), 1, 4)
+    TextOps.pplDocBuckets(spark, sfDir)
+      .select($"doc_id", $"source", $"bucket", h.as("h"))
+      .filter($"bucket" === 1 ||
+        ($"bucket" === 2 && $"h" < "8000") ||
+        ($"bucket" === 3 && $"h" < "199a"))
+      .select($"doc_id", $"source", $"bucket")
+  }
+
+  val qMixturePplSql: String =
+    s"""WITH ${TextOps.pplDocBucketsCtes}
+       |SELECT doc_id, source, bucket FROM b
+       |WHERE bucket = 1
+       |   OR (bucket = 2
+       |       AND substr(md5('ppl:' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+       |   OR (bucket = 3
+       |       AND substr(md5('ppl:' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mixture_ppl" -> (qMixturePpl _),
     "q_mixture" -> (qMixture _),
     "q_split" -> (qSplit _),
     "q_leak_split" -> (qLeakSplit _),
@@ -345,6 +378,7 @@ object Mixing {
     "q_mixture_temp" -> (qMixtureTemp _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_mixture_ppl" -> qMixturePplSql,
     "q_mixture" -> qMixtureSql,
     "q_split" -> qSplitSql,
     "q_leak_split" -> qLeakSplitSql,

@@ -155,6 +155,44 @@ object TextOps {
   }
 
   // --------------------------------------------------------------------
+  // LANGUAGE-ID CONFUSION MATRIX — the evaluation face of qLangId: the
+  // corpus carries ground-truth `lang` labels, so the classifier audit
+  // every lang-id deployment runs before trusting its routing is one
+  // join away: per (true lang, predicted lang) cell counts, each true
+  // language's total, and the cell's share of it (the row-normalized
+  // confusion matrix; diagonal share = per-language recall). This is
+  // the table that decides whether 'und' fallbacks and cross-language
+  // confusions are concentrated where the marker lists are thin — the
+  // reading that precedes any threshold change. One hash aggregation
+  // over the row-local classifier scan + a label-cardinality window;
+  // exact longs, one division.
+  def qLangConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pred = qLangId(spark, sfDir).select($"doc_id", $"pred_lang")
+    Tables.documents(spark, sfDir).select($"doc_id", $"lang")
+      .join(pred, Seq("doc_id"))
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_total", sum($"n_docs").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lang")))
+      .select($"lang", $"pred_lang", $"n_docs", $"lang_total",
+        ($"n_docs".cast("double") / $"lang_total".cast("double"))
+          .as("cell_frac"))
+  }
+
+  val qLangConfusionSql: String =
+    s"""WITH pred AS (SELECT doc_id, pred_lang FROM ($qLangIdSql)),
+       |c AS (SELECT d.lang, pred.pred_lang, count(*) AS n_docs
+       |      FROM documents d JOIN pred USING (doc_id)
+       |      GROUP BY 1, 2)
+       |SELECT lang, pred_lang, n_docs,
+       |       CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+       |       CAST(n_docs AS DOUBLE)
+       |         / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE)
+       |         AS cell_frac
+       |FROM c""".stripMargin
+
+  // --------------------------------------------------------------------
   // Quality scoring: composite of length score, lexical diversity and
   // stopword ratio, bucketed into a keep/review/drop label — the standard
   // pretraining-corpus filter shape. Every component is exact-int
@@ -2041,6 +2079,7 @@ object TextOps {
     "q_text_stats" -> (qTextStats _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_lang_id" -> (qLangId _),
+    "q_lang_confusion" -> (qLangConfusion _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),
     "q_char_ngrams" -> (qCharNgrams _),
@@ -2084,6 +2123,7 @@ object TextOps {
     "q_text_stats" -> qTextStatsSql,
     "q_corpus_stats" -> qCorpusStatsSql,
     "q_lang_id" -> qLangIdSql,
+    "q_lang_confusion" -> qLangConfusionSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_char_ngrams" -> qCharNgramsSql,

@@ -211,6 +211,47 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.groupBy(r => (r._1, r._2, r._3)).exists(_._2.length >= 2))
   }
 
+  test("lang-id confusion matrix reconciles with the classifier and the labels") {
+    import spark.implicits._
+    val pred = TextOps.qLangId(spark, sfDir)
+      .select($"doc_id", $"pred_lang").as[(Long, String)].collect().toMap
+    val truth = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val expected = truth.keys.groupBy(id => (truth(id), pred(id)))
+      .view.mapValues(_.size.toLong).toMap
+    val got = TextOps.qLangConfusion(spark, sfDir)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == expected)
+    // row totals and shares are internally consistent
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      val tot = rows.map(_._3).sum
+      rows.foreach { r =>
+        assert(r._4 == tot, s"$lang total ${r._4} vs $tot")
+        assert(r._5 == r._3.toDouble / tot.toDouble)
+      }
+    }
+  }
+
+  test("perplexity-weighted resampling keeps head, thins middle and tail") {
+    import spark.implicits._
+    def h(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ppl:$id".getBytes("UTF-8")).take(2).map(b => f"$b%02x").mkString
+    val buckets = TextOps.pplDocBuckets(spark, sfDir)
+      .select($"doc_id", $"bucket").as[(Long, Int)].collect().toMap
+    val expected = buckets.keySet.filter { id =>
+      buckets(id) == 1 || (buckets(id) == 2 && h(id) < "8000") ||
+        (buckets(id) == 3 && h(id) < "199a")
+    }
+    val got = Mixing.qMixturePpl(spark, sfDir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == expected)
+    // the rates bite: every head doc survives, the tail is genuinely thinned
+    val heads = buckets.collect { case (id, 1) => id }.toSet
+    val tails = buckets.collect { case (id, 3) => id }.toSet
+    assert((heads diff got).isEmpty)
+    assert((tails intersect got).size < tails.size / 2, "tail not thinned")
+  }
+
   test("ccnet-chain curation equals the set algebra of its shipped parts") {
     import spark.implicits._
     val buckets = graft.queries.TextOps.pplDocBuckets(spark, sfDir)
