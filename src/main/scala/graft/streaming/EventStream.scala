@@ -1036,6 +1036,46 @@ object EventStream {
       .toDF("source", "n_sk", "hk", "kmv_est")
   }
 
+  /** O(1)-per-group state of the streaming k-anonymity monitor: the
+    * running member count of one quasi-identifier group. */
+  final case class KAnonGateState(k: Long)
+
+  /** Streaming face of the k-anonymity audit (batch analog: q_k_anon):
+    * every arrival is scored against the RUNNING size of its
+    * quasi-identifier group — (source, 100-char length bucket), the
+    * same QI tuple the batch audit keys — and flagged while the group
+    * is still below K=5 (an early member of a small group is
+    * re-identifiable RIGHT NOW, whatever the group's final size; the
+    * flag clears for later arrivals as the group fills, exactly the
+    * release-review semantics of "safe once K-anonymous"). State per
+    * group is ONE long; after draining a corpus the per-group counts
+    * equal the batch audit's group sizes whatever the arrival order or
+    * batch boundaries (counts are order-free — asserted in
+    * EventStreamSpec over shuffled batches). Length is character count
+    * (== the stored n_chars the batch reads, pinned by the corpus
+    * contract). */
+  def kAnonGateUpdates(docs: Dataset[SourcedDocArrival],
+      anonK: Long = 5L): DataFrame = {
+    import docs.sparkSession.implicits._
+
+    def fn(key: (String, Long), rows: Iterator[SourcedDocArrival],
+        state: GroupState[KAnonGateState])
+        : Iterator[(Long, Timestamp, String, Long, Long, Long)] = {
+      var k = state.getOption.map(_.k).getOrElse(0L)
+      val out = rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).map { d =>
+        k += 1
+        (d.doc_id, d.ts, key._1, key._2, k,
+          if (k < anonK) 1L else 0L)
+      }
+      state.update(KAnonGateState(k))
+      out.iterator
+    }
+
+    docs.groupByKey(d => (d.source, d.text.length.toLong / 100L))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("doc_id", "ts", "source", "len_bucket", "k_now", "at_risk")
+  }
+
   /** Streaming face of queries.Similarity's embedding OUTLIER pruning:
     * each arriving vector is assigned to its nearest model centroid and
     * flagged when its 9-dp-quantized affinity falls below the cell's

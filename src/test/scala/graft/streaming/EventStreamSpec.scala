@@ -728,6 +728,43 @@ class EventStreamSpec extends SparkTestBase {
       "novel text must read as more surprising than any corpus doc")
   }
 
+  test("streaming k-anon monitor drains to the batch group sizes over shuffled batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    // deterministic shuffle (md5 order) split into three micro-batches
+    val shuffled = docs.sortBy(d => scala.util.hashing.MurmurHash3
+      .stringHash(d._1.toString))
+    val in = MemoryStream[EventStream.SourcedDocArrival]
+    val q = EventStream.kAnonGateUpdates(in.toDS())
+      .writeStream.format("memory").queryName("kanon_gate")
+      .outputMode("update").start()
+    shuffled.grouped(math.max(1, shuffled.length / 3 + 1)).foreach { b =>
+      in.addData(b.map { case (id, src, t) =>
+        EventStream.SourcedDocArrival(id, ts("2024-01-01 10:00:00"), src, t) }.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.sql("SELECT doc_id, source, len_bucket, k_now, at_risk FROM kanon_gate")
+      .as[(Long, String, Long, Long, Long)].collect()
+    // every doc scored exactly once; flags match the running count
+    assert(rows.map(_._1).distinct.length == docs.length)
+    rows.foreach(r => assert(r._5 == (if (r._4 < 5) 1L else 0L)))
+    // drained per-group maxima equal the batch audit's group sizes
+    val gotSizes = rows.groupBy(r => (r._2, r._3))
+      .view.mapValues(_.map(_._4).max).toMap
+    val batchSizes = docs.groupBy(d => (d._2, d._3.length.toLong / 100L))
+      .view.mapValues(_.length.toLong).toMap
+    assert(gotSizes == batchSizes)
+    // within every group the running count is a permutation of 1..k
+    rows.groupBy(r => (r._2, r._3)).foreach { case (g, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length.toLong),
+        s"group $g counts not 1..k")
+    }
+  }
+
   test("streaming perplexity router matches the batch ntile buckets at the door") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
