@@ -954,6 +954,129 @@ object Dedup {
        |FROM r WHERE rk = 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // INCREMENTAL KEEPER MAINTENANCE — the attach leg of the quality
+  // keeper, completing the maintenance discipline the ANN and phash
+  // families carry (q_ann_incremental / q_asset_phash_incremental): a
+  // deterministic 10% of documents (id ≡ 6 mod 10, the phash-family
+  // split) play the arriving batch; the STANDING corpus keeps its own
+  // cluster labels and quality keepers (a maintained index — staged
+  // here, a written table at 100 TB), and each arrival that near-dups
+  // a standing document is scored against the standing keeper of the
+  // cluster it attaches to: a higher-quality arrival DETHRONES the
+  // keeper (tie → lower id), which is exactly the decision an ingest
+  // pipeline makes before replacing a canonical document. Attach
+  // target is the minimum standing cluster id among the arrival's
+  // partners (an unclustered partner is its own singleton cluster);
+  // arrivals pairing only with other arrivals, and cluster MERGES an
+  // arrival induces between standing clusters, are the next full
+  // label pass's business — the same scope contract as the ANN
+  // attach leg (no per-batch re-clustering).
+  //
+  // Plan: standing pairs/labels/keepers are staged; the arrival legs
+  // are the already-banded pair table filtered to the split (asymmetric
+  // by construction — no corpus² anywhere), and every lookup joins a
+  // broadcast-small frame. Quality compares are the 9-dp decimal rule.
+  private val KeepArriveMod = 10L
+  private val KeepArriveRem = 6L
+
+  /** Standing-corpus cluster labels: connected components of the pair
+    * table restricted to both-standing endpoints (band collisions and
+    * exact-jaccard verification are per-pair, so the restriction equals
+    * recomputing on the standing corpus alone). */
+  private def standingLabels(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Staging.memoized(spark, sfDir, "standing-clusters") {
+      import spark.implicits._
+      val p = nearDupPairs(spark, sfDir).select($"doc_a", $"doc_b")
+        .filter($"doc_a" % KeepArriveMod =!= KeepArriveRem &&
+          $"doc_b" % KeepArriveMod =!= KeepArriveRem)
+      graft.operators.ConnectedComponents.starLabels(p)
+    }
+
+  def qKeeperIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val isArr = (c: org.apache.spark.sql.Column) =>
+      c % KeepArriveMod === KeepArriveRem
+    val q = graft.queries.TextOps
+      .qualityScored(Tables.documents(spark, sfDir))
+      .select($"doc_id", round($"quality", 9).cast("decimal(10,9)").as("qd"))
+    val labels = standingLabels(spark, sfDir)
+      .select($"v".as("doc_id"), $"lbl")
+    val keepers = graft.plans.TopKPerGroup.topKPerGroup(
+      q.join(broadcast(labels), Seq("doc_id")),
+      Seq($"lbl"), Seq($"qd".desc, $"doc_id".asc), 1)
+      .select($"lbl", $"doc_id".as("keeper_id"))
+    val att = nearDupPairs(spark, sfDir).select($"doc_a", $"doc_b")
+      .filter(isArr($"doc_a") =!= isArr($"doc_b"))
+      .select(when(isArr($"doc_a"), $"doc_a").otherwise($"doc_b").as("arr"),
+        when(isArr($"doc_a"), $"doc_b").otherwise($"doc_a").as("partner"))
+    val tgt = att
+      .join(broadcast(labels.select($"doc_id".as("partner"), $"lbl")),
+        Seq("partner"), "left_outer")
+      .select($"arr", coalesce($"lbl", $"partner").as("cluster_id"))
+      .groupBy($"arr").agg(min($"cluster_id").as("cluster_id"))
+    val withOld = tgt
+      .join(broadcast(keepers), $"cluster_id" === $"lbl", "left_outer")
+      .select($"arr", $"cluster_id",
+        coalesce($"keeper_id", $"cluster_id").as("old_keeper"))
+    // quality lookups: broadcast the (tiny) maintenance frame into the
+    // row-local quality scan twice — two map-only corpus passes
+    val qo = q.select($"doc_id".as("old_keeper"), $"qd".as("old_qd"))
+    val qa = q.select($"doc_id".as("arr"), $"qd".as("arr_qd"))
+    qo.join(broadcast(withOld), Seq("old_keeper"))
+      .join(qa.join(broadcast(withOld.select($"arr")), Seq("arr")), Seq("arr"))
+      .select($"arr".as("doc_id"), $"cluster_id", $"old_keeper",
+        when($"arr_qd" > $"old_qd" ||
+            ($"arr_qd" === $"old_qd" && $"arr" < $"old_keeper"),
+          $"arr").otherwise($"old_keeper").as("new_keeper"),
+        when($"arr_qd" > $"old_qd" ||
+            ($"arr_qd" === $"old_qd" && $"arr" < $"old_keeper"),
+          1L).otherwise(0L).as("dethroned"))
+  }
+
+  val qKeeperIncrementalSql: String =
+    s"""WITH RECURSIVE allp AS (SELECT doc_a, doc_b FROM ($NearPairSql)),
+       |sp AS (SELECT doc_a, doc_b FROM allp
+       |       WHERE doc_a % $KeepArriveMod <> $KeepArriveRem
+       |         AND doc_b % $KeepArriveMod <> $KeepArriveRem),
+       |e AS (SELECT doc_a AS v, doc_b AS w FROM sp
+       |      UNION SELECT doc_b, doc_a FROM sp),
+       |r AS (SELECT v, v AS w FROM (SELECT DISTINCT v FROM e)
+       |      UNION SELECT e.v, r.w FROM e JOIN r ON e.w = r.v),
+       |lab AS (SELECT v AS doc_id, min(w) AS lbl FROM r GROUP BY 1),
+       |q AS (SELECT doc_id,
+       |        CAST(round((least(1.0, CAST(length(text) AS DOUBLE) / 300.0)
+       |                    + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |                      / CAST(len(string_split(text, ' '))  AS DOUBLE)) / 2.0, 9)
+       |             AS DECIMAL(10,9)) AS qd
+       |      FROM documents),
+       |keep AS (SELECT lbl, doc_id AS keeper_id FROM (
+       |           SELECT lab.doc_id, lab.lbl, q.qd, row_number() OVER (
+       |             PARTITION BY lbl ORDER BY qd DESC, doc_id) AS rk
+       |           FROM lab JOIN q USING (doc_id))
+       |         WHERE rk = 1),
+       |att AS (SELECT CASE WHEN doc_a % $KeepArriveMod = $KeepArriveRem
+       |               THEN doc_a ELSE doc_b END AS arr,
+       |               CASE WHEN doc_a % $KeepArriveMod = $KeepArriveRem
+       |               THEN doc_b ELSE doc_a END AS partner
+       |        FROM allp
+       |        WHERE (doc_a % $KeepArriveMod = $KeepArriveRem)
+       |           <> (doc_b % $KeepArriveMod = $KeepArriveRem)),
+       |tgt AS (SELECT arr, min(coalesce(lab.lbl, att.partner)) AS cluster_id
+       |        FROM att LEFT JOIN lab ON lab.doc_id = att.partner
+       |        GROUP BY 1),
+       |ok AS (SELECT tgt.arr, tgt.cluster_id,
+       |              coalesce(keep.keeper_id, tgt.cluster_id) AS old_keeper
+       |       FROM tgt LEFT JOIN keep ON keep.lbl = tgt.cluster_id)
+       |SELECT ok.arr AS doc_id, ok.cluster_id, ok.old_keeper,
+       |       CASE WHEN qa.qd > qo.qd OR (qa.qd = qo.qd AND ok.arr < ok.old_keeper)
+       |            THEN ok.arr ELSE ok.old_keeper END AS new_keeper,
+       |       CAST(CASE WHEN qa.qd > qo.qd
+       |                   OR (qa.qd = qo.qd AND ok.arr < ok.old_keeper)
+       |            THEN 1 ELSE 0 END AS BIGINT) AS dethroned
+       |FROM ok JOIN q qa ON qa.doc_id = ok.arr
+       |        JOIN q qo ON qo.doc_id = ok.old_keeper""".stripMargin
+
+  // --------------------------------------------------------------------
   // Sketch-only similarity estimation: jaccard estimated as the fraction
   // of agreeing minhash signature slots (the Broder estimator —
   // P[min-slot agreement] = exact jaccard). At 100 TB the exact
@@ -1918,6 +2041,7 @@ object Dedup {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_cluster_keep" -> (qClusterKeep _),
     "q_cluster_keep_quality" -> (qClusterKeepQuality _),
+    "q_keeper_incremental" -> (qKeeperIncremental _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_novelty" -> (qNovelty _),
     "q_passage_overlap" -> (qPassageOverlap _),
@@ -1946,6 +2070,7 @@ object Dedup {
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_cluster_keep" -> qClusterKeepSql,
     "q_cluster_keep_quality" -> qClusterKeepQualitySql,
+    "q_keeper_incremental" -> qKeeperIncrementalSql,
     "q_minhash_est" -> qMinhashEstSql,
     "q_novelty" -> qNoveltySql,
     "q_passage_overlap" -> qPassageOverlapSql,

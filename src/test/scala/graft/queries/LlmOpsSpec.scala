@@ -211,6 +211,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.groupBy(r => (r._1, r._2, r._3)).exists(_._2.length >= 2))
   }
 
+  test("incremental keeper leg dethrones on better arrivals, holds on worse") {
+    import spark.implicits._
+    // two disjoint near-dup pairs, each standing doc a singleton in the
+    // standing index: arrival 16 (id ≡ 6 mod 10) is the CLEAN copy of
+    // degraded standing 10 — dethrones; arrival 26 is a DEGRADED copy
+    // of clean standing 20 — keeper holds. doc 99 is unrelated.
+    val baseA = (1 to 60).map(i => s"atok$i").mkString(" ")
+    val baseB = (1 to 60).map(i => s"btok$i").mkString(" ")
+    val degrade = (t: String, tok: String) => t + (s" $tok" * 30)
+    val docs = Seq(
+      (10L, degrade(baseA, "atok1"), "web"), (16L, baseA, "web"),
+      (20L, baseB, "web"), (26L, degrade(baseB, "btok1"), "web"),
+      (99L, (100 to 160).map(i => s"other$i").mkString(" "), "web"))
+      .toDF("doc_id", "text", "source")
+    val dir = tempDir("keeperinc")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.qKeeperIncremental(spark, dir)
+      .select("doc_id", "cluster_id", "old_keeper", "new_keeper", "dethroned")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (16L, 10L, 10L, 16L, 1L),
+      (26L, 20L, 20L, 20L, 0L)), s"got: $got")
+  }
+
   test("lang-id confusion matrix reconciles with the classifier and the labels") {
     import spark.implicits._
     val pred = TextOps.qLangId(spark, sfDir)
