@@ -974,25 +974,33 @@ object TextOps {
   // This is next-fit-decreasing: within each packing unit, documents
   // sorted by token count descending are folded once, a bin closing
   // when the next document does not fit. The packing unit is (source,
-  // md5-shard): packing is embarrassingly parallel across units, the
-  // shard modulus is the corpus-size-scaled parameter that bounds the
-  // per-unit array (8 here; a 100 TB deployment sizes it so a unit is
-  // a few thousand docs — the same bounded-fold contract as chunking),
-  // and the md5 draw is the repo's engine-portable determinism trick.
-  // The fold itself is ONE codegen'd HOF aggregate over the unit's
-  // sorted array (state = current bin/fill + the bin ids emitted so
-  // far); a document longer than the window gets a bin of its own.
-  // Exact integer arithmetic end to end; the oracle replays the same
-  // greedy as a recursive CTE, one document per step.
-  private val PackShards = 8L
+  // md5-shard): packing is embarrassingly parallel across units, and
+  // the shard modulus is ENFORCED corpus-size-scaled, not documented
+  // (the sweep-budget precedent): greatest(8, ceil(n_docs / 2000)), a
+  // 1-row corpus-constant aggregate both engines compute identically —
+  // so a unit's array stays a few thousand docs at ANY corpus size
+  // (the bounded-fold contract as chunking) and the md5 draw keeps the
+  // assignment engine-portable and deterministic. The fold itself is
+  // ONE codegen'd HOF aggregate over the unit's sorted array (state =
+  // current bin/fill + the bin ids emitted so far); a document longer
+  // than the window gets a bin of its own. Exact integer arithmetic
+  // end to end; the oracle replays the same greedy as a recursive CTE,
+  // one document per step.
+  private val PackShardsMin = 8L
+  private[queries] val PackUnitBudget = 2000L
 
   def qPackBins(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val d = Tables.documents(spark, sfDir)
+    val docs0 = Tables.documents(spark, sfDir)
+      .select($"source", $"doc_id", tokenCount($"text").as("n"))
+    val m = docs0.agg(greatest(lit(PackShardsMin),
+      ceil(count(lit(1)).cast("double") / lit(PackUnitBudget.toDouble)))
+      .cast("long").as("nsh"))
+    val d = docs0.crossJoin(broadcast(m))
       .select($"source",
         (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
-          .cast("long") % PackShards).as("shard"),
-        $"doc_id", tokenCount($"text").as("n"))
+          .cast("long") % $"nsh").as("shard"),
+        $"doc_id", $"n")
     val grouped = d.groupBy($"source", $"shard")
       // sort key (-n, doc_id): token count DESC, id ASC — deterministic
       .agg(sort_array(collect_list(
@@ -1015,13 +1023,17 @@ object TextOps {
   }
 
   val qPackBinsSql: String =
-    s"""WITH RECURSIVE d0 AS (
+    s"""WITH RECURSIVE m AS (
+       |  SELECT greatest($PackShardsMin,
+       |                  CAST(ceil(count(*) / $PackUnitBudget.0) AS BIGINT)) AS nsh
+       |  FROM documents),
+       |d0 AS (
        |  SELECT source,
        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
-       |              % $PackShards AS BIGINT) AS shard,
+       |              % nsh AS BIGINT) AS shard,
        |         doc_id,
        |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n
-       |  FROM documents),
+       |  FROM documents CROSS JOIN m),
        |docs AS (SELECT d0.*, CAST(row_number() OVER (
        |           PARTITION BY source, shard ORDER BY n DESC, doc_id) AS BIGINT) AS rk
        |         FROM d0),

@@ -276,6 +276,23 @@ class LlmOpsSpec extends SparkTestBase {
     assert((tails intersect got).size < tails.size / 2, "tail not thinned")
   }
 
+  test("bin packing's shard modulus scales with the corpus (enforced, not documented)") {
+    import spark.implicits._
+    // 20k one-line docs: greatest(8, ceil(20000/2000)) = 10 shards —
+    // the per-unit fold array stays budget-bounded at any corpus size
+    val docs = (0L until 20000L)
+      .map(i => (i, s"w$i x$i y$i", "bulk")).toDF("doc_id", "text", "source")
+    val dir = tempDir("packscale")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.qPackBins(spark, dir)
+      .select($"shard", $"doc_id").as[(Long, Long)].collect()
+    assert(got.length == 20000)
+    val byShard = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byShard.keySet == (0L until 10L).toSet, s"shards: ${byShard.keySet}")
+    // md5 spreads evenly: no unit blows past ~1.5x the budget share
+    assert(byShard.values.max < 3000, s"unit sizes: $byShard")
+  }
+
   test("ccnet-chain curation equals the set algebra of its shipped parts") {
     import spark.implicits._
     val buckets = graft.queries.TextOps.pplDocBuckets(spark, sfDir)
