@@ -1053,6 +1053,50 @@ object TextOps {
        |FROM r WHERE doc_id IS NOT NULL""".stripMargin
 
   // --------------------------------------------------------------------
+  // PACKING EFFICIENCY REPORT — what boundary-respecting packing COSTS:
+  // concat-then-split (qPack) achieves the information-theoretic bin
+  // floor ceil(Σtokens/window) by splitting documents; qPackBins pays
+  // padding to keep documents whole. This readout prices that trade per
+  // source: bins used vs the floor, and the padding fraction of the
+  // reserved token budget — the number that decides whether a loader
+  // packs greedily or splits. All integers off the packing result (the
+  // floor via the (s + w−1) div w identity — no float ceil), one final
+  // division; an oversized single-document bin contributes zero padding
+  // (its fill exceeds the window — greatest(0, ·) clips it).
+  def qPackReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fills = qPackBins(spark, sfDir)
+      .groupBy($"source", $"shard", $"bin")
+      .agg(count(lit(1)).as("nd"), sum($"n_toks").as("fill"))
+    fills.groupBy($"source")
+      .agg(sum($"nd").as("n_docs"), sum($"fill").as("n_toks"),
+        count(lit(1)).as("n_bins"),
+        sum(greatest(lit(0L), lit(PackWindow.toLong) - $"fill"))
+          .as("n_padding"))
+      .select($"source", $"n_docs", $"n_toks", $"n_bins",
+        expr(s"(n_toks + ${PackWindow - 1}) div $PackWindow")
+          .as("bins_floor"),
+        $"n_padding",
+        ($"n_padding".cast("double") /
+          ($"n_bins" * lit(PackWindow.toLong)).cast("double"))
+          .as("padding_frac"))
+  }
+
+  val qPackReportSql: String =
+    s"""WITH fills AS (
+       |  SELECT source, shard, bin, count(*) AS nd, sum(n_toks) AS fill
+       |  FROM ($qPackBinsSql) GROUP BY 1, 2, 3)
+       |SELECT source, CAST(sum(nd) AS BIGINT) AS n_docs,
+       |       CAST(sum(fill) AS BIGINT) AS n_toks,
+       |       count(*) AS n_bins,
+       |       CAST((sum(fill) + $PackWindow - 1) // $PackWindow AS BIGINT)
+       |         AS bins_floor,
+       |       CAST(sum(greatest(0, $PackWindow - fill)) AS BIGINT) AS n_padding,
+       |       CAST(sum(greatest(0, $PackWindow - fill)) AS DOUBLE)
+       |         / CAST(count(*) * $PackWindow AS DOUBLE) AS padding_frac
+       |FROM fills GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
   // Stratified sampling — the data-mixing step of a pretraining pipeline
   // (down/up-weight languages or sources to a target mixture). Spark's
   // sampleBy is per-row Bernoulli with a seeded deterministic stream (no
@@ -2103,6 +2147,7 @@ object TextOps {
     "q_typed_agg" -> (qTypedAgg _),
     "q_pack" -> (qPack _),
     "q_pack_bins" -> (qPackBins _),
+    "q_pack_report" -> (qPackReport _),
     "q_edit_distance" -> (qEditDistance _),
     "q_tfidf" -> (qTfidf _),
     "q_normalize_text" -> (qNormalizeText _),
@@ -2147,6 +2192,7 @@ object TextOps {
     "q_typed_agg" -> qTypedAggSql,
     "q_pack" -> qPackSql,
     "q_pack_bins" -> qPackBinsSql,
+    "q_pack_report" -> qPackReportSql,
     "q_edit_distance" -> qEditDistanceSql,
     "q_tfidf" -> qTfidfSql,
     "q_normalize_text" -> qNormalizeTextSql,

@@ -276,6 +276,25 @@ class LlmOpsSpec extends SparkTestBase {
     assert((tails intersect got).size < tails.size / 2, "tail not thinned")
   }
 
+  test("packing report prices the boundary trade against the concat floor") {
+    import spark.implicits._
+    val bins = TextOps.qPackBins(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val rep = TextOps.qPackReport(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    val bySrc = bins.groupBy(_._1)
+    rep.foreach { case (src, nDocs, nToks, nBins, floor, pad, frac) =>
+      val rows = bySrc(src)
+      assert(nDocs == rows.length && nToks == rows.map(_._5).sum)
+      val units = rows.groupBy(r => (r._2, r._3))
+      assert(nBins == units.size.toLong)
+      assert(floor == (nToks + 511) / 512)
+      assert(nBins >= floor, s"$src bins $nBins below the floor $floor")
+      val expPad = units.values.map(u => math.max(0L, 512L - u.map(_._5).sum)).sum
+      assert(pad == expPad && frac == pad.toDouble / (nBins * 512L).toDouble)
+    }
+  }
+
   test("bin packing's shard modulus scales with the corpus (enforced, not documented)") {
     import spark.implicits._
     // 20k one-line docs: greatest(8, ceil(20000/2000)) = 10 shards —
