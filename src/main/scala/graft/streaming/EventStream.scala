@@ -1036,6 +1036,52 @@ object EventStream {
       .toDF("source", "n_sk", "hk", "kmv_est")
   }
 
+  /** O(1)-per-unit state of the streaming packer: the open bin's index
+    * and fill for one (source, shard) packing unit. */
+  final case class PackGateState(bin: Long, fill: Long)
+
+  /** Streaming face of document-boundary packing (batch analog:
+    * q_pack_bins): the ONLINE next-fit packer a loader actually runs —
+    * each arrival goes into its unit's open bin if it fits, else the
+    * bin closes and a new one opens; an oversized arrival takes a bin
+    * of its own. The batch face re-packs SORTED (next-fit-decreasing)
+    * for tighter bins; the door cannot sort the future, so online
+    * next-fit is the honest streaming variant (same capacity
+    * invariant, same shard-unit parallelism, ≥ the batch face's bin
+    * count — asserted in EventStreamSpec). State is two longs per
+    * unit; the md5 shard draw matches the batch kernel at the test
+    * modulus. Arrival order within a micro-batch is pinned (ts,
+    * doc_id) so replays are deterministic. */
+  def packGateUpdates(docs: Dataset[SourcedDocArrival],
+      window: Long = 512L, shards: Long = 8L): DataFrame = {
+    import docs.sparkSession.implicits._
+
+    def shardOf(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % shards
+    }
+
+    def fn(key: (String, Long), rows: Iterator[SourcedDocArrival],
+        state: GroupState[PackGateState])
+        : Iterator[(Long, Timestamp, String, Long, Long, Long, Long)] = {
+      var st = state.getOption.getOrElse(PackGateState(0L, 0L))
+      val out = rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).map { d =>
+        val n = 1L + d.text.count(_ == ' ')
+        st = if (st.fill + n <= window) PackGateState(st.bin, st.fill + n)
+             else PackGateState(st.bin + 1L, n)
+        (d.doc_id, d.ts, key._1, key._2, n, st.bin, st.fill)
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    docs.groupByKey(d => (d.source, shardOf(d.doc_id)))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("doc_id", "ts", "source", "shard", "n_toks", "bin", "fill_after")
+  }
+
   /** O(1)-per-group state of the streaming k-anonymity monitor: the
     * running member count of one quasi-identifier group. */
   final case class KAnonGateState(k: Long)

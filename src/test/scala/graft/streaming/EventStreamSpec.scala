@@ -728,6 +728,46 @@ class EventStreamSpec extends SparkTestBase {
       "novel text must read as more surprising than any corpus doc")
   }
 
+  test("streaming packer respects capacity and never beats the sorted batch packer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    val in = MemoryStream[EventStream.SourcedDocArrival]
+    val q = EventStream.packGateUpdates(in.toDS())
+      .writeStream.format("memory").queryName("pack_gate")
+      .outputMode("update").start()
+    docs.grouped(docs.length / 2 + 1).foreach { b =>
+      in.addData(b.map { case (id, src, t) =>
+        EventStream.SourcedDocArrival(id, ts("2024-01-01 10:00:00"), src, t) }.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.sql(
+      "SELECT source, shard, doc_id, n_toks, bin, fill_after FROM pack_gate")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._3).distinct.length == docs.length)
+    // capacity invariant per (unit, bin): multi-doc bins never overfull
+    rows.groupBy(r => (r._1, r._2, r._5)).foreach { case (k, rs) =>
+      if (rs.length > 1) assert(rs.map(_._4).sum <= 512L, s"bin $k overfull")
+    }
+    // the sorted batch packer is at least as tight unit by unit (sf0.001
+    // keeps the batch modulus at the gate's 8, so units align)
+    val online = rows.groupBy(r => (r._1, r._2))
+      .view.mapValues(rs => rs.map(_._5).max + 1).toMap
+    val batch = graft.queries.TextOps.qPackBins(spark, dir)
+      .select($"source", $"shard", $"bin")
+      .as[(String, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(rs => rs.map(_._3).max + 1).toMap
+    assert(online.keySet == batch.keySet)
+    online.foreach { case (unit, nOnline) =>
+      assert(nOnline >= batch(unit), s"unit $unit: online $nOnline < batch")
+    }
+    assert(online.exists { case (u, n) => n > batch(u) } ||
+      online == batch) // usually strictly worse somewhere; never better
+  }
+
   test("streaming k-anon monitor drains to the batch group sizes over shuffled batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
