@@ -706,8 +706,59 @@ object Curation {
        |         AS n_groups_low_ldiv
        |FROM g GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------
+  // QUALITY-AXIS AGREEMENT — do the two shipped quality signals measure
+  // the same thing? The perplexity buckets (corpus-LM surprise,
+  // q_ppl_buckets) and the heuristic quality labels (length/diversity
+  // composite, q_quality_score) each partition the corpus into three
+  // classes; their chance-corrected agreement (adjusted Rand —
+  // Similarity.adjustedRand, the SAME verified kernel behind
+  // q_cluster_agreement) is the audit that decides whether a pipeline
+  // gains anything by running both filters or one subsumes the other:
+  // ARI ≈ 1 says redundant, ≈ 0 says orthogonal (keep both). One
+  // doc-keyed equi-join collapsing to a 3×3 contingency; everything
+  // after is class-scale exact integers + the one fixed-association
+  // IEEE expression.
+  def qSignalAgreement(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.adjustedRand(
+      TextOps.pplDocBuckets(spark, sfDir)
+        .select(col("doc_id").as("vec_id"),
+          col("bucket").cast("string").as("cell")),
+      TextOps.qQualityScore(spark, sfDir)
+        .select(col("doc_id").as("vec_id"), col("label").as("cell")))
+
+  val qSignalAgreementSql: String =
+    s"""WITH ${TextOps.pplDocBucketsCtes},
+       |la AS (SELECT doc_id AS vec_id, bucket AS ca FROM b),
+       |ql AS (SELECT doc_id AS vec_id, label AS cb
+       |       FROM (${TextOps.qQualityScoreSql})),
+       |ct AS (SELECT ca, cb, count(*) AS nij
+       |       FROM la JOIN ql USING (vec_id) GROUP BY ca, cb),
+       |gtot AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+       |                sum(CAST(nij AS HUGEINT) * nij) AS s2 FROM ct),
+       |am AS (SELECT sum(CAST(ai AS HUGEINT) * ai) AS a2,
+       |              CAST(count(*) AS BIGINT) AS cells_a
+       |       FROM (SELECT ca, sum(nij) AS ai FROM ct GROUP BY ca)),
+       |bm AS (SELECT sum(CAST(bi AS HUGEINT) * bi) AS b2,
+       |              CAST(count(*) AS BIGINT) AS cells_b
+       |       FROM (SELECT cb, sum(nij) AS bi FROM ct GROUP BY cb)),
+       |st AS (SELECT n, cells_a, cells_b,
+       |              CAST(n AS DOUBLE) AS nd,
+       |              CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE) AS sp,
+       |              CAST(a2 AS DOUBLE) - CAST(n AS DOUBLE) AS ap,
+       |              CAST(b2 AS DOUBLE) - CAST(n AS DOUBLE) AS bp
+       |       FROM gtot, am, bm),
+       |st2 AS (SELECT n, cells_a, cells_b, nd * (nd - 1.0) AS np, sp, ap, bp
+       |        FROM st)
+       |SELECT n, cells_a, cells_b,
+       |       CASE WHEN np * (ap + bp) - 2.0 * ap * bp = 0.0 THEN 1.0
+       |            ELSE 2.0 * (np * sp - ap * bp) / (np * (ap + bp) - 2.0 * ap * bp)
+       |            END AS ari
+       |FROM st2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anon" -> (qKAnon _),
+    "q_signal_agreement" -> (qSignalAgreement _),
     "q_curate_ccnet" -> (qCurateCcnet _),
     "q_syndication" -> (qSyndication _),
     "q_dedup_saturation" -> (qDedupSaturation _),
@@ -722,6 +773,7 @@ object Curation {
 
   val oracleSql: Map[String, String] = Map(
     "q_k_anon" -> qKAnonSql,
+    "q_signal_agreement" -> qSignalAgreementSql,
     "q_curate_ccnet" -> qCurateCcnetSql,
     "q_syndication" -> qSyndicationSql,
     "q_dedup_saturation" -> qDedupSaturationSql,

@@ -276,6 +276,38 @@ class LlmOpsSpec extends SparkTestBase {
     assert((tails intersect got).size < tails.size / 2, "tail not thinned")
   }
 
+  test("quality-axis agreement equals a BigInt driver recompute of the ARI") {
+    import spark.implicits._
+    val bucket = graft.queries.TextOps.pplDocBuckets(spark, sfDir)
+      .select($"doc_id", $"bucket").as[(Long, Int)].collect().toMap
+    val label = graft.queries.TextOps.qQualityScore(spark, sfDir)
+      .select($"doc_id", $"label").as[(Long, String)].collect().toMap
+    val ct = bucket.keySet.groupBy(id => (bucket(id), label(id)))
+      .view.mapValues(_.size.toLong).toMap
+    val n = BigInt(ct.values.sum)
+    val s2 = ct.values.map(v => BigInt(v) * BigInt(v)).sum
+    val a2 = ct.groupBy(_._1._1).values
+      .map(m => { val s = BigInt(m.values.sum); s * s }).sum
+    val b2 = ct.groupBy(_._1._2).values
+      .map(m => { val s = BigInt(m.values.sum); s * s }).sum
+    val (nd, sp, ap, bp) = (n.toDouble, (s2 - n).toDouble,
+      (a2 - n).toDouble, (b2 - n).toDouble)
+    val np = nd * (nd - 1.0)
+    val expected =
+      if (np * (ap + bp) - 2.0 * ap * bp == 0.0) 1.0
+      else 2.0 * (np * sp - ap * bp) / (np * (ap + bp) - 2.0 * ap * bp)
+    val got = Curation.qSignalAgreement(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    assert(got.head._1 == n.toLong && got.head._2 == 3L)
+    assert(math.abs(got.head._4 - expected) < 1e-12,
+      s"ari ${got.head._4} vs $expected")
+    // the readout means something: the two axes are NOT the same signal
+    // on this corpus (|ARI| well below 0.5) — running both filters earns
+    // its cost
+    assert(math.abs(got.head._4) < 0.5)
+  }
+
   test("packing report prices the boundary trade against the concat floor") {
     import spark.implicits._
     val bins = TextOps.qPackBins(spark, sfDir)
