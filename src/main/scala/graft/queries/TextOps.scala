@@ -1406,6 +1406,47 @@ object TextOps {
       |FROM b GROUP BY 1, 2""".stripMargin
 
   // --------------------------------------------------------------------
+  // PERPLEXITY ROUTING PARITY — the oracle-green batch twin of the
+  // streaming router (EventStream.pplRouteFlags), the q_journey_gate
+  // precedent applied to the perplexity family: batch buckets by RANK
+  // (ntile), the door thresholds at the published per-source boundary
+  // values — this face computes BOTH decisions relationally and emits
+  // the agreement flag, so the router's decision boundary is
+  // hash-checked against DuckDB rather than only spec-asserted
+  // in-process. On a corpus with no boundary-tying ce the two columns
+  // agree everywhere; a disagreement row is exactly a boundary tie —
+  // the case the router's doc comment reserves.
+  def qPplRoute(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val b = pplDocBuckets(spark, sfDir)
+      .select($"doc_id", $"source", $"ce", $"bucket")
+    val bounds = b.groupBy($"source")
+      .agg(max(when($"bucket" === 1, $"ce")).as("b1"),
+        max(when($"bucket" <= 2, $"ce")).as("b2"))
+    b.join(broadcast(bounds), Seq("source"))
+      .select($"doc_id", $"source", $"bucket",
+        when($"ce" <= $"b1", 1).when($"ce" <= $"b2", 2).otherwise(3)
+          .as("routed"))
+      .withColumn("agree",
+        when($"bucket" === $"routed", 1L).otherwise(0L))
+  }
+
+  val qPplRouteSql: String =
+    s"""WITH $pplDocBucketsCtes,
+       |bounds AS (SELECT source,
+       |                  max(CASE WHEN bucket = 1 THEN ce END) AS b1,
+       |                  max(CASE WHEN bucket <= 2 THEN ce END) AS b2
+       |           FROM b GROUP BY 1)
+       |SELECT doc_id, b.source, bucket,
+       |       CAST(CASE WHEN ce <= b1 THEN 1 WHEN ce <= b2 THEN 2
+       |            ELSE 3 END AS INTEGER) AS routed,
+       |       CAST(CASE WHEN bucket = (CASE WHEN ce <= b1 THEN 1
+       |                                     WHEN ce <= b2 THEN 2 ELSE 3 END)
+       |            THEN 1 ELSE 0 END AS BIGINT) AS agree
+       |FROM b JOIN bounds ON b.source = bounds.source""".stripMargin
+
+
+  // --------------------------------------------------------------------
   // Bigram-LM rarity scoring — the context-sensitive upgrade of
   // qUnigramLm and the count-level core of the CCNet/KenLM perplexity
   // filter (Wenzek et al. '20 score documents under a corpus n-gram LM
@@ -2123,6 +2164,7 @@ object TextOps {
     "q_unigram_lm" -> (qUnigramLm _),
     "q_lm_score" -> (qLmScore _),
     "q_ppl_buckets" -> (qPplBuckets _),
+    "q_ppl_route" -> (qPplRoute _),
     "q_distinct_ngrams" -> (qDistinctNgrams _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_kn_continuation" -> (qKnContinuation _),
@@ -2168,6 +2210,7 @@ object TextOps {
     "q_unigram_lm" -> qUnigramLmSql,
     "q_lm_score" -> qLmScoreSql,
     "q_ppl_buckets" -> qPplBucketsSql,
+    "q_ppl_route" -> qPplRouteSql,
     "q_distinct_ngrams" -> qDistinctNgramsSql,
     "q_bigram_lm" -> qBigramLmSql,
     "q_kn_continuation" -> qKnContinuationSql,

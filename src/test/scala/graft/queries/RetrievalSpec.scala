@@ -234,6 +234,32 @@ class RetrievalSpec extends SparkTestBase {
     assert(ces.max - ces.min > 0.1)
   }
 
+  test("routing parity agrees except on planted boundary ties") {
+    import spark.implicits._
+    // real corpus: no two docs share a ce, so rank and threshold agree
+    val real = graft.queries.TextOps.qPplRoute(spark, sfDir)
+      .select($"agree").as[Long].collect()
+    assert(real.nonEmpty && real.forall(_ == 1L))
+    // planted tie: docs 1 and 2 are IDENTICAL (same ce, the highest —
+    // doc 3's repeated common token makes it the low-surprise head);
+    // ntile splits the tie across the bucket-2/3 boundary by doc_id
+    // while the threshold router puts both at or under b2 — doc 2 must
+    // disagree, and only it
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "s", "en"),
+      (2L, "alpha beta gamma delta", "s", "en"),
+      (3L, "zeta zeta zeta zeta zeta zeta", "s", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val dir = tempDir("pplroute")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextOps.qPplRoute(spark, dir)
+      .select($"doc_id", $"bucket", $"routed", $"agree")
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(3L) == ((3L, 1, 1, 1L)), got(3L))
+    assert(got(1L) == ((1L, 2, 2, 1L)), got(1L))
+    assert(got(2L) == ((2L, 3, 2, 0L)), got(2L))
+  }
+
   test("perplexity buckets are exact per-source tertiles of the LM score") {
     import spark.implicits._
     // independent recompute: per-doc ce from the already-proven
