@@ -35,15 +35,23 @@ SIDECAR_GLOB = re.compile(r"read_parquet\('(/[^']+\.parquet)'\)")
 
 
 def sidecar_problem(sql):
+    # The glob spans ALL per-corpus sig dirs of a sidecar kind; an
+    # unmarked dir may be crash residue from ANOTHER corpus's rebuild
+    # (the SQL filters rows by corpus_sig), so only a glob with zero
+    # marked dirs is a hard ordering failure — unmarked residue is
+    # surfaced as a warning, not a FAIL.
     for g in SIDECAR_GLOB.findall(sql):
         files = glob.glob(g)
         if not files:
             return f"sidecar glob {g} matches no files (run Verify first)"
-        unmarked = sorted({os.path.dirname(f) for f in files
-                           if not os.path.exists(os.path.join(
-                               os.path.dirname(f), "_GRAFT_COMMITTED"))})
-        if unmarked:
-            return f"sidecar dirs without _GRAFT_COMMITTED marker: {unmarked}"
+        dirs = {os.path.dirname(f) for f in files}
+        marked = {d for d in dirs
+                  if os.path.exists(os.path.join(d, "_GRAFT_COMMITTED"))}
+        if not marked:
+            return (f"no _GRAFT_COMMITTED dir under {g} — "
+                    "sidecar not committed before the oracle ran")
+        for d in sorted(dirs - marked):
+            print(f"WARN: unmarked sidecar dir (stale rebuild residue?): {d}")
     return None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

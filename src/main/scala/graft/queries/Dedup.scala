@@ -936,12 +936,8 @@ object Dedup {
 
   val qClusterKeepQualitySql: String =
     s"""WITH lab AS (SELECT * FROM ($qDedupClustersSql)),
-       |q AS (SELECT doc_id,
-       |        CAST(round((least(1.0, CAST(length(text) AS DOUBLE) / 300.0)
-       |                    + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-       |                      / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 2.0, 9)
-       |             AS DECIMAL(10,9)) AS qd
-       |      FROM documents),
+       |q AS (SELECT doc_id, CAST(round(quality, 9) AS DECIMAL(10,9)) AS qd
+       |      FROM (${TextOps.qQualityScoreSql})),
        |m AS (SELECT lab.doc_id, cluster_id, n_members, qd
        |      FROM lab JOIN q USING (doc_id)),
        |r AS (SELECT m.*, row_number() OVER (
@@ -1043,12 +1039,8 @@ object Dedup {
        |r AS (SELECT v, v AS w FROM (SELECT DISTINCT v FROM e)
        |      UNION SELECT e.v, r.w FROM e JOIN r ON e.w = r.v),
        |lab AS (SELECT v AS doc_id, min(w) AS lbl FROM r GROUP BY 1),
-       |q AS (SELECT doc_id,
-       |        CAST(round((least(1.0, CAST(length(text) AS DOUBLE) / 300.0)
-       |                    + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-       |                      / CAST(len(string_split(text, ' '))  AS DOUBLE)) / 2.0, 9)
-       |             AS DECIMAL(10,9)) AS qd
-       |      FROM documents),
+       |q AS (SELECT doc_id, CAST(round(quality, 9) AS DECIMAL(10,9)) AS qd
+       |      FROM (${TextOps.qQualityScoreSql})),
        |keep AS (SELECT lbl, doc_id AS keeper_id FROM (
        |           SELECT lab.doc_id, lab.lbl, q.qd, row_number() OVER (
        |             PARTITION BY lbl ORDER BY qd DESC, doc_id) AS rk

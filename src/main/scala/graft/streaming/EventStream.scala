@@ -1044,12 +1044,14 @@ object EventStream {
     * q_pack_bins): the ONLINE next-fit packer a loader actually runs —
     * each arrival goes into its unit's open bin if it fits, else the
     * bin closes and a new one opens; an oversized arrival takes a bin
-    * of its own. The batch face re-packs SORTED (next-fit-decreasing)
-    * for tighter bins; the door cannot sort the future, so online
-    * next-fit is the honest streaming variant (same capacity
-    * invariant, same shard-unit parallelism, ≥ the batch face's bin
-    * count — asserted in EventStreamSpec). State is two longs per
-    * unit; the md5 shard draw matches the batch kernel at the test
+    * of its own. The batch face re-packs SORTED (next-fit-decreasing),
+    * which is USUALLY tighter — but neither dominates the other per
+    * unit (arrival order can happen to pair sizes the sorted greedy
+    * splits), so the only invariants are the capacity bound and the
+    * floor ceil(Σn/window), both asserted in EventStreamSpec. The door
+    * cannot sort the future; online next-fit is the honest streaming
+    * variant with the same shard-unit parallelism. State is two longs
+    * per unit; the md5 shard draw matches the batch kernel at the test
     * modulus. Arrival order within a micro-batch is pinned (ts,
     * doc_id) so replays are deterministic. */
   def packGateUpdates(docs: Dataset[SourcedDocArrival],
@@ -1339,7 +1341,11 @@ object EventStream {
       .as[(String, Int, Double)].collect()
       .groupBy(_._1).map { case (s, rows) =>
         val m = rows.map(r => r._2 -> r._3).toMap
-        s -> ((m(1), m(2)))
+        // a 1-doc source has only a bucket-1 row (ntile over one row):
+        // its middle boundary collapses onto the head's — everything
+        // above b1 routes to the tail, matching q_ppl_route's
+        // max(bucket <= 2) fallback
+        s -> ((m(1), m.getOrElse(2, m(1))))
       }
     PplRouteModel(lmScoreModel(spark, sfDir), b)
   }

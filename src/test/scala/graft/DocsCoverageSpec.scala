@@ -54,6 +54,22 @@ class DocsCoverageSpec extends AnyFunSuite {
       s"README says ${ms.last.group(1)}, registry has ${SparkEntry.queries.size}")
   }
 
+  test("ARCHITECTURE's query-count line equals SparkEntry.queries.size") {
+    // review r13: ARCHITECTURE said 234 (and the bench paragraph 238)
+    // while the registry shipped 240 in the same commit range — the
+    // same drift class, now guarded for the third doc
+    val arch = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("ARCHITECTURE.md")), "UTF-8")
+    val ms = """(\d+) driver-visible queries""".r.findAllMatchIn(arch).toSeq ++
+      """(\d+) queries in""".r.findAllMatchIn(arch).toSeq
+    assert(ms.nonEmpty, "ARCHITECTURE.md must carry a query-count line")
+    ms.foreach { m =>
+      assert(m.group(1).toInt == SparkEntry.queries.size,
+        s"ARCHITECTURE says ${m.group(1)}, registry has ${SparkEntry.queries.size}")
+    }
+  }
+
   test("every query has an oracle and every oracle has a query") {
     // the driver records a weaker rows-only check for oracle-less
     // queries; this repo's contract is the stronger one — keep it total
