@@ -111,9 +111,12 @@ object Curation {
     containedSet(spark, sfDir).count()
     onTargetSet(spark, sfDir).count()
     // the r13 ccnet-chain sets (quality-argmax losers, eval-collision
-    // docs) — same maintained-table contract as the strict signals
+    // docs) — same maintained-table contract as the strict signals —
+    // plus the staged per-doc perplexity-bucket frame its six
+    // consumers share (ordered after retrieval staging, which it reads)
     qualityVictimSet(spark, sfDir).count()
     contaminatedSet(spark, sfDir).count()
+    TextOps.pplDocBuckets(spark, sfDir).count()
     ()
   }
 

@@ -336,7 +336,6 @@ object Mixing {
       |FROM d JOIN thr ON d.source = thr.source""".stripMargin
 
   // --------------------------------------------------------------------
-  // --------------------------------------------------------------------
   // PERPLEXITY-WEIGHTED RESAMPLING — what the bucket table is FOR
   // (CCNet trains on head+middle with the tail sampled down, not
   // dropped): a per-bucket keep-rate applied with the repo's

@@ -1348,8 +1348,24 @@ object TextOps {
   /** Per-document bucket assignments (doc_id, source, n_toks, s, ce,
     * bucket) — the row-level frame under qPplBuckets, factored so the
     * CCNet-chain curation composite (Curation.qCurateCcnet) filters on
-    * the SAME bucket assignment the report aggregates. */
-  private[queries] def pplDocBuckets(spark: SparkSession,
+    * the SAME bucket assignment the report aggregates. STAGED (review
+    * r13): six consumers (the bucket report, routing parity, the
+    * weighted resampler, the ccnet composite, the axis-agreement audit
+    * and the streaming router's model builder) read this frame — and
+    * qPplRoute reads it twice in one plan — so like every other
+    * multi-consumer derived frame it lives in the Staging registry
+    * instead of re-running the postings join + ntile per consumer. */
+  private[graft] def pplDocBuckets(spark: SparkSession,
+      sfDir: String): DataFrame =
+    graft.operators.Staging.persisted(spark, sfDir, "ppl_doc_buckets") {
+      pplDocBucketsFresh(spark, sfDir)
+    }
+
+  /** The unstaged builder — the plan-pin spec inspects THIS shape (a
+    * staged frame's logical plan is the InMemoryRelation the
+    * CacheManager substitutes, hiding the Window node — the r10
+    * PlanQualitySpec lesson). */
+  private[queries] def pplDocBucketsFresh(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
     val (lp, _) = lmLogProbs(spark, sfDir)

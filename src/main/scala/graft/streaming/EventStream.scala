@@ -951,6 +951,20 @@ object EventStream {
   final case class SourcedDocArrival(doc_id: Long, ts: Timestamp,
       source: String, text: String)
 
+  /** First `nBytes` of md5(s) as lowercase hex — the ONE engine-portable
+    * deterministic draw the door gates share with the batch kernels
+    * (`substr(md5(x), 1, 2·nBytes)` on the SQL side). Extracted (review
+    * r13) from three hand-rolled copies so a change to the draw cannot
+    * silently shard the gates differently from the batch side. Lives in
+    * a Serializable module because it is called from inside streaming
+    * closures (a bare object method reference captures the module and
+    * fails task serialization). */
+  private[streaming] object DoorDraws extends Serializable {
+    def md5HexPrefix(s: String, nBytes: Int): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(nBytes).map(b => f"$b%02x").mkString
+  }
+
   /** Streaming face of the TOKEN-BUDGET cap (queries.Mixing
     * qTokenBudget): each arriving document is admitted or dropped by
     * the committed per-source thresholds — the same exact-integer hex
@@ -969,12 +983,7 @@ object EventStream {
       val keep = model.get(d.source) match {
         case None => true
         case Some((t, th)) =>
-          t <= budget || {
-            val md = java.security.MessageDigest.getInstance("MD5")
-            val hex = md.digest(d.doc_id.toString.getBytes("UTF-8"))
-              .take(2).map(b => f"$b%02x").mkString
-            hex < th
-          }
+          t <= budget || DoorDraws.md5HexPrefix(d.doc_id.toString, 2) < th
       }
       (d.doc_id, d.ts, d.source, n, keep)
     }.toDF("doc_id", "ts", "source", "n_tokens", "keep")
@@ -1058,12 +1067,8 @@ object EventStream {
       window: Long = 512L, shards: Long = 8L): DataFrame = {
     import docs.sparkSession.implicits._
 
-    def shardOf(id: Long): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8"))
-        .take(2).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex, 16) % shards
-    }
+    def shardOf(id: Long): Long =
+      java.lang.Long.parseLong(DoorDraws.md5HexPrefix(id.toString, 2), 16) % shards
 
     def fn(key: (String, Long), rows: Iterator[SourcedDocArrival],
         state: GroupState[PackGateState])
@@ -1099,9 +1104,11 @@ object EventStream {
     * group is ONE long; after draining a corpus the per-group counts
     * equal the batch audit's group sizes whatever the arrival order or
     * batch boundaries (counts are order-free — asserted in
-    * EventStreamSpec over shuffled batches). Length is character count
-    * (== the stored n_chars the batch reads, pinned by the corpus
-    * contract). */
+    * EventStreamSpec over shuffled batches). Length is the Unicode
+    * CODE-POINT count (codePointCount, not String.length's UTF-16
+    * units — review r13: a supplementary-plane character would have
+    * bucketed the gate differently from the stored n_chars = Spark
+    * length() the batch audit reads). */
   def kAnonGateUpdates(docs: Dataset[SourcedDocArrival],
       anonK: Long = 5L): DataFrame = {
     import docs.sparkSession.implicits._
@@ -1119,7 +1126,8 @@ object EventStream {
       out.iterator
     }
 
-    docs.groupByKey(d => (d.source, d.text.length.toLong / 100L))
+    docs.groupByKey(d =>
+        (d.source, d.text.codePointCount(0, d.text.length).toLong / 100L))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
       .toDF("doc_id", "ts", "source", "len_bucket", "k_now", "at_risk")
   }
@@ -1627,12 +1635,10 @@ object EventStream {
     import docs.sparkSession.implicits._
     val lr = model.lr
     docs.flatMap { d =>
-      val md = java.security.MessageDigest.getInstance("MD5")
       var sum = 0L
       var n = 0L
       d.text.split(" ", -1).foreach { t =>
-        val hex = md.digest(t.getBytes("UTF-8"))
-          .take(3).map(b => f"$b%02x").mkString
+        val hex = DoorDraws.md5HexPrefix(t, 3)
         lr.get(java.lang.Long.parseLong(hex, 16) %
             graft.queries.Retrieval.DsirBuckets).foreach { v =>
           sum += v; n += 1

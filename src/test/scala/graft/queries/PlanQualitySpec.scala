@@ -66,8 +66,22 @@ class PlanQualitySpec extends SparkTestBase {
       .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
     assert(kw.forall(_.partitionSpec.nonEmpty), kw.mkString("\n"))
     // perplexity buckets: the only window is the per-source ntile —
-    // every Window node is PARTITIONED (no single-task global window)
-    val bw = TextOps.qPplBuckets(spark, sfDir).queryExecution.optimizedPlan
+    // every Window node is PARTITIONED (no single-task global window).
+    // Pin the UNSTAGED builder over a spec-local PLANTED corpus: once
+    // any suite stages sfDir's frame, the CacheManager substitutes the
+    // InMemoryRelation for the identical fresh plan too and the Window
+    // node vanishes (the r10 SN-pin lesson)
+    val pplDir = {
+      import spark.implicits._
+      val d = java.nio.file.Files.createTempDirectory("pplpin")
+      d.toFile.deleteOnExit()
+      Seq((1L, "aa bb", "s1", "en"), (2L, "cc dd", "s1", "en"))
+        .toDF("doc_id", "text", "source", "lang")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d.toString
+    }
+    val bw = TextOps.pplDocBucketsFresh(spark, pplDir)
+      .queryExecution.optimizedPlan
       .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
     assert(bw.nonEmpty && bw.forall(_.partitionSpec.nonEmpty),
       bw.mkString("\n"))
