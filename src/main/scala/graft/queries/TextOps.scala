@@ -986,8 +986,8 @@ object TextOps {
   // than the window gets a bin of its own. Exact integer arithmetic
   // end to end; the oracle replays the same greedy as a recursive CTE,
   // one document per step.
-  private val PackShardsMin = 8L
-  private[queries] val PackUnitBudget = 2000L
+  private[graft] val PackShardsMin = 8L
+  private[graft] val PackUnitBudget = 2000L
 
   def qPackBins(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

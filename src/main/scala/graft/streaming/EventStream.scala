@@ -960,9 +960,18 @@ object EventStream {
     * closures (a bare object method reference captures the module and
     * fails task serialization). */
   private[streaming] object DoorDraws extends Serializable {
+    // One MessageDigest per executor thread, reused across calls:
+    // digest() resets the instance, and the DSIR door calls this per
+    // TOKEN — a fresh getInstance per call is pure allocation churn in
+    // the hottest streaming loop (advisor r13). @transient: ThreadLocal
+    // is not serializable; the lazy val re-initializes after the module
+    // rides a task closure.
+    @transient private lazy val md5 =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
     def md5HexPrefix(s: String, nBytes: Int): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).take(nBytes).map(b => f"$b%02x").mkString
+      md5.get().digest(s.getBytes("UTF-8"))
+        .take(nBytes).map(b => f"$b%02x").mkString
   }
 
   /** Streaming face of the TOKEN-BUDGET cap (queries.Mixing
@@ -1045,6 +1054,19 @@ object EventStream {
       .toDF("source", "n_sk", "hk", "kmv_est")
   }
 
+  /** The packing-unit modulus for `sfDir`'s standing corpus — the ONE
+    * batch rule (TextOps.qPackBins: greatest(8, ceil(n_docs/2000)))
+    * read off the committed corpus at deploy time, so the online packer
+    * shards exactly like the offline one at any corpus size. Integer
+    * ceil identity, no float. */
+  def packShardModulus(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Long = {
+    val n = graft.core.Tables.documents(spark, sfDir).count()
+    math.max(graft.queries.TextOps.PackShardsMin,
+      (n + graft.queries.TextOps.PackUnitBudget - 1) /
+        graft.queries.TextOps.PackUnitBudget)
+  }
+
   /** O(1)-per-unit state of the streaming packer: the open bin's index
     * and fill for one (source, shard) packing unit. */
   final case class PackGateState(bin: Long, fill: Long)
@@ -1060,11 +1082,15 @@ object EventStream {
     * floor ceil(Σn/window), both asserted in EventStreamSpec. The door
     * cannot sort the future; online next-fit is the honest streaming
     * variant with the same shard-unit parallelism. State is two longs
-    * per unit; the md5 shard draw matches the batch kernel at the test
-    * modulus. Arrival order within a micro-batch is pinned (ts,
-    * doc_id) so replays are deterministic. */
+    * per unit; the md5 shard draw is the batch kernel's, and the shard
+    * MODULUS is the caller's obligation: pass [[packShardModulus]] (the
+    * batch rule greatest(8, ceil(n/2000)) read off the standing corpus,
+    * the same committed-model discipline as pplRouteModel) — a silent
+    * default of 8 diverged from the batch assignment on any corpus over
+    * 16k documents (advisor r13). Arrival order within a micro-batch is
+    * pinned (ts, doc_id) so replays are deterministic. */
   def packGateUpdates(docs: Dataset[SourcedDocArrival],
-      window: Long = 512L, shards: Long = 8L): DataFrame = {
+      shards: Long, window: Long = 512L): DataFrame = {
     import docs.sparkSession.implicits._
 
     def shardOf(id: Long): Long =

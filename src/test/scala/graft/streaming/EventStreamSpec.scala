@@ -735,7 +735,13 @@ class EventStreamSpec extends SparkTestBase {
     val docs = graft.core.Tables.documents(spark, dir)
       .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
     val in = MemoryStream[EventStream.SourcedDocArrival]
-    val q = EventStream.packGateUpdates(in.toDS())
+    // the modulus is the committed batch rule, not a hardcoded 8 —
+    // at sf0.001 it evaluates to the minimum (8), and reading it off
+    // the corpus is exactly what a deployed gate does (advisor r13)
+    val shards = EventStream.packShardModulus(spark, dir)
+    assert(shards ==
+      math.max(8L, (docs.length.toLong + 1999L) / 2000L))
+    val q = EventStream.packGateUpdates(in.toDS(), shards)
       .writeStream.format("memory").queryName("pack_gate")
       .outputMode("update").start()
     docs.grouped(docs.length / 2 + 1).foreach { b =>
@@ -775,6 +781,14 @@ class EventStreamSpec extends SparkTestBase {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
+    // QI parity contract (advisor r13): the gate buckets from the
+    // arrival text's code-point count, the batch audit from the stored
+    // n_chars column — enforce (not assume) that the two agree on this
+    // corpus. Spark length() counts code points, same as codePointCount.
+    assert(graft.core.Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.length($"text") =!= $"n_chars")
+      .count() == 0L,
+      "documents.n_chars must equal the code-point length of text")
     val docs = graft.core.Tables.documents(spark, dir)
       .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
     // deterministic shuffle (md5 order) split into three micro-batches
