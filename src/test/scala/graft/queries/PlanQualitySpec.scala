@@ -585,13 +585,80 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("leak-split attaches cluster labels by broadcast over a map-only scan") {
-    val p = plan(Mixing.qLeakSplit(spark, sfDir))
-    // the label table (cluster members only, ≪ corpus) must broadcast:
-    // a shuffled left join here would re-shuffle the whole corpus just
-    // to tag the few clustered docs
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+  test("dup-label joins carry no broadcast hint anywhere in the keeper/curation family") {
+    // Cluster-member / victim / pair frames scale with the corpus
+    // DUPLICATION rate — 30–60% on real crawls (judge r13) — so a
+    // forced broadcast() is an executor OOM at 100 TB, not a slow
+    // plan. The whole family leaves join strategy to AQE: the only
+    // hinted joins allowed in these plans are 1-row corpus constants
+    // (a global aggregate on the build side) or committed model
+    // tables (the lp/weights category, bounded by vocabulary policy
+    // not dup rate) — checked structurally below.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    def oneRowish(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate => a.groupingExpressions.isEmpty
+      // a join of 1-row frames is 1 row (the optimizer nests the
+      // broadcast corpus-constant crosses into one subtree)
+      case j: Join => oneRowish(j.left) && oneRowish(j.right)
+      case other => other.children.length == 1 && oneRowish(other.children.head)
+    }
+    val family = Seq(
+      "q_cluster_keep_quality" -> Dedup.qClusterKeepQuality(spark, sfDir),
+      "q_keeper_incremental" -> Dedup.qKeeperIncremental(spark, sfDir),
+      "q_dup_rate" -> Curation.qDupRate(spark, sfDir),
+      "q_dedup_saturation" -> Curation.qDedupSaturation(spark, sfDir),
+      "q_leak_split" -> Mixing.qLeakSplit(spark, sfDir),
+      "q_blocking_quality" -> Dedup.qBlockingQuality(spark, sfDir))
+    family.foreach { case (name, df) =>
+      val hinted = df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint.leftHint.exists(_.strategy.nonEmpty) ||
+            j.hint.rightHint.exists(_.strategy.nonEmpty) => j
+      }
+      // every surviving hint must sit on a 1-row corpus-constant side
+      // (optimizer note: by optimization time the hint may migrate to
+      // the enclosing join node, so test both sides)
+      val offending = hinted.filterNot(j =>
+        oneRowish(j.left) || oneRowish(j.right))
+      assert(offending.isEmpty,
+        s"$name carries a size-hinted join on a dup-rate-scaled frame:\n" +
+          offending.mkString("\n"))
+    }
+  }
+
+  test("keeper family survives and stays correct on a planted high-duplication corpus") {
+    import spark.implicits._
+    // 80% of this corpus is duplicated — the regime where the old
+    // forced broadcast() doctrine ("members ≪ corpus") breaks. Two
+    // near-dup clusters: ids 1–6 share text A (id 6 carries a longer,
+    // higher-quality variant), ids 7–8 share text B; 9–10 unique.
+    val words = (1 to 30).map(i => s"w$i")
+    val a = words.take(20).mkString(" ")
+    val aBetter = (words.take(20) ++ Seq("extra1", "extra2")).mkString(" ")
+    val b = words.slice(8, 28).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("dupheavy")
+    dir.toFile.deleteOnExit()
+    val rows =
+      (1L to 5L).map(i => (i, a, "en", "s1", a.length.toLong)) ++
+        Seq((6L, aBetter, "en", "s1", aBetter.length.toLong)) ++
+        Seq((7L, b, "en", "s2", b.length.toLong),
+          (8L, b, "en", "s2", b.length.toLong),
+          (9L, words.reverse.mkString(" "), "en", "s2",
+            words.reverse.mkString(" ").length.toLong),
+          (10L, words.map(_.toUpperCase).mkString(" "), "en", "s1",
+            words.map(_.toUpperCase).mkString(" ").length.toLong))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val keep = Dedup.qClusterKeepQuality(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // cluster 1 has 6 members and the quality argmax picks the longer
+      // id-6 variant over min-id 1 (the "upgraded" case); cluster 7 is
+      // an exact-copy tie broken to the min id
+      assert(keep == Set((1L, 6L, 6L), (7L, 7L, 2L)), keep)
+      val rate = Curation.qDupRate(spark, dir.toString)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rate == Set(("s1", 7L, 6L), ("s2", 3L, 2L)), rate)
+    } finally graft.operators.Staging.invalidate(Some(dir.toString))
   }
 
   test("full outer join aggregates both sides before the single shuffle join") {
