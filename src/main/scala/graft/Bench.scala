@@ -64,7 +64,8 @@ object Bench {
     * the timed pass and are itemized per step in the output instead.
     * Queries remain self-sufficient: each build is on-demand if nobody
     * prewarmed (correctness never depends on setup having run). */
-  private val setupSteps: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+  private[graft] val setupSteps: Seq[(String, (SparkSession, String) => Unit)] =
+    Seq[(String, (SparkSession, String) => Unit)](
     "bucketed_mirrors" -> ((s, dir) => {
       graft.sources.BucketedTables.bucketed(s, dir, "lineitem", "l_orderkey")
       graft.sources.BucketedTables.bucketed(s, dir, "orders", "o_orderkey")
@@ -79,8 +80,13 @@ object Bench {
     // one-row-group testdata file → single-task token fan-outs; the wide
     // mirror models a production multi-split layout (see TextOps.docsWide)
     "docs_wide" -> ((s, dir) => graft.queries.TextOps.prewarmStaging(s, dir)),
-    "decontam_staging" -> ((s, dir) => graft.queries.Curation.prewarmStaging(s, dir)),
-    "ivf_cells" -> ((s, dir) => graft.queries.Similarity.prewarmStaging(s, dir)),
+    "decontam_staging" -> ((s, dir) => graft.queries.Curation.prewarmStaging(s, dir))) ++
+    // the embedding-stack artifacts are timed ONE PER STEP (judge r13:
+    // the aggregate "ivf_cells" number tripled with no code change and
+    // nothing in the artifact could attribute it — now each staged
+    // artifact carries its own setup time)
+    graft.queries.Similarity.prewarmSteps.map { case (n, f) =>
+      s"ivf_cells.$n" -> f } ++ Seq(
     "phash_staging" -> ((s, dir) => graft.queries.MultimodalMeta.prewarmStaging(s, dir)),
     "retrieval_staging" -> ((s, dir) => graft.queries.Retrieval.prewarmStaging(s, dir)),
     "winnow_staging" -> ((s, dir) => graft.queries.Passages.prewarmStaging(s, dir)),
