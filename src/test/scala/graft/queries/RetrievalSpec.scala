@@ -302,4 +302,47 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("sketch-boundary bucketing agrees with the exact tertiles within tolerance") {
+    import spark.implicits._
+    val rows = graft.queries.TextOps.qPplBucketsScalable(spark, sfDir)
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    // every source certifies the swap (est_ok = 1), and the exact
+    // boundary columns match q_ppl_buckets' per-source max_ce values
+    rows.foreach { case (s, n, b1, b2, ok) =>
+      assert(ok == 1L, s"$s: sketch disagreement above tolerance (n=$n)")
+      assert(b1 <= b2, s"$s: boundaries out of order")
+    }
+    val exact = graft.queries.TextOps.qPplBuckets(spark, sfDir)
+      .select($"source", $"bucket", $"max_ce")
+      .as[(String, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(rs => rs.map(r => r._2 -> r._3).toMap).toMap
+    rows.foreach { case (s, _, b1, b2, _) =>
+      assert(b1 == exact(s)(1), s"$s b1")
+      assert(b2 == exact(s).getOrElse(2, exact(s)(1)), s"$s b2")
+    }
+  }
+
+  test("per-language buckets are exact tertiles on the lang axis and cover the corpus") {
+    import spark.implicits._
+    val got = graft.queries.TextOps.qPplBucketsLang(spark, sfDir)
+      .as[(String, Int, Long, Long, Double, Double, Double)].collect()
+    val langTotals = graft.core.Tables.documents(spark, sfDir)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    // per-lang bucket sizes are the ntile allocation and sum to the
+    // lang's doc count; boundaries are monotone along the ce axis
+    got.groupBy(_._1).foreach { case (l, rows) =>
+      assert(rows.map(_._3).sum == langTotals(l), s"$l coverage")
+      val byB = rows.sortBy(_._2)
+      val base = langTotals(l) / 3; val extra = (langTotals(l) % 3).toInt
+      byB.zipWithIndex.foreach { case (r, i) =>
+        assert(r._3 == base + (if (i < extra) 1 else 0), s"$l ntile sizes")
+      }
+      byB.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 <= b._5, s"$l boundaries")
+        case _ =>
+      }
+    }
+  }
+
 }
