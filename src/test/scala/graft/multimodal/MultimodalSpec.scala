@@ -147,6 +147,58 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("consensus-gated curation drops exactly the per-pair quality losers of consensus pairs") {
+    import spark.implicits._
+    // planted: docs 1,2 are byte-identical (BOTH modalities fire —
+    // jaccard 1.0 and identical phash), docs 3,4 are near-dup texts
+    // (text fires; phash may or may not, the set-algebra below derives
+    // the truth from the parents rather than assuming), doc 5 unique.
+    // All texts ≥ 60 bytes (the phash length gate).
+    val u = (1 to 20).map(i => s"u$i")
+    val t1 = u.mkString(" ")
+    val t3 = (u.take(18) ++ Seq("zz1", "zz2")).mkString(" ")
+    val t4 = (u.take(18) ++ Seq("zz3", "zz4")).mkString(" ")
+    val t5 = (1 to 20).map(i => s"vv$i").mkString(" ")
+    val docs = Seq((1L, t1), (2L, t1), (3L, t3), (4L, t4), (5L, t5))
+    val dir = tempDir("consensuscurate")
+    docs.toDF("doc_id", "text")
+      .select($"doc_id", $"text", org.apache.spark.sql.functions.lit("en").as("lang"),
+        org.apache.spark.sql.functions.lit("s1").as("source"),
+        org.apache.spark.sql.functions.length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val md = graft.queries.MultimodalMeta.qModalDedup(spark, dir)
+        .select($"doc_a", $"doc_b", $"consensus")
+        .as[(Long, Long, Long)].collect()
+      val consensus = md.filter(_._3 == 1L).map(r => (r._1, r._2))
+      assert(consensus.contains((1L, 2L)),
+        s"exact duplicates must reach consensus: ${md.mkString(", ")}")
+      val q = graft.queries.TextOps.qQualityScore(spark, dir)
+        .select($"doc_id", org.apache.spark.sql.functions
+          .round($"quality", 9).as("qd"))
+        .as[(Long, Double)].collect().toMap
+      // driver recompute of the policy: per consensus pair drop the
+      // lower-quality endpoint, tie drops doc_b (pairs are a < b)
+      val expectedVictims = consensus.map { case (a, b) =>
+        if (q(a) < q(b)) a else b
+      }.toSet
+      val kept = graft.queries.Curation.qCurateConsensus(spark, dir)
+        .as[Long].collect().toSet
+      assert(kept == docs.map(_._1).toSet -- expectedVictims,
+        s"kept=$kept victims=$expectedVictims")
+      // set algebra vs the parents: single-modality evidence never
+      // drops — every non-consensus pair keeps both endpoints unless
+      // one is a victim of some OTHER consensus pair
+      md.filter(_._3 == 0L).foreach { case (a, b, _) =>
+        assert(kept(a) || expectedVictims(a), s"$a dropped without consensus")
+        assert(kept(b) || expectedVictims(b), s"$b dropped without consensus")
+      }
+      // identical texts tie on quality → doc_b (2) is the victim, 1 kept
+      assert(kept(1L) && !kept(2L))
+      assert(kept(5L), "the unique doc must survive")
+    } finally graft.operators.Staging.invalidate(Some(dir))
+  }
+
   test("cross-modal nominator recall equals a driver recompute") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, sfDir)
