@@ -327,6 +327,50 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("packed written layout carries exactly the q_pack_bins assignment, bytes reconcile with the report") {
+    import spark.implicits._
+    val out = tempDir("packed-layout")
+    TextOps.writePackedLayout(spark, sfDir, out)
+    val written = spark.read.parquet(out)
+      .select($"source", $"shard", $"bin", $"doc_id", $"n_toks", $"text")
+      .as[(String, Long, Long, Long, Long, String)].collect()
+    // row-for-row the written assignment IS the query's (shared
+    // definition — the q_shard_export discipline)
+    val assigned = TextOps.qPackBins(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(written.map(r => (r._1, r._2, r._3, r._4, r._5)).toSet == assigned)
+    // the text on disk is the document's, and n_toks matches its bytes
+    val texts = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    written.foreach { case (_, _, _, id, n, t) =>
+      assert(t == texts(id), s"doc $id text drifted in the layout")
+      assert(n == 1L + t.count(_ == ' '), s"doc $id n_toks vs bytes")
+    }
+    // the efficiency report re-derives exactly from the BYTES ON DISK:
+    // per-source bins used and padding recomputed from written rows
+    val rep = TextOps.qPackReport(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    val bySrc = written.groupBy(_._1)
+    rep.foreach { case (src, nDocs, nToks, nBins, _, pad, _) =>
+      val rows = bySrc(src)
+      assert(nDocs == rows.length.toLong && nToks == rows.map(_._5).sum)
+      val units = rows.groupBy(r => (r._2, r._3))
+      assert(nBins == units.size.toLong, s"$src bins on disk")
+      val diskPad = units.values
+        .map(u => math.max(0L, 512L - u.map(_._5).sum)).sum
+      assert(pad == diskPad, s"$src padding on disk")
+    }
+    // hive partitioning: the (source, shard) unit is the read unit —
+    // directory values match the rows inside
+    val misplaced = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions
+        .conv(org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5($"doc_id".cast("string")), 1, 4),
+          16, 10).cast("long") % 8L =!= $"shard")
+      .count()
+    assert(misplaced == 0L, "a row sits in a shard dir its md5 draw contradicts")
+  }
+
   test("bin packing's shard modulus scales with the corpus (enforced, not documented)") {
     import spark.implicits._
     // 20k one-line docs: greatest(8, ceil(20000/2000)) = 10 shards —
