@@ -682,8 +682,7 @@ object Curation {
     import spark.implicits._
     val c = MultimodalMeta.qModalDedup(spark, sfDir)
       .filter($"consensus" === 1L).select($"doc_a", $"doc_b")
-    val q = TextOps.qualityScored(Tables.documents(spark, sfDir))
-      .select($"doc_id", round($"quality", 9).cast("decimal(10,9)").as("qd"))
+    val q = TextOps.qualityDecimal(spark, sfDir)
     val victims = c
       .join(q.select($"doc_id".as("doc_a"), $"qd".as("qa")), Seq("doc_a"))
       .join(q.select($"doc_id".as("doc_b"), $"qd".as("qb")), Seq("doc_b"))

@@ -930,9 +930,7 @@ object Dedup {
   def qClusterKeepQuality(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val labels = duplicateClusters(spark, sfDir)
-    val q = graft.queries.TextOps
-      .qualityScored(Tables.documents(spark, sfDir))
-      .select($"doc_id", round($"quality", 9).cast("decimal(10,9)").as("qd"))
+    val q = graft.queries.TextOps.qualityDecimal(spark, sfDir)
     val members = q.join(labels, Seq("doc_id"))
     graft.plans.TopKPerGroup
       .topKPerGroup(members, Seq($"cluster_id"),
@@ -1008,9 +1006,7 @@ object Dedup {
     import spark.implicits._
     val isArr = (c: org.apache.spark.sql.Column) =>
       c % KeepArriveMod === KeepArriveRem
-    val q = graft.queries.TextOps
-      .qualityScored(Tables.documents(spark, sfDir))
-      .select($"doc_id", round($"quality", 9).cast("decimal(10,9)").as("qd"))
+    val q = graft.queries.TextOps.qualityDecimal(spark, sfDir)
     val labels = standingLabels(spark, sfDir)
       .select($"v".as("doc_id"), $"lbl")
     val keepers = graft.plans.TopKPerGroup.topKPerGroup(
@@ -1131,9 +1127,8 @@ object Dedup {
       .select($"arr", coalesce($"mid", $"clbl").as("mid"))
       .union(merges.select($"arr", $"arr".as("mid")))
       .distinct()
-    val q = graft.queries.TextOps
-      .qualityScored(Tables.documents(spark, sfDir))
-      .select($"doc_id".as("mid"), round($"quality", 9).cast("decimal(10,9)").as("qd"))
+    val q = graft.queries.TextOps.qualityDecimal(spark, sfDir)
+      .select($"doc_id".as("mid"), $"qd")
     val scored = members.join(q, Seq("mid"))
     graft.plans.TopKPerGroup
       .topKPerGroup(scored, Seq($"arr"), Seq($"qd".desc, $"mid".asc), 1)

@@ -214,6 +214,20 @@ object TextOps {
       .withColumn("quality", ($"len_score" + $"diversity") / 2.0)
   }
 
+  /** The ONE 9-dp decimal quality projection (doc_id, qd) every
+    * keeper/curation argmax compares on — quality is a bit-identical
+    * IEEE composite in both engines (proven by q_quality_score's
+    * hash), so the rounded decimal ordering is engine-identical.
+    * Factored (review r14): four faces (quality keeper, incremental
+    * keeper, merge leg, consensus curation) re-typed this rule inline;
+    * a precision or rounding change missed at one site would make the
+    * family disagree about "best". */
+  private[graft] def qualityDecimal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    qualityScored(Tables.documents(spark, sfDir))
+      .select($"doc_id", round($"quality", 9).cast("decimal(10,9)").as("qd"))
+  }
+
   def qQualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     qualityScored(Tables.documents(spark, sfDir))
@@ -1106,7 +1120,11 @@ object TextOps {
     * streams one unit's file start to finish — with rows sorted by
     * (bin, doc order inside the bin) so consecutive rows of a file are
     * consecutive documents of consecutive bins; one shuffle, keyed the
-    * same way as the assignment. */
+    * same way as the assignment. The sort keys LEAD with the partition
+    * columns: the parquet writer requires its input ordered by the
+    * partition columns and inserts its own (non-stable) Sort when the
+    * child's ordering doesn't already satisfy that — which would void
+    * the intra-file bin order this layout promises (review r14). */
   def writePackedLayout(spark: SparkSession, sfDir: String,
       outDir: String): Unit = {
     import spark.implicits._
@@ -1114,7 +1132,7 @@ object TextOps {
       .join(Tables.documents(spark, sfDir).select($"doc_id", $"text"),
         Seq("doc_id"))
       .repartition($"source", $"shard")
-      .sortWithinPartitions($"bin", $"n_toks".desc, $"doc_id")
+      .sortWithinPartitions($"source", $"shard", $"bin", $"n_toks".desc, $"doc_id")
       .write.mode("overwrite").partitionBy("source", "shard")
       .parquet(outDir)
   }
@@ -1464,10 +1482,17 @@ object TextOps {
   // Tolerance: GK at accuracy A keeps rank error ≤ n/A per boundary,
   // and ntile's ceil allocation vs a value threshold can shift one
   // boundary-adjacent doc per cut — ≤ max(2, 2% of the source) is
-  // satisfied at any partitioning of any corpus ≥ the sketch accuracy
-  // premise. At 100 TB the production router uses ONLY the sketch
-  // boundaries (map-only after one bounded agg); the ntile leg here
-  // exists to certify the swap.
+  // satisfied at any partitioning. Docs whose ce EQUALS an exact
+  // tertile boundary are excluded from the mismatch count (review
+  // r14): a tie block straddling a cut — duplicate texts share one ce,
+  // and a straddling block's value IS the bucket-max boundary — is
+  // split by ntile on doc_id but routed whole by ANY value threshold;
+  // that disagreement is rank-vs-value bucketing at ties (the
+  // q_ppl_route boundary-tie note), not sketch error, and on a
+  // high-duplication corpus it would exceed any fixed tolerance. At
+  // 100 TB the production router uses ONLY the sketch boundaries
+  // (map-only after one bounded agg); the ntile leg here exists to
+  // certify the swap.
   private val PplSketchAccuracy = 10000
 
   def qPplBucketsScalable(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1480,7 +1505,7 @@ object TextOps {
     // sources-bounded threshold frame (a policy grain, not a data
     // grain) — the token-budget broadcast category
     val routed = b.join(broadcast(approx), Seq("source"))
-      .select($"source", $"bucket",
+      .select($"source", $"bucket", $"ce",
         when($"ce" <= element_at($"ab", 1), 1)
           .when($"ce" <= element_at($"ab", 2), 2)
           .otherwise(3).as("sbucket"))
@@ -1488,8 +1513,13 @@ object TextOps {
       count(lit(1)).as("n_docs"),
       max(when($"bucket" === 1, $"ce")).as("b1"),
       max(when($"bucket" <= 2, $"ce")).as("b2"))
-    val agree = routed.groupBy($"source").agg(
-      sum(when($"bucket" =!= $"sbucket", 1L).otherwise(0L)).as("nm"))
+    val agree = routed
+      .join(broadcast(exact.select($"source", $"b1".as("xb1"), $"b2".as("xb2"))),
+        Seq("source"))
+      .groupBy($"source").agg(
+        sum(when($"bucket" =!= $"sbucket" &&
+            $"ce" =!= $"xb1" && $"ce" =!= $"xb2", 1L)
+          .otherwise(0L)).as("nm"))
     exact.join(agree, Seq("source"))
       .select($"source", $"n_docs", $"b1", $"b2",
         when($"nm" <= greatest(lit(2L), $"n_docs" / lit(50L)), 1L)

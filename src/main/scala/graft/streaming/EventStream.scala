@@ -1090,7 +1090,7 @@ object EventStream {
     * 16k documents (advisor r13). Arrival order within a micro-batch is
     * pinned (ts, doc_id) so replays are deterministic. */
   def packGateUpdates(docs: Dataset[SourcedDocArrival],
-      shards: Long, window: Long = 512L): DataFrame = {
+      window: Long = 512L, shards: Long): DataFrame = {
     import docs.sparkSession.implicits._
 
     def shardOf(id: Long): Long =

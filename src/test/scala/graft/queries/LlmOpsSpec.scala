@@ -361,14 +361,30 @@ class LlmOpsSpec extends SparkTestBase {
       assert(pad == diskPad, s"$src padding on disk")
     }
     // hive partitioning: the (source, shard) unit is the read unit —
-    // directory values match the rows inside
+    // directory values match the rows inside (modulus = the enforced
+    // corpus-scaled rule, not a hardcoded 8; review r14)
+    val nsh = graft.streaming.EventStream.packShardModulus(spark, sfDir)
     val misplaced = spark.read.parquet(out)
       .filter(org.apache.spark.sql.functions
         .conv(org.apache.spark.sql.functions.substring(
           org.apache.spark.sql.functions.md5($"doc_id".cast("string")), 1, 4),
-          16, 10).cast("long") % 8L =!= $"shard")
+          16, 10).cast("long") % nsh =!= $"shard")
       .count()
     assert(misplaced == 0L, "a row sits in a shard dir its md5 draw contradicts")
+    // intra-file contract: within each (source, shard) unit the rows
+    // stream in (bin, n_toks desc, doc_id) order — the order a loader
+    // relies on; repartition by the unit keys gives one file per unit
+    // dir and parquet preserves row order per file
+    written.groupBy(r => (r._1, r._2)).foreach { case (unit, _) =>
+      // written preserves within-file order only if collected in file
+      // order; re-read the unit's directory alone to pin it
+      val unitRows = spark.read
+        .parquet(s"$out/source=${unit._1}/shard=${unit._2}")
+        .select($"bin", $"n_toks", $"doc_id")
+        .as[(Long, Long, Long)].collect()
+      val sorted = unitRows.sortBy(r => (r._1, -r._2, r._3)).toSeq
+      assert(unitRows.toSeq == sorted, s"unit $unit file order broken")
+    }
   }
 
   test("bin packing's shard modulus scales with the corpus (enforced, not documented)") {

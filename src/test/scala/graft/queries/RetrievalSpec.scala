@@ -323,6 +323,34 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("sketch bucketing tolerates a duplicate tie block straddling a tertile cut") {
+    import spark.implicits._
+    // six byte-identical docs share one ce; they dominate the LM so
+    // they rank lowest and ntile splits the tie block across buckets 1
+    // and 2 by doc_id, while ANY value threshold routes the block
+    // whole — rank-vs-value disagreement at ties, which must NOT read
+    // as sketch error (review r14: est_ok excludes boundary-tied docs)
+    val tied = (1 to 12).map(i => s"t$i").mkString(" ")
+    val docs = (1L to 6L).map(i => (i, tied)) ++ Seq(
+      (7L, (1 to 12).map(i => s"x$i").mkString(" ")),
+      (8L, (1 to 12).map(i => s"y$i").mkString(" ")),
+      (9L, (1 to 12).map(i => s"z$i").mkString(" ")))
+    val dir = tempDir("ppltie")
+    docs.toDF("doc_id", "text")
+      .select($"doc_id", $"text",
+        org.apache.spark.sql.functions.lit("en").as("lang"),
+        org.apache.spark.sql.functions.lit("s1").as("source"),
+        org.apache.spark.sql.functions.length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val rows = graft.queries.TextOps.qPplBucketsScalable(spark, dir)
+        .as[(String, Long, Double, Double, Long)].collect()
+      assert(rows.length == 1 && rows.head._2 == 9L)
+      assert(rows.head._5 == 1L,
+        s"tie-straddling duplicates must not fail the sketch audit: ${rows.head}")
+    } finally graft.operators.Staging.invalidate(Some(dir))
+  }
+
   test("per-language buckets are exact tertiles on the lang axis and cover the corpus") {
     import spark.implicits._
     val got = graft.queries.TextOps.qPplBucketsLang(spark, sfDir)

@@ -741,7 +741,7 @@ class EventStreamSpec extends SparkTestBase {
     val shards = EventStream.packShardModulus(spark, dir)
     assert(shards ==
       math.max(8L, (docs.length.toLong + 1999L) / 2000L))
-    val q = EventStream.packGateUpdates(in.toDS(), shards)
+    val q = EventStream.packGateUpdates(in.toDS(), shards = shards)
       .writeStream.format("memory").queryName("pack_gate")
       .outputMode("update").start()
     docs.grouped(docs.length / 2 + 1).foreach { b =>
