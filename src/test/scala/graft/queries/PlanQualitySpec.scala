@@ -105,6 +105,32 @@ class PlanQualitySpec extends SparkTestBase {
       !md.contains("BroadcastNestedLoopJoin"), md)
   }
 
+  test("r14 faces keep their intended plan shapes") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    // sketch-boundary bucketing: the sketch path is hash aggregation +
+    // row-local compare — any Window in the lineage is the staged exact
+    // leg's per-source ntile, which must stay PARTITIONED (no global
+    // single-task ranking anywhere)
+    val sk = TextOps.qPplBucketsScalable(spark, sfDir)
+      .queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(sk.forall(_.partitionSpec.nonEmpty), sk.mkString("\n"))
+    // lang-axis bucketing: same rule on the lang-partitioned ntile
+    val lg = TextOps.qPplBucketsLang(spark, sfDir)
+      .queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(lg.nonEmpty && lg.forall(_.partitionSpec.nonEmpty), lg.mkString("\n"))
+    // keeper merge leg: argmax through the bounded operator, candidate
+    // generation stays equi-keyed — no cartesian, no nested loop
+    val km = plan(Dedup.qKeeperMerges(spark, sfDir))
+    assert(km.contains("TopKPerGroupPartial"), km)
+    assert(!km.contains("CartesianProduct") &&
+      !km.contains("BroadcastNestedLoopJoin"), km)
+    // consensus curation: pair-keyed joins + one anti join — no
+    // cartesian, no nested loop
+    val cc = plan(Curation.qCurateConsensus(spark, sfDir))
+    assert(!cc.contains("CartesianProduct") &&
+      !cc.contains("BroadcastNestedLoopJoin"), cc)
+  }
+
   test("salted two-stage top-k per group equals the direct window form") {
     val direct = Analytics.qTopKPerGroup(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
