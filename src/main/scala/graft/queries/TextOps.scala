@@ -1482,14 +1482,16 @@ object TextOps {
   // Tolerance: GK at accuracy A keeps rank error ≤ n/A per boundary,
   // and ntile's ceil allocation vs a value threshold can shift one
   // boundary-adjacent doc per cut — ≤ max(2, 2% of the source) is
-  // satisfied at any partitioning. Docs whose ce EQUALS an exact
-  // tertile boundary are excluded from the mismatch count (review
-  // r14): a tie block straddling a cut — duplicate texts share one ce,
-  // and a straddling block's value IS the bucket-max boundary — is
-  // split by ntile on doc_id but routed whole by ANY value threshold;
-  // that disagreement is rank-vs-value bucketing at ties (the
-  // q_ppl_route boundary-tie note), not sketch error, and on a
-  // high-duplication corpus it would exceed any fixed tolerance. At
+  // satisfied at any partitioning. Docs whose ce EQUALS a boundary
+  // value — exact OR sketch — are excluded from the mismatch count
+  // (review r14, both passes): a tie block straddling a cut is split
+  // by ntile on doc_id but routed whole by ANY value threshold (its
+  // shared value IS the exact bucket-max boundary), and a legal ≤n/A
+  // sketch rank error that lands ON a tie block adjacent to the cut
+  // mis-routes the whole block (its value IS the sketch boundary).
+  // Both are rank-vs-value bucketing at ties (the q_ppl_route
+  // boundary-tie note), not sketch error, and on a high-duplication
+  // corpus either would exceed any fixed tolerance. At
   // 100 TB the production router uses ONLY the sketch boundaries
   // (map-only after one bounded agg); the ntile leg here exists to
   // certify the swap.
@@ -1506,6 +1508,7 @@ object TextOps {
     // grain) — the token-budget broadcast category
     val routed = b.join(broadcast(approx), Seq("source"))
       .select($"source", $"bucket", $"ce",
+        element_at($"ab", 1).as("ab1"), element_at($"ab", 2).as("ab2"),
         when($"ce" <= element_at($"ab", 1), 1)
           .when($"ce" <= element_at($"ab", 2), 2)
           .otherwise(3).as("sbucket"))
@@ -1513,14 +1516,21 @@ object TextOps {
       count(lit(1)).as("n_docs"),
       max(when($"bucket" === 1, $"ce")).as("b1"),
       max(when($"bucket" <= 2, $"ce")).as("b2"))
-    val agree = routed
-      .join(broadcast(exact.select($"source", $"b1".as("xb1"), $"b2".as("xb2"))),
-        Seq("source"))
-      .groupBy($"source").agg(
+    // one evaluation of the exact leg (review r14: a separate
+    // agree-join re-ran the whole aggregation); mismatches exclude
+    // docs tied to ANY boundary value — exact (xb: the straddling-
+    // block/ntile-split case) or sketch (ab: a legal ≤n/A rank error
+    // landing ON an adjacent tie block routes the whole block) — so
+    // the unexcluded count is bounded by the rank distance between
+    // the two boundaries over DISTINCT values, ≤ 2·n/A per source.
+    routed.join(broadcast(exact), Seq("source"))
+      .groupBy($"source")
+      .agg(first($"n_docs").as("n_docs"),
+        first($"b1").as("b1"), first($"b2").as("b2"),
         sum(when($"bucket" =!= $"sbucket" &&
-            $"ce" =!= $"xb1" && $"ce" =!= $"xb2", 1L)
+            $"ce" =!= $"b1" && $"ce" =!= $"b2" &&
+            $"ce" =!= $"ab1" && $"ce" =!= $"ab2", 1L)
           .otherwise(0L)).as("nm"))
-    exact.join(agree, Seq("source"))
       .select($"source", $"n_docs", $"b1", $"b2",
         when($"nm" <= greatest(lit(2L), $"n_docs" / lit(50L)), 1L)
           .otherwise(0L).as("est_ok"))
