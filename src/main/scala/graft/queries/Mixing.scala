@@ -184,6 +184,80 @@ object Mixing {
       |FROM documents GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // SHARD-MIXTURE AUDIT — q_shard_export checks shards are SIZE-balanced;
+  // this face checks they are COMPOSITION-balanced: in data-parallel
+  // training each worker streams its own shard, so a shard whose source
+  // mixture deviates from the corpus mixture feeds that worker a biased
+  // gradient for the whole epoch (the mixture weights the pipeline
+  // carefully engineered — qMixture/qTokenBudget — silently un-done by
+  // the export layout). Per (shard, source): the token share inside the
+  // shard vs the source's corpus-wide share, both in exact ppm, and a
+  // flag when they diverge beyond tolerance. Token-denominated (the
+  // packing family's whitespace rule), because training cost is tokens,
+  // not documents.
+  //
+  // Everything is integer arithmetic: shares are ppm via integer
+  // division (n·10⁶ div total), deviations are |a − b| over those exact
+  // longs, so both engines agree bit-for-bit and the output carries no
+  // float anywhere. Long headroom: n·10⁶ < 2⁶³ holds while any
+  // (shard, source) cell stays under 9.2e12 tokens (≈ 37 TB of text per
+  // cell — comfortably above a 100 TB corpus split 16 ways); past that,
+  // widen the ppm arithmetic to decimal(38,0).
+  //
+  // Plan shape at 100 TB: ONE corpus scan hash-aggregated to ≤
+  // 16·|sources| groups (map-side combine collapses each partition to
+  // the same grain before the shuffle); the shard totals, source totals,
+  // and corpus total all derive from that tiny grain frame — never a
+  // second corpus pass — and join back as policy-bounded broadcasts (16
+  // rows / |sources| rows / 1 row; the two-tier broadcast doctrine).
+  // The tolerance is a readout knob, not a correctness boundary: both
+  // engines compare identical integers, so any cut is engine-stable.
+  // At the test SFs a ~300-doc shard has ~2–3% binomial noise per
+  // source, so a 2% band intentionally flags the worst cells — the
+  // audit exists to catch exactly that before a loader does.
+  private val MixTolPpm = 20000L // 2% of token share, in ppm
+
+  def qShardMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val g = shardAssign(Tables.documents(spark, sfDir))
+      .select($"shard", $"source", TextOps.tokenCount($"text").as("n"))
+      .groupBy($"shard", $"source").agg(sum($"n").as("n_toks"))
+    val perShard = g.groupBy($"shard").agg(sum($"n_toks").as("ns"))
+    val perSource = g.groupBy($"source").agg(sum($"n_toks").as("cs"))
+    val total = g.agg(sum($"n_toks").as("nt"))
+    g.join(broadcast(perShard), Seq("shard"))
+      .join(broadcast(perSource), Seq("source"))
+      .crossJoin(broadcast(total)) // 1-row corpus constant, by intent
+      .select($"shard", $"source", $"n_toks",
+        expr("(n_toks * 1000000) DIV ns").as("share_ppm"),
+        expr("(cs * 1000000) DIV nt").as("corpus_ppm"))
+      .withColumn("dev_ppm", abs($"share_ppm" - $"corpus_ppm"))
+      .withColumn("balanced",
+        when($"dev_ppm" <= MixTolPpm, 1L).otherwise(0L))
+  }
+
+  val qShardMixSql: String =
+    s"""WITH t AS (
+       |  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard, source,
+       |         CAST(length(text) - length(replace(text, ' ', '')) + 1
+       |              AS BIGINT) AS n
+       |  FROM documents),
+       |g AS (SELECT shard, source, CAST(sum(n) AS BIGINT) AS n_toks
+       |      FROM t GROUP BY 1, 2),
+       |s AS (SELECT shard, CAST(sum(n_toks) AS BIGINT) AS ns FROM g GROUP BY 1),
+       |c AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS cs FROM g GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS nt FROM g),
+       |j AS (SELECT g.shard, g.source, g.n_toks,
+       |             CAST(g.n_toks * 1000000 // s.ns AS BIGINT) AS share_ppm,
+       |             CAST(c.cs * 1000000 // tot.nt AS BIGINT) AS corpus_ppm
+       |      FROM g JOIN s USING (shard) JOIN c USING (source) CROSS JOIN tot)
+       |SELECT shard, source, n_toks, share_ppm, corpus_ppm,
+       |       abs(share_ppm - corpus_ppm) AS dev_ppm,
+       |       CAST(CASE WHEN abs(share_ppm - corpus_ppm) <= $MixTolPpm
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS balanced
+       |FROM j""".stripMargin
+
+  // --------------------------------------------------------------------
   // TOKEN-BUDGET CAPPING — the "no source dominates the mixture" rule of
   // corpus assembly (RefinedWeb/Dolma-style per-domain caps, expressed
   // in tokens because training cost is token-denominated): every source
@@ -371,6 +445,7 @@ object Mixing {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mixture_ppl" -> (qMixturePpl _),
+    "q_shard_mix" -> (qShardMix _),
     "q_mixture" -> (qMixture _),
     "q_split" -> (qSplit _),
     "q_leak_split" -> (qLeakSplit _),
@@ -380,6 +455,7 @@ object Mixing {
 
   val oracleSql: Map[String, String] = Map(
     "q_mixture_ppl" -> qMixturePplSql,
+    "q_shard_mix" -> qShardMixSql,
     "q_mixture" -> qMixtureSql,
     "q_split" -> qSplitSql,
     "q_leak_split" -> qLeakSplitSql,

@@ -22,7 +22,7 @@ object TextOps {
   /** Whitespace token count via pure string arithmetic (identical
     * semantics in Spark and DuckDB): single-space-separated text has
     * (spaces + 1) tokens. */
-  private def tokenCount(text: Column): Column =
+  private[queries] def tokenCount(text: Column): Column =
     (length(text) - length(translate(text, " ", "")) + 1).cast("long")
 
   /** The documents table at the PARALLELISM a production layout would

@@ -1158,6 +1158,49 @@ object EventStream {
       .toDF("doc_id", "ts", "source", "len_bucket", "k_now", "at_risk")
   }
 
+  /** O(1)-per-group state of the streaming shard-mix monitor: the
+    * running token total of one (shard, source) export cell. */
+  final case class ShardMixGateState(toks: Long)
+
+  /** Streaming face of the shard-mixture audit (batch analog:
+    * q_shard_mix): every arrival is assigned its EXPORT shard with the
+    * batch kernel (the first md5 hex nibble of doc_id —
+    * Mixing.shardAssign's draw, taken through the shared DoorDraws
+    * helper so the two sides cannot drift) and annotated with the
+    * running token total of its (shard, source) cell — the composition
+    * the batch audit would read if the corpus stopped here. State per
+    * cell is ONE long; after draining a corpus the per-cell totals
+    * equal the batch audit's n_toks whatever the arrival order or
+    * batch boundaries (token sums are order-free — asserted in
+    * EventStreamSpec over shuffled batches). Tokens are the packing
+    * family's whitespace rule (1 + spaces), the same count the batch
+    * audit aggregates. The ppm shares themselves stay batch-side: a
+    * meaningful deviation needs the corpus marginals, which the door
+    * deliberately does not maintain — the mixture audit is a release
+    * review over the drained export, not a per-arrival decision. */
+  def shardMixGateUpdates(docs: Dataset[SourcedDocArrival]): DataFrame = {
+    import docs.sparkSession.implicits._
+
+    def fn(key: (String, String), rows: Iterator[SourcedDocArrival],
+        state: GroupState[ShardMixGateState])
+        : Iterator[(Long, Timestamp, String, String, Long, Long)] = {
+      var t = state.getOption.map(_.toks).getOrElse(0L)
+      val out = rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).map { d =>
+        val n = 1L + d.text.count(_ == ' ')
+        t += n
+        (d.doc_id, d.ts, key._1, key._2, n, t)
+      }
+      state.update(ShardMixGateState(t))
+      out.iterator
+    }
+
+    docs.groupByKey(d =>
+        (DoorDraws.md5HexPrefix(d.doc_id.toString, 1).substring(0, 1),
+          d.source))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("doc_id", "ts", "shard", "source", "n_toks", "cell_toks")
+  }
+
   /** Streaming face of queries.Similarity's embedding OUTLIER pruning:
     * each arriving vector is assigned to its nearest model centroid and
     * flagged when its 9-dp-quantized affinity falls below the cell's

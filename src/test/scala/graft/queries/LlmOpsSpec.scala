@@ -1787,4 +1787,118 @@ class LlmOpsSpec extends SparkTestBase {
     // the λ=1/2 penalty pushes the near-duplicate out of the K=3 slots
     assert(got == Seq((1, 1L), (2, 3L), (3, 4L)), got.toString)
   }
+
+  test("incremental semantic dedup equals a brute-force recompute of the attach leg") {
+    // same staged cell assignment, independent Scala recompute: each
+    // arrival (id ≡ 6 mod 10) flagged iff a STANDING member of its own
+    // cell sits within cosine ≥ 0.40, carrying (min partner, count).
+    // sf0.01 (same 500-vector size as sf0.001): the sf0.001 corpus
+    // happens to place no cross-split pair within 0.40, so only the
+    // sf0.01 corpus exercises a genuine rejection
+    val sfDir = "/root/testdata/sf0.01"
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val assign = Similarity.corpusCells(spark, sfDir)
+      .selectExpr("cell", "vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val expect = assign.groupBy(_._1).toSeq.flatMap { case (cell, members) =>
+      val (arr, standing) = members.partition(_._2 % 10 == 6)
+      arr.flatMap { case (_, id, v) =>
+        val near = standing.filter { case (_, _, nv) => cos(v, nv) >= 0.40 }
+        if (near.isEmpty) None
+        else Some((id, cell, near.map(_._2).min, near.size.toLong))
+      }
+    }.sortBy(_._1)
+    val got = Similarity.qSemanticDedupIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(got == expect, s"attach $got vs brute-force $expect")
+    // asymmetry: only arrivals are dropped, only standing ids canonical
+    assert(got.forall { case (id, _, nid, _) => id % 10 == 6 && nid % 10 != 6 })
+    assert(got.nonEmpty, "fixture must exercise at least one attach rejection")
+  }
+
+  test("IVF drift monitor equals a brute-force Lloyd-residual recompute") {
+    import scala.math.BigDecimal.RoundingMode
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cells = Similarity.learnedCells(spark, sfDir)
+      .selectExpr("cell", "v").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getSeq[Double](1).toArray))
+    val cent = Similarity.learnedCentroids(spark, sfDir)
+      .selectExpr("cid", "cv").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getSeq[Double](1).toArray))
+      .toMap
+    val expect = cells.groupBy(_._1).toSeq.map { case (cell, members) =>
+      val dim = members.head._2.length
+      // exact decimal per-dimension sums of round-9 components, widened
+      // to double — the engine-portable arithmetic the oracle rests on
+      val sums = Array.tabulate(dim) { d =>
+        members.map(m => BigDecimal(m._2(d)).setScale(9, RoundingMode.HALF_UP))
+          .sum.toDouble
+      }
+      val d9 = BigDecimal(cos(sums, cent(cell)))
+        .setScale(9, RoundingMode.HALF_UP)
+      (cell, members.size.toLong, d9.toDouble,
+        if (d9 < BigDecimal("0.995")) 1L else 0L)
+    }.sortBy(_._1)
+    val got = Similarity.qIvfDrift(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1),
+        r.getDouble(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(got == expect, s"drift $got vs brute-force $expect")
+    // every vector is counted exactly once, every learned cell reports
+    assert(got.map(_._2).sum == cells.length.toLong)
+    assert(got.map(_._1).toSet == cells.map(_._1).toSet)
+    // the 3-iteration model is deliberately short of convergence: the
+    // monitor must read a genuine residual, not a tautological 1.0
+    assert(got.exists(_._3 < 1.0), got.toString)
+    assert(got.forall(t => t._3 > 0.5 && t._3 <= 1.0), got.toString)
+  }
+
+  test("shard-mix audit equals an exact integer ppm recompute") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def shard(id: Long): String = {
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      md.reset(); h.substring(0, 1)
+    }
+    def ntoks(t: String): Long = 1L + t.count(_ == ' ')
+    val g = docs.groupBy(d => (shard(d._1), d._2))
+      .map { case (k, ds) => (k._1, k._2, ds.map(d => ntoks(d._3)).sum) }.toSeq
+    val perShard = g.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
+    val perSource = g.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).sum }
+    val total = g.map(_._3).sum
+    val expect = g.map { case (sh, src, n) =>
+      val share = n * 1000000L / perShard(sh)
+      val corpus = perSource(src) * 1000000L / total
+      val dev = math.abs(share - corpus)
+      (sh, src, n, share, corpus, dev, if (dev <= 20000L) 1L else 0L)
+    }.sortBy(t => (t._1, t._2))
+    val got = Mixing.qShardMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got == expect, s"shard mix $got vs brute-force $expect")
+    // each shard's token shares account for (almost) the whole shard:
+    // floor division loses < 1 ppm per source
+    val bySh = got.groupBy(_._1)
+    assert(bySh.forall { case (_, rs) =>
+      val s = rs.map(_._4).sum
+      s <= 1000000L && s > 1000000L - rs.size
+    })
+  }
 }

@@ -889,4 +889,28 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("r14 maintenance faces keep their intended plan shapes") {
+    // shard mix: the marginal attaches (16-row / per-source / 1-row
+    // frames) are policy-bounded broadcasts; the only nested loop is the
+    // 1-row corpus-total attach, and nothing is cartesian
+    val mixP = plan(Mixing.qShardMix(spark, sfDir))
+    assert(!mixP.contains("CartesianProduct"), mixP)
+    assert(mixP.contains("BroadcastHashJoin"), mixP)
+    // semantic attach: the quadratic is the cell-equi candidate join off
+    // the staged assignment, unhinted (corpus-scaled standing side,
+    // batch-scaled arrival side — AQE's call); never a cartesian
+    val semP = plan(Similarity.qSemanticDedupIncremental(spark, sfDir))
+    assert(!semP.contains("CartesianProduct"), semP)
+    // drift monitor: hash aggregation all the way to the ≤cells-row
+    // frame — no Window anywhere, and the model attach is a broadcast
+    val driftDf = Similarity.qIvfDrift(spark, sfDir)
+    val driftWindows = driftDf.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(driftWindows.isEmpty, driftDf.queryExecution.optimizedPlan.toString)
+    val driftP = plan(driftDf)
+    assert(!driftP.contains("CartesianProduct"), driftP)
+    assert(driftP.contains("BroadcastHashJoin"), driftP)
+  }
 }

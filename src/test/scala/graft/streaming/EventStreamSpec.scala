@@ -822,6 +822,50 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("streaming shard-mix monitor drains to the batch audit's cell totals over shuffled batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    val shuffled = docs.sortBy(d => scala.util.hashing.MurmurHash3
+      .stringHash(d._1.toString))
+    val in = MemoryStream[EventStream.SourcedDocArrival]
+    val q = EventStream.shardMixGateUpdates(in.toDS())
+      .writeStream.format("memory").queryName("shardmix_gate")
+      .outputMode("update").start()
+    shuffled.grouped(math.max(1, shuffled.length / 3 + 1)).foreach { b =>
+      in.addData(b.map { case (id, src, t) =>
+        EventStream.SourcedDocArrival(id, ts("2024-01-01 10:00:00"), src, t) }.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.sql(
+      "SELECT doc_id, shard, source, n_toks, cell_toks FROM shardmix_gate")
+      .as[(Long, String, String, Long, Long)].collect()
+    // every doc scored exactly once
+    assert(rows.map(_._1).distinct.length == docs.length)
+    // drained per-cell running totals equal the batch audit's n_toks —
+    // token sums are order-free, so the equality holds over any arrival
+    // order or batch split
+    val gotTotals = rows.groupBy(r => (r._2, r._3))
+      .view.mapValues(_.map(_._5).max).toMap
+    val batch = graft.queries.Mixing.qShardMix(spark, dir)
+      .select($"shard", $"source", $"n_toks")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(gotTotals == batch)
+    // within every cell the running totals form one prefix-sum chain
+    rows.groupBy(r => (r._2, r._3)).foreach { case (g, rs) =>
+      val sorted = rs.sortBy(_._5)
+      var acc = 0L
+      sorted.foreach { r =>
+        acc += r._4
+        assert(r._5 == acc, s"cell $g running totals not a prefix chain")
+      }
+    }
+  }
+
   test("streaming perplexity router matches the batch ntile buckets at the door") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
