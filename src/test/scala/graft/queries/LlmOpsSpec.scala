@@ -1823,6 +1823,43 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.nonEmpty, "fixture must exercise at least one attach rejection")
   }
 
+  test("semantic-dedup delete leg equals a brute-force resurface recompute") {
+    // independent recompute of "re-admitted by tombstoning": a
+    // non-tombstoned doc resurfaces iff it was dropped (≥1 lower
+    // cell-mate within 0.40) and EVERY such suppressor is tombstoned
+    // (id ≡ 3 mod 17). sf0.01 (same 500-vector size as sf0.001) is used
+    // alongside the default: both corpora yield a nonempty resurface
+    // set, asserted so the face never silently degenerates
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    Seq(sfDir, "/root/testdata/sf0.01").foreach { dir =>
+      val assign = Similarity.corpusCells(spark, dir)
+        .selectExpr("cell", "vec_id", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      val expect = assign.groupBy(_._1).toSeq.flatMap { case (cell, members) =>
+        members.filter(_._2 % 17 != 3).flatMap { case (_, id, v) =>
+          val suppressors = members.filter { case (_, oid, ov) =>
+            oid < id && cos(ov, v) >= 0.40 }
+          if (suppressors.nonEmpty && suppressors.forall(_._2 % 17 == 3))
+            Some((id, cell, suppressors.size.toLong))
+          else None
+        }
+      }.sortBy(_._1)
+      val got = Similarity.qSemanticDedupDeletes(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      assert(got == expect, s"$dir resurface $got vs brute-force $expect")
+      assert(got.nonEmpty, s"$dir fixture must exercise a resurface")
+      // a resurfaced doc is never itself tombstoned
+      assert(got.forall(_._1 % 17 != 3))
+    }
+  }
+
   test("IVF drift monitor equals a brute-force Lloyd-residual recompute") {
     import scala.math.BigDecimal.RoundingMode
     def cos(a: Array[Double], b: Array[Double]): Double = {

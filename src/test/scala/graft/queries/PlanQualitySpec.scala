@@ -902,6 +902,13 @@ class PlanQualitySpec extends SparkTestBase {
     // batch-scaled arrival side — AQE's call); never a cartesian
     val semP = plan(Similarity.qSemanticDedupIncremental(spark, sfDir))
     assert(!semP.contains("CartesianProduct"), semP)
+    // delete leg: one hash agg over the shared cell-equi pair frame —
+    // no cartesian, no window
+    val delDf = Similarity.qSemanticDedupDeletes(spark, sfDir)
+    assert(!plan(delDf).contains("CartesianProduct"), plan(delDf))
+    assert(delDf.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, delDf.queryExecution.optimizedPlan.toString)
     // drift monitor: hash aggregation all the way to the ≤cells-row
     // frame — no Window anywhere, and the model attach is a broadcast
     val driftDf = Similarity.qIvfDrift(spark, sfDir)
