@@ -199,10 +199,15 @@ object Mixing {
   // Everything is integer arithmetic: shares are ppm via integer
   // division (n·10⁶ div total), deviations are |a − b| over those exact
   // longs, so both engines agree bit-for-bit and the output carries no
-  // float anywhere. Long headroom: n·10⁶ < 2⁶³ holds while any
-  // (shard, source) cell stays under 9.2e12 tokens (≈ 37 TB of text per
-  // cell — comfortably above a 100 TB corpus split 16 ways); past that,
-  // widen the ppm arithmetic to decimal(38,0).
+  // float anywhere. The ·10⁶ step runs in decimal(28,0) (Spark's
+  // integral `div` accepts decimals and returns BIGINT; DuckDB goes
+  // through HUGEINT), NOT in Long: the corpus-share leg multiplies the
+  // per-SOURCE total, and one dominant source of a 100 TB crawl (say
+  // 80% of ~2e13 tokens) already exceeds the 9.2e12-token Long bound —
+  // a silent wraparound on one engine and an overflow error on the
+  // other (review r14). Decimal headroom is 10²² tokens before the
+  // ·10⁶ product leaves decimal(28,0)·10⁶ ⊂ decimal(38,0); the ppm
+  // RESULTS are ≤ 10⁶ and exact longs either way.
   //
   // Plan shape at 100 TB: ONE corpus scan hash-aggregated to ≤
   // 16·|sources| groups (map-side combine collapses each partition to
@@ -210,6 +215,12 @@ object Mixing {
   // and corpus total all derive from that tiny grain frame — never a
   // second corpus pass — and join back as policy-bounded broadcasts (16
   // rows / |sources| rows / 1 row; the two-tier broadcast doctrine).
+  // The grain frame is STAGED (Staging.persisted — the multi-branch
+  // re-reference rule): exchange reuse alone does NOT collapse the four
+  // branches, because the joins push different derived IsNotNull
+  // filters into each branch's scan and break exchange-subtree identity
+  // — unstaged, this face re-read the corpus four times (review r14;
+  // single-scan now pinned in PlanQualitySpec on the executed plan).
   // The tolerance is a readout knob, not a correctness boundary: both
   // engines compare identical integers, so any cut is engine-stable.
   // At the test SFs a ~300-doc shard has ~2–3% binomial noise per
@@ -219,9 +230,11 @@ object Mixing {
 
   def qShardMix(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val g = shardAssign(Tables.documents(spark, sfDir))
-      .select($"shard", $"source", TextOps.tokenCount($"text").as("n"))
-      .groupBy($"shard", $"source").agg(sum($"n").as("n_toks"))
+    val g = graft.operators.Staging.persisted(spark, sfDir, "shard-mix-grain") {
+      shardAssign(Tables.documents(spark, sfDir))
+        .select($"shard", $"source", TextOps.tokenCount($"text").as("n"))
+        .groupBy($"shard", $"source").agg(sum($"n").as("n_toks"))
+    }
     val perShard = g.groupBy($"shard").agg(sum($"n_toks").as("ns"))
     val perSource = g.groupBy($"source").agg(sum($"n_toks").as("cs"))
     val total = g.agg(sum($"n_toks").as("nt"))
@@ -229,8 +242,10 @@ object Mixing {
       .join(broadcast(perSource), Seq("source"))
       .crossJoin(broadcast(total)) // 1-row corpus constant, by intent
       .select($"shard", $"source", $"n_toks",
-        expr("(n_toks * 1000000) DIV ns").as("share_ppm"),
-        expr("(cs * 1000000) DIV nt").as("corpus_ppm"))
+        expr("(CAST(n_toks AS DECIMAL(28,0)) * 1000000) DIV ns")
+          .as("share_ppm"),
+        expr("(CAST(cs AS DECIMAL(28,0)) * 1000000) DIV nt")
+          .as("corpus_ppm"))
       .withColumn("dev_ppm", abs($"share_ppm" - $"corpus_ppm"))
       .withColumn("balanced",
         when($"dev_ppm" <= MixTolPpm, 1L).otherwise(0L))
@@ -248,8 +263,8 @@ object Mixing {
        |c AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS cs FROM g GROUP BY 1),
        |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS nt FROM g),
        |j AS (SELECT g.shard, g.source, g.n_toks,
-       |             CAST(g.n_toks * 1000000 // s.ns AS BIGINT) AS share_ppm,
-       |             CAST(c.cs * 1000000 // tot.nt AS BIGINT) AS corpus_ppm
+       |             CAST(g.n_toks::HUGEINT * 1000000 // s.ns AS BIGINT) AS share_ppm,
+       |             CAST(c.cs::HUGEINT * 1000000 // tot.nt AS BIGINT) AS corpus_ppm
        |      FROM g JOIN s USING (shard) JOIN c USING (source) CROSS JOIN tot)
        |SELECT shard, source, n_toks, share_ppm, corpus_ppm,
        |       abs(share_ppm - corpus_ppm) AS dev_ppm,

@@ -23,6 +23,17 @@ class LlmOpsSpec extends SparkTestBase {
       s"broadcast nested-loop join in plan:\n$plan")
   }
 
+  /** Brute-force cosine shared by the maintenance-face recomputes — one
+    * definition so the spec's independent reimplementations cannot
+    * drift on conventions (review r14). */
+  private def cosBrute(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   // ------------------------------------------------------------------
   // Scale assertions: candidate generation must be blocked, never n².
 
@@ -1796,20 +1807,13 @@ class LlmOpsSpec extends SparkTestBase {
     // happens to place no cross-split pair within 0.40, so only the
     // sf0.01 corpus exercises a genuine rejection
     val sfDir = "/root/testdata/sf0.01"
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     val assign = Similarity.corpusCells(spark, sfDir)
       .selectExpr("cell", "vec_id", "v").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
     val expect = assign.groupBy(_._1).toSeq.flatMap { case (cell, members) =>
       val (arr, standing) = members.partition(_._2 % 10 == 6)
       arr.flatMap { case (_, id, v) =>
-        val near = standing.filter { case (_, _, nv) => cos(v, nv) >= 0.40 }
+        val near = standing.filter { case (_, _, nv) => cosBrute(v, nv) >= 0.40 }
         if (near.isEmpty) None
         else Some((id, cell, near.map(_._2).min, near.size.toLong))
       }
@@ -1830,13 +1834,6 @@ class LlmOpsSpec extends SparkTestBase {
     // (id ≡ 3 mod 17). sf0.01 (same 500-vector size as sf0.001) is used
     // alongside the default: both corpora yield a nonempty resurface
     // set, asserted so the face never silently degenerates
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     Seq(sfDir, "/root/testdata/sf0.01").foreach { dir =>
       val assign = Similarity.corpusCells(spark, dir)
         .selectExpr("cell", "vec_id", "v").collect()
@@ -1844,7 +1841,7 @@ class LlmOpsSpec extends SparkTestBase {
       val expect = assign.groupBy(_._1).toSeq.flatMap { case (cell, members) =>
         members.filter(_._2 % 17 != 3).flatMap { case (_, id, v) =>
           val suppressors = members.filter { case (_, oid, ov) =>
-            oid < id && cos(ov, v) >= 0.40 }
+            oid < id && cosBrute(ov, v) >= 0.40 }
           if (suppressors.nonEmpty && suppressors.forall(_._2 % 17 == 3))
             Some((id, cell, suppressors.size.toLong))
           else None
@@ -1862,13 +1859,6 @@ class LlmOpsSpec extends SparkTestBase {
 
   test("IVF drift monitor equals a brute-force Lloyd-residual recompute") {
     import scala.math.BigDecimal.RoundingMode
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     val cells = Similarity.learnedCells(spark, sfDir)
       .selectExpr("cell", "v").collect()
       .map(r => (r.getAs[Number](0).longValue, r.getSeq[Double](1).toArray))
@@ -1884,7 +1874,7 @@ class LlmOpsSpec extends SparkTestBase {
         members.map(m => BigDecimal(m._2(d)).setScale(9, RoundingMode.HALF_UP))
           .sum.toDouble
       }
-      val d9 = BigDecimal(cos(sums, cent(cell)))
+      val d9 = BigDecimal(cosBrute(sums, cent(cell)))
         .setScale(9, RoundingMode.HALF_UP)
       (cell, members.size.toLong, d9.toDouble,
         if (d9 < BigDecimal("0.995")) 1L else 0L)

@@ -897,6 +897,25 @@ class PlanQualitySpec extends SparkTestBase {
     val mixP = plan(Mixing.qShardMix(spark, sfDir))
     assert(!mixP.contains("CartesianProduct"), mixP)
     assert(mixP.contains("BroadcastHashJoin"), mixP)
+    // the marginals re-derive from the STAGED (shard, source) grain,
+    // not from re-reading the corpus — exchange reuse alone does not
+    // collapse the branches (join-derived IsNotNull pushdowns break
+    // subtree identity; unstaged, this face scanned documents 4 times,
+    // review r14). AQE only settles the plan at execution, so collect
+    // THIS queryExecution (count() would plan a separate query), then
+    // assert: every branch reads the in-memory grain and at most one
+    // corpus scan remains (the cache build)
+    val mixDf = Mixing.qShardMix(spark, sfDir)
+    mixDf.collect()
+    val mixFinal = plan(mixDf)
+    // every branch must read the cached grain (the string repeats the
+    // cached BUILD plan inside each InMemoryTableScan node, so counting
+    // FileScan occurrences would overcount a single physical scan)
+    assert("InMemoryTableScan".r.findAllIn(mixFinal).size >= 2, mixFinal)
+    val mixScans = mixDf.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(mixScans.isEmpty, s"corpus re-scan outside the cache build: $mixFinal")
     // semantic attach: the quadratic is the cell-equi candidate join off
     // the staged assignment, unhinted (corpus-scaled standing side,
     // batch-scaled arrival side — AQE's call); never a cartesian
