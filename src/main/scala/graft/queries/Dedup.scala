@@ -1173,6 +1173,78 @@ object Dedup {
        |FROM sc JOIN m USING (arr) WHERE rk = 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // KEEPER DELETE LEG — the promotion decision that completes the
+  // keeper family's maintenance discipline (attach = qKeeperIncremental,
+  // merge = qKeeperMerges, DELETE = here, mirroring the ANN/phash/
+  // semantic trios): when a cluster's canonical document is tombstoned
+  // (takedown, licensing, retention — the families' deterministic set,
+  // id ≡ 3 mod 17), the cluster does not dissolve; its next-best
+  // member must be PROMOTED, by the same quality argmax that elected
+  // the old keeper, or every downstream consumer of the keeper table
+  // silently serves a deleted document. Emits one row per affected
+  // cluster: the dead keeper, the promoted keeper with its quality,
+  // and the live-member count the promotion chose from. A cluster
+  // whose every member is tombstoned emits nothing — the cluster
+  // leaves the keeper table with its last member.
+  //
+  // Plan: the current-keeper argmax is the bounded top-k operator over
+  // the same members frame as q_cluster_keep_quality (shared inputs,
+  // so delete-time and steady-state decisions cannot disagree); the
+  // promotion is ONE hash agg over live members of affected clusters —
+  // argmax via max(struct(qd, −id)) (the q_label_audit fold: ties to
+  // the lower id) fused with the live count, no second window. The
+  // affected-cluster frame is tombstone-rate-bounded; label joins stay
+  // UNHINTED (the dup-rate rule).
+  private val KeepDeleteMod = 17L
+  private val KeepDeleteRem = 3L
+
+  def qKeeperDeletes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val isDead = (c: org.apache.spark.sql.Column) =>
+      c % KeepDeleteMod === KeepDeleteRem
+    val labels = duplicateClusters(spark, sfDir)
+      .select($"doc_id", $"cluster_id")
+    val q = graft.queries.TextOps.qualityDecimal(spark, sfDir)
+    val members = q.join(labels, Seq("doc_id"))
+    val cur = graft.plans.TopKPerGroup
+      .topKPerGroup(members, Seq($"cluster_id"),
+        Seq($"qd".desc, $"doc_id".asc), 1)
+      .filter(isDead($"doc_id"))
+      .select($"cluster_id", $"doc_id".as("old_keeper"))
+    members.filter(!isDead($"doc_id"))
+      .join(cur, Seq("cluster_id"))
+      .groupBy($"cluster_id", $"old_keeper")
+      .agg(count(lit(1)).as("n_live"),
+        max(struct($"qd", (-$"doc_id").as("negid"))).as("b"))
+      .select($"cluster_id", $"old_keeper",
+        (-$"b.negid").as("new_keeper"),
+        $"b.qd".cast("double").as("new_quality"), $"n_live")
+  }
+
+  val qKeeperDeletesSql: String =
+    s"""WITH lab AS (SELECT * FROM ($qDedupClustersSql)),
+       |q AS (SELECT doc_id, CAST(round(quality, 9) AS DECIMAL(10,9)) AS qd
+       |      FROM (${TextOps.qQualityScoreSql})),
+       |m AS (SELECT lab.doc_id, cluster_id, qd
+       |      FROM lab JOIN q USING (doc_id)),
+       |r AS (SELECT m.*, row_number() OVER (
+       |        PARTITION BY cluster_id ORDER BY qd DESC, doc_id) AS rk
+       |      FROM m),
+       |cur AS (SELECT cluster_id, doc_id AS old_keeper FROM r
+       |        WHERE rk = 1 AND doc_id % $KeepDeleteMod = $KeepDeleteRem),
+       |lv AS (SELECT m.cluster_id, m.doc_id, m.qd, cur.old_keeper
+       |       FROM m JOIN cur USING (cluster_id)
+       |       WHERE m.doc_id % $KeepDeleteMod <> $KeepDeleteRem),
+       |p AS (SELECT lv.*,
+       |             row_number() OVER (
+       |               PARTITION BY cluster_id ORDER BY qd DESC, doc_id) AS rk,
+       |             count(*) OVER (PARTITION BY cluster_id) AS n_live
+       |      FROM lv)
+       |SELECT cluster_id, old_keeper, doc_id AS new_keeper,
+       |       CAST(qd AS DOUBLE) AS new_quality, CAST(n_live AS BIGINT) AS n_live
+       |FROM p WHERE rk = 1""".stripMargin
+
+  // --------------------------------------------------------------------
   // Sketch-only similarity estimation: jaccard estimated as the fraction
   // of agreeing minhash signature slots (the Broder estimator —
   // P[min-slot agreement] = exact jaccard). At 100 TB the exact
@@ -2142,6 +2214,7 @@ object Dedup {
     "q_cluster_keep_quality" -> (qClusterKeepQuality _),
     "q_keeper_incremental" -> (qKeeperIncremental _),
     "q_keeper_merges" -> (qKeeperMerges _),
+    "q_keeper_deletes" -> (qKeeperDeletes _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_novelty" -> (qNovelty _),
     "q_passage_overlap" -> (qPassageOverlap _),
@@ -2172,6 +2245,7 @@ object Dedup {
     "q_cluster_keep_quality" -> qClusterKeepQualitySql,
     "q_keeper_incremental" -> qKeeperIncrementalSql,
     "q_keeper_merges" -> qKeeperMergesSql,
+    "q_keeper_deletes" -> qKeeperDeletesSql,
     "q_minhash_est" -> qMinhashEstSql,
     "q_novelty" -> qNoveltySql,
     "q_passage_overlap" -> qPassageOverlapSql,

@@ -1857,6 +1857,45 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("keeper delete leg equals a brute-force promotion recompute") {
+    // independent recompute over the same cluster/quality inputs: the
+    // current keeper is the (qd desc, id) argmax over ALL members; when
+    // it is tombstoned (id ≡ 3 mod 17) the next-best LIVE member is
+    // promoted by the same ordering. sf0.01 exercises 2 genuine
+    // promotions (asserted); sf0.001 is covered for the empty/nonempty
+    // shape either way
+    Seq(sfDir, "/root/testdata/sf0.01").foreach { dir =>
+      val labels = Dedup.duplicateClusters(spark, dir)
+        .selectExpr("doc_id", "cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val qd = TextOps.qualityDecimal(spark, dir)
+        .selectExpr("doc_id", "qd").collect()
+        .map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+      val expect = labels.groupBy(_._2).toSeq.flatMap { case (cl, ms) =>
+        val sorted = ms.map(_._1).sortBy(id => (-qd(id), id))
+        val keeper = sorted.head
+        if (keeper % 17 != 3) None
+        else {
+          val live = sorted.filter(_ % 17 != 3)
+          if (live.isEmpty) None
+          else Some((cl, keeper, live.head, qd(live.head).toDouble,
+            live.size.toLong))
+        }
+      }.sortBy(_._1)
+      val got = Dedup.qKeeperDeletes(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4)))
+        .toSeq.sortBy(_._1)
+      assert(got == expect, s"$dir promotions $got vs brute-force $expect")
+      if (dir.endsWith("sf0.01"))
+        assert(got.size == 2, s"fixture drift: expected 2 promotions, $got")
+      // a promoted keeper is live, distinct from the dead one, and the
+      // dead keeper really is tombstoned
+      assert(got.forall { case (_, old, nw, _, _) =>
+        old % 17 == 3 && nw % 17 != 3 && nw != old })
+    }
+  }
+
   test("IVF drift monitor equals a brute-force Lloyd-residual recompute") {
     import scala.math.BigDecimal.RoundingMode
     val cells = Similarity.learnedCells(spark, sfDir)

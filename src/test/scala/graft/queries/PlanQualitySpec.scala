@@ -928,6 +928,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(delDf.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }.isEmpty, delDf.queryExecution.optimizedPlan.toString)
+    // keeper delete leg: current-keeper argmax through the bounded
+    // top-k operator, promotion fused into one max(struct) hash agg —
+    // no Window, no cartesian
+    val keepDelDf = Dedup.qKeeperDeletes(spark, sfDir)
+    assert(!plan(keepDelDf).contains("CartesianProduct"), plan(keepDelDf))
+    assert(keepDelDf.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, keepDelDf.queryExecution.optimizedPlan.toString)
     // drift monitor: hash aggregation all the way to the ≤cells-row
     // frame — no Window anywhere, and the model attach is a broadcast
     val driftDf = Similarity.qIvfDrift(spark, sfDir)
