@@ -1187,14 +1187,16 @@ object Dedup {
   // whose every member is tombstoned emits nothing — the cluster
   // leaves the keeper table with its last member.
   //
-  // Plan: the current-keeper argmax is the bounded top-k operator over
-  // the same members frame as q_cluster_keep_quality (shared inputs,
-  // so delete-time and steady-state decisions cannot disagree); the
-  // promotion is ONE hash agg over live members of affected clusters —
-  // argmax via max(struct(qd, −id)) (the q_label_audit fold: ties to
-  // the lower id) fused with the live count, no second window. The
-  // affected-cluster frame is tombstone-rate-bounded; label joins stay
-  // UNHINTED (the dup-rate rule).
+  // Plan: the current keeper IS qClusterKeepQuality's output filtered
+  // to tombstoned keepers — the one election function, called, not
+  // re-implemented, so delete-time and steady-state decisions agree
+  // STRUCTURALLY (review r14: a hand-synced second argmax is an
+  // invariant waiting to break); the promotion is ONE hash agg over
+  // live members of affected clusters — argmax via max(struct(qd, −id))
+  // (the q_label_audit fold: ties to the lower id) fused with the live
+  // count, no second window. The affected-cluster frame is
+  // tombstone-rate-bounded; label joins stay UNHINTED (the dup-rate
+  // rule).
   private val KeepDeleteMod = 17L
   private val KeepDeleteRem = 3L
 
@@ -1206,11 +1208,9 @@ object Dedup {
       .select($"doc_id", $"cluster_id")
     val q = graft.queries.TextOps.qualityDecimal(spark, sfDir)
     val members = q.join(labels, Seq("doc_id"))
-    val cur = graft.plans.TopKPerGroup
-      .topKPerGroup(members, Seq($"cluster_id"),
-        Seq($"qd".desc, $"doc_id".asc), 1)
-      .filter(isDead($"doc_id"))
-      .select($"cluster_id", $"doc_id".as("old_keeper"))
+    val cur = qClusterKeepQuality(spark, sfDir)
+      .filter(isDead($"keeper_id"))
+      .select($"cluster_id", $"keeper_id".as("old_keeper"))
     members.filter(!isDead($"doc_id"))
       .join(cur, Seq("cluster_id"))
       .groupBy($"cluster_id", $"old_keeper")
