@@ -1200,14 +1200,22 @@ object Dedup {
   private val KeepDeleteMod = 17L
   private val KeepDeleteRem = 3L
 
+  /** The keeper-election members frame (doc_id, cluster_id, qd) —
+    * shared by the batch delete leg and the streaming keeper gate
+    * (EventStream.keeperDeleteGateUpdates), so the two faces elect
+    * over identical rows. */
+  private[graft] def keeperMembers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.queries.TextOps.qualityDecimal(spark, sfDir)
+      .join(duplicateClusters(spark, sfDir).select($"doc_id", $"cluster_id"),
+        Seq("doc_id"))
+  }
+
   def qKeeperDeletes(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val isDead = (c: org.apache.spark.sql.Column) =>
       c % KeepDeleteMod === KeepDeleteRem
-    val labels = duplicateClusters(spark, sfDir)
-      .select($"doc_id", $"cluster_id")
-    val q = graft.queries.TextOps.qualityDecimal(spark, sfDir)
-    val members = q.join(labels, Seq("doc_id"))
+    val members = keeperMembers(spark, sfDir)
     val cur = qClusterKeepQuality(spark, sfDir)
       .filter(isDead($"keeper_id"))
       .select($"cluster_id", $"keeper_id".as("old_keeper"))

@@ -1201,6 +1201,71 @@ object EventStream {
       .toDF("doc_id", "ts", "shard", "source", "n_toks", "cell_toks")
   }
 
+  /** A takedown event at the door — a document deleted by id. */
+  final case class DeleteArrival(doc_id: Long, ts: Timestamp)
+
+  /** Per-cluster state of the streaming keeper gate: the ids deleted so
+    * far (bounded by the cluster's own member count). */
+  final case class KeeperDeleteState(dead: Seq[Long])
+
+  /** Streaming face of the keeper delete leg (batch analog:
+    * q_keeper_deletes): takedown events arrive as a stream, and each
+    * delete of a cluster member re-decides that cluster's keeper
+    * ONLINE — including the cascades the batch face never sees (a
+    * promoted keeper deleted by a later event is re-promoted from the
+    * remaining live members; asserted on a planted cascade in
+    * EventStreamSpec). The committed cluster state rides as a
+    * stream-static equi-join carrying each cluster's election-ordered
+    * member list — (quality desc, id), the ONE keeper ordering, built
+    * from the same Dedup.keeperMembers frame the batch leg elects
+    * over — as a maintained table, never a corpus-scale broadcast;
+    * a delete that hits no cluster member drops out of the join
+    * (non-member takedowns cannot move a keeper seat). Per-cluster
+    * state is the dead-id set, bounded by the cluster's own size.
+    * Emits one row per processed delete: whether the deleted document
+    * held the keeper seat, the keeper AFTER the delete (NULL once no
+    * live member remains), and the live count. The final keeper per
+    * cluster is delete-ORDER-FREE (static election order, dead set a
+    * plain union), so draining the batch tombstone set reproduces
+    * q_keeper_deletes' promotions exactly — asserted in
+    * EventStreamSpec over shuffled batches. */
+  def keeperDeleteGateUpdates(deletes: Dataset[DeleteArrival],
+      members: DataFrame): DataFrame = {
+    val spark = deletes.sparkSession
+    import spark.implicits._
+    val lists = members
+      .select($"cluster_id",
+        struct((-$"qd").as("negq"), $"doc_id").as("m"))
+      .groupBy($"cluster_id")
+      .agg(expr("transform(sort_array(collect_list(m)), x -> x.doc_id)")
+        .as("elected"))
+    val joined = deletes
+      .join(members.select($"doc_id", $"cluster_id"), Seq("doc_id"))
+      .join(lists, Seq("cluster_id"))
+      .select($"cluster_id", $"doc_id", $"ts", $"elected")
+      .as[(Long, Long, Timestamp, Seq[Long])]
+
+    def fn(cluster: Long, rows: Iterator[(Long, Long, Timestamp, Seq[Long])],
+        state: GroupState[KeeperDeleteState])
+        : Iterator[(Long, Timestamp, Long, Long, Option[Long], Long)] = {
+      var dead = state.getOption.map(_.dead.toSet).getOrElse(Set.empty[Long])
+      val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2)).map {
+        case (cl, id, ts, elected) =>
+          val wasKeeper = elected.find(!dead.contains(_)).contains(id)
+          dead += id
+          val newKeeper = elected.find(!dead.contains(_))
+          (id, ts, cl, if (wasKeeper) 1L else 0L, newKeeper,
+            elected.count(!dead.contains(_)).toLong)
+      }
+      state.update(KeeperDeleteState(dead.toSeq))
+      out.iterator
+    }
+
+    joined.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("doc_id", "ts", "cluster_id", "was_keeper", "new_keeper", "n_live")
+  }
+
   /** Streaming face of queries.Similarity's embedding OUTLIER pruning:
     * each arriving vector is assigned to its nearest model centroid and
     * flagged when its 9-dp-quantized affinity falls below the cell's

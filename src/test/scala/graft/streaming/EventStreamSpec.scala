@@ -866,6 +866,80 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("streaming keeper gate drains the tombstone set to the batch promotions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01" // 2 genuine promotions (LlmOpsSpec)
+    val members = graft.queries.Dedup.keeperMembers(spark, dir)
+    val memberIds = members.select($"doc_id").as[Long].collect().toSet
+    // the batch tombstone set, shuffled into three micro-batches
+    val dead = memberIds.filter(_ % 17 == 3).toSeq
+      .sortBy(id => scala.util.hashing.MurmurHash3.stringHash(id.toString))
+    assert(dead.nonEmpty, "fixture: some cluster member must be tombstoned")
+    val in = MemoryStream[EventStream.DeleteArrival]
+    val q = EventStream.keeperDeleteGateUpdates(in.toDS(), members)
+      .writeStream.format("memory").queryName("keeper_gate")
+      .outputMode("update").start()
+    dead.grouped(math.max(1, dead.length / 3 + 1)).foreach { b =>
+      in.addData(b.map(id =>
+        EventStream.DeleteArrival(id, ts("2024-01-01 10:00:00"))).toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.sql(
+      "SELECT doc_id, cluster_id, was_keeper, new_keeper, n_live FROM keeper_gate")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4)))
+    // every tombstoned member processed exactly once
+    assert(rows.map(_._1).toSet == dead.toSet && rows.length == dead.length)
+    // batch parity: for every batch promotion, the gate emitted the
+    // keeper-seat delete with the same promoted successor
+    val batch = graft.queries.Dedup.qKeeperDeletes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(batch.nonEmpty)
+    batch.foreach { case (cl, old, nw) =>
+      val hit = rows.filter(r => r._2 == cl && r._1 == old)
+      assert(hit.length == 1 && hit.head._3 == 1L && hit.head._4 == Some(nw),
+        s"cluster $cl: gate ${hit.toSeq} vs batch promotion ($old -> $nw)")
+    }
+    // no-cascade sanity on this corpus: promoted keepers are live
+    assert(batch.forall(_._3 % 17 != 3))
+  }
+
+  test("streaming keeper gate cascades when a promoted keeper is deleted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // planted cluster, election order (qd desc, id): 3, 37, 20, 55
+    val members = Seq(
+      (3L, 100L, BigDecimal("0.900000000")),
+      (37L, 100L, BigDecimal("0.800000000")),
+      (20L, 100L, BigDecimal("0.700000000")),
+      (55L, 100L, BigDecimal("0.600000000")))
+      .toDF("doc_id", "cluster_id", "qd")
+    val in = MemoryStream[EventStream.DeleteArrival]
+    val q = EventStream.keeperDeleteGateUpdates(in.toDS(), members)
+      .writeStream.format("memory").queryName("keeper_cascade")
+      .outputMode("update").start()
+    // keeper 3 dies, then its successor 37 dies, then a non-keeper, and
+    // a non-member delete must not surface at all
+    Seq(3L, 37L, 55L, 999L).foreach { id =>
+      in.addData(EventStream.DeleteArrival(id, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.sql(
+      "SELECT doc_id, was_keeper, new_keeper, n_live FROM keeper_cascade")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+      .sortBy(r => Seq(3L, 37L, 55L, 999L).indexOf(r._1))
+    assert(rows.map(_._1).toSeq == Seq(3L, 37L, 55L), rows.toSeq.toString)
+    // 3 held the seat -> 37 promoted; 37 held it -> 20 promoted (the
+    // cascade); 55 never held it and the keeper stays 20
+    assert(rows(0) == ((3L, 1L, Some(37L), 3L)), rows.toSeq.toString)
+    assert(rows(1) == ((37L, 1L, Some(20L), 2L)), rows.toSeq.toString)
+    assert(rows(2) == ((55L, 0L, Some(20L), 1L)), rows.toSeq.toString)
+  }
+
   test("streaming perplexity router matches the batch ntile buckets at the door") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
