@@ -55,6 +55,49 @@ object Bench {
     }
   }
 
+  /** CALIBRATION probe (judge r14 #1): the ext-CPU watchdog subtracts
+    * own-process CPU from /proc/stat busy time, so it sees foreign
+    * COMPUTE but is blind to IO/memory-side host degradation — round
+    * 14's official artifact inflated every setup step 3–40× at
+    * `ext_cores_avg 0.000` and needed three-run forensics. The probe is
+    * a fixed, corpus-independent workload whose clean-machine time is
+    * measured at run start; re-timing it between query sections turns
+    * "the host got slower in a way no CPU counter shows" into a direct
+    * measurement. Shape matters: SEVERAL SMALL JOBS (per-job scheduler
+    * overhead is what r14's contamination inflated most — the most
+    * job-count-heavy setup step, ivf_cells.pca_model2, inflated 40×),
+    * each with a real shuffle so the local-disk shuffle path and the
+    * memory subsystem are both exercised, not just ALU throughput. */
+  private[graft] object Calib {
+    /** One probe run, wall seconds: 4 small shuffle jobs of fixed size.
+      * Deterministic input (spark.range), no corpus dependence, no
+      * caching effects (a fresh plan each call would re-trigger codegen
+      * compilation — the identical plan reuses the codegen cache after
+      * the first call, which is why baseline() discards run 1). */
+    def probeOnce(spark: SparkSession): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 4) {
+        spark.range(0L, 250000L, 1L, 32)
+          .selectExpr("id % 97 as k", "id as v")
+          .groupBy("k").sum("v").count()
+        i += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    /** Clean-machine baseline = min of 3 runs AFTER one discarded
+      * warm-in run. Min, not mean: the baseline must be the uncontended
+      * number or later drift can never clear the bar. */
+    def baseline(spark: SparkSession): Double = {
+      probeOnce(spark)
+      (1 to 3).map(_ => probeOnce(spark)).min
+    }
+    /** Drift predicate, factored for spec: a non-positive base disables
+      * the probe (never flags) — same fail-open contract as ExtCpu. */
+    def drifted(base: Double, t: Double, bar: Double): Boolean =
+      base > 0 && t > bar * base
+  }
+
   /** Measured SETUP phase: one-time per-corpus builds that a production
     * deployment pays at ingest (bucketed fact mirrors) or maintains as
     * standing tables next to the corpus (shingle frames, prefix
@@ -212,6 +255,44 @@ object Bench {
         if (!quiet) { Thread.sleep(4000); midrunWaitSec += 4.0 }
       }
     }
+    // Calibration (judge r14 #1): baseline the probe on the
+    // just-warmed-up machine, then re-time it after heavy setup steps
+    // and between query sections. When it drifts past calibBar× the
+    // baseline the host is degraded in a way the ext-CPU meter may not
+    // see — park (probe-driven, since the ext meter is the blind one
+    // here), then re-measure the just-finished section's queries once,
+    // first measures kept in `contended` exactly like the ext-CPU path.
+    // A run that ends degraded self-reports via calib/calib_drift.
+    val calibBar = sys.env.getOrElse("SPARK_GRAFT_CALIB_BAR", "1.5").toDouble
+    val calibBase = Calib.baseline(spark)
+    var calib = List.empty[(String, Double)]
+    var calibDrift = List.empty[(String, Double)]
+    // Park until the PROBE recovers (the ext-CPU pauseUntilQuiet cannot
+    // arbitrate IO-side contamination); shares the midrun wait budget.
+    def calibPark(): Double = {
+      var p = Calib.probeOnce(spark)
+      while (Calib.drifted(calibBase, p, calibBar) &&
+          midrunWaitSec < midrunBudgetSec) {
+        Thread.sleep(5000); midrunWaitSec += 5.0
+        p = Calib.probeOnce(spark)
+      }
+      p
+    }
+    // Probe + (park on drift) at a named point; returns true when this
+    // point DRIFTED (caller decides whether re-measure makes sense).
+    def calibCheck(label: String): Boolean = {
+      val t = Calib.probeOnce(spark)
+      calib ::= (label -> t)
+      val bad = Calib.drifted(calibBase, t, calibBar) && only.isEmpty
+      if (bad) {
+        System.err.println(
+          f"[bench] calib probe $label ${t}%.3fs vs base ${calibBase}%.3fs — parking")
+        calibDrift ::= (label -> t)
+        val rec = calibPark()
+        calib ::= (s"$label.recheck" -> rec)
+      }
+      bad
+    }
     // Setup phase (timed per step, reported separately from query time;
     // per-step foreign-core readings ship in setup_ext so a
     // contaminated build is attributable, and the NEXT step starts on a
@@ -230,6 +311,11 @@ object Bench {
         System.err.println(f"[bench] setup $name saw $fc%.1f foreign cores — pausing")
         pauseUntilQuiet()
       }
+      // Heavy steps get a calibration reading too: setup builds are
+      // cached (a re-measure would be meaningless) but the probe makes
+      // an inflated step ATTRIBUTABLE — r14's 533 s setup carried
+      // ext_cores_avg 0.000 and nothing in the artifact could say why.
+      if (sec > 5.0 && only.isEmpty) calibCheck(s"setup.$name")
       (name, sec, fc)
     }
     val setup = setupRaw.map(r => r._1 -> r._2)
@@ -268,20 +354,45 @@ object Bench {
       .filter { case (name, _) => only.isEmpty || only(name) }
     val timedStart = ExtCpu.snap()
     var contended = List.empty[(String, Double)]
-    val results = selected.map { case (name, fn) =>
+    // Per-section calibration (judge r14 #1): every calibEvery queries
+    // the probe re-times; a drifted probe means everything since the
+    // last clean probe ran on a degraded host, so those queries are
+    // re-measured once after the park (first measures → contended).
+    // Section boundaries are labeled by the 1-based query count.
+    val calibEvery = 25
+    val resultsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var sectionStart = 0
+    def sectionCheck(upto: Int): Unit = {
+      if (calibCheck(s"q$upto")) {
+        var i = sectionStart
+        while (i < upto) {
+          val (n, t0q) = resultsBuf(i)
+          if (t0q >= 0.1) {
+            contended ::= (n -> t0q)
+            resultsBuf(i) = n -> time(n, SparkEntry.queries(n), failed ::= _)
+          }
+          i += 1
+        }
+      }
+      sectionStart = upto
+    }
+    for (((name, fn), idx) <- selected.zipWithIndex) {
       val s0 = ExtCpu.snap()
       val t = time(name, fn, failed ::= _)
       val fc = ExtCpu.foreignCores(s0, ExtCpu.snap())
       // re-measure once after parking: the first number carried foreign
       // work (the 0.1 s floor keeps jiffy quantization noise out)
-      if (t >= 0.1 && fc > extBar && only.isEmpty) {
+      resultsBuf += (if (t >= 0.1 && fc > extBar && only.isEmpty) {
         System.err.println(
           f"[bench] $name saw $fc%.1f foreign cores — parking, re-measuring")
         contended ::= (name -> t)
         pauseUntilQuiet()
         name -> time(name, fn, failed ::= _)
-      } else name -> t
+      } else name -> t)
+      if ((idx + 1) % calibEvery == 0 && only.isEmpty) sectionCheck(idx + 1)
     }
+    if (sectionStart < selected.size && only.isEmpty) sectionCheck(selected.size)
+    val results = resultsBuf.toSeq
     val extCoresAvg = ExtCpu.foreignCores(timedStart, ExtCpu.snap())
     val ok0 = results.filter(_._2 >= 0)
     // Warm second pass: a warm time ≈ the first time means the first
@@ -319,6 +430,9 @@ object Bench {
         s""""midrun_wait_sec":${fmt(midrunWaitSec)},""" +
         s""""ext_cores_avg":${fmt(extCoresAvg)},""" +
         s""""contended":${jmap(contended)},""" +
+        s""""calib_base":${fmt(calibBase)},""" +
+        s""""calib":${jmap(calib.reverse)},""" +
+        s""""calib_drift":${jmap(calibDrift.reverse)},""" +
         s""""sf":"$sfDir","failed":${failed.size}}"""
     println(full)
     // The driver captures only the LAST ~2000 chars of the sbt log; at 90+
@@ -348,13 +462,16 @@ object Bench {
       s""""midrun_wait_sec":${fmt(midrunWaitSec)}""",
       s""""ext_cores_avg":${fmt(extCoresAvg)}""",
       s""""n_contended":${contended.size}""",
+      s""""calib_base":${fmt(calibBase)}""",
+      s""""calib":${jmap(calib.reverse)}""",
+      s""""n_calib_drift":${calibDrift.size}""",
       s""""setup":${jmap(setup)}""",
       s""""setup_sec":${fmt(setupSec)}""",
       s""""queries":${jmap(slowestPairs)}""",
       s""""warm":${jmap(warm)}""",
       s""""warm_failed":${warmFailed.size}""",
       s""""n_movers":${movers.size}""",
-      """"note":"slowest-12 + >2x-vs-prior movers warm-rerun; a query whose window saw >2 foreign cores (ext-cpu watchdog) parks then re-measures once, first measure kept in contended; setup = one-time staged builds excluded from query time; full per-query map in target/bench_full.json and the preceding line"""")
+      """"note":"slowest-12 + >2x-vs-prior movers warm-rerun; ext-cpu watchdog (>2 foreign cores) and calib probe (fixed shuffle micro-job >1.5x its run-start baseline, catches IO/memory degradation the cpu meter can't see) both park + re-measure, first measures kept in contended; setup excluded from query time; full map in target/bench_full.json"""")
     println(compactFields.mkString("{", ",", "}"))
     spark.stop()
     // A broken query must never bench as fast: non-zero exit on any
