@@ -610,6 +610,59 @@ class LlmOpsSpec extends SparkTestBase {
     } finally graft.operators.Staging.invalidate(Some(dir))
   }
 
+  test("within-batch arrival pairs: planted in-batch duplicates decide the victim") {
+    import spark.implicits._
+    // The sf corpora place no near-dup pair with BOTH endpoints in the
+    // arrival split (residues are uniform; P ≈ 1/100 per pair), so the
+    // face is exercised by construction: two arrival pairs (ids ≡ 6
+    // mod 10) — an identical-text TIE (victim = higher id, since the
+    // keeper rule keeps the lower id on ties) and a quality-skewed
+    // pair (victim = shorter, lower-quality text) — plus a standing
+    // near-dup pair that must NOT appear (standing×standing is the
+    // full pass's business, arrival×standing the attach leg's).
+    val u = (1 to 15).map(i => s"u$i").mkString(" ")
+    val w = (1 to 15).map(i => s"w$i").mkString(" ")
+    val x15 = (1 to 15).map(i => s"x$i").mkString(" ")
+    val x18 = (1 to 18).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, u), (2L, u),       // standing pair — excluded
+      (6L, w), (16L, w),      // arrival tie pair
+      (26L, x15), (36L, x18)) // arrival quality pair: 13/16 shingles
+      .map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("arrpairs")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val got = Dedup.qKeeperArrivalPairs(spark, dir)
+        .as[(Long, Long, Double, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == Seq((6L, 16L, 1.0, 16L), (26L, 36L, 13.0 / 16.0, 26L)),
+        got.mkString(", "))
+    } finally graft.operators.Staging.invalidate(Some(dir))
+  }
+
+  test("within-batch semantic arrival pairs: planted in-batch near-identicals") {
+    import spark.implicits._
+    // one centroid (0 ≡ 0 mod 61 → a single cell), three arrivals
+    // (≡ 6 mod 10): 6 and 16 near-identical (cos ≈ 1), 26 orthogonal —
+    // the face must collapse 16 into 6 and leave 26 alone; the
+    // standing vector 1 close to 6 must NOT appear (arrival×standing
+    // is the attach leg's business)
+    val emb = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0.9f, 0.1f, 0f, 0f),
+      6L -> Array(0.9f, 0.12f, 0f, 0f),
+      16L -> Array(0.9f, 0.11f, 0f, 0f),
+      26L -> Array(0f, 0f, 1f, 0f))
+      .toDF("vec_id", "embedding")
+    val dir = tempDir("semarr")
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      val got = Similarity.qSemanticArrivalPairs(spark, dir)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == Seq((16L, 0L, 6L, 1L)), got.mkString(", "))
+    } finally graft.operators.Staging.invalidate(Some(dir))
+  }
+
   test("text normalization collapses tabs and newlines into the same fingerprint") {
     import spark.implicits._
     val docs = Seq((1L, "A\tb  c"), (2L, "a b\nc"), (3L, "a bc")).toDF("doc_id", "text")
