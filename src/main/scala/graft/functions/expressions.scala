@@ -370,6 +370,30 @@ object CosineSim {
     if (na == 0.0 || nb == 0.0) 0.0
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Scalar twin for the streaming doors (plain arrays instead of
+    * ArrayData — the codegen path cannot serve a Dataset.map closure):
+    * IDENTICAL loop and accumulation order, so a door verdict is
+    * bit-equal to the batch column for the same vectors. Parity is
+    * asserted in EventStreamSpec (the semantic door vs the batch
+    * attach leg over the same corpus). */
+  def compute(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i)
+      val y = b(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 }
 
 /** Dot product of two double arrays (used for LSH hyperplane signs). */

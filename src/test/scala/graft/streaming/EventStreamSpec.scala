@@ -1368,4 +1368,73 @@ class EventStreamSpec extends SparkTestBase {
     assert(streamedCorpus == batch,
       s"stream ${streamedCorpus.size} vs batch ${batch.size}")
   }
+
+  test("semantic door gate matches the batch attach leg over the same corpus and model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // sf0.01: the corpus where the attach leg has a genuine rejection
+    // (the LlmOpsSpec brute-force test's observation)
+    val sfDir = "/root/testdata/sf0.01"
+    val cent = graft.queries.Similarity.semanticDoorCentroids(spark, sfDir)
+    val members = graft.queries.Similarity.semanticStandingMembers(spark, sfDir)
+    val arrivals = graft.core.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .where("vec_id % 10 = 6")
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) =>
+        EventStream.VecArrival(id, ts("2024-01-01 10:00:00"), v) }
+    val in = MemoryStream[EventStream.VecArrival]
+    in.addData(arrivals.toIndexedSeq)
+    val q = EventStream.semanticDoorFlags(in.toDS(), cent, members)
+      .writeStream.format("memory").queryName("semdoor")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("semdoor")
+      .select($"vec_id", $"cell", $"admitted", $"near_id", $"n_standing_dups")
+      .as[(Long, Long, Boolean, Long, Long)].collect()
+    // every arrival got exactly one verdict
+    assert(streamed.length == arrivals.length &&
+      streamed.map(_._1).toSet == arrivals.map(_.vec_id).toSet)
+    // rejections == the batch attach leg, bit-for-bit (same cell, same
+    // lowest standing canonical, same match count)
+    val rejected = streamed.filterNot(_._3)
+      .map(r => (r._1, r._2, r._4, r._5)).toSet
+    val batch = graft.queries.Similarity
+      .qSemanticDedupIncremental(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rejected == batch, s"door $rejected vs batch $batch")
+    assert(rejected.nonEmpty, "fixture must exercise a rejection")
+    // a cell with no standing members admits via the outer-join null
+    // block (a new region of embedding space has nothing to duplicate)
+    val in2 = MemoryStream[EventStream.VecArrival]
+    in2.addData(EventStream.VecArrival(99L, ts("2024-01-01 10:00:00"),
+      Seq(1.0, 0.0, 0.0)))
+    val noMembers = spark.emptyDataset[(Long, Seq[EventStream.CellMember])]
+      .toDF("cell", "members")
+    val q2 = EventStream.semanticDoorFlags(in2.toDS(),
+        Seq(7L -> Array(1.0, 0.0, 0.0)), noMembers)
+      .writeStream.format("memory").queryName("semdoor2")
+      .outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    val lone = spark.table("semdoor2")
+      .select($"vec_id", $"cell", $"admitted", $"near_id", $"n_standing_dups")
+      .as[(Long, Long, Boolean, Long, Long)].collect().toSeq
+    assert(lone == Seq((99L, 7L, true, -1L, 0L)), lone.toString)
+  }
+
+  test("door scalar token count == batch column token count (one rule)") {
+    import spark.implicits._
+    // the single-definition contract (advisor r14): every door counts
+    // tokens through DoorDraws.tokenCount, batch faces through
+    // TextOps.tokenCount — prove the two agree on the edge shapes
+    // (empty string, doubled spaces, leading/trailing space)
+    val samples = Seq("", "a", "a b", "a  b", " a b ", "x y z w",
+      "one two  three   four")
+    val viaColumn = samples.toDF("text")
+      .select(graft.queries.TextOps.tokenCount($"text").as("n"))
+      .as[Long].collect().toSeq
+    val viaScalar = samples.map(EventStream.DoorDraws.tokenCount)
+    assert(viaColumn == viaScalar,
+      s"column $viaColumn vs scalar $viaScalar")
+  }
 }
