@@ -160,6 +160,13 @@ class PlanQualitySpec extends SparkTestBase {
       .forall(_.partitionSpec.nonEmpty), il.queryExecution.optimizedPlan.toString)
     val ik = plan(Dedup.qKeeperIndexKeepers(spark, sfDir))
     assert(!ik.contains("CartesianProduct"), ik)
+    // semantic cell index: the composed view is committed scans + an
+    // anti join + a union — no cartesian, no window
+    val sc = Similarity.qSemanticIndexCells(spark, sfDir)
+    assert(!plan(sc).contains("CartesianProduct"), plan(sc))
+    assert(sc.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, sc.queryExecution.optimizedPlan.toString)
     // consensus curation single-build (judge r14 #7, the shard-mix
     // precedent): the victim set is STAGED — after materialization the
     // composite reads the in-memory frame and the only file scan left
