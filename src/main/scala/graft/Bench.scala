@@ -123,13 +123,20 @@ object Bench {
     // one-row-group testdata file → single-task token fan-outs; the wide
     // mirror models a production multi-split layout (see TextOps.docsWide)
     "docs_wide" -> ((s, dir) => graft.queries.TextOps.prewarmStaging(s, dir)),
-    "decontam_staging" -> ((s, dir) => graft.queries.Curation.prewarmStaging(s, dir))) ++
+    "decontam_staging" -> ((s, dir) => graft.queries.Curation.prewarmStaging(s, dir)),
+    // the committed label/keeper index (base + deltas on disk) — one
+    // write per corpus, read by the q_keeper_index_* faces; ordered
+    // after the dedup/quality staging it elects over
+    "dedup_index" -> ((s, dir) => graft.queries.Dedup.prewarmIndex(s, dir))) ++
     // the embedding-stack artifacts are timed ONE PER STEP (judge r13:
     // the aggregate "ivf_cells" number tripled with no code change and
     // nothing in the artifact could attribute it — now each staged
     // artifact carries its own setup time)
     graft.queries.Similarity.prewarmSteps.map { case (n, f) =>
       s"ivf_cells.$n" -> f } ++ Seq(
+    // the committed cell index — ordered after the ivf_cells staging it
+    // composes over
+    "semantic_cell_index" -> ((s, dir) => graft.queries.Similarity.prewarmCellIndex(s, dir)),
     "phash_staging" -> ((s, dir) => graft.queries.MultimodalMeta.prewarmStaging(s, dir)),
     "retrieval_staging" -> ((s, dir) => graft.queries.Retrieval.prewarmStaging(s, dir)),
     "winnow_staging" -> ((s, dir) => graft.queries.Passages.prewarmStaging(s, dir)),
@@ -465,14 +472,22 @@ object Bench {
       s""""calib_base":${fmt(calibBase)}""",
       s""""calib":${jmap(calib.reverse)}""",
       s""""n_calib_drift":${calibDrift.size}""",
-      s""""setup":${jmap(setup)}""",
+      // compact carries only the ≥1 s setup steps: the LAST printed
+      // line must fit the driver's ~2000-char log-tail capture whole or
+      // its head (with "metric") is cut and the driver's parse fails —
+      // BENCH_r14 shipped parsed:null exactly this way; the full
+      // itemization is in bench_full.json and the full line above
+      s""""setup":${jmap(setup.filter(_._2 >= 1.0))}""",
       s""""setup_sec":${fmt(setupSec)}""",
       s""""queries":${jmap(slowestPairs)}""",
       s""""warm":${jmap(warm)}""",
       s""""warm_failed":${warmFailed.size}""",
       s""""n_movers":${movers.size}""",
-      """"note":"slowest-12 + >2x-vs-prior movers warm-rerun; ext-cpu watchdog (>2 foreign cores) and calib probe (fixed shuffle micro-job >1.5x its run-start baseline, catches IO/memory degradation the cpu meter can't see) both park + re-measure, first measures kept in contended; setup excluded from query time; full map in target/bench_full.json"""")
-    println(compactFields.mkString("{", ",", "}"))
+      """"note":"watchdogs: ext-cpu (>2 foreign cores) + calib probe (fixed micro-job >1.5x start baseline) park + re-measure, first measures in contended; setup excluded from query time; full maps in target/bench_full.json"""")
+    val compact = compactFields.mkString("{", ",", "}")
+    if (compact.length > 1900)
+      System.err.println(s"[bench] WARN compact line ${compact.length} chars — driver tail capture is ~2000")
+    println(compact)
     spark.stop()
     // A broken query must never bench as fast: non-zero exit on any
     // failure — warm-pass failures included (a query that succeeded

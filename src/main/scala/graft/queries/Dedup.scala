@@ -1364,6 +1364,13 @@ object Dedup {
     root
   }
 
+  /** Bench setup hook: build (and commit) the maintained index once so
+    * the one-time parquet writes are itemized setup, not charged to
+    * whichever index face the bench times first. */
+  def prewarmIndex(spark: SparkSession, sfDir: String): Unit = {
+    maintainedIndexRoot(spark, sfDir); ()
+  }
+
   def qKeeperIndexLabels(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val root = maintainedIndexRoot(spark, sfDir)
