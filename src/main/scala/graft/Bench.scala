@@ -477,7 +477,7 @@ object Bench {
       // its head (with "metric") is cut and the driver's parse fails —
       // BENCH_r14 shipped parsed:null exactly this way; the full
       // itemization is in bench_full.json and the full line above
-      s""""setup":${jmap(setup.filter(_._2 >= 1.0))}""",
+      s""""setup":${jmap(setup.filter(_._2 >= 1.0).sortBy(-_._2).take(10))}""",
       s""""setup_sec":${fmt(setupSec)}""",
       s""""queries":${jmap(slowestPairs)}""",
       s""""warm":${jmap(warm)}""",
