@@ -724,6 +724,89 @@ object Retrieval {
     Bm25QueryModel(dfs, n, tot, Bm25K1, Bm25B)
   }
 
+  // --------------------------------------------------------------------
+  // POSTINGS MAINTENANCE LEGS — the retrieval index was the one
+  // standing table without the attach/delete discipline every other
+  // family carries (dedup labels, ANN cells, phash, semantic cells):
+  // the inverted index and its stats sidecar are MAINTAINED tables, and
+  // an ingest batch shifts them — per touched term, df/cf move, and a
+  // BM25 probe scored against the stale sidecar is quietly wrong. The
+  // attach leg emits the sidecar UPSERT an ingest batch induces: one
+  // row per batch-touched term with the delta and the new totals. The
+  // delete leg emits the retraction a tombstone set induces, plus the
+  // event a deployment actually alerts on — a term whose every holder
+  // is tombstoned VANISHES from the vocabulary (its idf is undefined
+  // and any standing percolation query reading it must re-route).
+  //
+  // Plan at 100 TB: both legs are batch-vocabulary-bounded — one hash
+  // agg over the batch's own postings rows (the split restriction of
+  // the staged table equals tokenizing the batch alone — per-doc rows),
+  // joined term-equi against the standing sidecar, UNHINTED (both
+  // sides are vocabulary-scaled — AQE's call); postings append itself
+  // is map-only. No window, no corpus re-aggregation.
+  private val PostArriveMod = 10L
+  private val PostArriveRem = 6L
+  private val PostDeleteMod = 17L
+  private val PostDeleteRem = 3L
+
+  def qPostingsIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = postings(spark, sfDir)
+    val standing = p.filter($"doc_id" % PostArriveMod =!= PostArriveRem)
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
+    val batch = p.filter($"doc_id" % PostArriveMod === PostArriveRem)
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df_add"), sum($"tf").as("cf_add"))
+    batch.join(standing, Seq("term"), "left_outer")
+      .select($"term", $"df_add", $"cf_add",
+        (coalesce($"df", lit(0L)) + $"df_add").as("df_new"),
+        (coalesce($"cf", lit(0L)) + $"cf_add").as("cf_new"))
+  }
+
+  val qPostingsIncrementalSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |           FROM documents),
+       |g AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |st AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM g
+       |       WHERE doc_id % $PostArriveMod <> $PostArriveRem GROUP BY 1),
+       |ba AS (SELECT term, count(*) AS df_add, CAST(sum(tf) AS BIGINT) AS cf_add
+       |       FROM g WHERE doc_id % $PostArriveMod = $PostArriveRem GROUP BY 1)
+       |SELECT ba.term, df_add, cf_add,
+       |       CAST(coalesce(st.df, 0) + df_add AS BIGINT) AS df_new,
+       |       CAST(coalesce(st.cf, 0) + cf_add AS BIGINT) AS cf_new
+       |FROM ba LEFT JOIN st USING (term)""".stripMargin
+
+  def qPostingsDeletes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = postings(spark, sfDir)
+    val whole = p.groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
+    val dead = p.filter($"doc_id" % PostDeleteMod === PostDeleteRem)
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df_drop"), sum($"tf").as("cf_drop"))
+    dead.join(whole, Seq("term"))
+      .select($"term", $"df_drop", $"cf_drop",
+        ($"df" - $"df_drop").as("df_live"),
+        ($"cf" - $"cf_drop").as("cf_live"),
+        when($"df" === $"df_drop", 1L).otherwise(0L).as("vanished"))
+  }
+
+  val qPostingsDeletesSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |           FROM documents),
+       |g AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |whole AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+       |          FROM g GROUP BY 1),
+       |dd AS (SELECT term, count(*) AS df_drop, CAST(sum(tf) AS BIGINT) AS cf_drop
+       |       FROM g WHERE doc_id % $PostDeleteMod = $PostDeleteRem GROUP BY 1)
+       |SELECT dd.term, df_drop, cf_drop,
+       |       CAST(whole.df - df_drop AS BIGINT) AS df_live,
+       |       CAST(whole.cf - cf_drop AS BIGINT) AS cf_live,
+       |       CAST(CASE WHEN whole.df = df_drop THEN 1 ELSE 0 END AS BIGINT)
+       |         AS vanished
+       |FROM dd JOIN whole USING (term)""".stripMargin
+
   /** Materialize the standing retrieval artifacts (per-source KMV
     * sketches, the DSIR ratio model) — a Bench setup step like the
     * dedup staging; at 100 TB both are ingest-time/model-build jobs
@@ -746,7 +829,9 @@ object Retrieval {
     "q_kmv_overlap" -> (qKmvOverlap _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_kmv_containment" -> (qKmvContainment _),
-    "q_dsir_weights" -> (qDsirWeights _))
+    "q_dsir_weights" -> (qDsirWeights _),
+    "q_postings_incremental" -> (qPostingsIncremental _),
+    "q_postings_deletes" -> (qPostingsDeletes _))
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25" -> qBm25Sql,
@@ -755,5 +840,7 @@ object Retrieval {
     "q_kmv_overlap" -> qKmvOverlapSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_kmv_containment" -> qKmvContainmentSql,
-    "q_dsir_weights" -> qDsirWeightsSql)
+    "q_dsir_weights" -> qDsirWeightsSql,
+    "q_postings_incremental" -> qPostingsIncrementalSql,
+    "q_postings_deletes" -> qPostingsDeletesSql)
 }

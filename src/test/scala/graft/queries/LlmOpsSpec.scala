@@ -663,6 +663,34 @@ class LlmOpsSpec extends SparkTestBase {
     } finally graft.operators.Staging.invalidate(Some(dir))
   }
 
+  test("postings maintenance legs: planted attach upsert and vanished term") {
+    import spark.implicits._
+    // docs 1,3 standing; 3 is ALSO the tombstone (3 % 17 = 3) and holds
+    // the only "gamma" — the vanish event; arrival 6 brings the new
+    // term "delta" (a term with no standing sidecar row) and one more
+    // "beta" holder
+    val docs = Seq(
+      (1L, "alpha beta"), (3L, "gamma gamma beta"), (6L, "beta delta delta"))
+      .map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("postmaint")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val inc = Retrieval.qPostingsIncremental(spark, dir)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(inc == Set(
+        ("beta", 1L, 1L, 3L, 3L),   // upsert of an existing sidecar row
+        ("delta", 1L, 2L, 1L, 2L)), // brand-new vocabulary entry
+        inc.toString)
+      val del = Retrieval.qPostingsDeletes(spark, dir)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(del == Set(
+        ("beta", 1L, 1L, 2L, 2L, 0L),
+        ("gamma", 1L, 2L, 0L, 0L, 1L)), // the vanish alert
+        del.toString)
+    } finally graft.operators.Staging.invalidate(Some(dir))
+  }
+
   test("text normalization collapses tabs and newlines into the same fingerprint") {
     import spark.implicits._
     val docs = Seq((1L, "A\tb  c"), (2L, "a b\nc"), (3L, "a bc")).toDF("doc_id", "text")
