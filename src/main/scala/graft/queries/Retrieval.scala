@@ -62,7 +62,7 @@ object Retrieval {
     * then a term-filter over it — no per-query tokenization, no corpus
     * text read. At 100 TB the staged cache becomes a term-bucketed
     * written table and the filter a bucket-pruned lookup. */
-  private[queries] def postings(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def postings(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Staging.persisted(spark, sfDir, "postings") {
       import spark.implicits._
       // source and lang ride along (constant per doc, so the grouping
@@ -85,7 +85,7 @@ object Retrieval {
     * (cf = Σtf). The vocabulary-stats sidecar every retrieval index
     * maintains — BM25's idf, unigram-LM rarity, and tf-idf ranking all
     * read it instead of re-aggregating the postings per query. */
-  private[queries] def termStats(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def termStats(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Staging.persisted(spark, sfDir, "term_stats") {
       import spark.implicits._
       postings(spark, sfDir).groupBy($"term")

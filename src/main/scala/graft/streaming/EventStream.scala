@@ -1338,6 +1338,75 @@ object EventStream {
       .toDF("doc_id", "ts", "cluster_id", "was_keeper", "new_keeper", "n_live")
   }
 
+  /** Per-term state of the streaming vocabulary gate: the (doc id, tf)
+    * postings this term has already lost — bounded by the term's own
+    * df (the keeperDeleteGate cluster-size argument), and sufficient to
+    * fold live df/cf without re-reading the index. */
+  final case class TermDeleteState(deadIds: Seq[Long], deadTfs: Seq[Long])
+
+  /** Streaming face of the postings delete leg (batch analog:
+    * q_postings_deletes): takedown events arrive as a stream, each
+    * deleted document's postings rows are retracted from the stats
+    * sidecar ONLINE, and the gate raises the VANISH alert the moment a
+    * term's last holder dies — the event a deployment must catch live
+    * (undefined idf; standing percolation queries on the term must
+    * re-route), not at the next batch retraction pass.
+    *
+    * Scale shape: the deleted doc's terms come from the committed
+    * postings table via a stream-static equi-join on doc_id (the
+    * maintained-table doctrine — never a vocabulary broadcast); the
+    * committed df/cf ride the same join from the stats sidecar.
+    * Per-term state is the dead-holder id set, bounded by the term's
+    * df, and the final per-term outcome is delete-ORDER-FREE (the dead
+    * set is a plain union), so draining the batch tombstone set
+    * reproduces q_postings_deletes' live totals and vanish flags
+    * exactly — asserted in EventStreamSpec over shuffled batches.
+    * Emits one row per (delete event, term held): the live df/cf after
+    * the retraction and the vanish flag. */
+  def postingsDeleteGateUpdates(deletes: Dataset[DeleteArrival],
+      postings: DataFrame, termStats: DataFrame): DataFrame = {
+    val spark = deletes.sparkSession
+    import spark.implicits._
+    val joined = deletes
+      .join(postings.select($"doc_id", $"term", $"tf"), Seq("doc_id"))
+      .join(termStats.select($"term", $"df", $"cf"), Seq("term"))
+      .select($"term", $"doc_id", $"ts", $"tf", $"df", $"cf")
+      .as[(String, Long, Timestamp, Long, Long, Long)]
+
+    def fn(term: String,
+        rows: Iterator[(String, Long, Timestamp, Long, Long, Long)],
+        state: GroupState[TermDeleteState])
+        : Iterator[(String, Long, Timestamp, Long, Long, Long)] = {
+      val prior = state.getOption.getOrElse(TermDeleteState(Nil, Nil))
+      var deadIds = prior.deadIds.toVector
+      var deadTfs = prior.deadTfs.toVector
+      var deadSet = deadIds.toSet
+      var cfDead = deadTfs.sum
+      // deterministic within-batch order; idempotent under replays — a
+      // doc already retracted retracts nothing twice
+      val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2)).flatMap {
+        case (t, id, ts, tf, df, cf) =>
+          if (deadSet.contains(id)) None
+          else {
+            deadSet += id
+            deadIds :+= id
+            deadTfs :+= tf
+            cfDead += tf
+            val dfLive = df - deadIds.size
+            val cfLive = cf - cfDead
+            Some((t, id, ts, dfLive, cfLive,
+              if (dfLive == 0L) 1L else 0L))
+          }
+      }
+      state.update(TermDeleteState(deadIds, deadTfs))
+      out.iterator
+    }
+
+    joined.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("term", "doc_id", "ts", "df_live", "cf_live", "vanished")
+  }
+
   /** Streaming face of queries.Similarity's embedding OUTLIER pruning:
     * each arriving vector is assigned to its nearest model centroid and
     * flagged when its 9-dp-quantized affinity falls below the cell's

@@ -1369,6 +1369,78 @@ class EventStreamSpec extends SparkTestBase {
       s"stream ${streamedCorpus.size} vs batch ${batch.size}")
   }
 
+  test("postings delete gate drains the tombstone set to the batch retraction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val postings = graft.queries.Retrieval.postings(spark, dir)
+    val stats = graft.queries.Retrieval.termStats(spark, dir)
+    // the batch tombstone set, shuffled into three micro-batches (the
+    // keeper-gate drain pattern); 999999 is a non-holder that must not
+    // surface at all
+    val dead = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id").as[Long].collect().filter(_ % 17 == 3).toSeq
+      .sortBy(id => scala.util.hashing.MurmurHash3.stringHash(id.toString))
+    assert(dead.nonEmpty)
+    val in = MemoryStream[EventStream.DeleteArrival]
+    val q = EventStream.postingsDeleteGateUpdates(in.toDS(), postings, stats)
+      .writeStream.format("memory").queryName("vocab_gate")
+      .outputMode("update").start()
+    (dead :+ 999999L).grouped(math.max(1, dead.length / 3 + 1)).foreach { b =>
+      in.addData(b.map(id =>
+        EventStream.DeleteArrival(id, ts("2024-01-01 10:00:00"))).toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.sql(
+      "SELECT term, doc_id, df_live, cf_live, vanished FROM vocab_gate")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(!rows.exists(_._2 == 999999L), "non-holder surfaced")
+    // each (term, holder) retraction emitted exactly once
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    // drained per-term final state == the batch retraction face,
+    // bit-for-bit (df_live, cf_live, vanished) — order-free because the
+    // dead set is a plain union
+    val finals = rows.groupBy(_._1).map { case (t, rs) =>
+      val last = rs.minBy(_._3)
+      t -> ((last._3, last._4, last._5))
+    }
+    val batch = graft.queries.Retrieval.qPostingsDeletes(spark, dir)
+      .select($"term", $"df_live", $"cf_live", $"vanished")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(finals == batch, s"gate ${finals.size} terms vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+    // the corpora's vocabulary is dense (no term vanishes naturally —
+    // checked both sf dirs), so the gate's whole point is exercised on
+    // a planted corpus: doc 3 (3 % 17 = 3) holds the only "gamma", and
+    // its takedown must raise the live vanish alert
+    val pdir = tempDir("vocabgate")
+    Seq((1L, "alpha beta"), (3L, "gamma gamma beta"), (6L, "beta delta"))
+      .map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$pdir/documents.parquet")
+    try {
+      val in2 = MemoryStream[EventStream.DeleteArrival]
+      val q2 = EventStream.postingsDeleteGateUpdates(in2.toDS(),
+          graft.queries.Retrieval.postings(spark, pdir),
+          graft.queries.Retrieval.termStats(spark, pdir))
+        .writeStream.format("memory").queryName("vocab_gate2")
+        .outputMode("update").start()
+      in2.addData(EventStream.DeleteArrival(3L, ts("2024-01-01 10:00:00")))
+      q2.processAllAvailable(); q2.stop()
+      val planted = spark.sql(
+        "SELECT term, df_live, cf_live, vanished FROM vocab_gate2")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(planted == Map(
+        "gamma" -> ((0L, 0L, 1L)),  // the vanish alert, live
+        "beta" -> ((2L, 2L, 0L))),
+        planted.toString)
+    } finally graft.operators.Staging.invalidate(Some(pdir))
+  }
+
   test("semantic door gate matches the batch attach leg over the same corpus and model") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
