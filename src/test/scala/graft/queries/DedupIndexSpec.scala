@@ -111,6 +111,34 @@ class DedupIndexSpec extends SparkTestBase {
     } finally ds.close()
   }
 
+  test("unmarked delta residue is invisible and cleared by the next publish") {
+    import spark.implicits._
+    // the CommitProtocol contract: a crash between move and marker
+    // leaves an unmarked dir that readers must ignore and the next
+    // publish of the same destination must clear
+    val root = java.nio.file.Paths.get(tempDir("dedupidxres"), "idx")
+    val qd = Seq((1L, d9("0.10")), (2L, d9("0.20")), (6L, d9("0.60")))
+      .toDF("doc_id", "qd")
+    DedupIndex.writeBase(spark, root,
+      Seq((1L, 1L, d9("0.10")), (2L, 1L, d9("0.20")))
+        .toDF("doc_id", "cluster_id", "qd"))
+    // plant crash residue: a delta dir with data but NO marker
+    val residue = root.resolve("delta=1")
+    java.nio.file.Files.createDirectories(residue.resolve("adds"))
+    java.nio.file.Files.writeString(residue.resolve("adds").resolve("junk"), "x")
+    def labelSet() = DedupIndex.labels(spark, root)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(labelSet() == Set((1L, 1L), (2L, 1L)), "residue must be invisible")
+    // the next maintenance batch publishes INTO delta=1 — the residue
+    // is cleared, the batch commits, and the composed view moves
+    DedupIndex.applyMaintenance(spark, root,
+      Seq((2L, 6L)).toDF("doc_a", "doc_b"), qd,
+      deletes = spark.emptyDataset[Long].toDF("doc_id"))
+    assert(labelSet() == Set((1L, 1L), (2L, 1L), (6L, 1L)))
+    assert(java.nio.file.Files.exists(residue.resolve("_GRAFT_COMMITTED")))
+    assert(!java.nio.file.Files.exists(residue.resolve("adds").resolve("junk")))
+  }
+
   test("maintained index agrees with the full pass on the real corpus") {
     // the oracle faces assert this against DuckDB at sf0.01; here the
     // same agreement on the in-repo corpus, spec-side: composed labels

@@ -40,6 +40,25 @@ class SemanticIndexSpec extends SparkTestBase {
     } finally ds.close()
   }
 
+  test("unmarked delta residue is invisible and cleared by the next publish") {
+    import spark.implicits._
+    val root = java.nio.file.Paths.get(tempDir("semidxres"), "cells")
+    SemanticIndex.writeBase(spark, root,
+      Seq((1L, 0L), (2L, 0L)).toDF("vec_id", "cell"))
+    val residue = root.resolve("delta=1")
+    java.nio.file.Files.createDirectories(residue.resolve("adds"))
+    java.nio.file.Files.writeString(residue.resolve("adds").resolve("junk"), "x")
+    def view() = SemanticIndex.cells(spark, root)
+      .as[(Long, Long)].collect().toSet
+    assert(view() == Set((1L, 0L), (2L, 0L)), "residue must be invisible")
+    SemanticIndex.applyMaintenance(spark, root,
+      Seq((6L, 0L)).toDF("vec_id", "cell"),
+      spark.emptyDataset[Long].toDF("vec_id"))
+    assert(view() == Set((1L, 0L), (2L, 0L), (6L, 0L)))
+    assert(java.nio.file.Files.exists(residue.resolve("_GRAFT_COMMITTED")))
+    assert(!java.nio.file.Files.exists(residue.resolve("adds").resolve("junk")))
+  }
+
   test("composed committed cells equal the fresh live assignment on the corpus") {
     import spark.implicits._
     // the oracle face asserts this against DuckDB at sf0.01; same
