@@ -1339,6 +1339,31 @@ object Dedup {
     // the memoized token keys the BUILD side effect to the Staging
     // lifecycle: invalidate(sfDir) forces a rebuild with the frames
     graft.operators.Staging.memoized(spark, sfDir, "dedup-index-built") {
+      // committed-state fast path (the learnedCentroids staleness
+      // discipline): a fresh JVM over the same corpus bytes reuses the
+      // committed index instead of rebuilding it — the signature file
+      // detects an in-place corpus rewrite, and any partial state
+      // (missing markers) rebuilds from scratch
+      val sig = Tables.documents(spark, sfDir)
+        .agg(expr("count(*) * 1000003 + sum(doc_id)")).head().getLong(0)
+      val sigFile = root.resolve("_GRAFT_SIG")
+      val current =
+        java.nio.file.Files.exists(root.resolve("base").resolve("_GRAFT_COMMITTED")) &&
+        java.nio.file.Files.exists(root.resolve("delta=2").resolve("_GRAFT_COMMITTED")) &&
+        !java.nio.file.Files.exists(root.resolve("delta=3")) &&
+        java.nio.file.Files.exists(sigFile) &&
+        java.nio.file.Files.readString(sigFile).trim == sig.toString
+      if (current) Seq(root.toString).toDF("root")
+      else buildMaintainedIndex(spark, sfDir, root, sig)
+    }.count()
+    root
+  }
+
+  private def buildMaintainedIndex(spark: SparkSession, sfDir: String,
+      root: java.nio.file.Path, sig: Long): DataFrame = {
+    import spark.implicits._
+    java.nio.file.Files.deleteIfExists(root.resolve("_GRAFT_SIG"))
+    locally {
       val standingMembers = graft.queries.TextOps.qualityDecimal(spark, sfDir)
         .join(standingLabels(spark, sfDir)
             .select($"v".as("doc_id"), $"lbl".as("cluster_id")),
@@ -1359,9 +1384,11 @@ object Dedup {
         .select($"doc_id")
       DedupIndex.applyMaintenance(spark, root,
         spark.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b"), qd, tombs)
-      Seq(root.toString).toDF("root")
-    }.count()
-    root
+    }
+    // sig LAST: a crash mid-build leaves no sig, so the next session
+    // rebuilds rather than trusting partial state
+    java.nio.file.Files.writeString(root.resolve("_GRAFT_SIG"), sig.toString)
+    Seq(root.toString).toDF("root")
   }
 
   /** Bench setup hook: build (and commit) the maintained index once so
