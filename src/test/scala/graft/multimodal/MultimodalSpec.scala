@@ -352,6 +352,35 @@ class MultimodalSpec extends SparkTestBase {
       == ((7, 15, 7)))
   }
 
+  test("PPM decoder properties: roundtrip, strictness, halve geometry") {
+    // encode∘decode is the identity on canonical payloads
+    val img = PpmDecoder.Image(3, 2,
+      Array.tabulate(3 * 2 * 3)(i => ((i * 41) % 256).toByte))
+    val rt = PpmDecoder.decode(PpmDecoder.encode(img)).get
+    assert((rt.width, rt.height) == ((3, 2)) && rt.rgb.toSeq == img.rgb.toSeq)
+    // strictness: truncated raster, 16-bit maxval, wrong magic, zero
+    // dims, junk header — all None, never a mis-decode or a throw
+    val ok = PpmDecoder.encode(img)
+    assert(PpmDecoder.decode(ok.dropRight(1)).isEmpty, "truncated raster")
+    assert(PpmDecoder.decode((ok :+ 0.toByte)).isEmpty, "trailing junk")
+    assert(PpmDecoder.decode("P6\n3 2\n65535\n".getBytes("US-ASCII")
+      ++ new Array[Byte](3 * 2 * 6)).isEmpty, "16-bit samples")
+    assert(PpmDecoder.decode("P5\n3 2\n255\n".getBytes("US-ASCII")
+      ++ new Array[Byte](6)).isEmpty, "wrong magic")
+    assert(PpmDecoder.decode("P6\n0 2\n255\n ".getBytes("US-ASCII")).isEmpty)
+    assert(PpmDecoder.decode("P6\nx y\n255\n ".getBytes("US-ASCII")).isEmpty)
+    assert(PpmDecoder.decode(Array.empty[Byte]).isEmpty)
+    // halve geometry: odd dimensions fold the trailing row/column into
+    // a smaller box instead of reading out of bounds
+    val odd = PpmDecoder.Image(3, 3,
+      Array.tabulate(3 * 3 * 3)(i => ((i * 7) % 256).toByte))
+    val h = PpmDecoder.halve(odd)
+    assert((h.width, h.height) == ((1, 1)) && h.rgb.length == 3)
+    // a uniform image halves to the same uniform color exactly
+    val flat = PpmDecoder.Image(4, 4, Array.fill(4 * 4 * 3)(100.toByte))
+    assert(PpmDecoder.halve(flat).rgb.forall(_ == 100.toByte))
+  }
+
   test("decode batches are bounded by BatchSize") {
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     (1 to 150).grouped(Multimodal.DecodeStub.BatchSize).foreach(g => sizes += g.size)

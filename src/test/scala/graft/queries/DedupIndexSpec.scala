@@ -111,6 +111,39 @@ class DedupIndexSpec extends SparkTestBase {
     } finally ds.close()
   }
 
+  test("re-ingest and within-cluster pairs are no-ops; arrival chains merge") {
+    import spark.implicits._
+    val root = java.nio.file.Paths.get(tempDir("dedupidx2"), "idx")
+    val qd = Seq(1L -> "0.10", 2L -> "0.20", 6L -> "0.60", 16L -> "0.16",
+      26L -> "0.26").map { case (id, q) => (id, d9(q)) }.toDF("doc_id", "qd")
+    DedupIndex.writeBase(spark, root,
+      Seq((1L, 1L, d9("0.10")), (2L, 1L, d9("0.20")))
+        .toDF("doc_id", "cluster_id", "qd"))
+    // one batch: a pair fully INSIDE the standing cluster (no-op), a
+    // pair re-stating an existing membership (1,2 again — no-op), and a
+    // three-arrival chain 6–16, 16–26 that must close into ONE new
+    // cluster named by its min (6) even though 6 and 26 never pair
+    DedupIndex.applyMaintenance(spark, root,
+      Seq((1L, 2L), (2L, 1L), (6L, 16L), (16L, 26L)).toDF("doc_a", "doc_b"),
+      qd, deletes = spark.emptyDataset[Long].toDF("doc_id"))
+    val labels = DedupIndex.labels(spark, root)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(labels == Set((1L, 1L), (2L, 1L),
+      (6L, 6L), (16L, 6L), (26L, 6L)), labels.toString)
+    // idempotence: replaying the same batch changes nothing (every
+    // endpoint is now a member, every edge within one cluster)
+    DedupIndex.applyMaintenance(spark, root,
+      Seq((1L, 2L), (6L, 16L), (16L, 26L)).toDF("doc_a", "doc_b"),
+      qd, deletes = spark.emptyDataset[Long].toDF("doc_id"))
+    val labels2 = DedupIndex.labels(spark, root)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(labels2 == labels, labels2.toString)
+    // seats: quality argmax per final cluster
+    val keepers = DedupIndex.keepers(spark, root)
+      .select("cluster_id", "keeper_id").as[(Long, Long)].collect().toSet
+    assert(keepers == Set((1L, 2L), (6L, 6L)), keepers.toString)
+  }
+
   test("unmarked delta residue is invisible and cleared by the next publish") {
     import spark.implicits._
     // the CommitProtocol contract: a crash between move and marker
