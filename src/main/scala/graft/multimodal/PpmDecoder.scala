@@ -84,7 +84,13 @@ object PpmDecoder {
   }
 
   /** Real 2×2 box-average downsample (floor division, exact integer
-    * arithmetic; odd trailing row/column folds into a smaller box). */
+    * arithmetic). An odd trailing row/column is handled by CLAMPING
+    * source coordinates to the image edge, so the last pixel is
+    * duplicated into its 2×2 box (edge pixels weigh double) rather
+    * than averaged over a genuinely smaller box — the exact arithmetic
+    * MultimodalSpec's odd-geometry goldens pin (review r15, advisor:
+    * the previous wording claimed a smaller-box average this code
+    * never performed). */
   def halve(img: Image): Image = {
     val w2 = math.max(1, img.width / 2)
     val h2 = math.max(1, img.height / 2)

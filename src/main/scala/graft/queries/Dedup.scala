@@ -46,7 +46,7 @@ object Dedup {
       |  FROM documents)""".stripMargin
 
   /** Exact near-dup pair SQL (brute force — oracle only). */
-  private val NearPairSql =
+  private[queries] val NearPairSql =
     s"""WITH $ShingleSqlCte,
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (
@@ -997,8 +997,8 @@ object Dedup {
   // broadcast it when it holds, where a hint would assert it blindly —
   // one uniform rule for the family (pinned in PlanQualitySpec).
   // Quality compares are the 9-dp decimal rule.
-  private val KeepArriveMod = 10L
-  private val KeepArriveRem = 6L
+  private[queries] val KeepArriveMod = 10L
+  private[queries] val KeepArriveRem = 6L
 
   /** Standing-corpus cluster labels: connected components of the pair
     * table restricted to both-standing endpoints (band collisions and
@@ -1208,8 +1208,8 @@ object Dedup {
   // count, no second window. The affected-cluster frame is
   // tombstone-rate-bounded; label joins stay UNHINTED (the dup-rate
   // rule).
-  private val KeepDeleteMod = 17L
-  private val KeepDeleteRem = 3L
+  private[queries] val KeepDeleteMod = 17L
+  private[queries] val KeepDeleteRem = 3L
 
   /** The keeper-election members frame (doc_id, cluster_id, n_members,
     * qd) — the ONE construction the election itself
@@ -1332,7 +1332,7 @@ object Dedup {
   // delta 2 = the family's tombstone set (id ≡ 3 mod 17). At 100 TB
   // each delta write is batch-bounded; the faces' composition is the
   // read view a production consumer would get between compactions.
-  private def maintainedIndexRoot(spark: SparkSession,
+  private[queries] def maintainedIndexRoot(spark: SparkSession,
       sfDir: String): java.nio.file.Path = {
     import spark.implicits._
     val root = graft.core.Scratch.dir("dedup-index", sfDir)
@@ -1343,14 +1343,19 @@ object Dedup {
       // discipline): a fresh JVM over the same corpus bytes reuses the
       // committed index instead of rebuilding it — the signature file
       // detects an in-place corpus rewrite, and any partial state
-      // (missing markers) rebuilds from scratch
+      // (missing markers) rebuilds from scratch. CONTENT-sensitive
+      // signature (review r15, advisor): text length rides next to the
+      // doc id, so a doc-id-preserving regeneration of the corpus (the
+      // fixture-refresh case a count+id-sum signature is blind to)
+      // invalidates the committed index like every other rewrite.
       val sig = Tables.documents(spark, sfDir)
-        .agg(expr("count(*) * 1000003 + sum(doc_id)")).head().getLong(0)
+        .agg(expr(
+          "sum(cast(length(text) as bigint) + 31L * doc_id) + 1000003L * count(*)"))
+        .head().getLong(0)
       val sigFile = root.resolve("_GRAFT_SIG")
       val current =
-        java.nio.file.Files.exists(root.resolve("base").resolve("_GRAFT_COMMITTED")) &&
-        java.nio.file.Files.exists(root.resolve("delta=2").resolve("_GRAFT_COMMITTED")) &&
-        !java.nio.file.Files.exists(root.resolve("delta=3")) &&
+        DedupIndex.isCommitted(root) &&
+        DedupIndex.committedDeltaCount(root) == 2 &&
         java.nio.file.Files.exists(sigFile) &&
         java.nio.file.Files.readString(sigFile).trim == sig.toString
       if (current) Seq(root.toString).toDF("root")

@@ -1338,11 +1338,14 @@ object EventStream {
       .toDF("doc_id", "ts", "cluster_id", "was_keeper", "new_keeper", "n_live")
   }
 
-  /** Per-term state of the streaming vocabulary gate: the (doc id, tf)
-    * postings this term has already lost — bounded by the term's own
-    * df (the keeperDeleteGate cluster-size argument), and sufficient to
-    * fold live df/cf without re-reading the index. */
-  final case class TermDeleteState(deadIds: Seq[Long], deadTfs: Seq[Long])
+  /** Per-term state of the streaming vocabulary gate: the dead-holder
+    * id set plus the two RUNNING retraction totals (count, Σtf) — kept
+    * folded in state so a micro-batch's work is O(its own events), not
+    * O(accumulated dead holders) (review r15, advisor: the earlier
+    * parallel-Seq state recomputed the sum and rebuilt the membership
+    * set on every batch). Still bounded by the term's own df (the
+    * keeperDeleteGate cluster-size argument). */
+  final case class TermDeleteState(deadIds: Set[Long], nDead: Long, cfDead: Long)
 
   /** Streaming face of the postings delete leg (batch analog:
     * q_postings_deletes): takedown events arrive as a stream, each
@@ -1377,11 +1380,10 @@ object EventStream {
         rows: Iterator[(String, Long, Timestamp, Long, Long, Long)],
         state: GroupState[TermDeleteState])
         : Iterator[(String, Long, Timestamp, Long, Long, Long)] = {
-      val prior = state.getOption.getOrElse(TermDeleteState(Nil, Nil))
-      var deadIds = prior.deadIds.toVector
-      var deadTfs = prior.deadTfs.toVector
-      var deadSet = deadIds.toSet
-      var cfDead = deadTfs.sum
+      val prior = state.getOption.getOrElse(TermDeleteState(Set.empty, 0L, 0L))
+      var deadSet = prior.deadIds
+      var nDead = prior.nDead
+      var cfDead = prior.cfDead
       // deterministic within-batch order; idempotent under replays — a
       // doc already retracted retracts nothing twice
       val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2)).flatMap {
@@ -1389,16 +1391,15 @@ object EventStream {
           if (deadSet.contains(id)) None
           else {
             deadSet += id
-            deadIds :+= id
-            deadTfs :+= tf
+            nDead += 1
             cfDead += tf
-            val dfLive = df - deadIds.size
+            val dfLive = df - nDead
             val cfLive = cf - cfDead
             Some((t, id, ts, dfLive, cfLive,
               if (dfLive == 0L) 1L else 0L))
           }
       }
-      state.update(TermDeleteState(deadIds, deadTfs))
+      state.update(TermDeleteState(deadSet, nDead, cfDead))
       out.iterator
     }
 

@@ -102,12 +102,13 @@ class DedupIndexSpec extends SparkTestBase {
     DedupIndex.writeBase(spark, root, liveLabels)
     assert(labelSet() == Set((20L, 20L), (21L, 20L), (60L, 60L), (66L, 60L)))
     assert(keeperSet() == Set((20L, 21L), (60L, 66L)))
-    // the rebuild retired the delta chain — nothing left to compose
+    // the rebuild retired the delta chain — nothing left to compose —
+    // and superseded base versions are garbage-collected
+    assert(DedupIndex.committedDeltaCount(root) == 0)
     val ds = java.nio.file.Files.list(root)
     try {
-      val leftover = ds.filter(_.getFileName.toString.startsWith("delta="))
-        .toArray
-      assert(leftover.isEmpty, leftover.mkString(", "))
+      val bases = ds.filter(_.getFileName.toString.startsWith("base-")).toArray
+      assert(bases.length == 1, bases.mkString(", "))
     } finally ds.close()
   }
 
@@ -156,7 +157,7 @@ class DedupIndexSpec extends SparkTestBase {
       Seq((1L, 1L, d9("0.10")), (2L, 1L, d9("0.20")))
         .toDF("doc_id", "cluster_id", "qd"))
     // plant crash residue: a delta dir with data but NO marker
-    val residue = root.resolve("delta=1")
+    val residue = DedupIndex.currentBaseDir(root).get.resolve("delta=1")
     java.nio.file.Files.createDirectories(residue.resolve("adds"))
     java.nio.file.Files.writeString(residue.resolve("adds").resolve("junk"), "x")
     def labelSet() = DedupIndex.labels(spark, root)
@@ -170,6 +171,47 @@ class DedupIndexSpec extends SparkTestBase {
     assert(labelSet() == Set((1L, 1L), (2L, 1L), (6L, 1L)))
     assert(java.nio.file.Files.exists(residue.resolve("_GRAFT_COMMITTED")))
     assert(!java.nio.file.Files.exists(residue.resolve("adds").resolve("junk")))
+  }
+
+  test("a crashed base publish never disturbs the committed snapshot; epochs fold once") {
+    import spark.implicits._
+    // review r15 (advisor): the old single base/ destination let the
+    // protocol's residue delete destroy the only committed copy inside
+    // the publish window; versioned bases close it — an unmarked
+    // base-N+1 (crash between move and marker) is invisible, and the
+    // previous version stays current WITH its delta chain
+    val root = java.nio.file.Paths.get(tempDir("dedupidxver"), "idx")
+    val qd = Seq((1L, d9("0.10")), (2L, d9("0.20")), (6L, d9("0.60")))
+      .toDF("doc_id", "qd")
+    DedupIndex.writeBase(spark, root,
+      Seq((1L, 1L, d9("0.10")), (2L, 1L, d9("0.20")))
+        .toDF("doc_id", "cluster_id", "qd"))
+    // a delta on the committed version, tagged with a streaming epoch
+    DedupIndex.applyMaintenance(spark, root,
+      Seq((2L, 6L)).toDF("doc_a", "doc_b"), qd,
+      deletes = spark.emptyDataset[Long].toDF("doc_id"), epoch = Some(7L))
+    def labelSet() = DedupIndex.labels(spark, root)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(labelSet() == Set((1L, 1L), (2L, 1L), (6L, 1L)))
+    // plant an unmarked base-2 (crashed publish): readers must keep
+    // resolving base-1 + its delta
+    val crashed = root.resolve("base-2")
+    java.nio.file.Files.createDirectories(crashed.resolve("labels"))
+    java.nio.file.Files.writeString(crashed.resolve("labels").resolve("junk"), "x")
+    assert(DedupIndex.currentBaseDir(root).get.getFileName.toString == "base-1")
+    assert(labelSet() == Set((1L, 1L), (2L, 1L), (6L, 1L)))
+    // a replayed micro-batch with the same epoch folds NOTHING twice
+    assert(DedupIndex.appliedEpochs(root) == Set(7L))
+    DedupIndex.applyMaintenance(spark, root,
+      Seq((2L, 6L)).toDF("doc_a", "doc_b"), qd,
+      deletes = spark.emptyDataset[Long].toDF("doc_id"), epoch = Some(7L))
+    assert(DedupIndex.committedDeltaCount(root) == 1)
+    // the next real publish claims base-2, clearing the residue, and
+    // retires base-1 only AFTER the new marker exists
+    DedupIndex.compact(spark, root)
+    assert(DedupIndex.currentBaseDir(root).get.getFileName.toString == "base-2")
+    assert(labelSet() == Set((1L, 1L), (2L, 1L), (6L, 1L)))
+    assert(!java.nio.file.Files.exists(root.resolve("base-1")))
   }
 
   test("maintained index agrees with the full pass on the real corpus") {
