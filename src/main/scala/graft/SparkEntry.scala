@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Relational, Normalize, Events, TextOps, Dedup, Similarity, Scale, MultimodalMeta, Analytics, TemporalJoins, Curation, Mixing, Retrieval, Corpus, Passages}
+import graft.queries.{Relational, Normalize, Events, TextOps, Dedup, Similarity, Scale, MultimodalMeta, Analytics, TemporalJoins, Curation, Mixing, Retrieval, Corpus, Passages, IndexOps}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -12,7 +12,7 @@ object SparkEntry {
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++ Scale.queries ++
       MultimodalMeta.queries ++ Analytics.queries ++ TemporalJoins.queries ++
       Curation.queries ++ Mixing.queries ++ Retrieval.queries ++ Corpus.queries ++
-      Passages.queries
+      Passages.queries ++ IndexOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -20,5 +20,5 @@ object SparkEntry {
       TextOps.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++ Scale.oracleSql ++
       MultimodalMeta.oracleSql ++ Analytics.oracleSql ++ TemporalJoins.oracleSql ++
       Curation.oracleSql ++ Mixing.oracleSql ++ Retrieval.oracleSql ++ Corpus.oracleSql ++
-      Passages.oracleSql
+      Passages.oracleSql ++ IndexOps.oracleSql
 }

@@ -23,7 +23,8 @@ class SparkEntryContractSpec extends SparkTestBase {
     "Mixing" -> Mixing.queries,
     "Retrieval" -> Retrieval.queries,
     "Corpus" -> Corpus.queries,
-    "Passages" -> Passages.queries)
+    "Passages" -> Passages.queries,
+    "IndexOps" -> IndexOps.queries)
 
   test("no query is lost to a duplicate key across modules") {
     val all = parts.flatMap(_._2.keys)

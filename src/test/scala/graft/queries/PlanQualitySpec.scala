@@ -233,6 +233,43 @@ class PlanQualitySpec extends SparkTestBase {
     assert(frames.contains("ReadSchema: struct<doc_id:bigint,text:string>"), frames)
   }
 
+  test("r16 faces keep their intended plan shapes") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    // committed-index BM25 probe: an index READ — no tokenization
+    // anywhere (the committed postings carry no text column at all),
+    // no cartesian; same contract as the staged-frame probe's pin
+    val bi = Retrieval.qBm25Index(spark, sfDir)
+    assert(!plan(bi).contains("CartesianProduct"), plan(bi))
+    assert(bi.queryExecution.executedPlan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, bi.queryExecution.executedPlan.toString)
+    assert(bi.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.requiredSchema.fieldNames.contains("text") => s
+    }.isEmpty, bi.queryExecution.executedPlan.toString)
+    // composed sidecar: committed scans + one hash merge — no window,
+    // no cartesian, no tokenization
+    val ps = Retrieval.qPostingsIndexStats(spark, sfDir)
+    assert(!plan(ps).contains("CartesianProduct"), plan(ps))
+    assert(ps.queryExecution.optimizedPlan.collect {
+      case w: Window => w }.isEmpty, ps.queryExecution.optimizedPlan.toString)
+    assert(ps.queryExecution.executedPlan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, ps.queryExecution.executedPlan.toString)
+    // within-batch phash pairs: banded equi self-join, batch² bounded —
+    // no cartesian, no window (the arrival-pairs family rule)
+    val ap = MultimodalMeta.qAssetPhashArrivalPairs(spark, sfDir)
+    assert(!plan(ap).contains("CartesianProduct"), plan(ap))
+    assert(ap.queryExecution.optimizedPlan.collect {
+      case w: Window => w }.isEmpty, ap.queryExecution.optimizedPlan.toString)
+    // index health: bounded-output literal rows (the counts run as
+    // metadata jobs) — the face itself scans no files
+    val ih = IndexOps.qIndexHealth(spark, sfDir)
+    assert(ih.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.isEmpty, ih.queryExecution.executedPlan.toString)
+  }
+
   test("bm25 probe reads the standing postings, not the corpus text") {
     // review r9 (judge item 4): the probe must be an inverted-index
     // lookup — no per-query tokenization (no Generate/explode in the

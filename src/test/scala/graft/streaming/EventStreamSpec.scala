@@ -1494,6 +1494,84 @@ class EventStreamSpec extends SparkTestBase {
     assert(lone == Seq((99L, 7L, true, -1L, 0L)), lone.toString)
   }
 
+  test("streaming maintenance commits fold micro-batches into the committed indexes exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.{DedupIndex, SemanticIndex}
+    def d9(s: String): BigDecimal = BigDecimal(s).setScale(9)
+    val qd = Seq(5L -> "0.05", 10L -> "0.10", 11L -> "0.90", 20L -> "0.20",
+      21L -> "0.80", 30L -> "0.30", 46L -> "0.46", 56L -> "0.56",
+      60L -> "0.60", 66L -> "0.66")
+      .map { case (i, q) => (i, d9(q)) }.toDF("doc_id", "qd")
+    val baseMembers = Seq(
+      (10L, 10L, "0.10"), (11L, 10L, "0.90"), (20L, 20L, "0.20"), (21L, 20L, "0.80"))
+      .map { case (a, c, q) => (a, c, d9(q)) }.toDF("doc_id", "cluster_id", "qd")
+    val pairs = Seq((11L, 30L), (5L, 10L), (5L, 20L), (46L, 56L), (60L, 66L))
+    // ONE-SHOT reference: every decision in a single batch apply
+    val rootBatch = java.nio.file.Paths.get(tempDir("mntone"), "idx")
+    DedupIndex.writeBase(spark, rootBatch, baseMembers)
+    DedupIndex.applyMaintenance(spark, rootBatch,
+      pairs.toDF("doc_a", "doc_b"), qd, Seq(11L).toDF("doc_id"))
+    // STREAMED: the same decisions over three shuffled micro-batches
+    val rootStream = java.nio.file.Paths.get(tempDir("mntstream"), "idx")
+    DedupIndex.writeBase(spark, rootStream, baseMembers)
+    val in = MemoryStream[EventStream.LabelMaintenance]
+    val q = EventStream.dedupIndexSink(in.toDS(), rootStream, qd)
+      .option("checkpointLocation", tempDir("mntckpt")).start()
+    in.addData(EventStream.LabelMaintenance("pair", 46L, 56L),
+      EventStream.LabelMaintenance("pair", 5L, 20L))
+    q.processAllAvailable()
+    // crash BETWEEN micro-batches: the committed prefix is readable now
+    def labelSet(root: java.nio.file.Path) = DedupIndex.labels(spark, root)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(labelSet(rootStream) == Set((10L, 10L), (11L, 10L),
+      (20L, 5L), (21L, 5L), (5L, 5L), (46L, 46L), (56L, 46L)))
+    in.addData(EventStream.LabelMaintenance("pair", 11L, 30L),
+      EventStream.LabelMaintenance("pair", 5L, 10L),
+      EventStream.LabelMaintenance("pair", 60L, 66L))
+    q.processAllAvailable()
+    in.addData(EventStream.LabelMaintenance("tomb", 11L, 0L))
+    q.processAllAvailable(); q.stop()
+    // labels AND seats bit-equal to the one-shot batch apply
+    assert(labelSet(rootStream) == labelSet(rootBatch))
+    def keeperSet(root: java.nio.file.Path) = DedupIndex.keepers(spark, root)
+      .select("cluster_id", "keeper_id").as[(Long, Long)].collect().toSet
+    assert(keeperSet(rootStream) == keeperSet(rootBatch))
+    // epochs recorded; a replayed micro-batch (post-crash restart) is a
+    // no-op, not a duplicate fold
+    assert(DedupIndex.appliedEpochs(rootStream) == Set(0L, 1L, 2L))
+    val before = DedupIndex.committedDeltaCount(rootStream)
+    EventStream.dedupMaintenanceBatch(rootStream, qd,
+      Seq(("pair", 46L, 56L)).toDF("kind", "a", "b"), batchId = 0L)
+    assert(DedupIndex.committedDeltaCount(rootStream) == before)
+    assert(labelSet(rootStream) == labelSet(rootBatch))
+
+    // semantic twin: admitted adds + tombs over shuffled micro-batches
+    val semBatch = java.nio.file.Paths.get(tempDir("mntsemone"), "cells")
+    SemanticIndex.writeBase(spark, semBatch,
+      Seq((1L, 0L), (2L, 0L), (11L, 7L)).toDF("vec_id", "cell"))
+    SemanticIndex.applyMaintenance(spark, semBatch,
+      Seq((6L, 0L), (16L, 7L)).toDF("vec_id", "cell"), Seq(2L).toDF("vec_id"))
+    val semStream = java.nio.file.Paths.get(tempDir("mntsemstr"), "cells")
+    SemanticIndex.writeBase(spark, semStream,
+      Seq((1L, 0L), (2L, 0L), (11L, 7L)).toDF("vec_id", "cell"))
+    val sin = MemoryStream[EventStream.CellMaintenance]
+    val sq = EventStream.semanticIndexSink(sin.toDS(), semStream)
+      .option("checkpointLocation", tempDir("mntsemckpt")).start()
+    sin.addData(EventStream.CellMaintenance("add", 16L, 7L))
+    sq.processAllAvailable()
+    sin.addData(EventStream.CellMaintenance("tomb", 2L, -1L),
+      EventStream.CellMaintenance("add", 6L, 0L))
+    sq.processAllAvailable(); sq.stop()
+    def cellSet(root: java.nio.file.Path) = SemanticIndex.cells(spark, root)
+      .as[(Long, Long)].collect().toSet
+    assert(cellSet(semStream) == cellSet(semBatch))
+    assert(SemanticIndex.appliedEpochs(semStream) == Set(0L, 1L))
+    EventStream.semanticMaintenanceBatch(semStream,
+      Seq(("add", 16L, 7L)).toDF("kind", "vec_id", "cell"), batchId = 1L)
+    assert(SemanticIndex.committedDeltaCount(semStream) == 2)
+  }
+
   test("door scalar token count == batch column token count (one rule)") {
     import spark.implicits._
     // the single-definition contract (advisor r14): every door counts
