@@ -40,6 +40,43 @@ object IndexOps {
     if (nDeltas >= CompactChainBar || 5L * retired >= nLive) 1L else 0L
   }
 
+  /** One store under the compaction policy: its counters and its
+    * compaction action, name-tagged for the report. */
+  final case class ManagedStore(name: String,
+      counts: () => (Long, Long, Long, Long), compact: () => Unit)
+
+  /** Execute the policy q_index_health only REPORTS (the round-16
+    * analog of the retrain executing the drift decision): measure each
+    * store, compact exactly those the ONE policy flags, and return
+    * name → acted. Idempotent by construction — compaction resets both
+    * counters the policy reads, so a second sweep is a no-op (pinned in
+    * IndexOpsSpec on a chain driven past the bar). A deployment runs
+    * this as the maintenance sweep between ingest batches. */
+  def autoCompact(stores: Seq[ManagedStore]): Map[String, Boolean] =
+    stores.map { s =>
+      val (nd, nb, na, nl) = s.counts()
+      val due = compactDue(nd, nb, na, nl) == 1L
+      if (due) s.compact()
+      s.name -> due
+    }.toMap
+
+  /** The corpus's three committed stores wired for [[autoCompact]]. */
+  def managedStores(spark: SparkSession, sfDir: String): Seq[ManagedStore] = {
+    val dRoot = Dedup.maintainedIndexRoot(spark, sfDir)
+    val pRoot = Retrieval.postingsIndexRoot(spark, sfDir)
+    val sRoot = Similarity.maintainedCellRoot(spark, sfDir)
+    Seq(
+      ManagedStore("dedup_labels",
+        () => DedupIndex.healthCounts(spark, dRoot),
+        () => DedupIndex.compact(spark, dRoot)),
+      ManagedStore("postings",
+        () => PostingsIndex.healthCounts(spark, pRoot),
+        () => PostingsIndex.compact(spark, pRoot)),
+      ManagedStore("semantic_cells",
+        () => SemanticIndex.healthCounts(spark, sRoot),
+        () => SemanticIndex.compact(spark, sRoot)))
+  }
+
   def qIndexHealth(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val stores = Seq(

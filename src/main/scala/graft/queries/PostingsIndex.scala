@@ -153,16 +153,20 @@ object PostingsIndex {
       if (Files.exists(f)) Files.readString(f).trim.toLongOption else None
     }.toSet
 
-  /** The composed live inverted index (term, doc_id, dl, tf). */
+  /** The composed live inverted index (term, doc_id, dl, tf). Plan
+    * depth on long chains is bounded by the shared lineage-cut cadence
+    * ([[DedupIndex.ChainCutEvery]]). */
   def postings(spark: SparkSession, root: Path): DataFrame = {
     val base = requireBase(root)
     var view = readDir(spark, base.resolve("postings"), postingSchema)
-    committedDeltas(base).foreach { d =>
+    committedDeltas(base).zipWithIndex.foreach { case (d, i) =>
       val tombs = readDir(spark, d.resolve("tombs"), tombSchema)
       val adds = readDir(spark, d.resolve("adds"), postingSchema)
       // adds-then-tombs WITHIN a delta (a doc added and tombstoned in
       // the same batch nets out) — the order the stats shift assumes
       view = view.unionByName(adds).join(tombs, Seq("doc_id"), "left_anti")
+      if ((i + 1) % DedupIndex.ChainCutEvery == 0)
+        view = view.localCheckpoint(eager = false)
     }
     // the anti-join's USING key floats doc_id to the front — pin the
     // canonical column order whatever the chain length

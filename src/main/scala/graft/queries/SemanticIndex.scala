@@ -162,14 +162,18 @@ object SemanticIndex {
     }
   }
 
-  /** The composed live cell table at the current committed version. */
+  /** The composed live cell table at the current committed version.
+    * Plan depth on long chains is bounded by the shared lineage-cut
+    * cadence ([[DedupIndex.ChainCutEvery]]). */
   def cells(spark: SparkSession, root: Path): DataFrame = {
     val base = requireBase(root)
     var view = readDir(spark, base.resolve("cells"), cellSchema)
-    committedDeltas(base).foreach { d =>
+    committedDeltas(base).zipWithIndex.foreach { case (d, i) =>
       val tombs = readDir(spark, d.resolve("tombs"), tombSchema)
       val adds = readDir(spark, d.resolve("adds"), cellSchema)
       view = view.join(tombs, Seq("vec_id"), "left_anti").unionByName(adds)
+      if ((i + 1) % DedupIndex.ChainCutEvery == 0)
+        view = view.localCheckpoint(eager = false)
     }
     view
   }

@@ -41,6 +41,58 @@ class IndexOpsSpec extends SparkTestBase {
     assert(IndexOps.compactDue(nd2, nb2, na2, nl2) == 0L)
   }
 
+  test("autoCompact executes the policy: compacts exactly the flagged stores, idempotently") {
+    import spark.implicits._
+    // two toy stores: one driven past the chain bar, one healthy
+    val hot = java.nio.file.Paths.get(tempDir("acHot"), "cells")
+    SemanticIndex.writeBase(spark, hot,
+      (1L to 10L).map(i => (i, i % 3)).toDF("vec_id", "cell"))
+    (1 to 4).foreach { k =>
+      SemanticIndex.applyMaintenance(spark, hot,
+        Seq((200L + k, 1L)).toDF("vec_id", "cell"),
+        spark.emptyDataset[Long].toDF("vec_id"))
+    }
+    val cold = java.nio.file.Paths.get(tempDir("acCold"), "cells")
+    SemanticIndex.writeBase(spark, cold,
+      (1L to 10L).map(i => (i, i % 3)).toDF("vec_id", "cell"))
+    SemanticIndex.applyMaintenance(spark, cold,
+      Seq((100L, 0L)).toDF("vec_id", "cell"),
+      spark.emptyDataset[Long].toDF("vec_id"))
+    def store(name: String, root: java.nio.file.Path) = IndexOps.ManagedStore(
+      name,
+      () => SemanticIndex.healthCounts(spark, root),
+      () => SemanticIndex.compact(spark, root))
+    val view = SemanticIndex.cells(spark, hot).as[(Long, Long)].collect().toSet
+    val acted = IndexOps.autoCompact(Seq(store("hot", hot), store("cold", cold)))
+    assert(acted == Map("hot" -> true, "cold" -> false), acted.toString)
+    // the flagged store was physically folded, content unchanged
+    assert(SemanticIndex.committedDeltaCount(hot) == 0)
+    assert(SemanticIndex.cells(spark, hot).as[(Long, Long)].collect().toSet == view)
+    assert(SemanticIndex.committedDeltaCount(cold) == 1)
+    // idempotent: the sweep that just ran reset the counters it reads
+    val again = IndexOps.autoCompact(Seq(store("hot", hot), store("cold", cold)))
+    assert(again == Map("hot" -> false, "cold" -> false), again.toString)
+  }
+
+  test("a long uncompacted chain composes correctly through the lineage-cut cadence") {
+    import spark.implicits._
+    // 9 deltas crosses two ChainCutEvery boundaries — the composed view
+    // must still equal the set algebra exactly
+    val root = java.nio.file.Paths.get(tempDir("longchain"), "cells")
+    SemanticIndex.writeBase(spark, root,
+      (1L to 5L).map(i => (i, 0L)).toDF("vec_id", "cell"))
+    (1 to 9).foreach { k =>
+      SemanticIndex.applyMaintenance(spark, root,
+        Seq((100L + k, k.toLong)).toDF("vec_id", "cell"),
+        (if (k % 3 == 0) Seq(k.toLong) else Seq.empty[Long]).toDF("vec_id"))
+    }
+    val got = SemanticIndex.cells(spark, root).as[(Long, Long)].collect().toSet
+    val expect = ((1L to 5L).filterNot(i => i == 3L).map(i => (i, 0L)) ++
+      (1 to 9).map(k => (100L + k, k.toLong))).toSet
+    // vec 3 tombstoned at delta 3; 6 and 9 are not base members (no-op)
+    assert(got == expect, got.toString)
+  }
+
   test("the face reads all three committed stores as healthy at fixture scale") {
     import spark.implicits._
     val got = IndexOps.qIndexHealth(spark, "/root/testdata/sf0.001")
