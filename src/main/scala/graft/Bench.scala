@@ -138,6 +138,7 @@ object Bench {
     // composes over
     "semantic_cell_index" -> ((s, dir) => graft.queries.Similarity.prewarmCellIndex(s, dir)),
     "phash_staging" -> ((s, dir) => graft.queries.MultimodalMeta.prewarmStaging(s, dir)),
+    "phash_index" -> ((s, dir) => graft.queries.MultimodalMeta.prewarmPhashIndex(s, dir)),
     "retrieval_staging" -> ((s, dir) => graft.queries.Retrieval.prewarmStaging(s, dir)),
     // the committed postings index (base + deltas on disk) - one write
     // per corpus, read by q_postings_index_stats / q_bm25_index;

@@ -73,49 +73,22 @@ object DedupIndex {
     StructField("new_cluster_id", LongType)))
   private val tombSchema = StructType(Seq(StructField("doc_id", LongType)))
 
-  private def marker(dir: Path): Path = dir.resolve("_GRAFT_COMMITTED")
-
-  private def baseVersions(root: Path): Seq[(Int, Path)] =
-    if (!Files.isDirectory(root)) Seq.empty
-    else {
-      val ds = Files.list(root)
-      try ds.toArray.toSeq.map(_.asInstanceOf[Path])
-        .filter(_.getFileName.toString.startsWith("base-"))
-        .flatMap { p =>
-          p.getFileName.toString.stripPrefix("base-").toIntOption.map(_ -> p)
-        }.sortBy(_._1)
-      finally ds.close()
-    }
+  // disk layout (versioning, markers, delta chains, replay epochs) is
+  // the shared StoreLayout — see its scaladoc for the crash semantics
+  private def marker(dir: Path): Path = StoreLayout.marker(dir)
 
   /** The current committed base snapshot dir — the HIGHEST base-N with
     * a marker (unmarked versions are crash residue, invisible). Exposed
     * for specs and the streaming maintenance sink. */
   private[graft] def currentBaseDir(root: Path): Option[Path] =
-    baseVersions(root).filter { case (_, p) => Files.exists(marker(p)) }
-      .lastOption.map(_._2)
+    StoreLayout.currentBaseDir(root)
 
   /** True when the root holds at least one committed base. */
   private[graft] def isCommitted(root: Path): Boolean =
-    currentBaseDir(root).isDefined
+    StoreLayout.isCommitted(root)
 
-  /** Read a committed parquet dir with an explicit schema — an empty
-    * frame writes zero part files, and a schema-less read of that is an
-    * inference error, not an empty table. */
   private def readDir(spark: SparkSession, dir: Path, schema: StructType): DataFrame =
-    if (!Files.isDirectory(dir)) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(dir.toString)
-
-  /** Retire every base version except `keep` — delete the marker FIRST
-    * (so a crash mid-delete leaves only unmarked residue, never a
-    * half-deleted dir a reader could still resolve), then the bytes.
-    * Best-effort garbage collection OUTSIDE any commit path: a crash
-    * here costs disk, never data. */
-  private def retireSuperseded(root: Path, keep: Path): Unit =
-    baseVersions(root).map(_._2).filterNot(_ == keep).foreach { old =>
-      Files.deleteIfExists(marker(old))
-      graft.core.CommitProtocol.deleteRecursively(old)
-    }
+    StoreLayout.readDir(spark, dir, schema)
 
   /** Publish the full-pass snapshot: members at the keeperMembers grain
     * (doc_id, cluster_id, qd), into the NEXT base version. The marker
@@ -127,47 +100,45 @@ object DedupIndex {
     * frame's natural partitioning (NOT coalesce(1) — judge r15 #7: a
     * 100 TB base publish must parallelize; at that scale the publish is
     * a partitioned write and compaction upserts only touched clusters'
-    * partitions); the kilobyte-scale seat table stays single-file. */
-  def writeBase(spark: SparkSession, root: Path, members: DataFrame): Unit = {
+    * partitions); the kilobyte-scale seat table stays single-file.
+    * `carryEpochs` (compaction paths only) carries the applied replay
+    * epochs into the new version so exactly-once survives a mid-stream
+    * compaction (advisor r16 — see [[StoreLayout.stageEpochCarry]]). */
+  def writeBase(spark: SparkSession, root: Path, members: DataFrame,
+      carryEpochs: Boolean = false): Unit = {
     val m = members.select(col("doc_id").cast("long"),
       col("cluster_id").cast("long"), col("qd").cast(labelSchema(2).dataType))
     Files.createDirectories(root)
-    val next = baseVersions(root)
-      .filter { case (_, p) => Files.exists(marker(p)) }
-      .lastOption.map(_._1 + 1).getOrElse(1)
-    val dest = root.resolve(s"base-$next")
+    val dest = StoreLayout.nextBaseDest(root)
     val staging = root.getParent.resolve(root.getFileName.toString + "-staging")
     graft.core.CommitProtocol.deleteRecursively(staging)
     m.write.parquet(staging.resolve("labels").toString)
     Dedup.electKeepers(readDir(spark, staging.resolve("labels"), labelSchema))
       .select(col("cluster_id"), col("doc_id").as("keeper_id"), col("qd"))
       .coalesce(1).write.parquet(staging.resolve("keepers").toString)
+    if (carryEpochs) StoreLayout.stageEpochCarry(root, staging)
     graft.core.CommitProtocol.publish(staging, Seq(staging -> dest)) {
       Files.createFile(marker(dest)); ()
     }
-    retireSuperseded(root, keep = dest)
+    StoreLayout.retireSuperseded(root, keep = dest)
   }
 
   private def committedDeltas(base: Path): Seq[Path] =
-    Iterator.from(1).map(n => base.resolve(s"delta=$n"))
-      .takeWhile(d => Files.exists(marker(d))).toSeq
+    StoreLayout.committedDeltas(base)
 
   /** Length of the current committed delta chain — the compaction-
     * cadence readout (q_index_health). */
   private[graft] def committedDeltaCount(root: Path): Int =
-    currentBaseDir(root).map(committedDeltas(_).size).getOrElse(0)
+    StoreLayout.committedDeltaCount(root)
 
   private def requireBase(root: Path): Path =
-    currentBaseDir(root).getOrElse(
-      sys.error(s"no committed index at $root"))
+    StoreLayout.requireBase(root, "index")
 
-  /** Streaming-replay epochs already folded into the current base's
-    * delta chain ([[applyMaintenance]]'s `epoch`). */
+  /** Streaming-replay epochs already folded into the current committed
+    * version ([[applyMaintenance]]'s `epoch`) — compaction carries them
+    * forward. */
   private[graft] def appliedEpochs(root: Path): Set[Long] =
-    currentBaseDir(root).toSeq.flatMap(committedDeltas).flatMap { d =>
-      val f = d.resolve("_GRAFT_EPOCH")
-      if (Files.exists(f)) Files.readString(f).trim.toLongOption else None
-    }.toSet
+    StoreLayout.appliedEpochs(root)
 
   /** Lineage-cut cadence for delta-chain composition (r15 judge
     * hygiene note: iterated per-delta joins grow plan depth O(deltas)
@@ -291,8 +262,7 @@ object DedupIndex {
     Dedup.electKeepers(stagedView)
       .select(col("cluster_id"), col("doc_id").as("keeper_id"), col("qd"))
       .coalesce(1).write.parquet(staging.resolve("keepers").toString)
-    epoch.foreach(e =>
-      Files.writeString(staging.resolve("_GRAFT_EPOCH"), e.toString))
+    StoreLayout.stageEpochTag(staging, epoch)
     graft.core.CommitProtocol.publish(staging, Seq(staging -> dest)) {
       Files.createFile(marker(dest)); ()
     }
@@ -337,6 +307,6 @@ object DedupIndex {
         org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")))
       .filter($"n" > 1).drop("n")
     val snap = renamed.localCheckpoint(eager = true)
-    writeBase(spark, root, snap)
+    writeBase(spark, root, snap, carryEpochs = true)
   }
 }

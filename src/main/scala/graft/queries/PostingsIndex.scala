@@ -62,37 +62,18 @@ object PostingsIndex {
     StructField("tot", LongType)))
   private val tombSchema = StructType(Seq(StructField("doc_id", LongType)))
 
-  private def marker(dir: Path): Path = dir.resolve("_GRAFT_COMMITTED")
-
-  private def baseVersions(root: Path): Seq[(Int, Path)] =
-    if (!Files.isDirectory(root)) Seq.empty
-    else {
-      val ds = Files.list(root)
-      try ds.toArray.toSeq.map(_.asInstanceOf[Path])
-        .filter(_.getFileName.toString.startsWith("base-"))
-        .flatMap { p =>
-          p.getFileName.toString.stripPrefix("base-").toIntOption.map(_ -> p)
-        }.sortBy(_._1)
-      finally ds.close()
-    }
+  // disk layout (versioning, markers, delta chains, replay epochs) is
+  // the shared StoreLayout — see its scaladoc for the crash semantics
+  private def marker(dir: Path): Path = StoreLayout.marker(dir)
 
   private[graft] def currentBaseDir(root: Path): Option[Path] =
-    baseVersions(root).filter { case (_, p) => Files.exists(marker(p)) }
-      .lastOption.map(_._2)
+    StoreLayout.currentBaseDir(root)
 
   private[graft] def isCommitted(root: Path): Boolean =
-    currentBaseDir(root).isDefined
+    StoreLayout.isCommitted(root)
 
   private def readDir(spark: SparkSession, dir: Path, schema: StructType): DataFrame =
-    if (!Files.isDirectory(dir)) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(dir.toString)
-
-  private def retireSuperseded(root: Path, keep: Path): Unit =
-    baseVersions(root).map(_._2).filterNot(_ == keep).foreach { old =>
-      Files.deleteIfExists(marker(old))
-      graft.core.CommitProtocol.deleteRecursively(old)
-    }
+    StoreLayout.readDir(spark, dir, schema)
 
   private def normalize(postings: DataFrame): DataFrame =
     postings.select(col("term").cast("string"), col("doc_id").cast("long"),
@@ -118,40 +99,34 @@ object PostingsIndex {
     * index, sidecar, and constants staged together and committed by
     * one marker — the three artifacts can never be published out of
     * step. */
-  def writeBase(spark: SparkSession, root: Path, postings: DataFrame): Unit = {
+  def writeBase(spark: SparkSession, root: Path, postings: DataFrame,
+      carryEpochs: Boolean = false): Unit = {
     Files.createDirectories(root)
-    val next = baseVersions(root)
-      .filter { case (_, p) => Files.exists(marker(p)) }
-      .lastOption.map(_._1 + 1).getOrElse(1)
-    val dest = root.resolve(s"base-$next")
+    val dest = StoreLayout.nextBaseDest(root)
     val staging = root.getParent.resolve(root.getFileName.toString + "-staging")
     graft.core.CommitProtocol.deleteRecursively(staging)
     normalize(postings).write.parquet(staging.resolve("postings").toString)
     val staged = readDir(spark, staging.resolve("postings"), postingSchema)
     statsOf(staged).coalesce(1).write.parquet(staging.resolve("stats").toString)
     corpusOf(staged).coalesce(1).write.parquet(staging.resolve("corpus").toString)
+    if (carryEpochs) StoreLayout.stageEpochCarry(root, staging)
     graft.core.CommitProtocol.publish(staging, Seq(staging -> dest)) {
       Files.createFile(marker(dest)); ()
     }
-    retireSuperseded(root, keep = dest)
+    StoreLayout.retireSuperseded(root, keep = dest)
   }
 
   private def committedDeltas(base: Path): Seq[Path] =
-    Iterator.from(1).map(n => base.resolve(s"delta=$n"))
-      .takeWhile(d => Files.exists(marker(d))).toSeq
+    StoreLayout.committedDeltas(base)
 
   private[graft] def committedDeltaCount(root: Path): Int =
-    currentBaseDir(root).map(committedDeltas(_).size).getOrElse(0)
+    StoreLayout.committedDeltaCount(root)
 
   private def requireBase(root: Path): Path =
-    currentBaseDir(root).getOrElse(
-      sys.error(s"no committed postings index at $root"))
+    StoreLayout.requireBase(root, "postings index")
 
   private[graft] def appliedEpochs(root: Path): Set[Long] =
-    currentBaseDir(root).toSeq.flatMap(committedDeltas).flatMap { d =>
-      val f = d.resolve("_GRAFT_EPOCH")
-      if (Files.exists(f)) Files.readString(f).trim.toLongOption else None
-    }.toSet
+    StoreLayout.appliedEpochs(root)
 
   /** The composed live inverted index (term, doc_id, dl, tf). Plan
     * depth on long chains is bounded by the shared lineage-cut cadence
@@ -162,9 +137,17 @@ object PostingsIndex {
     committedDeltas(base).zipWithIndex.foreach { case (d, i) =>
       val tombs = readDir(spark, d.resolve("tombs"), tombSchema)
       val adds = readDir(spark, d.resolve("adds"), postingSchema)
-      // adds-then-tombs WITHIN a delta (a doc added and tombstoned in
-      // the same batch nets out) — the order the stats shift assumes
-      view = view.unionByName(adds).join(tombs, Seq("doc_id"), "left_anti")
+      // UPSERT semantics per delta (advisor r16: a plain union let a
+      // re-added doc duplicate its (term, doc) rows and inflate df):
+      // a doc id present in the adds REPLACES its standing rows, and a
+      // doc both added and tombstoned in the same batch nets out —
+      // view' = (view \ (adds.docs ∪ tombs)) ∪ (adds \ tombs), the
+      // order the stats shift assumes. A single delta can therefore
+      // express insert, update, and delete.
+      val replaced = adds.select(col("doc_id")).distinct()
+        .unionByName(tombs).distinct()
+      view = view.join(replaced, Seq("doc_id"), "left_anti")
+        .unionByName(adds.join(tombs, Seq("doc_id"), "left_anti"))
       if ((i + 1) % DedupIndex.ChainCutEvery == 0)
         view = view.localCheckpoint(eager = false)
     }
@@ -201,12 +184,15 @@ object PostingsIndex {
 
   /** Fold one maintenance batch in. `adds` are the ingest batch's own
     * postings rows (term, doc_id, dl, tf — tokenizing the batch alone);
-    * `tombs` are deleted doc ids. The per-term sidecar shift is ONE
-    * batch-vocabulary-bounded aggregation over the staged adds (the
-    * q_postings_incremental upsert) plus one tombstone-bounded
-    * retraction over the affected committed rows (the
-    * q_postings_deletes leg) — never a full-vocabulary pass. `epoch`
-    * is the streaming replay tag ([[DedupIndex.applyMaintenance]]). */
+    * `tombs` are deleted doc ids. TRUE UPSERT (advisor r16): a doc id
+    * appearing in `adds` replaces any standing rows for that doc in one
+    * delta — insert, update, and delete each take a single call. The
+    * per-term sidecar shift is ONE batch-vocabulary-bounded aggregation
+    * over the staged adds (the q_postings_incremental upsert) plus one
+    * batch-bounded retraction over the affected committed rows (the
+    * q_postings_deletes leg, now also covering replaced docs) — never a
+    * full-vocabulary pass. `epoch` is the streaming replay tag
+    * ([[DedupIndex.applyMaintenance]]). */
   def applyMaintenance(spark: SparkSession, root: Path,
       adds: DataFrame, tombs: DataFrame, epoch: Option[Long] = None): Unit = {
     if (epoch.exists(appliedEpochs(root).contains)) return
@@ -220,13 +206,17 @@ object PostingsIndex {
       col(tombs.columns.head).cast("long").as("doc_id"))
     tombsNorm.coalesce(1).write.parquet(staging.resolve("tombs").toString)
     // shifts computed from the STAGED bytes (validation against
-    // staging, the protocol rule); retraction covers the composed view
-    // INCLUDING this delta's adds, so a doc added and tombstoned in the
-    // same batch nets to zero
+    // staging, the protocol rule). The retraction mirrors the upsert
+    // composition exactly: dead rows are the standing rows of every
+    // replaced-or-tombstoned doc PLUS the staged adds of docs
+    // tombstoned in the same batch — so a within-batch add+tomb nets
+    // to zero and a re-add retracts the OLD rows it replaces.
     val stagedAdds = readDir(spark, staging.resolve("adds"), postingSchema)
     val stagedTombs = readDir(spark, staging.resolve("tombs"), tombSchema)
-    val dead = postings(spark, root).unionByName(stagedAdds)
-      .join(stagedTombs, Seq("doc_id"), "left_semi")
+    val replaced = stagedAdds.select(col("doc_id")).distinct()
+      .unionByName(stagedTombs).distinct()
+    val dead = postings(spark, root).join(replaced, Seq("doc_id"), "left_semi")
+      .unionByName(stagedAdds.join(stagedTombs, Seq("doc_id"), "left_semi"))
     val shift = statsOf(stagedAdds)
       .unionByName(statsOf(dead)
         .select(col("term"), (-col("df")).as("df"), (-col("cf")).as("cf")))
@@ -239,8 +229,7 @@ object PostingsIndex {
         .select((-col("n_docs")).as("n_docs"), (-col("tot")).as("tot")))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot")).as("tot"))
       .coalesce(1).write.parquet(staging.resolve("corpus_delta").toString)
-    epoch.foreach(e =>
-      Files.writeString(staging.resolve("_GRAFT_EPOCH"), e.toString))
+    StoreLayout.stageEpochTag(staging, epoch)
     graft.core.CommitProtocol.publish(staging, Seq(staging -> dest)) {
       Files.createFile(marker(dest)); ()
     }
@@ -263,6 +252,6 @@ object PostingsIndex {
     * retracted postings and the re-materialization of the sidecar. */
   def compact(spark: SparkSession, root: Path): Unit = {
     val snap = postings(spark, root).localCheckpoint(eager = true)
-    writeBase(spark, root, snap)
+    writeBase(spark, root, snap, carryEpochs = true)
   }
 }

@@ -61,50 +61,30 @@ object SemanticIndex {
     StructField("cluster_id", LongType),
     StructField("cv", ArrayType(DoubleType))))
 
-  private def marker(dir: Path): Path = dir.resolve("_GRAFT_COMMITTED")
-
-  private def baseVersions(root: Path): Seq[(Int, Path)] =
-    if (!Files.isDirectory(root)) Seq.empty
-    else {
-      val ds = Files.list(root)
-      try ds.toArray.toSeq.map(_.asInstanceOf[Path])
-        .filter(_.getFileName.toString.startsWith("base-"))
-        .flatMap { p =>
-          p.getFileName.toString.stripPrefix("base-").toIntOption.map(_ -> p)
-        }.sortBy(_._1)
-      finally ds.close()
-    }
+  // disk layout (versioning, markers, delta chains, replay epochs) is
+  // the shared StoreLayout — see its scaladoc for the crash semantics
+  private def marker(dir: Path): Path = StoreLayout.marker(dir)
 
   /** The current committed base snapshot dir (highest marked base-N). */
   private[graft] def currentBaseDir(root: Path): Option[Path] =
-    baseVersions(root).filter { case (_, p) => Files.exists(marker(p)) }
-      .lastOption.map(_._2)
+    StoreLayout.currentBaseDir(root)
 
   private[graft] def isCommitted(root: Path): Boolean =
-    currentBaseDir(root).isDefined
+    StoreLayout.isCommitted(root)
 
   private def readDir(spark: SparkSession, dir: Path, schema: StructType): DataFrame =
-    if (!Files.isDirectory(dir)) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(dir.toString)
-
-  private def retireSuperseded(root: Path, keep: Path): Unit =
-    baseVersions(root).map(_._2).filterNot(_ == keep).foreach { old =>
-      Files.deleteIfExists(marker(old))
-      graft.core.CommitProtocol.deleteRecursively(old)
-    }
+    StoreLayout.readDir(spark, dir, schema)
 
   /** Publish the full-pass snapshot (vec_id, cell) as the next base
     * version, optionally with the centroid `model` it was assigned
     * under. Marker = commit point; the previous version (with its delta
-    * chain) stays current and recoverable until then. */
+    * chain) stays current and recoverable until then. `carryEpochs`
+    * (compaction paths only) carries the applied replay epochs forward
+    * (advisor r16 — [[StoreLayout.stageEpochCarry]]). */
   def writeBase(spark: SparkSession, root: Path, cells: DataFrame,
-      model: Option[DataFrame] = None): Unit = {
+      model: Option[DataFrame] = None, carryEpochs: Boolean = false): Unit = {
     Files.createDirectories(root)
-    val next = baseVersions(root)
-      .filter { case (_, p) => Files.exists(marker(p)) }
-      .lastOption.map(_._1 + 1).getOrElse(1)
-    val dest = root.resolve(s"base-$next")
+    val dest = StoreLayout.nextBaseDest(root)
     val staging = root.getParent.resolve(root.getFileName.toString + "-staging")
     graft.core.CommitProtocol.deleteRecursively(staging)
     cells.select(col("vec_id").cast("long"), col("cell").cast("long"))
@@ -112,29 +92,26 @@ object SemanticIndex {
     model.foreach(
       _.select(col("cluster_id").cast("long"), col("cv").cast("array<double>"))
         .coalesce(1).write.parquet(staging.resolve("model").toString))
+    if (carryEpochs) StoreLayout.stageEpochCarry(root, staging)
     graft.core.CommitProtocol.publish(staging, Seq(staging -> dest)) {
       Files.createFile(marker(dest)); ()
     }
-    retireSuperseded(root, keep = dest)
+    StoreLayout.retireSuperseded(root, keep = dest)
   }
 
   private def committedDeltas(base: Path): Seq[Path] =
-    Iterator.from(1).map(n => base.resolve(s"delta=$n"))
-      .takeWhile(d => Files.exists(marker(d))).toSeq
+    StoreLayout.committedDeltas(base)
 
   private[graft] def committedDeltaCount(root: Path): Int =
-    currentBaseDir(root).map(committedDeltas(_).size).getOrElse(0)
+    StoreLayout.committedDeltaCount(root)
 
   private def requireBase(root: Path): Path =
-    currentBaseDir(root).getOrElse(
-      sys.error(s"no committed cell index at $root"))
+    StoreLayout.requireBase(root, "cell index")
 
-  /** Streaming-replay epochs already folded into the current chain. */
+  /** Streaming-replay epochs already folded into the current committed
+    * version — compaction carries them forward. */
   private[graft] def appliedEpochs(root: Path): Set[Long] =
-    currentBaseDir(root).toSeq.flatMap(committedDeltas).flatMap { d =>
-      val f = d.resolve("_GRAFT_EPOCH")
-      if (Files.exists(f)) Files.readString(f).trim.toLongOption else None
-    }.toSet
+    StoreLayout.appliedEpochs(root)
 
   /** Fold one maintenance batch in: `adds` are the ADMITTED arrivals
     * with their assigned cells (the door already rejected duplicates);
@@ -155,8 +132,7 @@ object SemanticIndex {
       .coalesce(1).write.parquet(staging.resolve("adds").toString)
     tombs.select(col(tombs.columns.head).cast("long").as("vec_id"))
       .coalesce(1).write.parquet(staging.resolve("tombs").toString)
-    epoch.foreach(e =>
-      Files.writeString(staging.resolve("_GRAFT_EPOCH"), e.toString))
+    StoreLayout.stageEpochTag(staging, epoch)
     graft.core.CommitProtocol.publish(staging, Seq(staging -> dest)) {
       Files.createFile(marker(dest)); ()
     }
@@ -206,7 +182,7 @@ object SemanticIndex {
   def compact(spark: SparkSession, root: Path): Unit = {
     val snap = cells(spark, root).localCheckpoint(eager = true)
     writeBase(spark, root, snap, model = model(spark, root)
-      .map(_.localCheckpoint(eager = true)))
+      .map(_.localCheckpoint(eager = true)), carryEpochs = true)
   }
 
   /** Retraining compaction — the execution of the decision q_ivf_drift
@@ -217,7 +193,10 @@ object SemanticIndex {
     * discipline contract); after a retrain, the composed view equals
     * the fresh assignment of the live population under the NEW model —
     * asserted in SemanticIndexSpec on a drifted fixture, along with
-    * drift(after) < drift(before).
+    * residual(after) > residual(before): [[drift]]'s residual is a
+    * cosine, so HIGHER means closer to Lloyd stationarity (advisor r16
+    * caught the doc stating the inequality backwards; the spec always
+    * asserted the correct direction).
     *
     * @param vectors (vec_id, v: array&lt;double&gt;) covering every live id —
     *                the corpus embedding table at production
@@ -238,15 +217,17 @@ object SemanticIndex {
       .localCheckpoint(eager = true)
     val reassigned = graft.operators.KMeans.assign(corpus, newModel)
       .select($"vid".as("vec_id"), $"cluster_id".as("cell"))
-    writeBase(spark, root, reassigned, model = Some(newModel))
+    writeBase(spark, root, reassigned, model = Some(newModel),
+      carryEpochs = true)
   }
 
   /** Per-cell Lloyd residual of the committed model against the
     * composed live members — cosine(committed centroid, live member
-    * mean); the q_ivf_drift readout over THIS index's own state, used
-    * by the retrain spec to show drift(after retrain) < drift(before).
-    * One posexplode hash agg + a k-row broadcast join — the monitor's
-    * exact plan shape. */
+    * mean), so HIGHER is closer to stationarity (1.0 = the centroid the
+    * next Lloyd step would pick); the q_ivf_drift readout over THIS
+    * index's own state, used by the retrain spec to show
+    * residual(after retrain) > residual(before). One posexplode hash
+    * agg + a k-row broadcast join — the monitor's exact plan shape. */
   def drift(spark: SparkSession, root: Path, vectors: DataFrame): DataFrame = {
     import spark.implicits._
     val m = model(spark, root).getOrElse(sys.error(s"no committed model at $root"))

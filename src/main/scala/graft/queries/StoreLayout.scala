@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Path}
+
+/** The ONE versioned base-N + delta-chain disk layout shared by every
+  * committed index store ([[DedupIndex]], [[SemanticIndex]],
+  * [[PostingsIndex]], [[PhashIndex]]) — factored in round 17 from the
+  * three independently-evolved copies so a layout-level fix lands once
+  * (the CommitProtocol extraction rationale, one level up).
+  *
+  * Layout contract:
+  *   - `root/base-N/` — full snapshots; the HIGHEST N with a
+  *     `_GRAFT_COMMITTED` marker is current. A new base becomes visible
+  *     exactly at its marker; a crash anywhere in a publish leaves the
+  *     previous committed snapshot intact, and superseded versions are
+  *     retired lazily AFTER the new marker exists.
+  *   - `base-N/delta=M/` — committed maintenance batches OWNED by their
+  *     base version, each with its own marker; an optional
+  *     `_GRAFT_EPOCH` file carries the streaming micro-batch id the
+  *     delta folded, so replays are no-ops.
+  *   - `base-N/_GRAFT_EPOCHS` — the epoch high-water set CARRIED
+  *     FORWARD at compaction (advisor r16, medium): compact() publishes
+  *     a fresh base with zero deltas, and without the carry that erased
+  *     every recorded epoch — a crash after a mid-stream compaction but
+  *     before the streaming checkpoint commit would make Structured
+  *     Streaming re-fold its last micro-batch on top of the compacted
+  *     base (duplicate rows, double-counted sidecar shifts).
+  *     [[appliedEpochs]] is the union of this file and the live delta
+  *     chain's tags, so exactly-once survives any number of
+  *     compactions. Scale note: the set is one long per folded
+  *     streaming batch since the last FULL rebuild — kilobytes at any
+  *     corpus size; a deployment that retires a checkpoint entirely
+  *     rebuilds the store from the corpus, which starts a fresh base-1
+  *     with no carry.
+  */
+private[queries] object StoreLayout {
+
+  private val EpochsCarryFile = "_GRAFT_EPOCHS"
+  private val EpochTagFile = "_GRAFT_EPOCH"
+
+  def marker(dir: Path): Path = dir.resolve("_GRAFT_COMMITTED")
+
+  def baseVersions(root: Path): Seq[(Int, Path)] =
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val ds = Files.list(root)
+      try ds.toArray.toSeq.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.startsWith("base-"))
+        .flatMap { p =>
+          p.getFileName.toString.stripPrefix("base-").toIntOption.map(_ -> p)
+        }.sortBy(_._1)
+      finally ds.close()
+    }
+
+  /** The current committed base snapshot dir — the HIGHEST base-N with
+    * a marker (unmarked versions are crash residue, invisible). */
+  def currentBaseDir(root: Path): Option[Path] =
+    baseVersions(root).filter { case (_, p) => Files.exists(marker(p)) }
+      .lastOption.map(_._2)
+
+  def isCommitted(root: Path): Boolean = currentBaseDir(root).isDefined
+
+  def requireBase(root: Path, what: String): Path =
+    currentBaseDir(root).getOrElse(sys.error(s"no committed $what at $root"))
+
+  /** Destination dir for the NEXT base version (highest committed + 1;
+    * unmarked residue versions are overwritten by the publish). */
+  def nextBaseDest(root: Path): Path = {
+    val next = baseVersions(root)
+      .filter { case (_, p) => Files.exists(marker(p)) }
+      .lastOption.map(_._1 + 1).getOrElse(1)
+    root.resolve(s"base-$next")
+  }
+
+  /** Read a committed parquet dir with an explicit schema — an empty
+    * frame writes zero part files, and a schema-less read of that is an
+    * inference error, not an empty table. */
+  def readDir(spark: SparkSession, dir: Path, schema: StructType): DataFrame =
+    if (!Files.isDirectory(dir)) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dir.toString)
+
+  /** Retire every base version except `keep` — delete the marker FIRST
+    * (so a crash mid-delete leaves only unmarked residue, never a
+    * half-deleted dir a reader could still resolve), then the bytes.
+    * Best-effort garbage collection OUTSIDE any commit path: a crash
+    * here costs disk, never data. */
+  def retireSuperseded(root: Path, keep: Path): Unit =
+    baseVersions(root).map(_._2).filterNot(_ == keep).foreach { old =>
+      Files.deleteIfExists(marker(old))
+      graft.core.CommitProtocol.deleteRecursively(old)
+    }
+
+  def committedDeltas(base: Path): Seq[Path] =
+    Iterator.from(1).map(n => base.resolve(s"delta=$n"))
+      .takeWhile(d => Files.exists(marker(d))).toSeq
+
+  /** Length of the current committed delta chain — the compaction-
+    * cadence readout (q_index_health). */
+  def committedDeltaCount(root: Path): Int =
+    currentBaseDir(root).map(committedDeltas(_).size).getOrElse(0)
+
+  /** Streaming-replay epochs already folded into the current committed
+    * version: the base's carried set (compaction survivors) plus the
+    * live delta chain's tags. */
+  def appliedEpochs(root: Path): Set[Long] =
+    currentBaseDir(root).toSeq.flatMap { base =>
+      val carried = {
+        val f = base.resolve(EpochsCarryFile)
+        if (Files.exists(f))
+          Files.readString(f).split('\n').toSeq
+            .flatMap(_.trim.toLongOption)
+        else Seq.empty
+      }
+      carried ++ committedDeltas(base).flatMap { d =>
+        val f = d.resolve(EpochTagFile)
+        if (Files.exists(f)) Files.readString(f).trim.toLongOption else None
+      }
+    }.toSet
+
+  /** Stage the epoch carry for a COMPACTING base publish: the current
+    * version's applied epochs, written into the staging dir so they
+    * ride the same commit marker as the folded data. Called only by
+    * compact()/retrainCompact() paths — a from-scratch rebuild starts a
+    * clean epoch history by design (it pairs with a fresh streaming
+    * checkpoint, whose batch ids restart at 0). */
+  def stageEpochCarry(root: Path, staging: Path): Unit = {
+    val es = appliedEpochs(root)
+    if (es.nonEmpty)
+      Files.writeString(staging.resolve(EpochsCarryFile),
+        es.toSeq.sorted.mkString("\n"))
+  }
+
+  /** Stage a delta's replay tag. */
+  def stageEpochTag(staging: Path, epoch: Option[Long]): Unit =
+    epoch.foreach(e =>
+      Files.writeString(staging.resolve(EpochTagFile), e.toString))
+}

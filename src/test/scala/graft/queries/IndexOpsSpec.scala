@@ -20,6 +20,65 @@ class IndexOpsSpec extends SparkTestBase {
       nLive = 84) == 0L) // 16 retired < 16.8
     assert(IndexOps.compactDue(nDeltas = 1, nBase = 100, nAdded = 0,
       nLive = 80) == 1L) // 20 retired, 100 >= 80
+    // advisor r16: the space trigger needs ACTUAL retirements — an
+    // empty (or retirement-free) store must never flag, else the sweep
+    // compacts it forever (compaction can't reset 0 >= 0)
+    assert(IndexOps.compactDue(nDeltas = 0, nBase = 0, nAdded = 0,
+      nLive = 0) == 0L)
+    assert(IndexOps.compactDue(nDeltas = 2, nBase = 50, nAdded = 0,
+      nLive = 50) == 0L)
+  }
+
+  test("replay epochs survive compaction in every store (advisor r16)") {
+    import spark.implicits._
+    // dedup store
+    val dr = java.nio.file.Paths.get(tempDir("epcDedup"), "idx")
+    DedupIndex.writeBase(spark, dr,
+      Seq((10L, 10L, BigDecimal("0.10").setScale(9)),
+        (11L, 10L, BigDecimal("0.11").setScale(9)))
+        .toDF("doc_id", "cluster_id", "qd"))
+    val qd = Seq((30L, BigDecimal("0.30").setScale(9))).toDF("doc_id", "qd")
+    DedupIndex.applyMaintenance(spark, dr,
+      Seq((11L, 30L)).toDF("doc_a", "doc_b"), qd,
+      spark.emptyDataset[Long].toDF("doc_id"), epoch = Some(7L))
+    DedupIndex.compact(spark, dr)
+    assert(DedupIndex.appliedEpochs(dr) == Set(7L))
+    val labels = DedupIndex.labels(spark, dr).count()
+    DedupIndex.applyMaintenance(spark, dr,
+      Seq((11L, 30L)).toDF("doc_a", "doc_b"), qd,
+      spark.emptyDataset[Long].toDF("doc_id"), epoch = Some(7L))
+    assert(DedupIndex.committedDeltaCount(dr) == 0)
+    assert(DedupIndex.labels(spark, dr).count() == labels)
+
+    // semantic store
+    val sr = java.nio.file.Paths.get(tempDir("epcSem"), "cells")
+    SemanticIndex.writeBase(spark, sr,
+      Seq((1L, 0L)).toDF("vec_id", "cell"))
+    SemanticIndex.applyMaintenance(spark, sr,
+      Seq((6L, 0L)).toDF("vec_id", "cell"),
+      spark.emptyDataset[Long].toDF("vec_id"), epoch = Some(3L))
+    SemanticIndex.compact(spark, sr)
+    assert(SemanticIndex.appliedEpochs(sr) == Set(3L))
+    SemanticIndex.applyMaintenance(spark, sr,
+      Seq((6L, 0L)).toDF("vec_id", "cell"),
+      spark.emptyDataset[Long].toDF("vec_id"), epoch = Some(3L))
+    assert(SemanticIndex.committedDeltaCount(sr) == 0)
+    assert(SemanticIndex.cells(spark, sr).count() == 2L)
+
+    // postings store
+    val pr = java.nio.file.Paths.get(tempDir("epcPost"), "idx")
+    PostingsIndex.writeBase(spark, pr,
+      Seq(("a", 1L, 1L, 1L)).toDF("term", "doc_id", "dl", "tf"))
+    PostingsIndex.applyMaintenance(spark, pr,
+      Seq(("b", 6L, 1L, 1L)).toDF("term", "doc_id", "dl", "tf"),
+      spark.emptyDataset[Long].toDF("doc_id"), epoch = Some(9L))
+    PostingsIndex.compact(spark, pr)
+    assert(PostingsIndex.appliedEpochs(pr) == Set(9L))
+    PostingsIndex.applyMaintenance(spark, pr,
+      Seq(("b", 6L, 1L, 1L)).toDF("term", "doc_id", "dl", "tf"),
+      spark.emptyDataset[Long].toDF("doc_id"), epoch = Some(9L))
+    assert(PostingsIndex.committedDeltaCount(pr) == 0)
+    assert(PostingsIndex.stats(spark, pr).count() == 2L)
   }
 
   test("a store driven past the chain bar reports compact_due; compact resets it") {
@@ -93,12 +152,13 @@ class IndexOpsSpec extends SparkTestBase {
     assert(got == expect, got.toString)
   }
 
-  test("the face reads all three committed stores as healthy at fixture scale") {
+  test("the face reads all four committed stores as healthy at fixture scale") {
     import spark.implicits._
     val got = IndexOps.qIndexHealth(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> r).toMap
-    assert(got.keySet == Set("dedup_labels", "postings", "semantic_cells"))
+    assert(got.keySet ==
+      Set("dedup_labels", "phash", "postings", "semantic_cells"))
     got.values.foreach { case (name, nDeltas, nBase, nAdded, nLive, nRetired, due) =>
       assert(nDeltas == 2L, name)
       assert(nRetired == nBase + nAdded - nLive, name)

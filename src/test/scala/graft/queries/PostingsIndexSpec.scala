@@ -67,6 +67,29 @@ class PostingsIndexSpec extends SparkTestBase {
     } finally ds.close()
   }
 
+  test("a single delta updates a standing doc (true upsert, advisor r16)") {
+    import spark.implicits._
+    val root = java.nio.file.Paths.get(tempDir("postupsert"), "idx")
+    PostingsIndex.writeBase(spark, root,
+      (posting(1L, 2L, "a" -> 1L, "b" -> 1L) ++
+        posting(2L, 1L, "a" -> 1L)).toDF("term", "doc_id", "dl", "tf"))
+    // re-add doc 1 with new content: "b" gone, "c" in, dl 3 — ONE call
+    PostingsIndex.applyMaintenance(spark, root,
+      adds = posting(1L, 3L, "a" -> 2L, "c" -> 1L)
+        .toDF("term", "doc_id", "dl", "tf"),
+      tombs = spark.emptyDataset[Long].toDF("doc_id"))
+    val view = PostingsIndex.postings(spark, root)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(view == Set(("a", 1L, 3L, 2L), ("c", 1L, 3L, 1L),
+      ("a", 2L, 1L, 1L)), view.toString)
+    // sidecar tracks the replacement exactly: df NOT inflated, b vanishes
+    assert(PostingsIndex.stats(spark, root)
+      .as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 2L, 3L), ("c", 1L, 1L)))
+    assert(PostingsIndex.corpusStats(spark, root)
+      .as[(Long, Long)].head() == ((2L, 4L)))
+  }
+
   test("unmarked residue is invisible; epochs fold exactly once") {
     import spark.implicits._
     val root = java.nio.file.Paths.get(tempDir("postidxres"), "idx")
