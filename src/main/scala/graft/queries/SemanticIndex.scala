@@ -175,6 +175,37 @@ object SemanticIndex {
     if (Files.isDirectory(dir)) Some(readDir(spark, dir, modelSchema)) else None
   }
 
+  /** True when the current committed base carries a centroid model. */
+  private[graft] def hasModel(root: Path): Boolean =
+    currentBaseDir(root).exists(b => Files.isDirectory(b.resolve("model")))
+
+  /** Per-cell Lloyd residual with ENGINE-EXACT arithmetic (the
+    * q_ivf_drift decimal discipline: 9-dp decimal component sums,
+    * double cosine, 9-dp decimal cut) — the [[drift]] readout hardened
+    * so the health face can state it against a DuckDB oracle. Returns
+    * (cell, residual DECIMAL(12,9)); callers cast to double at the
+    * output boundary. Higher is closer to stationarity. */
+  private[queries] def residualsD9(spark: SparkSession, root: Path,
+      vectors: DataFrame): DataFrame = {
+    import spark.implicits._
+    val m = model(spark, root).getOrElse(sys.error(s"no committed model at $root"))
+    val members = cells(spark, root)
+      .join(vectors.select($"vec_id", $"v".cast("array<double>").as("v")),
+        Seq("vec_id"))
+    val sums = members.select($"cell", posexplode($"v"))
+      .select($"cell", $"pos",
+        round($"col", 9).cast("decimal(12,9)").as("x"))
+      .groupBy($"cell", $"pos").agg(sum($"x").as("s"))
+    val mv = sums.groupBy($"cell")
+      .agg(transform(
+        array_sort(collect_list(struct($"pos", $"s".cast("double").as("x")))),
+        r => r.getField("x")).as("mv"))
+    mv.join(broadcast(m), $"cell" === $"cluster_id")
+      .select($"cell",
+        round(Similarity.cosineCol($"mv", $"cv"), 9)
+          .cast("decimal(12,9)").as("residual"))
+  }
+
   /** Fold the delta chain into a new base — the physical erasure of
     * tombstoned rows. The committed model (if any) carries over
     * unchanged: plain compaction reclaims space, it never moves an

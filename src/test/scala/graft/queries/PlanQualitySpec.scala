@@ -270,6 +270,34 @@ class PlanQualitySpec extends SparkTestBase {
     }.isEmpty, ih.queryExecution.executedPlan.toString)
   }
 
+  test("r17 faces keep their intended plan shapes") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    // committed phash store reads: an index READ — the payloads never
+    // enter the plan (no file scan touching text, no Generate re-slicing
+    // frames, no cartesian); the probes are banded/fingerprint
+    // equi-joins off the composed store (the q_bm25_index contract,
+    // applied to the binary modality)
+    for ((df, allowGenerate) <- Seq(
+        MultimodalMeta.qPhashIndexStats(spark, sfDir) -> false,
+        // the probe legitimately explodes the 8-byte hash into its 4
+        // bands (arithmetic on index state, not payload re-slicing)
+        MultimodalMeta.qPhashIndexProbe(spark, sfDir) -> true,
+        MultimodalMeta.qFrameIndexReuse(spark, sfDir) -> false)) {
+      val exec = df.queryExecution.executedPlan
+      assert(!plan(df).contains("CartesianProduct"), plan(df))
+      if (!allowGenerate)
+        assert(exec.collect {
+          case g: org.apache.spark.sql.execution.GenerateExec => g
+        }.isEmpty, exec.toString)
+      assert(exec.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.requiredSchema.fieldNames.contains("text") => s
+      }.isEmpty, exec.toString)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case w: Window => w }.isEmpty, df.queryExecution.optimizedPlan.toString)
+    }
+  }
+
   test("bm25 probe reads the standing postings, not the corpus text") {
     // review r9 (judge item 4): the probe must be an inverted-index
     // lookup — no per-query tokenization (no Generate/explode in the
