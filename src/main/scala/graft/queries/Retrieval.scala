@@ -865,6 +865,7 @@ object Retrieval {
       val current =
         PostingsIndex.isCommitted(root) &&
         PostingsIndex.committedDeltaCount(root) == 2 &&
+        PostingsIndex.isBucketed(root) &&
         java.nio.file.Files.exists(sigFile) &&
         java.nio.file.Files.readString(sigFile).trim == sig.toString
       if (!current) {

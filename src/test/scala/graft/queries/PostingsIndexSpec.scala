@@ -115,6 +115,46 @@ class PostingsIndexSpec extends SparkTestBase {
       Set(("a", 1L, 1L), ("b", 1L, 1L)))
   }
 
+  test("the maintenance probe prunes the doc-bucketed base to the touched partitions") {
+    import spark.implicits._
+    val root = java.nio.file.Paths.get(tempDir("postbuck"), "idx")
+    // 64 docs spread across the 16 hash buckets
+    val base = (1L to 64L).flatMap(d => posting(d, 1L, s"t$d" -> 1L))
+      .toDF("term", "doc_id", "dl", "tf")
+    PostingsIndex.writeBase(spark, root, base)
+    // the base landed partitioned by bucket on disk
+    val baseDir = PostingsIndex.currentBaseDir(root).get.resolve("postings")
+    val parts = {
+      val ds = java.nio.file.Files.list(baseDir)
+      try ds.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path]
+        .getFileName.toString).filter(_.startsWith("bucket=")).sorted
+      finally ds.close()
+    }
+    assert(parts.size > 1, parts.toString)
+    assert(PostingsIndex.isBucketed(root))
+    // the pruned view carries a partition filter into the base scan
+    // and reads a strict subset of the partitions
+    val pruned = PostingsIndex.postingsForBuckets(spark, root, Seq(0, 1))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val baseScan = scans.find(_.relation.location.rootPaths
+      .exists(_.toString.contains("postings"))).get
+    assert(baseScan.partitionFilters.nonEmpty, baseScan.toString)
+    assert(baseScan.relation.location.listFiles(
+        baseScan.partitionFilters, Nil).size < parts.size,
+      s"probe must not read all ${parts.size} partitions")
+    // and the pruned rows are exactly the full view's rows in-bucket
+    val full = PostingsIndex.postings(spark, root)
+      .withColumn("b", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash($"doc_id"), org.apache.spark.sql.functions.lit(16)))
+      .filter($"b".isin(0, 1)).drop("b")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(pruned.as[(String, Long, Long, Long)].collect().toSet == full)
+    assert(full.nonEmpty)
+  }
+
   test("composed committed artifacts equal the fresh pass on the real corpus") {
     import spark.implicits._
     // the oracle faces assert this against DuckDB at sf0.01; same
