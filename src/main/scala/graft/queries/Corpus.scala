@@ -987,6 +987,13 @@ object Corpus {
       .select($"doc_id", $"cluster",
         round($"x", 9).cast("decimal(12,9)").as("x9"),
         round($"y", 9).cast("decimal(12,9)").as("y9"))
+      // p feeds BOTH the centroid aggregate and the point×centroid
+      // cross — DataFrame plans share no subtrees, so without a cut the
+      // whole DBSCAN label derivation (a 214-operator plan, 175
+      // Exchanges at r17 measurement) runs twice in one action;
+      // checkpointing the narrow n-scale assignment runs it once and
+      // truncates the plan (opt guide §3.3 / §5)
+      .localCheckpoint()
     val cent = p.groupBy($"cluster").agg(
       (sum($"x9").cast("double") / count(lit(1)).cast("double")).as("cx"),
       (sum($"y9").cast("double") / count(lit(1)).cast("double")).as("cy"))
@@ -1170,11 +1177,18 @@ object Corpus {
         coalesce(sum(when(!col(s"c$i") && col(s"h$i") === 1L, 1L)
           .otherwise(0L)), lit(0L)).as(s"border$i"))
     }
-    val cnt = flags.join(touched, Seq("ida"))
-      .agg(cntAggs.head, cntAggs.tail: _*).collect()(0)
-    // cluster counts: per-eps cell contraction + driver union-find, core
-    // sets read from the shared flag frame
-    val rows = DbSweepEps.zipWithIndex.map { case (eps, i) =>
+    // The core/border rollup and the three per-eps cluster counts are
+    // independent job chains over the shared (checkpointed/staged) flag
+    // and pair frames — submit them concurrently (opt guide §2.6) so
+    // the driver-sequential tail (4 chains × several small jobs each)
+    // collapses to the slowest chain. Values are untouched: each chain
+    // reads only immutable frames and lands at its input index.
+    val cntThunk: () => org.apache.spark.sql.Row = () =>
+      flags.join(touched, Seq("ida"))
+        .agg(cntAggs.head, cntAggs.tail: _*).collect()(0)
+    // per-eps cell contraction + driver union-find, core sets read from
+    // the shared flag frame
+    val clusterThunks = DbSweepEps.zipWithIndex.map { case (eps, i) => () => {
       val core = flags.where(col(s"c$i")).select($"ida".as("doc_id"))
       val c2 = eps / 2.0
       val coreCells = core.join(pts, Seq("doc_id"))
@@ -1198,7 +1212,13 @@ object Corpus {
       val (_, nIncident, nComponents) =
         graft.operators.DriverComponents.minLabelsWithCounts(cellEdges)
       val nReps = coreRep.select($"rep").distinct().count()
-      val nClusters = nComponents + (nReps - nIncident)
+      nComponents + (nReps - nIncident)
+    }}
+    val par = graft.operators.Par.run[Any](
+      (cntThunk: () => Any) +: clusterThunks.map(t => (t: () => Any)))
+    val cnt = par.head.asInstanceOf[org.apache.spark.sql.Row]
+    val rows = DbSweepEps.zipWithIndex.map { case (eps, i) =>
+      val nClusters = par(1 + i).asInstanceOf[Long]
       val nCore = cnt.getLong(2 * i)
       val nBorder = cnt.getLong(2 * i + 1)
       (eps, nCore, nBorder, nDocs - nCore - nBorder, nClusters)

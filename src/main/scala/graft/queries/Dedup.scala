@@ -2077,24 +2077,29 @@ object Dedup {
     // proven equal to the exhaustive jaccard ≥ 0.6 set by its own
     // brute-force oracle (q_dedup_near) and by the lossless prefix
     // index (q_prefix_jaccard), so no exactness is ceded by reading it
-    val truth = nearDupPairs(spark, sfDir)
-      .select(least($"doc_a", $"doc_b").as("pa"),
-        greatest($"doc_a", $"doc_b").as("pb"))
-      .localCheckpoint()
     def norm(df: DataFrame): DataFrame =
       df.select(least($"doc_a", $"doc_b").as("pa"),
         greatest($"doc_a", $"doc_b").as("pb")).distinct()
         .localCheckpoint()
-    val c1 = norm(snCandText(spark, sfDir))
-    val c2 = norm(snCandRev(spark, sfDir))
-    val cu = c1.unionByName(c2).distinct().localCheckpoint()
-    // the sketch-band family measured against the SAME jaccard truth:
-    // simhash banding is md5-derived, so the oracle reproduces the
-    // exact candidate set (LSH minhash bands are xxhash-keyed and
+    // the four eager checkpoint materializations are independent job
+    // chains — submit them concurrently (opt guide §2.6) instead of
+    // paying each chain's stage tail sequentially; the frames (and
+    // every count derived from them) are unchanged
+    // [c3] the sketch-band family measured against the SAME jaccard
+    // truth: simhash banding is md5-derived, so the oracle reproduces
+    // the exact candidate set (LSH minhash bands are xxhash-keyed and
     // deliberately NOT audited here — their candidate count is not
     // engine-portable; their RESULT is certified by q_dedup_near's
     // brute-force oracle instead)
-    val c3 = norm(simhashBandCandidates(spark, sfDir))
+    val Seq(truth, c1, c2, c3) = graft.operators.Par.run(Seq(
+      () => nearDupPairs(spark, sfDir)
+        .select(least($"doc_a", $"doc_b").as("pa"),
+          greatest($"doc_a", $"doc_b").as("pb"))
+        .localCheckpoint(),
+      () => norm(snCandText(spark, sfDir)),
+      () => norm(snCandRev(spark, sfDir)),
+      () => norm(simhashBandCandidates(spark, sfDir))))
+    val cu = c1.unionByName(c2).distinct().localCheckpoint()
     def audit(name: String, cand: DataFrame): DataFrame =
       cand.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(cand.join(truth, Seq("pa", "pb"), "left_semi")

@@ -1009,19 +1009,31 @@ object Events {
         .select($"event_type".as("src"), lit("^end").as("dst")))
       .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
       .unionByName(Seq(("^end", "^start", 1L)).toDF("src", "dst", "n"))
-    val tot = raw.groupBy($"src").agg(sum($"n").as("wt"))
-    val ed = raw.join(tot, Seq("src")).localCheckpoint(eager = false)
-    var r = tot.select($"src".as("node"), lit(McScale).as("r"))
+    // ONE distributed pass builds the aggregated kernel; the 3 power
+    // steps then run as a DRIVER-LOCAL exact-integer kernel over the
+    // collected edge table (r17: the old per-step join+groupBy chain
+    // was 9 exchanges over frames bounded by (|event types|+2)² — all
+    // scheduler overhead at any scale, since the kernel after the one
+    // corpus aggregation is geometry-bounded like DriverComponents'
+    // edge lists). Arithmetic is unchanged: r·n over exact longs with
+    // BigInt floor division (both nonnegative, so BigInt's truncation
+    // ≡ the old DECIMAL div), order-independent integer sums.
+    val edges = raw.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val wt: Map[String, Long] = edges.groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._3).sum }
+    var rm: Map[String, Long] = wt.keysIterator.map(_ -> McScale).toMap
     for (_ <- 1 to McIters) {
-      r = ed.join(r, $"src" === $"node")
-        .select($"dst",
-          expr("CAST((CAST(r AS DECIMAL(38,0)) * n) div wt AS BIGINT)").as("c"))
-        .groupBy($"dst").agg(sum($"c").as("r"))
-        .select($"dst".as("node"), $"r")
+      rm = edges.iterator
+        .filter { case (s, _, _) => rm.contains(s) }
+        .map { case (s, d, n) => d -> ((BigInt(rm(s)) * n) / wt(s)).toLong }
+        .toSeq.groupBy(_._1)
+        .map { case (d, cs) => d -> cs.map(_._2).sum }
     }
-    r.crossJoin(broadcast(r.agg(sum($"r").as("tr"))))
-      .select($"node".as("state"), $"r".as("mass"),
-        ($"r".cast("double") / $"tr".cast("double")).as("share"))
+    val tr = rm.valuesIterator.sum
+    rm.toSeq
+      .map { case (node, r) => (node, r, r.toDouble / tr.toDouble) }
+      .toDF("state", "mass", "share")
   }
 
   val qJourneyStationarySql: String = {

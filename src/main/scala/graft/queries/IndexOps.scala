@@ -155,22 +155,35 @@ object IndexOps {
 
   def qIndexHealth(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val stores = Seq(
-      "dedup_labels" -> DedupIndex.healthCounts(spark,
+    // The five readouts (four stores' composed counts + the semantic
+    // model's residual) are INDEPENDENT chains of small jobs; run them
+    // as concurrently-submitted driver jobs (opt guide §2.6) instead of
+    // a sequential sweep — each store's counts are unchanged, only the
+    // idle tail between jobs goes away (r17: 3.4 s → the slowest single
+    // store's chain).
+    val thunks: Seq[() => Any] = Seq(
+      () => DedupIndex.healthCounts(spark,
         Dedup.maintainedIndexRoot(spark, sfDir)),
-      "phash" -> PhashIndex.healthCounts(spark,
+      () => PhashIndex.healthCounts(spark,
         MultimodalMeta.phashIndexRoot(spark, sfDir)),
-      "postings" -> PostingsIndex.healthCounts(spark,
+      () => PostingsIndex.healthCounts(spark,
         Retrieval.postingsIndexRoot(spark, sfDir)),
-      "semantic_cells" -> SemanticIndex.healthCounts(spark,
-        Similarity.maintainedCellRoot(spark, sfDir)))
-    // the drift column (r17, judge r16 #3): the committed model's
-    // WORST live-cell residual, present only for the model-carrying
-    // store; retrain_due applies the ONE residual bar the sweep uses —
-    // the face now reports exactly the decision autoCompact executes
-    val semResidual = minResidual(spark,
-      Similarity.maintainedCellRoot(spark, sfDir),
-      Similarity.corpusVectors(spark, sfDir))
+      () => SemanticIndex.healthCounts(spark,
+        Similarity.maintainedCellRoot(spark, sfDir)),
+      // the drift column (r17, judge r16 #3): the committed model's
+      // WORST live-cell residual, present only for the model-carrying
+      // store; retrain_due applies the ONE residual bar the sweep uses —
+      // the face now reports exactly the decision autoCompact executes
+      () => minResidual(spark,
+        Similarity.maintainedCellRoot(spark, sfDir),
+        Similarity.corpusVectors(spark, sfDir)))
+    val res = graft.operators.Par.run(thunks)
+    val stores = Seq(
+      "dedup_labels" -> res(0).asInstanceOf[(Long, Long, Long, Long)],
+      "phash" -> res(1).asInstanceOf[(Long, Long, Long, Long)],
+      "postings" -> res(2).asInstanceOf[(Long, Long, Long, Long)],
+      "semantic_cells" -> res(3).asInstanceOf[(Long, Long, Long, Long)])
+    val semResidual = res(4).asInstanceOf[Option[java.math.BigDecimal]]
     stores.map { case (name, (nDeltas, nBase, nAdded, nLive)) =>
       val r = if (name == "semantic_cells") semResidual else None
       (name, nDeltas, nBase, nAdded, nLive, nBase + nAdded - nLive,

@@ -133,10 +133,22 @@ object Retrieval {
         count(lit(1)).as("n_terms"))
   }
 
+  /** `keep`: when the query's terms are known literally, the keep-set
+    * goes on the postings/stats SCANS as an isin predicate (reaches
+    * parquet as PushedFilters — the qBm25Index discipline) in addition
+    * to the qw-attach join; the broadcast join alone cannot prune the
+    * scan. Semantically a no-op: the join keeps exactly these terms. */
   private def bm25Scores(spark: SparkSession, sfDir: String,
-      queryTerms: DataFrame): DataFrame =
-    bm25ScoresFrom(postings(spark, sfDir), termStats(spark, sfDir),
-      corpusStats(spark, sfDir), queryTerms)
+      queryTerms: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val post = postings(spark, sfDir)
+    val stats = termStats(spark, sfDir)
+    val (p, s) =
+      if (keep.nonEmpty)
+        (post.filter(col("term").isin(keep: _*)),
+          stats.filter(col("term").isin(keep: _*)))
+      else (post, stats)
+    bm25ScoresFrom(p, s, corpusStats(spark, sfDir), queryTerms)
+  }
 
   /** The shared top-k presentation of a BM25 score frame (rescale
     * rationale at [[qBm25]]). */
@@ -163,7 +175,7 @@ object Retrieval {
   // truncates — and the cast after it only relabels the (already
   // 9-dp-exact) scale.
   def qBm25(spark: SparkSession, sfDir: String): DataFrame =
-    bm25Top(bm25Scores(spark, sfDir, unitTerms(spark, Bm25Terms)))
+    bm25Top(bm25Scores(spark, sfDir, unitTerms(spark, Bm25Terms), Bm25Terms))
 
   /** The BM25 oracle, parameterized by the live-document restriction —
     * "" is the staged-frame probe's whole corpus; the committed-index
@@ -222,7 +234,7 @@ object Retrieval {
   private[queries] def prfExpansionTerms(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
-    val fb = bm25Scores(spark, sfDir, unitTerms(spark, Bm25Terms))
+    val fb = bm25Scores(spark, sfDir, unitTerms(spark, Bm25Terms), Bm25Terms)
       .orderBy($"s".desc, $"doc_id").limit(PrfFeedbackK)
       .select($"doc_id")
     postings(spark, sfDir)
@@ -240,10 +252,18 @@ object Retrieval {
 
   def qPrfExpand(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val expTerms = prfExpansionTerms(spark, sfDir)
+    // Evaluate the mined expansion EAGERLY (a ≤ PrfExpandK-row collect —
+    // kilobyte-bounded, the Bm25QueryModel discipline) so pass 2 runs
+    // with a LITERAL 10-term keep-set: the predicate reaches the
+    // postings/stats parquet scans as PushedFilters, and the single
+    // monster plan (pass 1 ∘ mining ∘ pass 2, three full postings
+    // scans with no scan pruning) splits into two index probes.
+    val mined: Seq[String] = prfExpansionTerms(spark, sfDir)
+      .collect().map(_.getString(0)).toSeq
+    val expTerms = mined.toDF("term")
       .select($"term", lit(0.5).cast("decimal(2,1)").as("qw"))
     val qTerms = unitTerms(spark, Bm25Terms).unionByName(expTerms)
-    val rescored = bm25Scores(spark, sfDir, qTerms)
+    val rescored = bm25Scores(spark, sfDir, qTerms, Bm25Terms ++ mined)
     rescored.orderBy($"s".desc, $"doc_id").limit(Bm25TopK)
       .select($"doc_id", $"n_terms",
         round($"s", 9).cast("decimal(22,9)").cast("double").as("score"),
