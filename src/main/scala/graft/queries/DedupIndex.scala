@@ -270,15 +270,17 @@ object DedupIndex {
 
   /** Operational counters for the health face (q_index_health):
     * (committed delta-chain length, base member rows, Σ delta add rows,
-    * composed live rows). Parquet row counts are footer metadata —
-    * no data scan. */
+    * composed live rows). Base/add counts are driver-side parquet
+    * FOOTER reads (no Spark job — [[StoreLayout.footerRowCount]]);
+    * only the composed live count runs a real job, the honest price of
+    * an audit-grade readout. */
   private[graft] def healthCounts(spark: SparkSession,
       root: Path): (Long, Long, Long, Long) = {
     val base = requireBase(root)
     val deltas = committedDeltas(base)
-    val nBase = readDir(spark, base.resolve("labels"), labelSchema).count()
+    val nBase = StoreLayout.footerRowCount(spark, base.resolve("labels"))
     val nAdds = deltas.map(d =>
-      readDir(spark, d.resolve("adds"), labelSchema).count()).sum
+      StoreLayout.footerRowCount(spark, d.resolve("adds"))).sum
     (deltas.size.toLong, nBase, nAdds, labels(spark, root).count())
   }
 

@@ -165,9 +165,10 @@ object PhashIndex {
       root: Path): (Long, Long, Long, Long) = {
     val base = requireBase(root)
     val deltas = committedDeltas(base)
-    val nBase = readDir(spark, base.resolve("phash"), phashSchema).count()
+    // base/add counts from parquet footers (driver-side, no Spark job)
+    val nBase = StoreLayout.footerRowCount(spark, base.resolve("phash"))
     val nAdds = deltas.map(d =>
-      readDir(spark, d.resolve("adds_phash"), phashSchema).count()).sum
+      StoreLayout.footerRowCount(spark, d.resolve("adds_phash"))).sum
     (deltas.size.toLong, nBase, nAdds, phash(spark, root).count())
   }
 

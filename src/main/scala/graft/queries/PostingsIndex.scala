@@ -117,8 +117,15 @@ object PostingsIndex {
     val staging = root.getParent.resolve(root.getFileName.toString + "-staging")
     graft.core.CommitProtocol.deleteRecursively(staging)
     // doc-bucketed base layout (judge r16 #6): partitioned by the doc
-    // hash bucket so maintenance probes prune; readers drop the column
+    // hash bucket so maintenance probes prune; readers drop the column.
+    // REPARTITION by the bucket column before the partitioned write
+    // (guide §6, Iceberg's hash write.distribution-mode): without it
+    // every write task emits a file into every bucket dir — #tasks ×
+    // #buckets small files (522 measured at sf0.1; the r17 composed
+    // reads and footer counts paid per-file overhead on all of them) —
+    // with it each bucket is written by one task: ≤ #buckets files.
     normalize(postings).withColumn("bucket", bucketCol)
+      .repartition(DocBuckets, col("bucket"))
       .write.partitionBy("bucket")
       .parquet(staging.resolve("postings").toString)
     val staged = readDir(spark, staging.resolve("postings"), basePostingSchema)
@@ -298,14 +305,15 @@ object PostingsIndex {
 
   /** Operational counters for the health face (q_index_health):
     * (delta-chain length, base posting rows, Σ delta add rows, composed
-    * live posting rows). */
+    * live posting rows). Base/add counts read parquet footers on the
+    * driver (no Spark job); only the composed live count runs one. */
   private[graft] def healthCounts(spark: SparkSession,
       root: Path): (Long, Long, Long, Long) = {
     val base = requireBase(root)
     val deltas = committedDeltas(base)
-    val nBase = readDir(spark, base.resolve("postings"), basePostingSchema).count()
+    val nBase = StoreLayout.footerRowCount(spark, base.resolve("postings"))
     val nAdds = deltas.map(d =>
-      readDir(spark, d.resolve("adds"), postingSchema).count()).sum
+      StoreLayout.footerRowCount(spark, d.resolve("adds"))).sum
     (deltas.size.toLong, nBase, nAdds, postings(spark, root).count())
   }
 

@@ -161,9 +161,10 @@ object SemanticIndex {
       root: Path): (Long, Long, Long, Long) = {
     val base = requireBase(root)
     val deltas = committedDeltas(base)
-    val nBase = readDir(spark, base.resolve("cells"), cellSchema).count()
+    // base/add counts from parquet footers (driver-side, no Spark job)
+    val nBase = StoreLayout.footerRowCount(spark, base.resolve("cells"))
     val nAdds = deltas.map(d =>
-      readDir(spark, d.resolve("adds"), cellSchema).count()).sum
+      StoreLayout.footerRowCount(spark, d.resolve("adds"))).sum
     (deltas.size.toLong, nBase, nAdds, cells(spark, root).count())
   }
 
