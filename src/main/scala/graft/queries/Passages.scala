@@ -504,15 +504,16 @@ object Passages {
     val parts = docs.crossJoin(broadcast(thr))
     val standing = parts.filter($"doc_id" < $"thr").drop("thr")
     val batch = parts.filter($"doc_id" >= $"thr").drop("thr")
-    val standingReport = cdcReport(standing)
-    val standingIdx = cdcChunkRows(standing)
-      .select(md5($"s".cast("binary")).as("h")).distinct()
-    val perSrc = cdcChunkRows(batch)
-      .select(md5($"s".cast("binary")).as("h"), $"source",
-        length($"s").cast("long").as("clen"),
-        (shiftLeft($"doc_id", 32) + $"j").as("occ"))
-      .groupBy($"h", $"source")
-      .agg(count(lit(1)).as("n"), min($"occ").as("mo"), min($"clen").as("clen"))
+    // ONE chunking pass over the standing corpus: the report and the
+    // distinct-chunk index both derive from the same (h, source)
+    // aggregation (r17 — the old shape called cdcChunkRows(standing)
+    // twice in one action, re-chunking 90% of the corpus for the index
+    // leg; the lazy checkpoint shares the chunk-vocabulary-bounded
+    // aggregate between the two consumers instead)
+    val standingPerSrc = cdcPerSrc(standing).localCheckpoint(eager = false)
+    val standingReport = cdcReportFrom(standingPerSrc)
+    val standingIdx = standingPerSrc.select($"h").distinct()
+    val perSrc = cdcPerSrc(batch)
     val batchFirst = perSrc.groupBy($"h").agg(min($"mo").as("gmo"))
       .join(standingIdx, Seq("h"), "left_anti")
     val kept = when($"mo" === $"gmo", 1L).otherwise(0L)
@@ -530,10 +531,12 @@ object Passages {
         sum($"chars_removed").as("chars_removed"))
   }
 
-  /** CDC dedup accounting over any (doc_id, source, text) frame. */
-  private[queries] def cdcReport(docs: DataFrame): DataFrame = {
+  /** The (h, source) chunk-occurrence aggregate every CDC face builds
+    * on: per fingerprint and source, occurrence count, first-occurrence
+    * key, and the chunk length. */
+  private def cdcPerSrc(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val perSrc = cdcChunkRows(docs)
+    cdcChunkRows(docs)
       .select(md5($"s".cast("binary")).as("h"), $"source",
         length($"s").cast("long").as("clen"),
         (shiftLeft($"doc_id", 32) + $"j").as("occ"))
@@ -541,6 +544,11 @@ object Passages {
       // clen is a function of h (same fingerprint = same chunk text);
       // min() just picks the constant without carrying text around
       .agg(count(lit(1)).as("n"), min($"occ").as("mo"), min($"clen").as("clen"))
+  }
+
+  /** Keeper accounting over a prepared [[cdcPerSrc]] frame. */
+  private def cdcReportFrom(perSrc: DataFrame): DataFrame = {
+    import perSrc.sparkSession.implicits._
     val global = perSrc.groupBy($"h").agg(min($"mo").as("gmo"))
     val kept = when($"mo" === $"gmo", 1L).otherwise(0L)
     perSrc.join(global, Seq("h"))
@@ -550,6 +558,10 @@ object Passages {
         sum($"n" - kept).as("n_removed"),
         sum(($"n" - kept) * $"clen").as("chars_removed"))
   }
+
+  /** CDC dedup accounting over any (doc_id, source, text) frame. */
+  private[queries] def cdcReport(docs: DataFrame): DataFrame =
+    cdcReportFrom(cdcPerSrc(docs))
 
   def qCdcDedup(spark: SparkSession, sfDir: String): DataFrame =
     cdcReport(Tables.documents(spark, sfDir)
