@@ -1786,6 +1786,21 @@ object Dedup {
     val pairs = nearDupPairs(spark, sfDir).select($"doc_a", $"doc_b")
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    // capped driver kernel (the DriverComponents limit(cap+1) contract,
+    // opt guide §1.2): the dup subgraph's edge list is duplicate-scale,
+    // so under the cap the 3 damped rounds run locally over the one
+    // collected list — identical exact integers, ~6 fewer shuffle
+    // stages; over the cap the distributed loop below is the answer.
+    val capInt = math.min(graft.operators.DriverComponents.DefaultEdgeCap,
+      Int.MaxValue - 2L).toInt
+    val local = edges.limit(capInt + 1).as[(Long, Long)].collect()
+    if (local.length <= capInt) {
+      return graft.operators.PowerIteration
+        .damped(local.map { case (s, d) => (s, d, 1L) }.toSeq, PrScale, PrIters)
+        .toSeq.map { case (node, r) =>
+          (node, r.toDouble / PrScale.toDouble)
+        }.toDF("doc_id", "rank")
+    }
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val ed = edges.join(deg, Seq("src")).localCheckpoint(eager = false)
     var r = ed.select($"src".as("node"), lit(PrScale).as("r")).distinct()

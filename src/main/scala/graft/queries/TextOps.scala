@@ -2159,6 +2159,27 @@ object TextOps {
       .unionByName(bi.select($"b".as("src"), $"a".as("dst"), $"c_ab".as("w")))
       .groupBy($"src", $"dst").agg(sum($"w").as("w"))
       .localCheckpoint(eager = false) // deg, ed, and r0 all read it
+    // capped driver kernel over the vocabulary-scale co-occurrence
+    // graph (the DriverComponents contract — identical exact integers,
+    // distributed loop below as the over-cap fallback); the top-k
+    // readout sorts by (r desc, UTF-8 term) to match both engines'
+    // binary string order exactly.
+    val capInt = 2 * 1000 * 1000
+    val local = edges.limit(capInt + 1).as[(String, String, Long)].collect()
+    if (local.length <= capInt) {
+      val ranks = graft.operators.PowerIteration
+        .damped(local.toSeq, TrScale, TrIters).toSeq
+        .sortWith { case ((na, ra), (nb, rb)) =>
+          if (ra != rb) ra > rb
+          else graft.operators.PowerIteration.utf8Less(na, nb)
+        }
+        .take(TrTopK).zipWithIndex
+        .map { case ((node, r), i) =>
+          (node, i + 1, r.toDouble / TrScale.toDouble)
+        }
+      return ranks.toDF("term", "rk", "score")
+        .select($"term", $"rk".cast("int").as("rk"), $"score")
+    }
     val deg = edges.groupBy($"src").agg(sum($"w").as("wt"))
     val ed = edges.join(deg, Seq("src")).localCheckpoint(eager = false)
     var r = deg.select($"src".as("node"), lit(TrScale).as("r"))

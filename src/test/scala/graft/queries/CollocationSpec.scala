@@ -143,11 +143,17 @@ class CollocationSpec extends SparkTestBase {
       s"diff: ${expected.toSet -- real.toSet} / ${real.toSet -- expected.toSet}")
   }
 
-  test("both global top-k reads are bounded (TakeOrderedAndProject, no full sort)") {
-    for (df <- Seq(TextOps.qPmiCollocations(spark, dir),
-        TextOps.qTextrank(spark, dir))) {
-      val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("TakeOrderedAndProject"), p)
-    }
+  test("both global top-k reads are bounded (no full distributed sort)") {
+    val p1 = TextOps.qPmiCollocations(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("TakeOrderedAndProject"), p1)
+    // textrank's under-cap driver kernel cuts the top-k locally and
+    // returns a LocalTableScan; the over-cap distributed fallback keeps
+    // the TakeOrderedAndProject shape — both are bounded reads, which
+    // is what this pin protects
+    val p2 = TextOps.qTextrank(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("TakeOrderedAndProject") ||
+      p2.contains("LocalTableScan"), p2)
   }
 }
