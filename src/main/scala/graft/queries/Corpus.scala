@@ -266,10 +266,15 @@ object Corpus {
     import spark.implicits._
     val cells = Similarity.corpusCells(spark, sfDir)
       .select($"vec_id".as("doc_id"), $"cell")
-    val toks = TextOps.docsWide(spark, sfDir)
+    // per-cell term counts from the STANDING postings (r17): the staged
+    // inverted index already holds (term, doc_id, tf), so the cell
+    // rollup is a join + sum over postings rows — no corpus
+    // re-tokenization (Σ_docs-in-cell tf ≡ counting the exploded
+    // tokens, the same split both engines state)
+    val tfCell = Retrieval.postings(spark, sfDir)
+      .select($"doc_id", $"term", $"tf")
       .join(cells, Seq("doc_id"))
-      .select($"cell", explode(split($"text", " ")).as("term"))
-    val tfCell = toks.groupBy($"cell", $"term").agg(count(lit(1)).as("tf"))
+      .groupBy($"cell", $"term").agg(sum($"tf").as("tf"))
     val cellTot = tfCell.groupBy($"cell").agg(sum($"tf").as("tot_cell"))
     val stats = Retrieval.termStats(spark, sfDir).select($"term", $"cf")
     val tot = stats.agg(sum($"cf").as("tot"))

@@ -2267,7 +2267,11 @@ object TextOps {
   private def heapsFromPostings(p: DataFrame): DataFrame = {
     val spark = p.sparkSession
     import spark.implicits._
-    val toks = p.localCheckpoint(eager = false) // totals + first-occurrence branches
+    // no checkpoint: the query face feeds the ALREADY-persisted staged
+    // postings (Staging MEMORY_AND_DISK), so a localCheckpoint here
+    // only copied the cached blocks once more; the spec's synthetic
+    // frames are fixture-sized, where the double branch read is free
+    val toks = p // totals + first-occurrence branches
     val mx = toks.agg(max($"doc_id").as("mx"))
     def bkt(c: Column): Column =
       greatest(lit(1L), expr(s"(${c.toString} * $HeapsBuckets + mx - 1) div mx"))
