@@ -391,14 +391,17 @@ object Corpus {
 
   /** Materialize the profile sidecar — a Bench setup step. */
   def prewarmStaging(spark: SparkSession, sfDir: String): Unit = {
-    sourceTermCounts(spark, sfDir).count()
-    // materializing the labeled cores pulls the pts/nbr/corerep stages
-    // through with it (deg is a cheap rollup of the staged nbr)
-    dbscanStagedParts(spark, sfDir)._4.count()
-    // the sweep's widest-grid pair table is its own stage (different
-    // cell side); forcing it here leaves only the per-eps rollups to
-    // the audit query itself
-    dbscanSweepNbr(spark, sfDir).count()
+    // the three standing tables are independent staging entries — build
+    // them concurrently (Par.run, opt guide §2.6):
+    // - the per-source term-count profile;
+    // - the labeled DBSCAN cores (pulls the pts/nbr/corerep stages
+    //   through; deg is a cheap rollup of the staged nbr);
+    // - the sweep's widest-grid pair table (its own stage — different
+    //   cell side), leaving only the per-eps rollups to the audit query
+    graft.operators.Par.run[Unit](Seq(
+      () => { sourceTermCounts(spark, sfDir).count(); () },
+      () => { dbscanStagedParts(spark, sfDir)._4.count(); () },
+      () => { dbscanSweepNbr(spark, sfDir).count(); () }))
     ()
   }
 

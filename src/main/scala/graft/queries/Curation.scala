@@ -107,19 +107,22 @@ object Curation {
     * after dedup/retrieval staging, which they read). In production
     * these are maintained curation-signal tables, not per-query work. */
   def prewarmSignals(spark: SparkSession, sfDir: String): Unit = {
-    outlierSet(spark, sfDir).count()
-    containedSet(spark, sfDir).count()
-    onTargetSet(spark, sfDir).count()
-    // the r13 ccnet-chain sets (quality-argmax losers, eval-collision
-    // docs) — same maintained-table contract as the strict signals —
-    // plus the staged per-doc perplexity-bucket frame its six
-    // consumers share (ordered after retrieval staging, which it reads)
-    qualityVictimSet(spark, sfDir).count()
-    contaminatedSet(spark, sfDir).count()
-    TextOps.pplDocBuckets(spark, sfDir).count()
+    // the six independent signal tables build concurrently (Par.run,
+    // opt guide §2.6): the three strict admission sets, the r13
+    // ccnet-chain sets (quality-argmax losers, eval-collision docs),
+    // and the staged per-doc perplexity-bucket frame its six consumers
+    // share (this step is ordered after the retrieval staging it
+    // reads); each has its own staging entry
+    graft.operators.Par.run[Unit](Seq(
+      () => { outlierSet(spark, sfDir).count(); () },
+      () => { containedSet(spark, sfDir).count(); () },
+      () => { onTargetSet(spark, sfDir).count(); () },
+      () => { qualityVictimSet(spark, sfDir).count(); () },
+      () => { contaminatedSet(spark, sfDir).count(); () },
+      () => { TextOps.pplDocBuckets(spark, sfDir).count(); () }))
     // the r15 consensus victim set (both-modality-confirmed, quality
-    // victim decided) — ordered after phash staging, which its
-    // multimodal parent reads
+    // victim decided) — after the quality victims and the phash
+    // staging its multimodal parent reads
     consensusVictims(spark, sfDir).count()
     ()
   }

@@ -963,11 +963,18 @@ object Retrieval {
     * amortized over every later probe. Queries still build them on
     * demand when nobody prewarmed. */
   def prewarmStaging(spark: SparkSession, sfDir: String): Unit = {
-    kmvSketch(spark, sfDir).count()
-    dsirRatio(spark, sfDir).count()
-    postings(spark, sfDir).count()
-    termStats(spark, sfDir).count()
-    corpusStats(spark, sfDir).count()
+    // dependency levels, each level's independent builds concurrent
+    // (Par.run, opt guide §2.6): the postings fan-out, the KMV
+    // sketches (shingle-derived) and the corpus constants share no
+    // staging entry; the term-stats sidecar and the DSIR model both
+    // derive from the postings
+    graft.operators.Par.run[Unit](Seq(
+      () => { postings(spark, sfDir).count(); () },
+      () => { kmvSketch(spark, sfDir).count(); () },
+      () => { corpusStats(spark, sfDir).count(); () }))
+    graft.operators.Par.run[Unit](Seq(
+      () => { termStats(spark, sfDir).count(); () },
+      () => { dsirRatio(spark, sfDir).count(); () }))
     ()
   }
 
