@@ -783,10 +783,20 @@ object Dedup {
           x => x.getField("word")), " ").as("text_clean"))
   }
 
+  /** The corpus's verbatim-match run table (diagonal islands over the
+    * staged 8-gram postings), memoized per (session, corpus) behind a
+    * lazy checkpoint — q_span_dedup and q_verbatim_spans both read it,
+    * and at scale it is a maintained artifact like the near-dup pair
+    * table (r17; the two faces re-ran the Σ df² gram self-join each). */
+  private def corpusSpanRuns(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Staging.memoized(spark, sfDir, "span-runs") {
+      spanRuns(corpusGrams(spark, sfDir)).localCheckpoint(eager = false)
+    }
+
   def qSpanDedup(spark: SparkSession, sfDir: String): DataFrame =
     dedupFromRuns(
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
-      spanRuns(corpusGrams(spark, sfDir)))
+      corpusSpanRuns(spark, sfDir))
 
   val qSpanDedupSql: String =
     """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -810,7 +820,7 @@ object Dedup {
       |GROUP BY 1""".stripMargin
 
   def qVerbatimSpans(spark: SparkSession, sfDir: String): DataFrame =
-    spansFromRuns(spanRuns(corpusGrams(spark, sfDir)))
+    spansFromRuns(corpusSpanRuns(spark, sfDir))
 
   val qVerbatimSpansSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
