@@ -1143,8 +1143,14 @@ class LlmOpsSpec extends SparkTestBase {
     assertNoCrossJoin(Dedup.qVerbatimSpans(spark, sfDir))
     assertNoCrossJoin(Dedup.qSpanDedup(spark, sfDir))
     // the islands window partitions on (pair, diagonal) — one pair's
-    // match list per partition, never corpus-scale
-    val windows = Dedup.qVerbatimSpans(spark, sfDir)
+    // match list per partition, never corpus-scale. The shipped faces
+    // read the memoized run table (a checkpoint-backed LogicalRDD, so
+    // the window no longer appears in THEIR plans); the pin inspects
+    // the shared builder the memo wraps, via the doc-frame core.
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val windows = Dedup.verbatimSpans(docs)
       .queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
       }
